@@ -1,0 +1,230 @@
+"""Deduplication operators for large-scale corpus curation.
+
+All variants are pure DataFrame compositions (JVM-side, whole-stage
+codegen'd; no Python UDFs), designed around one scaling idea: never
+materialize the O(n²) pair space — always block first (shared shingle,
+LSH band bucket, simhash chunk, label), then score only candidates.
+At 100 TB the blocking join is the plan; the scorer is a per-candidate
+column expression.
+
+Hash functions are md5-based so results are engine-portable (the
+DuckDB oracle computes the identical signatures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_words(text: Column) -> Column:
+    """lower + single-space split + drop empties (portable tokenizer)."""
+    return F.filter(F.split(F.lower(text), " "), lambda x: x != "")
+
+
+def word_shingles(words: Column, n: int = 3) -> Column:
+    """Word n-grams as an array column. Empty array for short docs
+    (guarded: Spark's sequence(1, k) counts DOWN when k < 1)."""
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)])
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exploded DISTINCT (doc_id, shingle) relation — the blocking key
+    table every shingle-based dedup below builds on."""
+    return (
+        docs.select(id_col, F.explode(word_shingles(normalized_words(F.col(text_col)), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5 fingerprint → groupBy. One shuffle on the hash,
+    map-side partial aggregation; the canonical survivor is min(id)."""
+    return (
+        docs.select(F.md5(F.col(text_col).cast("binary")).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_doc_id"))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs.
+
+    Blocking: self-join the (doc, shingle) relation on shingle — only
+    docs sharing ≥1 shingle ever meet (no cross join). Jaccard from
+    inclusion-exclusion: |A∩B| / (|A|+|B|-|A∩B|), all integer counts so
+    the division is bit-identical across engines.
+    """
+    sh = doc_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+MINHASH_PERMS = 9
+MINHASH_BANDS = 3  # 3 rows per band → LSH threshold ≈ (1/3)^(1/3) ≈ 0.69
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """MinHash signature per doc: for permutation i, the min over
+    shingles of md5(i ‖ shingle). md5 hex strings compare like the
+    underlying 128-bit value (fixed width), so lexicographic MIN is a
+    valid random-permutation min-hash — and the oracle can recompute it.
+    One groupBy computes all K mins (single shuffle)."""
+    sh = doc_shingles(docs, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(MINHASH_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
+    """MinHash-LSH candidate duplicate pairs with estimated Jaccard.
+
+    Banding: hash each band of 3 signature slots; docs colliding in ANY
+    band become candidates (union of per-band self-joins — executed as
+    one explode + equi-join on (band_id, band_hash), which shuffles the
+    small signature table, never the corpus). Estimated Jaccard =
+    fraction of matching signature slots.
+    """
+    sig = minhash_signatures(docs, n)
+    rows = MINHASH_PERMS // MINHASH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias("band_hash"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    siga = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(MINHASH_PERMS)])
+    sigb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MINHASH_PERMS)])
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(MINHASH_PERMS)
+    )
+    return (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select("doc_a", "doc_b", (matches / float(MINHASH_PERMS)).alias("est_jaccard"))
+    )
+
+
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4  # pigeonhole: hamming ≤ 3 ⇒ at least one identical 16-bit chunk
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc as a '0'/'1' string.
+
+    Token bit b comes from md5(token) hex digit b//4, bit 3-b%4; the
+    per-doc bit is the sign of the count-weighted ±1 vote. Token bits
+    are computed once per DISTINCT token (the vocabulary), then joined
+    back — at corpus scale the vocabulary table is the broadcast side.
+    """
+    toks = (
+        docs.select("doc_id", F.explode(normalized_words(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = toks.select("tok").distinct().withColumn("h", F.md5(F.col("tok").cast("binary")))
+    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b")
+    hex_digit = F.substring(F.col("h"), (F.col("b") / 4).cast("int") + 1, 1)
+    hex_val = F.instr(F.lit("0123456789abcdef"), hex_digit) - 1
+    # shiftright() needs a literal shift amount; the shift varies per
+    # row, so use floor-division by 2^k instead (hex_val < 16).
+    bit = F.floor(hex_val / F.pow(F.lit(2.0), (3 - (F.col("b") % 4)).cast("double"))).cast("int") % 2
+    tok_bits = vocab.select("tok", "h", bit_idx).select("tok", "b", bit.alias("bit"))
+
+    votes = (
+        toks.join(tok_bits, "tok")
+        .groupBy("doc_id", "b")
+        .agg(F.sum(F.col("cnt") * (2 * F.col("bit") - 1)).alias("v"))
+    )
+    bitchar = F.when(F.col("v") > 0, F.lit("1")).otherwise(F.lit("0"))
+    return votes.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("b"), bitchar.alias("c")))),
+                lambda s: s.getField("c"),
+            ),
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """SimHash near-dup pairs: block on identical 16-bit chunks (any of
+    4), then compute exact hamming distance only on candidates."""
+    sig = simhash_signatures(docs)
+    chunk_w = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunks = F.array(
+        *[
+            F.struct(F.lit(c).alias("chunk_id"), F.substring("simhash", c * chunk_w + 1, chunk_w).alias("chunk"))
+            for c in range(SIMHASH_CHUNKS)
+        ]
+    )
+    ch = sig.select("doc_id", "simhash", F.explode(chunks).alias("ck")).select(
+        "doc_id", "simhash", F.col("ck.chunk_id").alias("chunk_id"), F.col("ck.chunk").alias("chunk")
+    )
+    a = ch.alias("a")
+    b = ch.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(F.col("sig_a").substr(i, F.lit(1)) != F.col("sig_b").substr(i, F.lit(1)), 1).otherwise(0),
+    )
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

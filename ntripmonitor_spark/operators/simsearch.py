@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+Cosine math stays JVM-side via higher-order functions (zip_with +
+aggregate — a sequential fold, so the result is deterministic and
+engine-portable after rounding). Two paths:
+
+  * brute-force top-k — the exactness baseline; broadcast the query
+    set, scan the corpus once (scales linearly with corpus size,
+    embarrassingly parallel across partitions).
+  * anchor-bucketed ANN — a deterministic LSH variant: sign-of-dot
+    against fixed anchor vectors partitions the corpus into 2^A
+    buckets; a query searches only its own bucket. At 100 TB the
+    bucket id becomes the storage partition key so a query touches
+    one partition instead of the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double_vec(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
+    """Cosine similarity rounded to `decimals` — rounding absorbs any
+    cross-engine ULP noise so thresholds and ranks are reproducible."""
+    return F.round(dot(a, b) / (norm(a) * norm(b)), decimals)
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """All-pairs cosine near-duplicates above a threshold.
+
+    Label blocking bounds the pair space (near-dups share a label in
+    this corpus; generally: block on a coarse cluster id — at scale
+    this is the IVF coarse quantizer). Norms are precomputed once per
+    vector, not per pair.
+    """
+    v = emb.select(
+        "vec_id",
+        "label",
+        as_double_vec(F.col("embedding")).alias("v"),
+    ).withColumn("nrm", norm(F.col("v")))
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "label", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def knn_bruteforce(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors for the first `n_queries` vectors.
+
+    The (tiny) query set is broadcast; the corpus is scanned once.
+    Ranking uses (rounded cosine DESC, vec_id ASC) so ties are
+    deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    v = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+ANCHOR_IDS = (11, 23, 37, 41)  # fixed corpus vectors as hyperplane anchors
+
+
+def _bucket_signature(vec_col: Column, anchors: list[tuple[int, list[float]]]) -> Column:
+    """Concatenated sign bits of ⟨v, anchor_i⟩ — the ANN bucket id."""
+    bits = [
+        F.when(dot(vec_col, F.array(*[F.lit(x) for x in vec])) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for _, vec in anchors
+    ]
+    return F.concat(*bits)
+
+
+def ann_bucketed(emb: DataFrame, n_queries: int = 10, k: int = 3) -> DataFrame:
+    """Anchor-bucketed approximate top-k: candidates limited to the
+    query's own sign-bucket. Deterministic (fixed anchors), so the
+    oracle reproduces it exactly.
+
+    The anchors are collected once (4 rows) and folded into the plan as
+    literals — at scale this is the broadcast ANN index.
+    """
+    from pyspark.sql.window import Window
+
+    anchors_rows = (
+        emb.filter(F.col("vec_id").isin(*ANCHOR_IDS))
+        .select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    anchors = sorted((r["vec_id"], list(r["v"])) for r in anchors_rows)
+
+    v = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    ).withColumn("bucket", _bucket_signature(F.col("v"), anchors))
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
+    scored = (
+        v.join(F.broadcast(q), v.bucket == q.qbucket)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

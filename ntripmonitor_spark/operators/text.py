@@ -1,0 +1,113 @@
+"""Text-analysis operators for corpus curation: language ID (stopword
+heuristic), quality scoring, token counting, document fingerprinting.
+All pure column expressions (codegen'd, no UDFs) so they run unchanged
+in batch and streaming plans and are oracle-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ntripmonitor_spark.operators.dedup import normalized_words, word_shingles
+
+# Tiny per-language stopword seeds for the n-gram/stopword language-ID
+# heuristic. Order = deterministic tie-break priority.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "las", "de", "y", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def stopword_count(words: Column, stopwords: tuple[str, ...]) -> Column:
+    return F.size(F.filter(words, lambda x: x.isin(*stopwords)))
+
+
+def predict_language(text: Column) -> Column:
+    """argmax over per-language stopword counts; ties resolve by the
+    fixed LANG_STOPWORDS order (en first)."""
+    words = normalized_words(text)
+    scores = {lang: stopword_count(words, sw) for lang, sw in LANG_STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    # build the when-chain in reverse priority so earlier langs win ties
+    for lang in reversed(list(LANG_STOPWORDS)):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    pred = predict_language(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword / digit ratios + a weighted
+    quality score — the standard cheap pre-filter for training corpora."""
+    text = F.col("text")
+    words = normalized_words(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(words)
+    sum_tok_len = F.aggregate(words, F.lit(0), lambda acc, x: acc + F.length(x))
+    alpha_chars = F.length(F.regexp_replace(text, "[^a-z]", ""))
+    digit_chars = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    punct_chars = F.length(F.regexp_replace(text, "[a-z0-9 ]", ""))
+    stop_all = stopword_count(words, LANG_STOPWORDS["en"])
+    alpha_ratio = alpha_chars.cast("double") / n_chars
+    digit_ratio = digit_chars.cast("double") / n_chars
+    punct_ratio = punct_chars.cast("double") / n_chars
+    stop_ratio = stop_all.cast("double") / n_tokens
+    mean_tok_len = sum_tok_len.cast("double") / n_tokens
+    score = F.round(
+        0.4 * alpha_ratio + 0.3 * (1 - punct_ratio) + 0.2 * stop_ratio + 0.1 * (1 - digit_ratio), 6
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-alnum marks
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(normalized_words(text)).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), F.lit(0))).alias("n_bpe_tokens"),
+        F.length(text).alias("n_chars_calc"),
+    )
+
+
+def fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Document fingerprints: md5 of punctuation/space-normalized text
+    plus the min shingle hash (a 1-perm minhash — the rolling-hash
+    'winnowing' analog, oracle-reproducible)."""
+    norm_text = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    shingle_hashes = F.transform(
+        word_shingles(normalized_words(F.col("text")), n), lambda s: F.md5(s.cast("binary"))
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm_text.cast("binary")).alias("norm_fp"),
+        F.array_min(shingle_hashes).alias("min_shingle_fp"),
+    )

@@ -1,7 +1,386 @@
-"""Training-data pipeline operators (the north-star extensions beyond
-the reference surface): deduplication, similarity search, text analysis,
-multimodal column plumbing. Filled in per-op; each registers a Spark
-callable + DuckDB oracle (or rows-only when genuinely non-SQL).
+"""Training-data pipeline operators as declared queries (north-star
+extensions beyond the reference surface — BASELINE.json):
+
+  dd* — deduplication (exact, n-gram Jaccard, MinHash-LSH, SimHash,
+        embedding cosine)
+  ss* — similarity search (brute-force top-k, anchor-bucketed ANN)
+  tx* — text analysis (language-ID, quality, tokens, fingerprints)
+  mm* — multimodal binary columns (stubbed decode over mapInPandas)
+
+Every oracle recomputes the identical md5-based signatures in DuckDB
+SQL, so even the hash-based ops are value-checked, not rows-only.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ntripmonitor_spark.operators import dedup, multimodal, simsearch, text
+from ntripmonitor_spark.plans.registry import register
+from ntripmonitor_spark.tables import table
+
+# Shared oracle CTE: normalized words + distinct word-3-gram shingles.
+_SH_CTE = """
+w AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+    FROM w
+)
+"""
+
+
+@register(
+    "dd01_exact_dedup",
+    tags=("dedup",),
+    oracle="""
+SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY 1
+""",
+)
+def dd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint; survivor = min(doc_id)."""
+    return dedup.exact_duplicates(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dd02_ngram_jaccard",
+    bench=True,
+    tags=("dedup",),
+    oracle=f"""
+WITH {_SH_CTE},
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, jaccard FROM (
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.n_inter AS DOUBLE) / (x.n_sh + y.n_sh - p.n_inter) AS jaccard
+    FROM p
+    JOIN sz x ON x.doc_id = p.doc_a
+    JOIN sz y ON y.doc_id = p.doc_b
+)
+WHERE jaccard >= 0.6
+""",
+)
+def dd02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (shingle-blocked
+    self-join — no O(n²) cross join)."""
+    return dedup.ngram_jaccard_pairs(table(spark, sf_dir, "documents"), n=3, threshold=0.6)
+
+
+_MH_MINS = ",\n           ".join(
+    f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(dedup.MINHASH_PERMS)
+)
+_MH_BANDS = "\n    UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, md5(mh{b*3} || '|' || mh{b*3+1} || '|' || mh{b*3+2}) AS band_hash FROM mh"
+    for b in range(dedup.MINHASH_BANDS)
+)
+_MH_MATCHES = " + ".join(
+    f"(CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END)" for i in range(dedup.MINHASH_PERMS)
+)
+
+
+@register(
+    "dd03_minhash_lsh",
+    tags=("dedup",),
+    oracle=f"""
+WITH {_SH_CTE},
+mh AS (
+    SELECT doc_id,
+           {_MH_MINS}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+    {_MH_BANDS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT cand.doc_a, cand.doc_b,
+       ({_MH_MATCHES}) / 9.0 AS est_jaccard
+FROM cand
+JOIN mh x ON x.doc_id = cand.doc_a
+JOIN mh y ON y.doc_id = cand.doc_b
+""",
+)
+def dd03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (9 perms, 3 bands × 3 rows,
+    LSH threshold ≈0.69) with estimated Jaccard."""
+    return dedup.minhash_lsh_pairs(table(spark, sf_dir, "documents"), n=3)
+
+
+@register(
+    "dd04_simhash",
+    tags=("dedup",),
+    oracle="""
+WITH w AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+tc AS (
+    SELECT doc_id, unnest(ws) AS tok FROM w
+),
+tcc AS (
+    SELECT doc_id, tok, count(*) AS cnt FROM tc GROUP BY 1, 2
+),
+vocab AS (
+    SELECT DISTINCT tok, md5(tok) AS h FROM tcc
+),
+bits AS (
+    SELECT tok, b,
+           ((strpos('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+             >> CAST(3 - (b % 4) AS INT)) & 1 AS bit
+    FROM (SELECT tok, h, unnest(range(0, 64)) AS b FROM vocab)
+),
+votes AS (
+    SELECT tcc.doc_id, bits.b, sum(tcc.cnt * (2 * bits.bit - 1)) AS v
+    FROM tcc JOIN bits ON tcc.tok = bits.tok
+    GROUP BY 1, 2
+),
+sig AS (
+    SELECT doc_id,
+           string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+    FROM votes GROUP BY doc_id
+),
+ch AS (
+    SELECT doc_id, simhash, c AS chunk_id, substr(simhash, c * 16 + 1, 16) AS chunk
+    FROM (SELECT doc_id, simhash, unnest(range(0, 4)) AS c FROM sig)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash AS sig_a, b.simhash AS sig_b
+    FROM ch a
+    JOIN ch b ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+    SELECT doc_a, doc_b,
+           list_sum(list_transform(range(1, 65),
+               i -> CASE WHEN substr(sig_a, CAST(i AS INT), 1) <> substr(sig_b, CAST(i AS INT), 1) THEN 1 ELSE 0 END)) AS hamming
+    FROM cand
+)
+WHERE hamming <= 6
+""",
+)
+def dd04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit count-weighted signatures,
+    16-bit-chunk blocking, exact hamming on candidates only."""
+    return dedup.simhash_pairs(table(spark, sf_dir, "documents"), max_hamming=6)
+
+
+_VEC_CTE = """
+v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+n AS (SELECT vec_id, label, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v)
+"""
+
+
+@register(
+    "dd05_embedding_neardup",
+    tags=("dedup", "simsearch"),
+    oracle=f"""
+WITH {_VEC_CTE}
+SELECT vec_a, vec_b, label, cos_sim FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+WHERE cos_sim >= 0.45
+""",
+)
+def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-blocked (the coarse
+    cluster id at scale)."""
+    return simsearch.embedding_neardup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+@register(
+    "ss01_knn_bruteforce",
+    bench=True,
+    tags=("simsearch",),
+    oracle=f"""
+WITH {_VEC_CTE},
+q AS (SELECT vec_id AS query_id, vec AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+scored AS (
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+           round(list_dot_product(q.qv, n.vec) / (q.qn * n.nrm), 6) AS cos_sim
+    FROM q CROSS JOIN n
+    WHERE n.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+WHERE rank <= 5
+""",
+)
+def ss01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors vec_id<10
+    (broadcast queries × one corpus scan)."""
+    return simsearch.knn_bruteforce(table(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+
+@register(
+    "ss02_ann_bucketed",
+    tags=("simsearch",),
+    oracle=f"""
+WITH {_VEC_CTE},
+anch AS (SELECT vec_id, vec FROM n WHERE vec_id IN (11, 23, 37, 41)),
+sigs AS (
+    SELECT n.vec_id,
+           string_agg(CASE WHEN list_dot_product(n.vec, anch.vec) >= 0 THEN '1' ELSE '0' END,
+                      '' ORDER BY anch.vec_id) AS bucket
+    FROM n CROSS JOIN anch
+    GROUP BY n.vec_id
+),
+vs AS (SELECT n.vec_id, n.vec, n.nrm, sigs.bucket FROM n JOIN sigs USING (vec_id)),
+q AS (SELECT vec_id AS query_id, vec AS qv, nrm AS qn, bucket AS qbucket FROM vs WHERE vec_id < 10),
+scored AS (
+    SELECT q.query_id, vs.vec_id AS neighbor_id,
+           round(list_dot_product(q.qv, vs.vec) / (q.qn * vs.nrm), 6) AS cos_sim
+    FROM q JOIN vs ON vs.bucket = q.qbucket
+    WHERE vs.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+WHERE rank <= 3
+""",
+)
+def ss02_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3: sign-of-dot against 4 fixed anchor vectors
+    buckets the corpus; queries search only their bucket."""
+    return simsearch.ann_bucketed(table(spark, sf_dir, "embeddings"), n_queries=10, k=3)
+
+
+_LANG_FILTERS = {
+    lang: "(" + ", ".join(f"'{w}'" for w in words) + ")" for lang, words in text.LANG_STOPWORDS.items()
+}
+
+
+@register(
+    "tx01_language_id",
+    tags=("text",),
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+s AS (
+    SELECT doc_id, lang,
+           len(list_filter(ws, x -> x IN {_LANG_FILTERS['en']})) AS s_en,
+           len(list_filter(ws, x -> x IN {_LANG_FILTERS['de']})) AS s_de,
+           len(list_filter(ws, x -> x IN {_LANG_FILTERS['es']})) AS s_es,
+           len(list_filter(ws, x -> x IN {_LANG_FILTERS['fr']})) AS s_fr,
+           len(list_filter(ws, x -> x IN {_LANG_FILTERS['zh']})) AS s_zh
+    FROM w
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN s_en = best THEN 'en'
+            WHEN s_de = best THEN 'de'
+            WHEN s_es = best THEN 'es'
+            WHEN s_fr = best THEN 'fr'
+            ELSE 'zh' END AS pred_lang,
+       (CASE WHEN s_en = best THEN 'en'
+             WHEN s_de = best THEN 'de'
+             WHEN s_es = best THEN 'es'
+             WHEN s_fr = best THEN 'fr'
+             ELSE 'zh' END) = lang AS is_match
+FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best FROM s)
+""",
+)
+def tx01_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-seed language-ID heuristic with deterministic tie-break."""
+    return text.language_id(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "tx02_quality_score",
+    bench=True,
+    tags=("text",),
+    oracle="""
+WITH w AS (
+    SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(ws) AS n_tokens,
+       round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws), 6) AS mean_tok_len,
+       round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+       round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+       round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text), 6) AS digit_ratio,
+       round(CAST(len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE) / len(ws), 6) AS stop_ratio,
+       round(0.4 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text))
+           + 0.3 * (1 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+           + 0.2 * (CAST(len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE) / len(ws))
+           + 0.1 * (1 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)), 6) AS quality_score
+FROM w
+""",
+)
+def tx02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap corpus-quality features + weighted score."""
+    return text.quality_features(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "tx03_token_count",
+    tags=("text",),
+    oracle=f"""
+SELECT doc_id,
+       len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{text.BPE_PATTERN}')) AS n_bpe_tokens,
+       length(text) AS n_chars_calc
+FROM documents
+""",
+)
+def tx03_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    return text.token_counts(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "tx04_fingerprint",
+    tags=("text",),
+    oracle=f"""
+WITH {_SH_CTE},
+m AS (SELECT doc_id, min(md5(shingle)) AS min_shingle_fp FROM sh GROUP BY 1)
+SELECT d.doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(d.text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp,
+       m.min_shingle_fp
+FROM documents d
+LEFT JOIN m ON m.doc_id = d.doc_id
+""",
+)
+def tx04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content md5 + min-shingle-hash fingerprints."""
+    return text.fingerprints(table(spark, sf_dir, "documents"), n=3)
+
+
+@register(
+    "mm01_decode_metadata",
+    tags=("multimodal",),
+    oracle="""
+SELECT doc_id,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INT) AS width,
+       CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS INT) AS height,
+       md5(text) AS checksum
+FROM documents
+""",
+)
+def mm01_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload → typed metadata via an
+    Arrow-batched mapInPandas decode stage (deterministically stubbed
+    codec; see operators/multimodal.py)."""
+    return multimodal.decode_metadata(table(spark, sf_dir, "documents"))
