@@ -1,0 +1,318 @@
+"""RTCM v3 decode: frames → nested IR → packages / observations.
+
+Split of labor (SURVEY.md §2.2, §3.1):
+
+* **Bit-level decode** (sub-byte fields — P1, P2, P7-P9, P5, P11) runs
+  in ONE Arrow-batched ``mapInPandas`` stage producing the nested
+  ``DECODED_SCHEMA`` IR. This is the only Python in the path; a bad
+  frame yields a null-typed row instead of failing the batch
+  (error-tolerant decode, cf. src/decoderclasses.py:59-69).
+* **Everything downstream is JVM-side Spark SQL**: epoch
+  reconstruction (P15), envelope projection (P16), mask explosion +
+  satellite-id synthesis (P13-P14), field-major→row-major transpose
+  (P10 — ``arrays_zip`` over the already-columnar IR), observable
+  scaling (P17), constellation classification (P12).
+
+Layouts follow RTCM 10403 as transcribed by the reference
+(src/rtcm3.py:316-391); observable semantics mirror
+DecoderMSM.decode (src/decoderclasses.py:177-254). The reference's
+MSM4/6 crash and its unreachable legacy 1001-1012 decoders
+(SURVEY.md §7.3 quirks) are NOT reproduced: MSM4/6 decode is omitted
+here too (observations exist only for MSM5/7, pinning the behavior the
+reference actually exhibits), and doppler/snr are computed with the
+level-appropriate scale factors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ntripmonitor_spark.functions.bitio import BitReader
+from ntripmonitor_spark.functions.crc24q import frame_crc_ok
+from ntripmonitor_spark.schema import (
+    DECODED_SCHEMA,
+    MSM_SIGNAL_TYPES,
+    constellation_col,
+)
+
+_MSM_RANGES = ((1071, 1077), (1081, 1087), (1091, 1097), (1101, 1107), (1111, 1117), (1121, 1127))
+
+
+def _is_msm(t: int) -> bool:
+    return any(lo <= t <= hi for lo, hi in _MSM_RANGES)
+
+
+def _decode_one(frame: bytes) -> dict:
+    """One frame → one DECODED_SCHEMA dict (nulls where not applicable)."""
+    out: dict = {
+        "msg_type": None, "msg_size": len(frame), "crc_ok": frame_crc_ok(frame),
+        "station_id": None, "epoch_ms": None, "glonass_dow": None,
+        "sat_mask": None, "sig_mask": None, "cell_mask": None,
+        "sats": None, "cells": None,
+        "ecef_x": None, "ecef_y": None, "ecef_z": None, "ant_height": None,
+        "text": None,
+    }
+    if not out["crc_ok"] or len(frame) < 8:
+        return out
+    r = BitReader(frame[3:-3])  # strip envelope header + CRC (P1)
+    t = r.uint(12)
+    out["msg_type"] = t
+    try:
+        if _is_msm(t):
+            out["station_id"] = r.uint(12)
+            epoch30 = r.uint(30)
+            if 1081 <= t <= 1087:
+                # GLONASS epoch: DOW(3) | TOD(27) ms (src/rtcm3.py:106-109)
+                out["glonass_dow"] = epoch30 >> 27
+                out["epoch_ms"] = epoch30 & ((1 << 27) - 1)
+            else:
+                out["epoch_ms"] = epoch30
+            r.bit()          # multiple-message flag
+            r.uint(3)        # IODS
+            r.pad(7)         # reserved
+            r.uint(2)        # clock steering
+            r.uint(2)        # external clock
+            r.bit()          # smoothing
+            r.uint(3)        # smoothing interval
+            sat_mask = r.bin(64)
+            sig_mask = r.bin(32)
+            nsat = sat_mask.count("1")
+            nsig = sig_mask.count("1")
+            cell_mask = r.bin(nsat * nsig)
+            ncells = cell_mask.count("1")
+            out["sat_mask"], out["sig_mask"], out["cell_mask"] = sat_mask, sig_mask, cell_mask
+            level = t % 10
+            if level in (5, 7):
+                # Field-major read (src/rtcm3.py:161-167); stored
+                # row-major in the IR — the transpose is free here.
+                int_ms = [r.uint(8) for _ in range(nsat)]
+                ext = [r.uint(4) for _ in range(nsat)]
+                mod1ms = [r.uint(10) for _ in range(nsat)]
+                rate = [r.sint(14) for _ in range(nsat)]
+                out["sats"] = [
+                    {"int_ms": a, "ext_info": b, "mod1ms": c, "rough_rate": d}
+                    for a, b, c, d in zip(int_ms, ext, mod1ms, rate)
+                ]
+                if level == 5:
+                    widths = ((15, True), (22, True), (4, False), (1, False), (6, False), (15, True))
+                else:
+                    widths = ((20, True), (24, True), (10, False), (1, False), (10, False), (15, True))
+                cols = []
+                for nbits, signed in widths:
+                    cols.append([r.sint(nbits) if signed else r.uint(nbits) for _ in range(ncells)])
+                out["cells"] = [
+                    {
+                        "fine_code": fc, "fine_phase": fp, "lock": lk,
+                        "half_cycle": bool(hc), "cnr": cn, "fine_rate": fr,
+                    }
+                    for fc, fp, lk, hc, cn, fr in zip(*cols)
+                ]
+            else:
+                # MSM1-4/6: envelope-level decode only (sat count from
+                # the mask); observations intentionally not produced.
+                out["sats"] = [
+                    {"int_ms": None, "ext_info": None, "mod1ms": None, "rough_rate": None}
+                ] * nsat
+        elif t in (1005, 1006):
+            out["station_id"] = r.uint(12)
+            r.uint(6)        # ITRF year
+            r.bit(); r.bit(); r.bit()  # GPS/GLONASS/Galileo flags
+            r.bit()          # reference-station indicator
+            out["ecef_x"] = r.sint(38)
+            r.bit()          # oscillator indicator
+            r.pad(1)
+            out["ecef_y"] = r.sint(38)
+            r.pad(2)
+            out["ecef_z"] = r.sint(38)
+            if t == 1006:
+                out["ant_height"] = r.uint(16)
+        elif t == 1029:
+            out["station_id"] = r.uint(12)
+            r.uint(16)       # MJD
+            r.uint(17)       # UTC seconds of day
+            r.uint(7)        # number of characters
+            nbytes = r.uint(8)
+            raw = bytes(r.uint(8) for _ in range(nbytes))
+            out["text"] = raw.decode("utf-8", errors="replace")
+        # other types: metadata-only row ("not implemented",
+        # src/rtcm3.py:171-172)
+    except (EOFError, ValueError):
+        # Truncated/corrupt payload behind a valid CRC: envelope only.
+        pass
+    return out
+
+
+def decode_frames(frames: DataFrame) -> DataFrame:
+    """(mountpoint, receive_time, frame) → nested DECODED_SCHEMA rows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mp, rt, fr in zip(pdf["mountpoint"], pdf["receive_time"], pdf["frame"]):
+                d = _decode_one(bytes(fr))
+                d["mountpoint"] = mp
+                d["receive_time"] = rt
+                rows.append(d)
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return frames.mapInPandas(gen, schema=DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Epoch reconstruction (P15) — pure column expressions, µs-exact.
+# ---------------------------------------------------------------------------
+
+_US_DAY = 86_400_000_000
+_US_5H = 5 * 3600 * 1_000_000
+_US_3H = 3 * 3600 * 1_000_000
+
+
+def obs_epoch_col(receive_time: Column, epoch_ms: Column, msg_type: Column) -> Column:
+    """Deterministic gnssEpochStr (src/decoderclasses.py:17-52) with
+    ``receive_time`` playing the wall clock, in exact integer µs:
+
+      obsSec = (epoch_ms/1000) % 86400 ; us = (epoch_ms%1000)*1000
+      if obsSec - nowSecOfDay < -5h: next day
+      GLONASS types (1009-1012, 1081-1087): −3 h
+    """
+    now_us = F.unix_micros(receive_time)
+    day_start_us = (now_us / _US_DAY).cast("long") * _US_DAY
+    obs_sec = (epoch_ms / 1000).cast("long") % 86400
+    frac_us = (epoch_ms % 1000) * 1000
+    candidate = day_start_us + obs_sec * 1_000_000 + frac_us
+    rolled = F.when(
+        obs_sec * 1_000_000 - (now_us % _US_DAY) < -_US_5H, candidate + _US_DAY
+    ).otherwise(candidate)
+    is_glonass = msg_type.between(1009, 1012) | msg_type.between(1081, 1087)
+    adjusted = F.when(is_glonass, rolled - _US_3H).otherwise(rolled)
+    return F.timestamp_micros(adjusted)
+
+
+# ---------------------------------------------------------------------------
+# Projections: envelope (P16) and observations (P12-P14, P17)
+# ---------------------------------------------------------------------------
+
+
+def packages(decoded: DataFrame) -> DataFrame:
+    """Envelope projection (src/decoderclasses.py:100-122): obs_epoch
+    and sat_count only for MSM types."""
+    is_msm = F.col("msg_type").between(1071, 1127)
+    return decoded.select(
+        "mountpoint",
+        "receive_time",
+        F.when(is_msm, obs_epoch_col(F.col("receive_time"), F.col("epoch_ms"), F.col("msg_type")))
+        .alias("obs_epoch"),
+        "msg_type",
+        "msg_size",
+        F.when(is_msm, F.size("sats")).cast("int").alias("sat_count"),
+    )
+
+
+def _mask_positions(mask: Column, n: int) -> Column:
+    """0-based indices of the '1' bits of a '0'/'1' mask string, in
+    order — the posexplode side of P13/P14."""
+    return F.filter(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: mask.substr(i + 1, F.lit(1)) == "1",
+    )
+
+
+def _signal_name_map() -> Column:
+    """map<'CONST|slot', name> literal for the P13 lookup (tiny,
+    constant-folded; the join-free alternative to signal_dim)."""
+    entries: list[Column] = []
+    for const, names in MSM_SIGNAL_TYPES.items():
+        for slot, name in enumerate(names):
+            entries.append(F.lit(f"{const}|{slot}"))
+            entries.append(F.lit(name))
+    return F.create_map(*entries)
+
+
+def observations(decoded: DataFrame) -> DataFrame:
+    """MSM5/7 observation flattening + scaling, entirely JVM-side.
+
+    Mirrors DecoderMSM.decode (src/decoderclasses.py:177-254): for the
+    k-th '1' in the cell mask at position p, satNo = p div nsig indexes
+    the satellite block, sigNo = p mod nsig indexes the masked signal
+    list, and the k-th cell record carries the fine values.
+    """
+    level = F.col("msg_type") % 10
+    d = (
+        decoded.filter(F.col("msg_type").between(1071, 1127) & (level.isin(5, 7)) & F.col("cells").isNotNull())
+        .withColumn("constellation", constellation_col(F.col("msg_type")))
+        .withColumn("constellation_id", F.element_at(
+            F.create_map(
+                F.lit("GPS"), F.lit("G"), F.lit("GLONASS"), F.lit("R"),
+                F.lit("GALILEO"), F.lit("E"), F.lit("SBAS"), F.lit("S"),
+                F.lit("QZSS"), F.lit("J"), F.lit("BEIDOU"), F.lit("C"),
+            ),
+            F.col("constellation"),
+        ))
+        .withColumn("sat_slots", _mask_positions(F.col("sat_mask"), 64))
+        .withColumn("sig_slots", _mask_positions(F.col("sig_mask"), 32))
+        .withColumn("nsig", F.size("sig_slots"))
+        .withColumn(
+            "cell_positions",
+            F.filter(
+                F.sequence(F.lit(0), F.length("cell_mask") - 1),
+                lambda p: F.col("cell_mask").substr(p + 1, F.lit(1)) == "1",
+            ),
+        )
+        .withColumn("obs_epoch", obs_epoch_col(F.col("receive_time"), F.col("epoch_ms"), F.col("msg_type")))
+    )
+
+    # k-th cell ↔ k-th set position: zip then explode (P10's transpose
+    # analog — one generator, no Python).
+    d = d.withColumn("cellz", F.arrays_zip("cell_positions", "cells")).select(
+        "mountpoint", "obs_epoch", "msg_type", "constellation", "constellation_id",
+        "sat_slots", "sig_slots", "nsig", F.explode("cellz").alias("cz"), "sats",
+    )
+    pos = F.col("cz.cell_positions")
+    cell = F.col("cz.cells")
+    sat_no = (pos / F.col("nsig")).cast("int")
+    sig_no = (pos % F.col("nsig")).cast("int")
+    sat = F.element_at(F.col("sats"), sat_no + 1)
+
+    code_fine = F.when(F.col("msg_type") % 10 == 5, F.pow(2.0, -24)).otherwise(F.pow(2.0, -29))
+    phase_fine = F.when(F.col("msg_type") % 10 == 5, F.pow(2.0, -29)).otherwise(F.pow(2.0, -31))
+    snr_scale = F.when(F.col("msg_type") % 10 == 5, F.lit(1.0)).otherwise(F.pow(2.0, -4))
+    rough = sat.getField("int_ms") + sat.getField("mod1ms") / F.lit(1024.0)
+
+    sig_map = _signal_name_map()
+    return d.select(
+        "mountpoint",
+        "obs_epoch",
+        "msg_type",
+        F.format_string(
+            "%s%02d", F.col("constellation_id"), F.element_at(F.col("sat_slots"), sat_no + 1) + 1
+        ).alias("sat_id"),
+        F.element_at(
+            sig_map,
+            F.concat_ws("|", F.col("constellation"), F.element_at(F.col("sig_slots"), sig_no + 1)),
+        ).alias("sat_signal"),
+        (rough + cell.getField("fine_code") * code_fine).alias("code"),
+        (rough + cell.getField("fine_phase") * phase_fine).alias("phase"),
+        (sat.getField("rough_rate") + cell.getField("fine_rate") * F.lit(0.0001)).alias("doppler"),
+        (cell.getField("cnr") * snr_scale).alias("snr"),
+        cell.getField("lock").alias("lock"),
+        "constellation",
+    )
+
+
+def coordinates(decoded: DataFrame) -> DataFrame:
+    """1005/1006 ARP decode + 1e-4 scaling (P5-P6,
+    src/decoderclasses.py:142-158)."""
+    return decoded.filter(F.col("msg_type").isin(1005, 1006)).select(
+        "mountpoint",
+        "receive_time",
+        "msg_type",
+        "station_id",
+        (F.col("ecef_x") / 1e4).alias("ecef_x_m"),
+        (F.col("ecef_y") / 1e4).alias("ecef_y_m"),
+        (F.col("ecef_z") / 1e4).alias("ecef_z_m"),
+        (F.col("ant_height") / 1e4).alias("ant_height_m"),
+    )

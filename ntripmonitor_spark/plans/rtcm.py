@@ -1,0 +1,329 @@
+"""GNSS decode-path queries (rt*) — driver-checked end-to-end.
+
+Each query runs the REAL pipeline: deterministic RTCM frames are
+encoded from the ``events`` table (fixture encoder), wrapped in blobs
+with junk bytes and CRC-corrupted decoys, then frame-aligned (S3),
+CRC-gated (S4), bit-decoded (P1-P11) and flattened/scaled (P12-P17) by
+the engine. Because every encoded field is an integer function of
+(event_id, user_id, ts), the DuckDB oracle can recompute the expected
+DECODED output analytically — so the whole
+encode→align→CRC→decode→flatten→scale path is value-checked, not
+rows-only.
+
+Frame assignment per event (precedence order):
+  e%7==0 → 1029 text | e%11==0 → 1006 ARP | e%5==0 → 1087 GLONASS MSM7
+  | e%2==0 → 1077 GPS MSM7 | else → 1075 GPS MSM5
+
+Deviation from the reference (documented, deliberate): obs_epoch is
+µs-exact integer arithmetic; the reference's float ``obsEpoch % 1``
+truncation (src/decoderclasses.py:27) can lose 1 µs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ntripmonitor_spark.operators import rtcm
+from ntripmonitor_spark.plans.registry import register
+from ntripmonitor_spark.schema import BLOBS_SCHEMA, message_catalog_dim
+from ntripmonitor_spark.sources import encoder
+from ntripmonitor_spark.sources.framing import split_frames
+from ntripmonitor_spark.tables import table
+
+_US_DAY = 86_400_000_000
+
+
+def _msg_type(e: int) -> int:
+    if e % 7 == 0:
+        return 1029
+    if e % 11 == 0:
+        return 1006
+    if e % 5 == 0:
+        return 1087
+    return 1077 if e % 2 == 0 else 1075
+
+
+def _encode_event(e: int, u: int, ts_us: int, props: str) -> bytes:
+    t = _msg_type(e)
+    station = u % 4096
+    if t == 1029:
+        mjd = ts_us // _US_DAY + 40587
+        utc_s = (ts_us // 1_000_000) % 86400
+        return encoder.encode_1029(station, mjd, utc_s, props)
+    if t == 1006:
+        x = ((e * 9973 + 123) % (1 << 38)) - (1 << 37)
+        y = ((e * 31337 + 7) % (1 << 38)) - (1 << 37)
+        z = ((e * 271 + 99) % (1 << 38)) - (1 << 37)
+        ant = (e * 13) % 65536
+        return encoder.encode_1005(station, x, y, z, ant_height=ant)
+    # MSM5/7
+    level = t % 10
+    nsat = 1 + e % 3
+    sat_slots = [(e % 50) + j for j in range(nsat)]
+    sig_slots = [1, 7]
+    sats = [
+        {
+            "int_ms": (e + j) % 128,
+            "ext_info": j % 16,
+            "mod1ms": (e * 31 + j * 7) % 1024,
+            "rough_rate": ((e * 13 + j * 101) % 16384) - 8192,
+        }
+        for j in range(nsat)
+    ]
+    ncell_pos = nsat * 2
+    drop_last = e % 4 == 1
+    cell_mask = "".join(
+        "0" if (drop_last and c == ncell_pos - 1) else "1" for c in range(ncell_pos)
+    )
+    cells = []
+    for c in range(ncell_pos):
+        if cell_mask[c] != "1":
+            continue
+        if level == 7:
+            cells.append(
+                {
+                    "fine_code": ((e * 7919 + c * 131) % (1 << 20)) - (1 << 19),
+                    "fine_phase": ((e * 104729 + c * 7919) % (1 << 24)) - (1 << 23),
+                    "lock": (e + c) % 1024,
+                    "half_cycle": (e + c) % 2,
+                    "cnr": (e * 3 + c) % 1024,
+                    "fine_rate": ((e * 17 + c * 29) % (1 << 15)) - (1 << 14),
+                }
+            )
+        else:
+            cells.append(
+                {
+                    "fine_code": ((e * 7919 + c * 131) % (1 << 15)) - (1 << 14),
+                    "fine_phase": ((e * 104729 + c * 7919) % (1 << 22)) - (1 << 21),
+                    "lock": (e + c) % 16,
+                    "half_cycle": (e + c) % 2,
+                    "cnr": (e * 3 + c) % 64,
+                    "fine_rate": ((e * 17 + c * 29) % (1 << 15)) - (1 << 14),
+                }
+            )
+    epoch_ms = (ts_us % _US_DAY) // 1000
+    dow = (ts_us // _US_DAY + 4) % 7
+    return encoder.encode_msm(
+        t, station, epoch_ms, sat_slots, sig_slots, sats, cells,
+        cell_mask=cell_mask, glonass_dow=dow if 1081 <= t <= 1087 else 0,
+    )
+
+
+def event_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → (mountpoint, receive_time, blob): one frame per event,
+    prefixed with junk bytes (e%3 × 0xAA) and, every 13th event, a
+    CRC-corrupted decoy copy the aligner must skip."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "props")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mps, rts, blobs = [], [], []
+            for e, u, ts, props in zip(
+                pdf["event_id"], pdf["user_id"], pdf["ts"], pdf["props"]
+            ):
+                e, u = int(e), int(u)
+                ts_us = ts.value // 1000
+                frame = _encode_event(e, u, ts_us, str(props))
+                blob = b"\xaa" * (e % 3)
+                if e % 13 == 0:
+                    blob += frame[:-1] + bytes([frame[-1] ^ 0xFF])  # bad CRC decoy
+                blob += frame
+                mps.append(f"MP{u % 8}")
+                rts.append(pd.Timestamp((ts_us + ((e % 200) + 40) * 1000) * 1000))
+                blobs.append(blob)
+            yield pd.DataFrame({"mountpoint": mps, "receive_time": rts, "blob": blobs})
+
+    return ev.mapInPandas(gen, schema=BLOBS_SCHEMA)
+
+
+def decoded_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rtcm.decode_frames(split_frames(event_blobs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTE: re-derive every per-event parameter in SQL.
+# ---------------------------------------------------------------------------
+
+_EV_CTE = """
+ev AS (
+    SELECT event_id AS e, user_id AS u, props,
+           'MP' || CAST(user_id % 8 AS VARCHAR) AS mountpoint,
+           epoch_us(ts) AS ts_us,
+           epoch_us(ts) + ((event_id % 200) + 40) * 1000 AS now_us,
+           CASE WHEN event_id % 7 = 0 THEN 1029
+                WHEN event_id % 11 = 0 THEN 1006
+                WHEN event_id % 5 = 0 THEN 1087
+                WHEN event_id % 2 = 0 THEN 1077
+                ELSE 1075 END AS msg_type,
+           CAST(1 + event_id % 3 AS INT) AS nsat
+    FROM events
+),
+m AS (
+    SELECT *,
+           make_timestamp(now_us) AS receive_time,
+           (ts_us % 86400000000) // 1000 AS epoch_ms,
+           CAST(CASE WHEN e % 4 = 1 THEN nsat * 2 - 1 ELSE nsat * 2 END AS INT) AS ncells
+    FROM ev
+),
+t AS (
+    SELECT *,
+           CASE WHEN msg_type >= 1071 THEN make_timestamp(
+               (now_us // 86400000000) * 86400000000
+               + (epoch_ms // 1000) * 1000000 + (epoch_ms % 1000) * 1000
+               + CASE WHEN (epoch_ms // 1000) * 1000000 - (now_us % 86400000000)
+                           < -18000000000 THEN 86400000000 ELSE 0 END
+               - CASE WHEN msg_type BETWEEN 1081 AND 1087 THEN 10800000000 ELSE 0 END)
+           END AS obs_epoch
+    FROM m
+)
+"""
+
+
+@register(
+    "rt01_packages",
+    bench=True,
+    tags=("rtcm",),
+    oracle=f"""
+WITH {_EV_CTE}
+SELECT mountpoint, receive_time, obs_epoch, msg_type,
+       CAST(CASE WHEN msg_type = 1029 THEN 15 + strlen(props)
+                 WHEN msg_type = 1006 THEN 27
+                 ELSE (169 + nsat * 2 + nsat * 36
+                       + ncells * (CASE WHEN msg_type % 10 = 5 THEN 63 ELSE 80 END)
+                       + 7) // 8 + 6 END AS INT) AS msg_size,
+       CASE WHEN msg_type >= 1071 THEN nsat END AS sat_count
+FROM t
+""",
+)
+def rt01_packages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope table from the full align→CRC→decode pipeline (P16 +
+    P15 epoch reconstruction; frame sizes prove the aligner consumed
+    exactly the real frames and skipped junk + CRC decoys)."""
+    return rtcm.packages(decoded_events(spark, sf_dir))
+
+
+@register(
+    "rt02_observations",
+    bench=True,
+    tags=("rtcm",),
+    oracle=f"""
+WITH {_EV_CTE},
+grid AS (
+    SELECT t.*, j, s, CAST(j * 2 + s AS INT) AS c
+    FROM t
+    CROSS JOIN (SELECT CAST(unnest(range(0, 3)) AS INT) AS j)
+    CROSS JOIN (SELECT CAST(unnest(range(0, 2)) AS INT) AS s)
+    WHERE msg_type >= 1071 AND j < nsat
+      AND NOT (e % 4 = 1 AND j * 2 + s = nsat * 2 - 1)
+),
+f AS (
+    SELECT *,
+           CASE WHEN msg_type BETWEEN 1081 AND 1087 THEN 'GLONASS' ELSE 'GPS' END AS constellation,
+           (e + j) % 128 + CAST((e * 31 + j * 7) % 1024 AS DOUBLE) / 1024 AS rough,
+           ((e * 13 + j * 101) % 16384) - 8192 AS rough_rate,
+           CASE WHEN msg_type % 10 = 7
+                THEN (((e * 7919 + c * 131) % 1048576) - 524288) / 536870912.0
+                ELSE (((e * 7919 + c * 131) % 32768) - 16384) / 16777216.0 END AS code_fine,
+           CASE WHEN msg_type % 10 = 7
+                THEN (((e * 104729 + c * 7919) % 16777216) - 8388608) / 2147483648.0
+                ELSE (((e * 104729 + c * 7919) % 4194304) - 2097152) / 536870912.0 END AS phase_fine,
+           CASE WHEN msg_type % 10 = 7 THEN (e + c) % 1024 ELSE (e + c) % 16 END AS lck,
+           CASE WHEN msg_type % 10 = 7 THEN CAST((e * 3 + c) % 1024 AS DOUBLE) / 16
+                ELSE CAST((e * 3 + c) % 64 AS DOUBLE) END AS snr,
+           ((e * 17 + c * 29) % 32768) - 16384 AS fine_rate
+    FROM grid
+)
+SELECT mountpoint, obs_epoch, msg_type,
+       printf('%s%02d', CASE WHEN constellation = 'GLONASS' THEN 'R' ELSE 'G' END,
+              e % 50 + j + 1) AS sat_id,
+       CASE WHEN constellation = 'GLONASS' THEN (CASE WHEN s = 0 THEN 'G1C' ELSE 'G2C' END)
+            ELSE (CASE WHEN s = 0 THEN 'L1C' ELSE 'L2C' END) END AS sat_signal,
+       rough + code_fine AS code,
+       rough + phase_fine AS phase,
+       rough_rate + fine_rate * CAST(0.0001 AS DOUBLE) AS doppler,
+       snr,
+       CAST(lck AS INT) AS lock,
+       constellation
+FROM f
+""",
+)
+def rt02_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flattened, scaled MSM5/7 observations (P7-P10, P12-P14, P17) —
+    value-parity on code/phase/doppler/snr against analytic recompute."""
+    return rtcm.observations(decoded_events(spark, sf_dir))
+
+
+@register(
+    "rt03_coordinates",
+    tags=("rtcm",),
+    oracle=f"""
+WITH {_EV_CTE}
+SELECT mountpoint, receive_time, msg_type,
+       CAST(u % 4096 AS INT) AS station_id,
+       (((e * 9973 + 123) % 274877906944) - 137438953472) / 10000.0 AS ecef_x_m,
+       (((e * 31337 + 7) % 274877906944) - 137438953472) / 10000.0 AS ecef_y_m,
+       (((e * 271 + 99) % 274877906944) - 137438953472) / 10000.0 AS ecef_z_m,
+       ((e * 13) % 65536) / 10000.0 AS ant_height_m
+FROM t WHERE msg_type = 1006
+""",
+)
+def rt03_coordinates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Station ARP decode + 1e-4 m scaling (P5-P6)."""
+    return rtcm.coordinates(decoded_events(spark, sf_dir))
+
+
+@register(
+    "rt04_text_messages",
+    tags=("rtcm",),
+    oracle=f"""
+WITH {_EV_CTE}
+SELECT mountpoint, CAST(u % 4096 AS INT) AS station_id, props AS text
+FROM t WHERE msg_type = 1029
+""",
+)
+def rt04_text_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1029 text decode round-trip (P11 — the one type the reference
+    can also encode, src/rtcm3.py:80-96)."""
+    return (
+        decoded_events(spark, sf_dir)
+        .filter(F.col("msg_type") == 1029)
+        .select("mountpoint", "station_id", "text")
+    )
+
+
+@register(
+    "rt05_message_catalog",
+    tags=("rtcm",),
+    oracle=f"""
+WITH {_EV_CTE}
+SELECT CASE WHEN msg_type = 1029 THEN 'Unicode text string'
+            WHEN msg_type = 1006 THEN 'Stationary RTK reference station ARP'
+            WHEN msg_type BETWEEN 1071 AND 1077 THEN 'GPS MSM1-7'
+            ELSE 'GLONASS MSM1-7' END AS description,
+       CAST(count(*) AS BIGINT) AS n_msgs,
+       CAST(sum(CASE WHEN msg_type = 1029 THEN 15 + strlen(props)
+                WHEN msg_type = 1006 THEN 27
+                ELSE (169 + nsat * 2 + nsat * 36
+                      + ncells * (CASE WHEN msg_type % 10 = 5 THEN 63 ELSE 80 END)
+                      + 7) // 8 + 6 END) AS BIGINT) AS total_bytes
+FROM t
+GROUP BY 1
+""",
+)
+def rt05_message_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope ⋈ broadcast message-catalog dim (P22 + Q6-style
+    broadcast join on decode output)."""
+    pk = rtcm.packages(decoded_events(spark, sf_dir))
+    cat = message_catalog_dim(spark)
+    return (
+        pk.join(F.broadcast(cat), "msg_type")
+        .groupBy("description")
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.sum("msg_size").alias("total_bytes"),
+        )
+    )

@@ -1,0 +1,236 @@
+"""Logical schemas + static dimension data for the GNSS engine.
+
+Relational schemas mirror the reference's DDL (`initdb/*.sql`); the six
+per-constellation observation tables share one schema and become ONE
+DataFrame with a ``constellation`` column (SURVEY.md §1.4). Static
+dimensions (constellation ranges, MSM signal-name tables per RTCM
+10403, message catalog) are the broadcast-join side of every lookup —
+they are tiny, immutable, and derived from the published standard
+(name parity with `src/rtcm3.py:394-609`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# --------------------------------------------------------------------------
+# Core row schemas
+# --------------------------------------------------------------------------
+
+# Raw byte blobs entering the framer: one row per (mountpoint, chunk).
+BLOBS_SCHEMA = StructType(
+    [
+        StructField("mountpoint", StringType()),
+        StructField("receive_time", TimestampType()),
+        StructField("blob", BinaryType()),
+    ]
+)
+
+# Aligned, CRC-valid frames leaving the framer (S3/S4).
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("mountpoint", StringType()),
+        StructField("receive_time", TimestampType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+_SAT_STRUCT = StructType(
+    [
+        StructField("int_ms", IntegerType()),      # uint:8  rough range integer ms (MSM4-7)
+        StructField("ext_info", IntegerType()),    # uint:4  extended info (MSM5/7)
+        StructField("mod1ms", IntegerType()),      # uint:10 rough range mod 1 ms
+        StructField("rough_rate", IntegerType()),  # int:14  rough phase-range rate (MSM5/7)
+    ]
+)
+
+_CELL_STRUCT = StructType(
+    [
+        StructField("fine_code", IntegerType()),   # int:15 (MSM5) / int:20 (MSM7)
+        StructField("fine_phase", IntegerType()),  # int:22 (MSM5) / int:24 (MSM7)
+        StructField("lock", IntegerType()),        # uint:4 / uint:10
+        StructField("half_cycle", BooleanType()),  # bool
+        StructField("cnr", IntegerType()),         # uint:6 / uint:10
+        StructField("fine_rate", IntegerType()),   # int:15
+    ]
+)
+
+# One row per decoded frame — the engine's nested IR (decode stage
+# output; cf. the reference's [head, satData, signalData] lists,
+# src/rtcm3.py:114-175). Flattening to observations is pure Spark SQL.
+DECODED_SCHEMA = StructType(
+    [
+        StructField("mountpoint", StringType()),
+        StructField("receive_time", TimestampType()),
+        StructField("msg_type", IntegerType()),
+        StructField("msg_size", IntegerType()),
+        StructField("crc_ok", BooleanType()),
+        StructField("station_id", IntegerType()),
+        StructField("epoch_ms", LongType()),        # MSM: GPS TOW-of-day / GLONASS TOD ms
+        StructField("glonass_dow", IntegerType()),  # 1081-1087 only
+        StructField("sat_mask", StringType()),      # bin:64
+        StructField("sig_mask", StringType()),      # bin:32
+        StructField("cell_mask", StringType()),     # bin:(nsat*nsig)
+        StructField("sats", ArrayType(_SAT_STRUCT)),
+        StructField("cells", ArrayType(_CELL_STRUCT)),
+        StructField("ecef_x", LongType()),          # 1005/1006 int:38 (1e-4 m)
+        StructField("ecef_y", LongType()),
+        StructField("ecef_z", LongType()),
+        StructField("ant_height", LongType()),      # 1006 uint:16 (1e-4 m)
+        StructField("text", StringType()),          # 1029
+    ]
+)
+
+# Envelope table (initdb/01-rtcm_packages.sql; row shape
+# src/decoderclasses.py:109-119).
+PACKAGES_SCHEMA = StructType(
+    [
+        StructField("mountpoint", StringType()),
+        StructField("receive_time", TimestampType()),
+        StructField("obs_epoch", TimestampType()),
+        StructField("msg_type", IntegerType()),
+        StructField("msg_size", IntegerType()),
+        StructField("sat_count", IntegerType()),
+    ]
+)
+
+# Observation table (initdb/11-16-*.sql; row shape
+# src/decoderclasses.py:238-249) + constellation routing column.
+OBSERVATIONS_SCHEMA = StructType(
+    [
+        StructField("mountpoint", StringType()),
+        StructField("obs_epoch", TimestampType()),
+        StructField("msg_type", IntegerType()),
+        StructField("sat_id", StringType()),
+        StructField("sat_signal", StringType()),
+        StructField("code", DoubleType()),
+        StructField("phase", DoubleType()),
+        StructField("doppler", DoubleType()),
+        StructField("snr", DoubleType()),
+        StructField("lock", IntegerType()),
+        StructField("constellation", StringType()),
+    ]
+)
+
+# --------------------------------------------------------------------------
+# Static dimensions (RTCM 10403 facts)
+# --------------------------------------------------------------------------
+
+# MSM hundreds-digit → constellation (src/rtcm3.py:602-609).
+MSM_CONSTELLATIONS = {
+    107: "GPS",
+    108: "GLONASS",
+    109: "GALILEO",
+    110: "SBAS",
+    111: "QZSS",
+    112: "BEIDOU",
+}
+
+CONSTELLATION_IDS = {
+    "GPS": "G",
+    "GLONASS": "R",
+    "GALILEO": "E",
+    "SBAS": "S",
+    "QZSS": "J",
+    "BEIDOU": "C",
+}
+
+# MSM signal-mask slot (0-based bit index in DF395) → signal name.
+# Sparse form of the 32-entry tables; unlisted slots are reserved
+# ("Res"). Names follow RTCM 10403 / the reference's tables
+# (src/rtcm3.py:394-599).
+_SIGNAL_SLOTS = {
+    "GPS": {1: "L1C", 2: "L1P", 3: "L1W", 7: "L2C", 8: "L2P", 9: "L2W",
+            14: "L2S", 15: "L2L", 16: "L2X", 21: "L5I", 22: "L5Q",
+            23: "L5X", 29: "L1S", 30: "L1L", 31: "L1X"},
+    "GLONASS": {1: "G1C", 2: "G1P", 7: "G2C", 8: "G2P"},
+    "GALILEO": {1: "E1C", 2: "E1A", 3: "E1B", 4: "E1X", 5: "E1Z",
+                7: "E6C", 8: "E6A", 9: "E6B", 10: "E6X", 11: "E6Z",
+                13: "E7I", 14: "E7Q", 15: "E7X", 17: "E8I", 18: "E8Q",
+                19: "E8X", 21: "E5I", 22: "E5Q", 23: "E5X"},
+    "BEIDOU": {1: "B2I", 2: "B2Q", 3: "B2X", 7: "B6I", 8: "B6Q",
+               9: "B6X", 13: "B7I", 14: "B7Q", 15: "B7X"},
+    "QZSS": {1: "L1C", 8: "L6S", 9: "L6L", 10: "L6X", 14: "L2S",
+             15: "L2L", 16: "L2X", 21: "L5I", 22: "L5Q", 23: "L5X",
+             29: "L1S", 30: "L1L", 31: "L1X"},
+    "SBAS": {1: "L1C", 21: "L5I", 22: "L5Q", 23: "L5X"},
+}
+
+MSM_SIGNAL_TYPES = {
+    const: [slots.get(i, "Res") for i in range(32)] for const, slots in _SIGNAL_SLOTS.items()
+}
+
+# Compact message catalog (P22; the reference carries a 140-entry
+# type→description dict, src/rtcm3.py:177-313 — ranges collapse it).
+MESSAGE_CATALOG_RANGES = [
+    (1001, 1004, "Legacy GPS L1/L2 observables"),
+    (1005, 1006, "Stationary RTK reference station ARP"),
+    (1007, 1008, "Antenna descriptor"),
+    (1009, 1012, "Legacy GLONASS L1/L2 observables"),
+    (1019, 1020, "Ephemerides (GPS/GLONASS)"),
+    (1029, 1029, "Unicode text string"),
+    (1033, 1033, "Receiver and antenna descriptors"),
+    (1071, 1077, "GPS MSM1-7"),
+    (1081, 1087, "GLONASS MSM1-7"),
+    (1091, 1097, "Galileo MSM1-7"),
+    (1101, 1107, "SBAS MSM1-7"),
+    (1111, 1117, "QZSS MSM1-7"),
+    (1121, 1127, "BeiDou MSM1-7"),
+    (1230, 1230, "GLONASS L1/L2 code-phase biases"),
+]
+
+
+def constellation_of(msg_type: int) -> str:
+    """msg type → constellation name (src/rtcm3.py:47-60)."""
+    if 1001 <= msg_type <= 1004:
+        return "GPS"
+    if 1009 <= msg_type <= 1012:
+        return "GLONASS"
+    if 1071 <= msg_type <= 1127:
+        return MSM_CONSTELLATIONS.get(msg_type // 10, "GNSS")
+    return "GNSS"
+
+
+def constellation_col(msg_type) -> F.Column:
+    """Column form of ``constellation_of`` (P12) — a when() chain, so
+    it stays inside whole-stage codegen."""
+    c = msg_type
+    expr = F.when(c.between(1001, 1004), F.lit("GPS")).when(c.between(1009, 1012), F.lit("GLONASS"))
+    for hundreds, name in MSM_CONSTELLATIONS.items():
+        expr = expr.when((c >= hundreds * 10 + 1) & (c <= hundreds * 10 + 7), F.lit(name))
+    return expr.otherwise(F.lit("GNSS"))
+
+
+def signal_dim(spark: SparkSession) -> DataFrame:
+    """(constellation, slot, signal_name) dimension — the broadcast
+    side of the P13 signal lookup join."""
+    rows = [
+        (const, slot, name)
+        for const, names in MSM_SIGNAL_TYPES.items()
+        for slot, name in enumerate(names)
+    ]
+    return spark.createDataFrame(rows, "constellation string, slot int, signal_name string")
+
+
+def message_catalog_dim(spark: SparkSession) -> DataFrame:
+    """(msg_type, description) dimension expanded from the range
+    catalog (P22)."""
+    rows = [
+        (t, desc)
+        for lo, hi, desc in MESSAGE_CATALOG_RANGES
+        for t in range(lo, hi + 1)
+    ]
+    return spark.createDataFrame(rows, "msg_type int, description string")
