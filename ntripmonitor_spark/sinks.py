@@ -1,0 +1,124 @@
+"""Sinks (SURVEY.md §2.4): JDBC append / upsert / point-update plus
+constellation routing, engineered for idempotent ``foreachBatch``.
+
+Postgres/TimescaleDB stays external (§7.0); the engine produces
+byte-compatible rows. Plain appends use Spark's JDBC writer (typed
+rows, batched inserts — the stored-procedure JSON shredding of
+`initdb/99-stored_procedures.sql` becomes unnecessary, §4). Upserts
+and point updates (K3-K5) need hand-built SQL because the JDBC writer
+only appends/overwrites; builders below emit the exact
+``INSERT … ON CONFLICT`` / ``UPDATE`` statements of the reference's
+procedures (`initdb/99-stored_procedures.sql:154-231`).
+
+FK linkage: the reference round-trips to the DB for
+``rtcm_package_id`` (`src/databasehandling.py:143-145`); Spark-side we
+mint a deterministic ``package_uid`` (§7.3) so packages and
+observations link without a synchronous round-trip and replays are
+idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Constellation → observation table name (src/databasehandling.py:60-129).
+OBS_TABLES = {
+    "GPS": "gps_observations",
+    "GLONASS": "glonass_observations",
+    "GALILEO": "galileo_observations",
+    "SBAS": "sbas_observations",
+    "QZSS": "qzss_observations",
+    "BEIDOU": "beidou_observations",
+}
+
+
+def with_package_uid(packages: DataFrame) -> DataFrame:
+    """Deterministic 64-bit package id from the natural key — replaces
+    the INSERT…RETURNING round-trip (K1) with a replay-stable hash."""
+    return packages.withColumn(
+        "package_uid",
+        F.xxhash64("mountpoint", "receive_time", "msg_type", "msg_size"),
+    )
+
+
+def upsert_sql(table: str, cols: list[str], conflict_cols: list[str],
+               update_cols: list[str] | None = None) -> str:
+    """INSERT … ON CONFLICT … DO UPDATE (K3/K4 semantics,
+    initdb/99-stored_procedures.sql:170-176, 223-229)."""
+    update_cols = update_cols or [c for c in cols if c not in conflict_cols]
+    placeholders = ", ".join(["%s"] * len(cols))
+    sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
+    return (
+        f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders}) "
+        f"ON CONFLICT ({', '.join(conflict_cols)}) DO UPDATE SET {sets}"
+    )
+
+
+def coordinates_upsert_sql() -> str:
+    """K3: last-writer-wins per station (initdb/99:208-231)."""
+    return upsert_sql(
+        "coordinates",
+        ["mountpoint", "ecef_x_m", "ecef_y_m", "ecef_z_m", "ant_height_m", "updated_at"],
+        ["mountpoint"],
+    )
+
+
+def sourcetable_upsert_sql() -> str:
+    """K4 (initdb/99:154-178)."""
+    return upsert_sql(
+        "sourcetable_constants",
+        ["mountpoint", "identifier", "format", "countrycode", "latitude",
+         "longitude", "generator", "casterprovider"],
+        ["mountpoint", "countrycode", "casterprovider"],
+    )
+
+
+def reconnect_update_sql() -> str:
+    """K5 point update (initdb/99:195-206)."""
+    return "UPDATE connection_logger SET reconnect_time = %s WHERE connection_id = %s"
+
+
+def dedupe_last_writer(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Pre-upsert batch dedupe: keep the newest row per key so a batch
+    can't race itself (K3 mapping, SURVEY.md §2.4)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
+    return df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+
+
+def route_observations(obs: DataFrame) -> dict[str, DataFrame]:
+    """D9/K2: constellation column → per-table DataFrames. One pass,
+    six filtered writers (at the JDBC boundary each filter pushes to
+    the same scan; no shuffle)."""
+    return {
+        table: obs.filter(F.col("constellation") == const).drop("constellation")
+        for const, table in OBS_TABLES.items()
+    }
+
+
+def write_jdbc_append(df: DataFrame, url: str, table: str,
+                      options: dict[str, str] | None = None) -> None:
+    """K1/K2 typed batch append via the JDBC writer (requires a JDBC
+    driver jar on the classpath; not available in the test container)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.option("batchsize", (options or {}).get("batchsize", "10000"))
+    writer.mode("append").save()
+
+
+def jdbc_sink(url: str, packages_table: str = "rtcm_packages",
+              options: dict[str, str] | None = None):
+    """foreachBatch body for the streaming ingest path: append the
+    envelope, then route + append observations. Idempotency: callers
+    pair this with batch-id bookkeeping (see
+    streaming.pipeline.idempotent_parquet_sink for the parquet analog).
+    """
+
+    def write(pk_obs: tuple[DataFrame, DataFrame], batch_id: int) -> None:
+        packages, obs = pk_obs
+        write_jdbc_append(with_package_uid(packages), url, packages_table, options)
+        for table, part in route_observations(obs).items():
+            write_jdbc_append(part, url, table, options)
+
+    return write

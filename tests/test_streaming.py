@@ -1,0 +1,104 @@
+"""Streaming e2e smoke (SURVEY.md §5.4): replay source → decode →
+sinks must equal the batch-computed expectation; stateful streaming
+sessionization must equal the batch closed-sessions plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from ntripmonitor_spark.plans.rtcm import decoded_events, event_blobs
+from ntripmonitor_spark.operators import rtcm
+from ntripmonitor_spark.sources.framing import split_frames
+from ntripmonitor_spark.streaming import pipeline as sp
+from ntripmonitor_spark.streaming import sessions
+from ntripmonitor_spark.streaming.replay import frames_stream, write_frame_archive
+from ntripmonitor_spark.tables import table
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(v) for v in row) for row in df.select(cols).collect())
+
+
+@pytest.fixture(scope="module")
+def archive(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("arch") / "frames")
+    frames = split_frames(event_blobs(spark, sf_dir))
+    write_frame_archive(frames, path)
+    return path
+
+
+def test_replay_stream_decode_matches_batch(spark, sf_dir, archive, tmp_path):
+    out = str(tmp_path / "pk")
+    ckpt = str(tmp_path / "ckpt")
+    sp.run_archive_to_parquet(spark, archive, out, ckpt, batch_rows=300)
+    got = spark.read.parquet(out).drop("batch_id")
+    want = rtcm.packages(decoded_events(spark, sf_dir))
+    assert _canon(got) == _canon(want)
+
+
+def test_streaming_windowed_rates_matches_batch(spark, sf_dir, archive):
+    import pyspark.sql.functions as F
+
+    frames = frames_stream(spark, archive, batch_rows=500)
+    agg = sp.windowed_rates(sp.stream_packages(frames))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rates_out")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM rates_out")
+
+    # withWatermark is a no-op on a batch plan — same operator, both modes.
+    want = sp.windowed_rates(rtcm.packages(decoded_events(spark, sf_dir)))
+    assert _canon(got) == _canon(want)
+
+
+def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    staged = str(tmp_path / "events_staged")
+    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+
+    stream = spark.readStream.schema(ev.schema).parquet(staged)
+    out = sessions.sessionize_stream(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM sess_out")
+    want = sessions.closed_sessions_batch(table(spark, sf_dir, "events"))
+    assert _canon(got) == _canon(want)
+
+
+def test_ntrip_protocol_parsers():
+    from ntripmonitor_spark.sources import ntrip_client as nc
+
+    req = nc.build_request("MP1", "caster.example:2101", "user", "pw")
+    assert b"GET /MP1 HTTP/1.1" in req and b"Authorization: Basic " in req
+
+    head, rest = nc.parse_response_head(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nBODY"
+    )
+    assert head.status == 200 and head.chunked and rest == b"BODY"
+
+    dec = nc.ChunkedDecoder()
+    payload = b""
+    # "5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n" fed in dribbles
+    wire = b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    for i in range(0, len(wire), 3):
+        payload += dec.feed(wire[i : i + 3])
+    assert payload == b"hello world" and dec.done
+
+    st = "CAS;x\nSTR;MP1;Name;RTCM3;;;;;DK;55.7;12.5;;;gen\nSTR;MP1;Dup;;;;;;;;;;;\nSTR;MP2;B;RTCM3;;;;;SE;1;2;;;g2\nENDSOURCETABLE\nSTR;MP3;after-end;;;;;;;;;;;"
+    rows = nc.parse_sourcetable(st, "casterA")
+    assert [r["mountpoint"] for r in rows] == ["MP1", "MP2"]
+    assert rows[0]["countrycode"] == "DK" and rows[0]["casterprovider"] == "casterA"
+    assert nc.live_casters({"a": rows, "b": None, "c": []}) == {"a": rows}
