@@ -30,8 +30,15 @@ def main() -> None:
     spark = get_spark("ntripmonitor_spark_bench")
 
     names = sorted(bench_queries()) or sorted(REGISTRY)
-    # Warm-up: run the first query once to pay one-time JVM/codegen cost.
-    REGISTRY[names[0]].fn(spark, sf_dir).count()
+    # Warm-up: run every bench query once at the smallest SF to pay the
+    # one-time JVM/codegen AND Python-worker-pool spawn costs (32
+    # workers importing pandas/pyarrow ≈ tens of seconds, steady-state
+    # on a long-lived cluster), then time at the target SF.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in names:
+        REGISTRY[name].fn(spark, warm_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -103,11 +103,18 @@ def fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
     norm_text = F.trim(
         F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " ")
     )
-    shingle_hashes = F.transform(
-        word_shingles(normalized_words(F.col("text")), n), lambda s: F.md5(s.cast("binary"))
-    )
-    return docs.select(
+    # Materialize the words array before the per-gram lambda (see
+    # word_shingles docstring for the inlining trap).
+    staged = docs.select(
         "doc_id",
         F.md5(norm_text.cast("binary")).alias("norm_fp"),
+        normalized_words(F.col("text")).alias("_ws"),
+    )
+    shingle_hashes = F.transform(
+        word_shingles(F.col("_ws"), n), lambda s: F.md5(s.cast("binary"))
+    )
+    return staged.select(
+        "doc_id",
+        "norm_fp",
         F.array_min(shingle_hashes).alias("min_shingle_fp"),
     )

@@ -118,6 +118,11 @@ def event_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixed with junk bytes (e%3 × 0xAA) and, every 13th event, a
     CRC-corrupted decoy copy the aligner must skip."""
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "props")
+    # The encode/decode stages are Python-compute-bound; a small parquet
+    # arrives as ONE input split, which would serialize the whole
+    # pipeline onto one core. Spread rows across the cluster first
+    # (cheap shuffle of tiny rows vs 32x loss of parallelism).
+    ev = ev.repartition(spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

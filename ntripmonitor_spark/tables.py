@@ -47,6 +47,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Guard for compute-heavy stages fed by small parquet: a file with
+    one row group arrives as ONE input split, serializing everything
+    downstream onto one core. Repartition up to cluster parallelism
+    only when the scan is under-split (at real scale inputs already
+    have enough splits and this is a no-op — no gratuitous shuffle)."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
 
