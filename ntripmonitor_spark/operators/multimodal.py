@@ -68,3 +68,88 @@ def binary_payloads(docs: DataFrame) -> DataFrame:
 def decode_metadata(docs: DataFrame) -> DataFrame:
     """binary payload → typed metadata via Arrow-batched mapInPandas."""
     return binary_payloads(docs).mapInPandas(decode_batch, schema=DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction / frame sampling / resize (stubbed codecs, real
+# Arrow-batched numpy kernels — the exact shape a CLIP-embed or
+# ffmpeg-sample stage would take).
+# ---------------------------------------------------------------------------
+
+FEATURES_SCHEMA = (
+    "doc_id bigint, n_bytes int, bin0_ratio double, bin1_ratio double, "
+    "bin2_ratio double, bin3_ratio double, mean_byte double"
+)
+
+FRAME_SCHEMA = "doc_id bigint, n_frames int, frame_sums array<int>"
+
+RESIZE_SCHEMA = "doc_id bigint, out_width int, out_height int, resized_checksum string"
+
+FRAME_BYTES = 16  # stub "frame" stride
+
+
+def feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Vectorized 'feature extraction': 4-bin byte histogram ratios +
+    mean byte value per payload (numpy over Arrow buffers; a real
+    build swaps in an embedding model on the same batch shape)."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": pdf["doc_id"], "n_bytes": [], "bin0_ratio": [],
+               "bin1_ratio": [], "bin2_ratio": [], "bin3_ratio": [], "mean_byte": []}
+        for payload in pdf["payload"]:
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            n = len(arr)
+            counts = np.bincount(arr >> 6, minlength=4)
+            out["n_bytes"].append(n)
+            for k in range(4):
+                out[f"bin{k}_ratio"].append(counts[k] / n if n else 0.0)
+            out["mean_byte"].append(int(arr.sum()) / n if n else 0.0)
+        yield pd.DataFrame(out)
+
+
+def frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """'Frame sampling' stub: split the payload into FRAME_BYTES-sized
+    frames and emit the per-frame byte sum (the stand-in for a sampled
+    frame's signature)."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, nfr, sums = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            n_frames = (len(arr) + FRAME_BYTES - 1) // FRAME_BYTES
+            pad = n_frames * FRAME_BYTES - len(arr)
+            frames = np.pad(arr, (0, pad)).reshape(n_frames, FRAME_BYTES)
+            ids.append(doc_id)
+            nfr.append(n_frames)
+            sums.append([int(x) for x in frames.sum(axis=1)])
+        yield pd.DataFrame({"doc_id": ids, "n_frames": nfr, "frame_sums": sums})
+
+
+def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """'Resize' stub: halve the decoded dimensions and checksum the
+    'resized' payload (deterministic fake of the transform output)."""
+    import hashlib
+
+    for pdf in batches:
+        ids, ws, hs, cks = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h = _decode_stub(payload)
+            ids.append(doc_id)
+            ws.append(w // 2 + 1)
+            hs.append(h // 2 + 1)
+            cks.append(hashlib.md5(payload + b"|resized").hexdigest())
+        yield pd.DataFrame({"doc_id": ids, "out_width": ws, "out_height": hs, "resized_checksum": cks})
+
+
+def extract_features(docs: DataFrame) -> DataFrame:
+    return binary_payloads(docs).mapInPandas(feature_batch, schema=FEATURES_SCHEMA)
+
+
+def sample_frames(docs: DataFrame) -> DataFrame:
+    return binary_payloads(docs).mapInPandas(frame_sample_batch, schema=FRAME_SCHEMA)
+
+
+def resize(docs: DataFrame) -> DataFrame:
+    return binary_payloads(docs).mapInPandas(resize_batch, schema=RESIZE_SCHEMA)

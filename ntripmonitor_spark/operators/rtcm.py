@@ -41,6 +41,15 @@ from ntripmonitor_spark.schema import (
 
 _MSM_RANGES = ((1071, 1077), (1081, 1087), (1091, 1097), (1101, 1107), (1111, 1117), (1121, 1127))
 
+# Legacy observation record widths in bits (layouts src/rtcm3.py:320-339
+# / RTCM 10403). The reference decodes these but never stores their
+# observations (no DECODER_MAP entry, SURVEY.md §7.3); we decode the
+# header for envelope fields and skip the records spec-correctly.
+_LEGACY_OBS_BITS = {
+    1001: 58, 1002: 74, 1003: 110, 1004: 134,     # GPS (u30 epoch)
+    1009: 63, 1010: 79, 1011: 115, 1012: 139,     # GLONASS (u27 epoch)
+}
+
 
 def _is_msm(t: int) -> bool:
     return any(lo <= t <= hi for lo, hi in _MSM_RANGES)
@@ -117,6 +126,17 @@ def _decode_one(frame: bytes) -> dict:
                 out["sats"] = [
                     {"int_ms": None, "ext_info": None, "mod1ms": None, "rough_rate": None}
                 ] * nsat
+        elif t in _LEGACY_OBS_BITS:
+            out["station_id"] = r.uint(12)
+            out["epoch_ms"] = r.uint(30 if t <= 1004 else 27)
+            r.bit()          # synchronous GNSS flag
+            nsat = r.uint(5)
+            r.bit()          # divergence-free smoothing
+            r.uint(3)        # smoothing interval
+            r.pad(nsat * _LEGACY_OBS_BITS[t])  # per-sat records (decoded-not-stored)
+            out["sats"] = [
+                {"int_ms": None, "ext_info": None, "mod1ms": None, "rough_rate": None}
+            ] * nsat
         elif t in (1005, 1006):
             out["station_id"] = r.uint(12)
             r.uint(6)        # ITRF year

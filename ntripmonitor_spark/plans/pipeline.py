@@ -384,3 +384,78 @@ def mm01_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas decode stage (deterministically stubbed
     codec; see operators/multimodal.py)."""
     return multimodal.decode_metadata(table(spark, sf_dir, "documents"))
+
+
+# Byte values of the UTF-8 payload, recomputed in SQL from hex pairs —
+# lets DuckDB value-check the numpy kernels byte for byte.
+_BYTES_CTE = """
+b AS (
+    SELECT doc_id, text, hex(encode(text)) AS h,
+           CAST(octet_length(encode(text)) AS INT) AS n
+    FROM documents
+),
+by AS (
+    SELECT doc_id, text, n,
+           list_transform(range(0, n), i ->
+               (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) - 1) AS bts
+    FROM b
+)
+"""
+
+
+@register(
+    "mm02_feature_extract",
+    tags=("multimodal",),
+    oracle=f"""
+WITH {_BYTES_CTE}
+SELECT doc_id, n AS n_bytes,
+       CAST(len(list_filter(bts, x -> x // 64 = 0)) AS DOUBLE) / n AS bin0_ratio,
+       CAST(len(list_filter(bts, x -> x // 64 = 1)) AS DOUBLE) / n AS bin1_ratio,
+       CAST(len(list_filter(bts, x -> x // 64 = 2)) AS DOUBLE) / n AS bin2_ratio,
+       CAST(len(list_filter(bts, x -> x // 64 = 3)) AS DOUBLE) / n AS bin3_ratio,
+       CAST(list_sum(bts) AS DOUBLE) / n AS mean_byte
+FROM by
+""",
+)
+def mm02_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized byte-histogram 'feature extraction' over the binary
+    payload (the embed-stage batch shape, numpy over Arrow)."""
+    return multimodal.extract_features(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mm03_frame_sample",
+    tags=("multimodal",),
+    oracle=f"""
+WITH {_BYTES_CTE}
+SELECT doc_id,
+       CAST((n + 15) // 16 AS INT) AS n_frames,
+       list_transform(range(0, (n + 15) // 16), f ->
+           CAST(list_sum(list_transform(range(16*f, least(16*f + 16, CAST(n AS BIGINT))),
+                                        i -> list_extract(bts, CAST(i + 1 AS INT)))) AS INT)
+       ) AS frame_sums
+FROM by
+""",
+)
+def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video frame sampling' stub: fixed-stride payload chunks with a
+    per-frame signature, emitted as an array column."""
+    return multimodal.sample_frames(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mm04_resize",
+    tags=("multimodal",),
+    oracle="""
+SELECT doc_id,
+       CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INT) // 2 + 1 AS out_width,
+       CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS INT) // 2 + 1 AS out_height,
+       md5(text || '|resized') AS resized_checksum
+FROM documents
+""",
+)
+def mm04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Resize' stub: transformed dimensions + checksum of the resized
+    payload (deterministic fake behind the real transform signature)."""
+    return multimodal.resize(table(spark, sf_dir, "documents"))

@@ -148,6 +148,33 @@ def encode_msm(
     return frame(w.to_bytes())
 
 
+_LEGACY_OBS_BITS = {
+    1001: 58, 1002: 74, 1003: 110, 1004: 134,
+    1009: 63, 1010: 79, 1011: 115, 1012: 139,
+}
+
+
+def encode_legacy(msg_type: int, station_id: int, epoch_ms: int, nsat: int) -> bytes:
+    """Legacy GPS/GLONASS observable message (1001-1004 / 1009-1012)
+    with zero-filled satellite records — enough to test the
+    envelope-level decode path (the reference never stores legacy
+    observations either, src/decoderclasses.py:256-316)."""
+    if msg_type not in _LEGACY_OBS_BITS:
+        raise ValueError(f"not a legacy observable type: {msg_type}")
+    w = (
+        BitWriter()
+        .uint(msg_type, 12)
+        .uint(station_id, 12)
+        .uint(epoch_ms, 30 if msg_type <= 1004 else 27)
+        .bit(0)          # synchronous GNSS flag
+        .uint(nsat, 5)
+        .bit(0)          # smoothing
+        .bin("000")      # smoothing interval
+        .pad(nsat * _LEGACY_OBS_BITS[msg_type])
+    )
+    return frame(w.to_bytes())
+
+
 def msm_payload_bits(level: int, nsat: int, nsig: int, ncells: int) -> int:
     """Analytic payload size in bits (oracle-checkable msg_size)."""
     header = 169 + nsat * nsig

@@ -1,0 +1,104 @@
+"""Live-source tests: sans-IO stream state machine (HTTP head →
+chunked decode → frame alignment), reader offset/partition plumbing,
+and a loopback-socket end-to-end read."""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+
+from ntripmonitor_spark.sources.encoder import encode_1029, encode_msm
+from ntripmonitor_spark.sources.ntrip_live import (
+    MountpointStreamState,
+    _LiveReader,
+    _read_socket_window,
+)
+
+
+def _frames():
+    f1 = encode_1029(1, 100, 200, "live test")
+    sats = [{"int_ms": 5, "ext_info": 1, "mod1ms": 7, "rough_rate": -3}]
+    cells = [{"fine_code": 11, "fine_phase": -12, "lock": 13, "half_cycle": 0,
+              "cnr": 14, "fine_rate": 15},
+             {"fine_code": 21, "fine_phase": -22, "lock": 23, "half_cycle": 1,
+              "cnr": 24, "fine_rate": 25}]
+    f2 = encode_msm(1077, 2, 999, [4], [1, 7], sats, cells)
+    return f1, f2
+
+
+def test_stream_state_plain_body():
+    f1, f2 = _frames()
+    st = MountpointStreamState("MP1")
+    wire = b"ICY 200 OK\r\n\r\n" + b"\xaa" + f1 + f2
+    got = []
+    for i in range(0, len(wire), 11):
+        got.extend(st.feed(wire[i : i + 11]))
+    assert got == [f1, f2]
+    assert not st.chunked
+
+
+def test_stream_state_chunked_body():
+    f1, f2 = _frames()
+    body = f1 + f2
+    chunks = b""
+    for i in range(0, len(body), 20):
+        part = body[i : i + 20]
+        chunks += f"{len(part):x}\r\n".encode() + part + b"\r\n"
+    wire = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + chunks + b"0\r\n\r\n"
+    )
+    st = MountpointStreamState("MP1")
+    got = []
+    for i in range(0, len(wire), 7):
+        got.extend(st.feed(wire[i : i + 7]))
+    assert got == [f1, f2]
+    assert st.chunked
+
+
+def test_stream_state_rejects_non_200():
+    st = MountpointStreamState("MP1")
+    try:
+        st.feed(b"HTTP/1.1 401 Unauthorized\r\n\r\n")
+        raised = False
+    except ConnectionError:
+        raised = True
+    assert raised
+
+
+def test_reader_offsets_and_partitions():
+    casters = [
+        {"url": "http://caster:2101", "mountpoint": "MP1"},
+        {"url": "http://caster:2101", "mountpoint": "MP2"},
+    ]
+    r = _LiveReader({"casters": json.dumps(casters), "window_s": "0.1"})
+    assert r.initialOffset() == {"gen": 0}
+    o1, o2 = r.latestOffset(), r.latestOffset()
+    assert o2["gen"] == o1["gen"] + 1
+    parts = r.partitions(o1, o2)
+    assert [p.caster["mountpoint"] for p in parts] == ["MP1", "MP2"]
+
+
+def test_read_socket_window_loopback():
+    """Serve two frames over a real loopback socket and read them
+    through the full connect→HTTP→align path."""
+    f1, f2 = _frames()
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.recv(4096)  # the GET request
+        conn.sendall(b"ICY 200 OK\r\n\r\n" + b"\xff\xff" + f1 + f2)
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    caster = {"url": f"http://127.0.0.1:{port}", "mountpoint": "LOOP"}
+    rows = _read_socket_window(caster, window_s=1.5)
+    t.join(timeout=2)
+    srv.close()
+    assert [r[2] for r in rows] == [f1, f2]
+    assert all(r[0] == "LOOP" for r in rows)

@@ -97,6 +97,18 @@ def test_1005_1006_roundtrip():
     assert (d6["msg_type"], d6["ant_height"]) == (1006, 65535)
 
 
+def test_legacy_observable_envelope_decode():
+    from ntripmonitor_spark.sources.encoder import encode_legacy
+
+    for t, epoch in ((1004, 3_600_000), (1012, 86_000_000)):
+        d = _decode_one(encode_legacy(t, 321, epoch, nsat=7))
+        assert d["msg_type"] == t and d["crc_ok"]
+        assert d["station_id"] == 321
+        assert d["epoch_ms"] == epoch
+        assert len(d["sats"]) == 7
+        assert d["cells"] is None  # legacy observations are not stored
+
+
 def test_unknown_type_is_envelope_only():
     body = BitWriter().uint(1019, 12).uint(0xABC, 12).to_bytes()
     f = append_crc(b"\xd3" + bytes([0, len(body)]) + body)
