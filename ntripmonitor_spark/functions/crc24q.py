@@ -48,3 +48,31 @@ def frame_crc_ok(frame: bytes) -> bool:
 def append_crc(body: bytes) -> bytes:
     """Frame body (header+payload) + its 3-byte CRC trailer."""
     return body + crc24q(body).to_bytes(3, "big")
+
+
+def crc24q_batch(m: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """CRC-24Q over the first ``lens[i]`` bytes of each row of a uint8
+    matrix, all rows at once: one masked LUT step per byte *position*
+    instead of one Python call per byte — the decode/encode hot path.
+    """
+    crc = np.zeros(len(lens), dtype=np.uint32)
+    for pos in range(int(lens.max()) if len(lens) else 0):
+        upd = ((crc << 8) ^ LUT[(m[:, pos].astype(np.uint32) ^ (crc >> 16)) & 0xFF]) & 0xFFFFFF
+        crc = np.where(pos < lens, upd, crc)
+    return crc
+
+
+def frame_crc_ok_batch(m: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized ``frame_crc_ok``: computed CRC over frame[:-3] equals
+    the trailing 24-bit big-endian checksum."""
+    ok = lens >= 6
+    body_lens = np.maximum(lens - 3, 0)
+    crc = crc24q_batch(m, body_lens)
+    rows = np.arange(len(lens))
+    tail = np.maximum(lens - 3, 0)
+    stored = (
+        (m[rows, tail].astype(np.uint32) << 16)
+        | (m[rows, np.maximum(lens - 2, 0)].astype(np.uint32) << 8)
+        | m[rows, np.maximum(lens - 1, 0)].astype(np.uint32)
+    )
+    return ok & (crc == stored)

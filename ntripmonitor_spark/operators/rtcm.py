@@ -166,8 +166,10 @@ def _decode_one(frame: bytes) -> dict:
     return out
 
 
-def decode_frames(frames: DataFrame) -> DataFrame:
-    """(mountpoint, receive_time, frame) → nested DECODED_SCHEMA rows."""
+def decode_frames_rowwise(frames: DataFrame) -> DataFrame:
+    """Row-wise (BitReader-per-frame) decode — the readable reference
+    implementation; ``decode_frames`` below is the vectorized
+    production path and is golden-tested against this one."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,6 +182,52 @@ def decode_frames(frames: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
 
     return frames.mapInPandas(gen, schema=DECODED_SCHEMA)
+
+
+def decode_frames(frames: DataFrame) -> DataFrame:
+    """(mountpoint, receive_time, frame) → nested DECODED_SCHEMA rows.
+
+    Arrow-native vectorized decode (operators/rtcm_vec.py): per-field
+    NumPy extraction over a frame matrix, output assembled directly as
+    Arrow list<struct> buffers — no per-row Python in the hot path.
+    """
+    import pyarrow as pa
+
+    from ntripmonitor_spark.operators.rtcm_vec import decoded_record_batch
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            frs = [bytes(x) for x in batch.column("frame").to_pylist()]
+            yield decoded_record_batch(
+                batch.column("mountpoint"), batch.column("receive_time"), frs
+            )
+
+    return frames.mapInArrow(gen, schema=DECODED_SCHEMA)
+
+
+def decode_blobs(blobs: DataFrame) -> DataFrame:
+    """Fused align(S3) + CRC(S4) + decode stage: (mountpoint,
+    receive_time, blob) → DECODED_SCHEMA, one Arrow round-trip instead
+    of two (the frame bytes never travel back through the JVM between
+    alignment and decode)."""
+    import pyarrow as pa
+
+    from ntripmonitor_spark.operators.rtcm_vec import decoded_record_batch
+    from ntripmonitor_spark.sources.framing import scan_frames_batch
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            raw = batch.column("blob").to_pylist()
+            orig = [i for i, b in enumerate(raw) if b is not None]
+            frames_out, idx = scan_frames_batch([raw[i] for i in orig])
+            take = pa.array([orig[i] for i in idx], type=pa.int64())
+            yield decoded_record_batch(
+                batch.column("mountpoint").take(take),
+                batch.column("receive_time").take(take),
+                frames_out,
+            )
+
+    return blobs.mapInArrow(gen, schema=DECODED_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -125,28 +125,35 @@ def event_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ev.repartition(spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ntripmonitor_spark.sources.encoder_vec import encode_event_frames
+
         for pdf in batches:
-            mps, rts, blobs = [], [], []
-            for e, u, ts, props in zip(
-                pdf["event_id"], pdf["user_id"], pdf["ts"], pdf["props"]
-            ):
-                e, u = int(e), int(u)
-                ts_us = ts.value // 1000
-                frame = _encode_event(e, u, ts_us, str(props))
-                blob = b"\xaa" * (e % 3)
-                if e % 13 == 0:
+            e = pdf["event_id"].to_numpy().astype(np.int64)
+            u = pdf["user_id"].to_numpy().astype(np.int64)
+            ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            frames = encode_event_frames(e, u, ts_us, [str(p) for p in pdf["props"]])
+            blobs = []
+            for ei, frame in zip(e, frames):
+                blob = b"\xaa" * (ei % 3)
+                if ei % 13 == 0:
                     blob += frame[:-1] + bytes([frame[-1] ^ 0xFF])  # bad CRC decoy
-                blob += frame
-                mps.append(f"MP{u % 8}")
-                rts.append(pd.Timestamp((ts_us + ((e % 200) + 40) * 1000) * 1000))
-                blobs.append(blob)
-            yield pd.DataFrame({"mountpoint": mps, "receive_time": rts, "blob": blobs})
+                blobs.append(blob + frame)
+            yield pd.DataFrame(
+                {
+                    "mountpoint": np.char.add("MP", (u % 8).astype(str)),
+                    "receive_time": (ts_us + ((e % 200) + 40) * 1000).astype("datetime64[us]"),
+                    "blob": blobs,
+                }
+            )
 
     return ev.mapInPandas(gen, schema=BLOBS_SCHEMA)
 
 
 def decoded_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rtcm.decode_frames(split_frames(event_blobs(spark, sf_dir)))
+    # Fused align+CRC+decode (one Arrow round-trip, vectorized decode).
+    return rtcm.decode_blobs(event_blobs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

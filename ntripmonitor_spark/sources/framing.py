@@ -65,6 +65,60 @@ def scan_frames(buf: bytes, final: bool = True) -> tuple[list[bytes], bytes]:
             pos = idx + 1  # realign by one byte
 
 
+def scan_frames_batch(blobs: list[bytes]) -> tuple[list[bytes], list[int]]:
+    """Batch aligner: returns (frames, blob_index) over many blobs.
+
+    Fast path: candidates are sliced optimistically (preamble + length,
+    no CRC) and validated with ONE vectorized CRC-24Q pass
+    (`crc24q_batch`). Only blobs containing a CRC failure — i.e. where
+    the realign-by-one-byte state machine actually engages — are
+    re-scanned with the exact scalar ``scan_frames``. Identical output
+    to per-blob ``scan_frames``; the per-byte Python CRC loop is gone
+    from the common case.
+    """
+    import numpy as np
+
+    from ntripmonitor_spark.functions.bitvec import frames_matrix
+    from ntripmonitor_spark.functions.crc24q import frame_crc_ok_batch
+
+    cands: list[bytes] = []
+    cand_blob: list[int] = []
+    for bi, buf in enumerate(blobs):
+        pos, n = 0, len(buf)
+        while True:
+            idx = buf.find(b"\xd3", pos)
+            if idx < 0 or n - idx < MIN_FRAME:
+                break
+            length = ((buf[idx + 1] & 0x03) << 8) | buf[idx + 2]
+            end = idx + 3 + length + 3
+            if end > n:
+                pos = idx + 1
+                continue
+            cands.append(buf[idx:end])
+            cand_blob.append(bi)
+            pos = end
+    if not cands:
+        return [], []
+    m, lens = frames_matrix(cands)
+    ok = frame_crc_ok_batch(m, lens)
+    bad_blobs = {cand_blob[i] for i in np.flatnonzero(~ok)}
+    frames: list[bytes] = []
+    out_idx: list[int] = []
+    rescanned: set[int] = set()
+    for i, c in enumerate(cands):
+        bi = cand_blob[i]
+        if bi in bad_blobs:
+            if bi not in rescanned:
+                rescanned.add(bi)
+                fs, _rest = scan_frames(blobs[bi])
+                frames.extend(fs)
+                out_idx.extend([bi] * len(fs))
+            continue
+        frames.append(c)
+        out_idx.append(bi)
+    return frames, out_idx
+
+
 def split_frames(blobs: DataFrame, drop_partial: bool = True) -> DataFrame:
     """(mountpoint, receive_time, blob) → (mountpoint, receive_time,
     frame) with one row per CRC-valid frame, order-preserving within a
