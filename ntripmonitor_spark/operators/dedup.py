@@ -74,13 +74,20 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6) -> 
     # The shingle relation feeds four plan branches (both join sides +
     # both size lookups); without materialization Spark recomputes the
     # explode+distinct per branch (4x the dominant cost). At corpus
-    # scale this is the persisted silver table.
-    sh = doc_shingles(docs, n).persist()
+    # scale this is the persisted silver table. The join/shuffle key is
+    # xxhash64(shingle) — an 8-byte long instead of a ~25-byte string,
+    # so the self-join shuffles ~3x less and compares longs, not
+    # strings (collision odds ~2^-64 per candidate pair: immaterial).
+    sh = (
+        doc_shingles(docs, n)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
+        .persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.shingle_h") == F.col("b.shingle_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

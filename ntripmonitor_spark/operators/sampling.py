@@ -1,0 +1,88 @@
+"""Corpus sampling / mixing operators for training-data pipelines:
+deterministic hash sampling, per-stratum rates, per-group quotas, and
+greedy sequence packing.
+
+Design rules (100 TB): sampling must be a *pure filter* — no
+shuffle, no global ordering, no RNG state — so it pushes into the
+scan, runs identically in batch and streaming, and is reproducible
+across retries. The pseudo-random coin is a multiplicative Knuth hash
+of the stable row id (exact integer arithmetic, portable to any SQL
+engine — the DuckDB oracle recomputes it bit-for-bit). Quota and
+packing use window functions partitioned by the stratum, so the only
+shuffle is keyed by the (bounded-cardinality) stratum column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative constant (golden-ratio / 2^32).
+KNUTH = 2654435761
+BUCKETS = 1000
+
+# Per-language keep rates in buckets-per-1000 (a Pareto-ish language
+# mix: upsample low-resource, downsample dominant).
+LANG_RATES = {"en": 700, "de": 500, "es": 400, "fr": 300, "zh": 250}
+
+
+def hash_bucket(id_col: Column, buckets: int = BUCKETS) -> Column:
+    """Deterministic pseudo-random bucket in [0, buckets) from a stable
+    integer id: (id * KNUTH) mod 2^32 mod buckets."""
+    return F.pmod(F.pmod(id_col.cast("long") * F.lit(KNUTH), F.lit(1 << 32)), F.lit(buckets))
+
+
+def _rate_col(lang: Column) -> Column:
+    expr = F.lit(None).cast("int")
+    for lng, rate in LANG_RATES.items():
+        expr = F.when(lang == lng, F.lit(rate)).otherwise(expr)
+    return F.coalesce(expr, F.lit(0))
+
+
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """Per-language rate sampling as a pure pushed-down filter: keep a
+    doc iff its hash bucket falls under its stratum's rate."""
+    b = hash_bucket(F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "source", b.alias("bucket"), _rate_col(F.col("lang")).alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "lang", "source", "bucket")
+    )
+
+
+def quota_per_group(docs: DataFrame, group_col: str = "source", k: int = 10) -> DataFrame:
+    """Exactly-k pseudo-random docs per group: rank by (hash bucket,
+    id) inside each group, keep rank ≤ k. One shuffle on the group
+    key; at corpus scale combine with a pre-filter (top-k per group
+    needs only ~k·groups rows past the exchange — Spark pushes a
+    per-partition rank limit via the window's ``rank ≤ k`` filter)."""
+    w = Window.partitionBy(group_col).orderBy(hash_bucket(F.col("doc_id")).asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", group_col, F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def sequence_pack(docs: DataFrame, pack_tokens: int = 512) -> DataFrame:
+    """Greedy in-order sequence packing: within each source (ordered by
+    doc_id) assign docs to consecutive packs of ~pack_tokens whitespace
+    tokens — pack_id = floor(running_total_before / pack_tokens).
+    The running sum is a window aggregate: one shuffle keyed by source,
+    then a linear scan per partition — the standard distributed
+    formulation of the (inherently sequential) packer."""
+    from ntripmonitor_spark.operators.dedup import normalized_words
+
+    n_tok = F.size(normalized_words(F.col("text")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+    running = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return staged.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(running / pack_tokens).cast("int").alias("pack_id"),
+    )

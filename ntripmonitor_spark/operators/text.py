@@ -118,3 +118,47 @@ def fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
         "norm_fp",
         F.array_min(shingle_hashes).alias("min_shingle_fp"),
     )
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals: type-token
+    ratio, top-word mass fraction, and duplicate-2-gram fraction —
+    the standard filters for boilerplate/looped text.
+
+    2-gram stats are pure array expressions (no explode); word
+    frequency needs a (doc, word) aggregate: explode → two-level
+    groupBy keyed by doc_id, so the shuffle key is the document —
+    at corpus scale this is one combiner-friendly aggregation."""
+    base = docs.select("doc_id", normalized_words(F.col("text")).alias("_ws"))
+    grams = base.select(
+        "doc_id",
+        F.size(word_shingles(F.col("_ws"), 2)).alias("n_2grams"),
+        F.size(F.array_distinct(word_shingles(F.col("_ws"), 2))).alias("n_distinct_2grams"),
+    )
+    wordstats = (
+        base.select("doc_id", F.explode("_ws").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max("cnt").alias("top_word_cnt"),
+        )
+    )
+    ttr = F.col("n_distinct_words").cast("double") / F.col("n_words")
+    top_frac = F.col("top_word_cnt").cast("double") / F.col("n_words")
+    dup2 = F.when(
+        F.col("n_2grams") > 0,
+        1.0 - F.col("n_distinct_2grams").cast("double") / F.col("n_2grams"),
+    ).otherwise(F.lit(0.0))
+    return (
+        wordstats.join(grams, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(ttr, 6).alias("type_token_ratio"),
+            F.round(top_frac, 6).alias("top_word_frac"),
+            F.round(dup2, 6).alias("dup_2gram_frac"),
+        )
+    )

@@ -459,3 +459,115 @@ def mm04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Resize' stub: transformed dimensions + checksum of the resized
     payload (deterministic fake behind the real transform signature)."""
     return multimodal.resize(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# sp*/tp* — corpus sampling & packing (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+_BUCKET_SQL = "((doc_id * 2654435761) % 4294967296) % 1000"
+
+
+@register(
+    "sp01_stratified_sample",
+    tags=("sampling",),
+    oracle=f"""
+SELECT doc_id, lang, source, bucket FROM (
+    SELECT doc_id, lang, source, {_BUCKET_SQL} AS bucket,
+           CASE lang WHEN 'en' THEN 700 WHEN 'de' THEN 500 WHEN 'es' THEN 400
+                     WHEN 'fr' THEN 300 WHEN 'zh' THEN 250 ELSE 0 END AS rate
+    FROM documents
+) WHERE bucket < rate
+""",
+)
+def sp01_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language rate sampling as a deterministic pushed-down hash
+    filter (no shuffle, no RNG state — reproducible across retries)."""
+    from ntripmonitor_spark.operators import sampling
+
+    return sampling.stratified_sample(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sp02_quota_per_source",
+    tags=("sampling",),
+    oracle=f"""
+SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY {_BUCKET_SQL}, doc_id) AS rk
+    FROM documents
+) WHERE rk <= 10
+""",
+)
+def sp02_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k pseudo-random docs per source via windowed rank over
+    the deterministic hash order."""
+    from ntripmonitor_spark.operators import sampling
+
+    return sampling.quota_per_group(table(spark, sf_dir, "documents"), "source", k=10)
+
+
+@register(
+    "tp01_sequence_pack",
+    tags=("sampling",),
+    oracle="""
+SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS INT) AS pack_id
+FROM (
+    SELECT doc_id, source,
+           len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+    FROM documents
+)
+""",
+)
+def tp01_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy in-order sequence packing into ~512-token packs per
+    source (running-sum window — the distributed form of the packer)."""
+    from ntripmonitor_spark.operators import sampling
+
+    return sampling.sequence_pack(table(spark, sf_dir, "documents"), pack_tokens=512)
+
+
+# ---------------------------------------------------------------------------
+# tx05 — within-document repetition (Gopher-style filters)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx05_repetition",
+    tags=("text",),
+    oracle="""
+WITH w AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(ws), 1)), i -> ws[i] || ' ' || ws[i+1]) AS gs
+    FROM w
+),
+gs2 AS (
+    SELECT doc_id, len(gs) AS n_2grams, len(list_distinct(gs)) AS n_d2 FROM g
+),
+wc AS (
+    SELECT doc_id, w, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(ws) AS w FROM w) GROUP BY 1, 2
+),
+ws2 AS (
+    SELECT doc_id, sum(cnt) AS n_words, count(*) AS n_dw, max(cnt) AS top_cnt
+    FROM wc GROUP BY 1
+)
+SELECT ws2.doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(CAST(n_dw AS DOUBLE) / n_words, 6) AS type_token_ratio,
+       round(CAST(top_cnt AS DOUBLE) / n_words, 6) AS top_word_frac,
+       round(CASE WHEN n_2grams > 0
+                  THEN 1.0 - CAST(n_d2 AS DOUBLE) / n_2grams ELSE 0.0 END, 6) AS dup_2gram_frac
+FROM ws2 JOIN gs2 ON ws2.doc_id = gs2.doc_id
+""",
+)
+def tx05_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio, top-word mass, duplicate-2-gram fraction —
+    the Gopher repetition pre-filters."""
+    return text.repetition_metrics(table(spark, sf_dir, "documents"))
