@@ -254,3 +254,42 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicate_clusters(docs: DataFrame, n: int = 3, threshold: float = 0.6,
+                       max_iter: int = 20, id_col: str = "doc_id") -> DataFrame:
+    """Connected components over the near-dup pair graph → cluster
+    assignment (cluster_id = min doc_id reachable; survivor = the
+    canonical min). This is the step that turns pairwise dedup scores
+    into keep/drop decisions.
+
+    Iterative min-label propagation: each round shuffles only
+    (node, label) + the edge list, both keyed by node id; rounds =
+    near-dup cluster diameter (tiny in practice — duplicates of a
+    document are duplicates of each other), with a driver-side
+    convergence check (sum of labels is strictly decreasing). No
+    collect of nodes/edges — the graph never leaves the cluster.
+    """
+    edges = ngram_jaccard_pairs(docs, n, threshold).select("doc_a", "doc_b")
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = docs.select(F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster_id"))
+    prev_sum = None
+    for _ in range(max_iter):
+        labels = labels.persist()
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        msgs = sym.join(labels, sym.doc_a == labels.doc_id).select(
+            F.col("doc_b").alias("doc_id"), "cluster_id"
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+    return labels.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
+    )

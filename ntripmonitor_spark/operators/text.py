@@ -162,3 +162,25 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
             F.round(dup2, 6).alias("dup_2gram_frac"),
         )
     )
+
+
+# PII scrub patterns — portable between Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
+PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Regex PII redaction with match accounting: emails/phone-shaped
+    tokens → placeholder tags; emits counts + a fingerprint of the
+    scrubbed text (pure column expressions, zero shuffles)."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_fp"),
+    )

@@ -571,3 +571,82 @@ def tx05_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-token ratio, top-word mass, duplicate-2-gram fraction —
     the Gopher repetition pre-filters."""
     return text.repetition_metrics(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dd06 — duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd06_dup_clusters",
+    tags=("dedup",),
+    oracle=f"""
+WITH RECURSIVE {_SH_CTE},
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM p JOIN sz x ON x.doc_id = p.doc_a JOIN sz y ON y.doc_id = p.doc_b
+    WHERE CAST(p.n_inter AS DOUBLE) / (x.n_sh + y.n_sh - p.n_inter) >= 0.6
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_canonical
+FROM reach GROUP BY id
+""",
+)
+def dd06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → cluster/survivor
+    assignment (iterative min-label propagation; oracle = recursive-CTE
+    transitive closure)."""
+    return dedup.duplicate_clusters(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# tx06 — PII scrub (regex redaction with accounting)
+# ---------------------------------------------------------------------------
+
+# Deterministic contact-bearing text so the scrub has real matches:
+# every doc gets an email + phone token derived from doc_id.
+_PII_TEXT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example send 555-' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@register(
+    "tx06_pii_scrub",
+    tags=("text",),
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{text.EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{text.PHONE_RE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{text.PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_fp
+FROM (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents)
+""",
+)
+def tx06_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (emails, phone-shaped tokens) with match
+    counts + scrubbed-text fingerprint."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example send 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return text.pii_scrub(docs)
