@@ -16,11 +16,13 @@ Split of labor (SURVEY.md §2.2, §3.1):
 Layouts follow RTCM 10403 as transcribed by the reference
 (src/rtcm3.py:316-391); observable semantics mirror
 DecoderMSM.decode (src/decoderclasses.py:177-254). The reference's
-MSM4/6 crash and its unreachable legacy 1001-1012 decoders
-(SURVEY.md §7.3 quirks) are NOT reproduced: MSM4/6 decode is omitted
-here too (observations exist only for MSM5/7, pinning the behavior the
-reference actually exhibits), and doppler/snr are computed with the
-level-appropriate scale factors.
+quirks (SURVEY.md §7.3) are NOT reproduced: MSM4/6 frames — which
+crash the reference's decoder (missing sat[2]/sat[3] fields) — decode
+gracefully here per spec (no ext_info/rates; doppler comes out null),
+with level-appropriate scale factors (MSM4/5: 2^-24/2^-29 fine fields,
+1 dB CNR; MSM6/7: 2^-29/2^-31, 2^-4 CNR). Legacy 1001-1012 decode to
+envelope level (their observations are unreachable in the reference's
+DECODER_MAP too).
 """
 
 from __future__ import annotations
@@ -95,24 +97,33 @@ def _decode_one(frame: bytes) -> dict:
             ncells = cell_mask.count("1")
             out["sat_mask"], out["sig_mask"], out["cell_mask"] = sat_mask, sig_mask, cell_mask
             level = t % 10
-            if level in (5, 7):
+            if level in (4, 5, 6, 7):
                 # Field-major read (src/rtcm3.py:161-167); stored
                 # row-major in the IR — the transpose is free here.
+                # MSM4/6 have no ext_info / rough rate and no fine
+                # rate: decoded gracefully (doppler later null), NOT
+                # reproducing the reference's MSM4/6 crash
+                # (SURVEY.md §7.3).
+                has_rate = level in (5, 7)
                 int_ms = [r.uint(8) for _ in range(nsat)]
-                ext = [r.uint(4) for _ in range(nsat)]
+                ext = [r.uint(4) for _ in range(nsat)] if has_rate else [None] * nsat
                 mod1ms = [r.uint(10) for _ in range(nsat)]
-                rate = [r.sint(14) for _ in range(nsat)]
+                rate = [r.sint(14) for _ in range(nsat)] if has_rate else [None] * nsat
                 out["sats"] = [
                     {"int_ms": a, "ext_info": b, "mod1ms": c, "rough_rate": d}
                     for a, b, c, d in zip(int_ms, ext, mod1ms, rate)
                 ]
-                if level == 5:
-                    widths = ((15, True), (22, True), (4, False), (1, False), (6, False), (15, True))
+                if level in (4, 5):
+                    widths = [(15, True), (22, True), (4, False), (1, False), (6, False)]
                 else:
-                    widths = ((20, True), (24, True), (10, False), (1, False), (10, False), (15, True))
+                    widths = [(20, True), (24, True), (10, False), (1, False), (10, False)]
+                if has_rate:
+                    widths.append((15, True))
                 cols = []
                 for nbits, signed in widths:
                     cols.append([r.sint(nbits) if signed else r.uint(nbits) for _ in range(ncells)])
+                if not has_rate:
+                    cols.append([None] * ncells)
                 out["cells"] = [
                     {
                         "fine_code": fc, "fine_phase": fp, "lock": lk,
@@ -121,7 +132,7 @@ def _decode_one(frame: bytes) -> dict:
                     for fc, fp, lk, hc, cn, fr in zip(*cols)
                 ]
             else:
-                # MSM1-4/6: envelope-level decode only (sat count from
+                # MSM1-3: envelope-level decode only (sat count from
                 # the mask); observations intentionally not produced.
                 out["sats"] = [
                     {"int_ms": None, "ext_info": None, "mod1ms": None, "rough_rate": None}
@@ -310,7 +321,7 @@ def observations(decoded: DataFrame) -> DataFrame:
     """
     level = F.col("msg_type") % 10
     d = (
-        decoded.filter(F.col("msg_type").between(1071, 1127) & (level.isin(5, 7)) & F.col("cells").isNotNull())
+        decoded.filter(F.col("msg_type").between(1071, 1127) & (level.isin(4, 5, 6, 7)) & F.col("cells").isNotNull())
         .withColumn("constellation", constellation_col(F.col("msg_type")))
         .withColumn("constellation_id", F.element_at(
             F.create_map(
@@ -345,9 +356,12 @@ def observations(decoded: DataFrame) -> DataFrame:
     sig_no = (pos % F.col("nsig")).cast("int")
     sat = F.element_at(F.col("sats"), sat_no + 1)
 
-    code_fine = F.when(F.col("msg_type") % 10 == 5, F.pow(2.0, -24)).otherwise(F.pow(2.0, -29))
-    phase_fine = F.when(F.col("msg_type") % 10 == 5, F.pow(2.0, -29)).otherwise(F.pow(2.0, -31))
-    snr_scale = F.when(F.col("msg_type") % 10 == 5, F.lit(1.0)).otherwise(F.pow(2.0, -4))
+    # MSM4/5 carry the 15/22-bit fine fields (2^-24 / 2^-29, CNR 1 dB);
+    # MSM6/7 the high-res 20/24-bit ones (2^-29 / 2^-31, CNR 2^-4).
+    lo_res = (F.col("msg_type") % 10).isin(4, 5)
+    code_fine = F.when(lo_res, F.pow(2.0, -24)).otherwise(F.pow(2.0, -29))
+    phase_fine = F.when(lo_res, F.pow(2.0, -29)).otherwise(F.pow(2.0, -31))
+    snr_scale = F.when(lo_res, F.lit(1.0)).otherwise(F.pow(2.0, -4))
     rough = sat.getField("int_ms") + sat.getField("mod1ms") / F.lit(1024.0)
 
     sig_map = _signal_name_map()

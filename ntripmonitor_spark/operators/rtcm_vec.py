@@ -48,9 +48,12 @@ _MSM_HUNDREDS = np.array([107, 108, 109, 110, 111, 112])
 
 _SAT_FIELDS = ("int_ms", "ext_info", "mod1ms", "rough_rate")
 _CELL_FIELDS = ("fine_code", "fine_phase", "lock", "half_cycle", "cnr", "fine_rate")
-# (width, signed) per cell field, by MSM level.
+# (width, signed) per cell field, by MSM level, in _CELL_FIELDS order
+# (MSM4/6 carry no fine rate — decoded gracefully, SURVEY.md §7.3).
 _CELL_LAYOUT = {
+    4: ((15, True), (22, True), (4, False), (1, False), (6, False)),
     5: ((15, True), (22, True), (4, False), (1, False), (6, False), (15, True)),
+    6: ((20, True), (24, True), (10, False), (1, False), (10, False)),
     7: ((20, True), (24, True), (10, False), (1, False), (10, False), (15, True)),
 }
 _LEGACY_EPOCH_BITS = {True: 30, False: 27}  # is_gps
@@ -125,21 +128,21 @@ def _decode_msm(m, lens, cols: _Cols, rows: np.ndarray, payload_bits: np.ndarray
         cols.cell_mask[i] = s
 
     level = t2 % 10
-    is57 = (level == 5) | (level == 7)
-    # MSM1-4/6: envelope-level only — null-struct sat entries (count =
+    is47 = (level >= 4) & (level <= 7)
+    # MSM1-3: envelope-level only — null-struct sat entries (count =
     # popcount of the sat mask), no cells.
-    r_env = r2[~is57]
-    cols.nsat[r_env] = nsat2[~is57]
+    r_env = r2[~is47]
+    cols.nsat[r_env] = nsat2[~is47]
     cols.sats_valid[r_env] = True
 
     out = []
-    for lvl in (5, 7):
+    for lvl in (4, 5, 6, 7):
         sel = level == lvl
         if not sel.any():
             continue
         r3 = r2[sel]
         ns, nsg, cs = nsat2[sel], nsig2[sel], csize2[sel]
-        sat_bits = 36 * ns
+        sat_bits = (36 if lvl in (5, 7) else 18) * ns
         ok_sat = payload_bits[r3] >= 169 + cs + sat_bits
         r4 = r3[ok_sat]
         if not len(r4):
@@ -147,7 +150,7 @@ def _decode_msm(m, lens, cols: _Cols, rows: np.ndarray, payload_bits: np.ndarray
         ns4, cs4 = ns[ok_sat], cs[ok_sat]
         ncell4 = popcount64(read_mask(m, r3, 193, np.maximum(cs, 1)) & _width_mask(cs))[ok_sat]
         cell_w = sum(w for w, _ in _CELL_LAYOUT[lvl])
-        ok_cell = payload_bits[r4] >= 169 + cs4 + 36 * ns4 + cell_w * ncell4
+        ok_cell = payload_bits[r4] >= 169 + cs4 + sat_bits[ok_sat] + cell_w * ncell4
         cols.nsat[r4] = ns4
         cols.sats_valid[r4] = True
         cols.sats_real[r4] = True
@@ -257,6 +260,7 @@ def decode_matrix(frames: list[bytes]) -> dict:
     }
 
     for lvl, r4, ns4, cs4, ncell4, ok_cell in msm57:
+        has_rate = lvl in (5, 7)
         # satellite block: field-major (all int_ms, all ext, ...).
         fr, j = ragged_indices(ns4)
         rows = r4[fr]
@@ -264,7 +268,10 @@ def decode_matrix(frames: list[bytes]) -> dict:
         flat = sat_starts[rows] + j
         # field-major: field f's block starts after all previous
         # fields' full blocks — offset = base + sum(prev widths)*nsat + j*w
-        widths = (("int_ms", 8, False), ("ext_info", 4, False), ("mod1ms", 10, False), ("rough_rate", 14, True))
+        if has_rate:
+            widths = (("int_ms", 8, False), ("ext_info", 4, False), ("mod1ms", 10, False), ("rough_rate", 14, True))
+        else:
+            widths = (("int_ms", 8, False), ("mod1ms", 10, False))
         prev = 0
         for name, w, signed in widths:
             vals, mask = sat_children[name]
@@ -279,7 +286,7 @@ def decode_matrix(frames: list[bytes]) -> dict:
             nsc, csc, ncc = ns4[ok_cell], cs4[ok_cell], ncell4[ok_cell]
             frc, k = ragged_indices(ncc)
             rowsc = rc[frc]
-            cbase = (193 + csc + 36 * nsc)[frc]
+            cbase = (193 + csc + (36 if has_rate else 18) * nsc)[frc]
             flatc = cell_starts[rowsc] + k
             prev = 0
             for (name, (w, signed)) in zip(_CELL_FIELDS, _CELL_LAYOUT[lvl]):

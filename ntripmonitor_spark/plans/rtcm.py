@@ -339,3 +339,133 @@ def rt05_message_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("msg_size").alias("total_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# rt06 — MSM4/MSM6 graceful decode (the frames that CRASH the
+# reference, SURVEY §7.3): no ext_info / rates on the wire → doppler
+# null, level-correct fine/CNR scale factors.
+# ---------------------------------------------------------------------------
+
+
+def _msm46_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → MSM4 (GPS 1074, even ids) / MSM6 (GLONASS 1086, odd)
+    frames, every field an integer function of (event_id, user_id, ts)
+    so the oracle recomputes the decoded output analytically."""
+    from ntripmonitor_spark.schema import FRAMES_SCHEMA
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev = ev.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mps, rts, frs = [], [], []
+            for e, u, ts in zip(pdf["event_id"], pdf["user_id"], pdf["ts"]):
+                e, u = int(e), int(u)
+                ts_us = ts.value // 1000
+                t = 1074 if e % 2 == 0 else 1086
+                hi = t == 1086
+                nsat = 1 + e % 3
+                ncell_pos = nsat * 2
+                drop = e % 4 == 1
+                cell_mask = "".join(
+                    "0" if (drop and c == ncell_pos - 1) else "1" for c in range(ncell_pos)
+                )
+                sats = [
+                    {"int_ms": (e + j) % 128, "mod1ms": (e * 31 + j * 7) % 1024}
+                    for j in range(nsat)
+                ]
+                cells = [
+                    {
+                        "fine_code": ((e * 7919 + c * 131) % (1 << (20 if hi else 15)))
+                        - (1 << (19 if hi else 14)),
+                        "fine_phase": ((e * 104729 + c * 7919) % (1 << (24 if hi else 22)))
+                        - (1 << (23 if hi else 21)),
+                        "lock": (e + c) % (1024 if hi else 16),
+                        "half_cycle": (e + c) % 2,
+                        "cnr": (e * 3 + c) % (1024 if hi else 64),
+                    }
+                    for c in range(ncell_pos)
+                    if cell_mask[c] == "1"
+                ]
+                epoch_ms = (ts_us % _US_DAY) // 1000
+                dow = (ts_us // _US_DAY + 4) % 7
+                frs.append(
+                    encoder.encode_msm(
+                        t, u % 4096, epoch_ms, [(e % 50) + j for j in range(nsat)],
+                        [1, 7], sats, cells, cell_mask=cell_mask,
+                        glonass_dow=dow if hi else 0,
+                    )
+                )
+                mps.append(f"MP{u % 8}")
+                rts.append(pd.Timestamp((ts_us + ((e % 200) + 40) * 1000) * 1000))
+            yield pd.DataFrame({"mountpoint": mps, "receive_time": rts, "frame": frs})
+
+    return ev.mapInPandas(gen, schema=FRAMES_SCHEMA)
+
+
+@register(
+    "rt06_msm46_observations",
+    tags=("rtcm",),
+    oracle="""
+WITH ev AS (
+    SELECT event_id AS e, user_id AS u,
+           'MP' || CAST(user_id % 8 AS VARCHAR) AS mountpoint,
+           epoch_us(ts) AS ts_us,
+           epoch_us(ts) + ((event_id % 200) + 40) * 1000 AS now_us,
+           CASE WHEN event_id % 2 = 0 THEN 1074 ELSE 1086 END AS msg_type,
+           CAST(1 + event_id % 3 AS INT) AS nsat
+    FROM events
+),
+m AS (SELECT *, (ts_us % 86400000000) // 1000 AS epoch_ms FROM ev),
+t AS (
+    SELECT *, make_timestamp(
+        (now_us // 86400000000) * 86400000000
+        + (epoch_ms // 1000) * 1000000 + (epoch_ms % 1000) * 1000
+        + CASE WHEN (epoch_ms // 1000) * 1000000 - (now_us % 86400000000)
+                    < -18000000000 THEN 86400000000 ELSE 0 END
+        - CASE WHEN msg_type = 1086 THEN 10800000000 ELSE 0 END) AS obs_epoch
+    FROM m
+),
+grid AS (
+    SELECT t.*, j, s, CAST(j * 2 + s AS INT) AS c
+    FROM t
+    CROSS JOIN (SELECT CAST(unnest(range(0, 3)) AS INT) AS j)
+    CROSS JOIN (SELECT CAST(unnest(range(0, 2)) AS INT) AS s)
+    WHERE j < nsat AND NOT (e % 4 = 1 AND j * 2 + s = nsat * 2 - 1)
+),
+f AS (
+    SELECT *,
+           CASE WHEN msg_type = 1086 THEN 'GLONASS' ELSE 'GPS' END AS constellation,
+           (e + j) % 128 + CAST((e * 31 + j * 7) % 1024 AS DOUBLE) / 1024 AS rough,
+           CASE WHEN msg_type = 1086
+                THEN (((e * 7919 + c * 131) % 1048576) - 524288) / 536870912.0
+                ELSE (((e * 7919 + c * 131) % 32768) - 16384) / 16777216.0 END AS code_fine,
+           CASE WHEN msg_type = 1086
+                THEN (((e * 104729 + c * 7919) % 16777216) - 8388608) / 2147483648.0
+                ELSE (((e * 104729 + c * 7919) % 4194304) - 2097152) / 536870912.0 END AS phase_fine,
+           CASE WHEN msg_type = 1086 THEN (e + c) % 1024 ELSE (e + c) % 16 END AS lck,
+           CASE WHEN msg_type = 1086 THEN CAST((e * 3 + c) % 1024 AS DOUBLE) / 16
+                ELSE CAST((e * 3 + c) % 64 AS DOUBLE) END AS snr
+    FROM grid
+)
+SELECT mountpoint, obs_epoch, msg_type,
+       printf('%s%02d', CASE WHEN msg_type = 1086 THEN 'R' ELSE 'G' END,
+              e % 50 + j + 1) AS sat_id,
+       CASE WHEN msg_type = 1086 THEN (CASE WHEN s = 0 THEN 'G1C' ELSE 'G2C' END)
+            ELSE (CASE WHEN s = 0 THEN 'L1C' ELSE 'L2C' END) END AS sat_signal,
+       rough + code_fine AS code,
+       rough + phase_fine AS phase,
+       CAST(NULL AS DOUBLE) AS doppler,
+       snr,
+       CAST(lck AS INT) AS lock,
+       constellation
+FROM f
+""",
+)
+def rt06_msm46_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MSM4/6 observations end-to-end (encode→decode→flatten): doppler
+    null (no rate fields on the wire), MSM4 lo-res / MSM6 hi-res
+    scaling — the spec-correct behavior the reference's decoder
+    crashes on (src/decoderclasses.py:220-221 vs src/rtcm3.py:368)."""
+    return rtcm.observations(rtcm.decode_frames(_msm46_frames(spark, sf_dir)))

@@ -86,8 +86,8 @@ def encode_msm(
     (src/rtcm3.py:106-109,366).
     """
     level = msg_type % 10
-    if level not in (5, 7):
-        raise ValueError(f"only MSM5/MSM7 supported, got {msg_type}")
+    if level not in (4, 5, 6, 7):
+        raise ValueError(f"only MSM4-7 supported, got {msg_type}")
     nsat, nsig = len(sat_slots), len(sig_slots)
     if cell_mask is None:
         cell_mask = "1" * (nsat * nsig)
@@ -120,6 +120,9 @@ def encode_msm(
 
     # Satellite block, field-major (all int_ms, then all ext, ...) —
     # matching the reference's read order (src/rtcm3.py:161-163).
+    # MSM4/6 satellites carry no ext_info / rough rate (RTCM 10403;
+    # the reference's MSM4/6 decode crash is NOT reproduced —
+    # SURVEY.md §7.3).
     for s in sats:
         w.uint(s["int_ms"], 8)
     if level in (5, 7):
@@ -131,13 +134,17 @@ def encode_msm(
         for s in sats:
             w.sint(s["rough_rate"], 14)
 
-    # Signal block, field-major (src/rtcm3.py:164-167).
-    if level == 5:
-        widths = (("fine_code", 15, True), ("fine_phase", 22, True), ("lock", 4, False),
-                  ("half_cycle", 1, False), ("cnr", 6, False), ("fine_rate", 15, True))
+    # Signal block, field-major (src/rtcm3.py:164-167). MSM4/5 use the
+    # 15/22-bit fine fields, MSM6/7 the 20/24-bit high-res ones;
+    # MSM4/6 have no fine phase-range rate.
+    if level in (4, 5):
+        widths = [("fine_code", 15, True), ("fine_phase", 22, True), ("lock", 4, False),
+                  ("half_cycle", 1, False), ("cnr", 6, False)]
     else:
-        widths = (("fine_code", 20, True), ("fine_phase", 24, True), ("lock", 10, False),
-                  ("half_cycle", 1, False), ("cnr", 10, False), ("fine_rate", 15, True))
+        widths = [("fine_code", 20, True), ("fine_phase", 24, True), ("lock", 10, False),
+                  ("half_cycle", 1, False), ("cnr", 10, False)]
+    if level in (5, 7):
+        widths.append(("fine_rate", 15, True))
     for name, nbits, signed in widths:
         for c in cells:
             v = int(c[name])

@@ -39,7 +39,7 @@ def _rng_fields(e: int, level: int, nsat: int, ncells: int):
         }
         for j in range(nsat)
     ]
-    hi = level == 7
+    hi = level in (6, 7)
     cells = [
         {
             "fine_code": ((e * 7919 + c * 131) % (1 << (20 if hi else 15))) - (1 << (19 if hi else 14)),
@@ -75,6 +75,15 @@ def _fixture_frames() -> list[bytes]:
     # GLONASS MSM5 with DOW
     sats, cells = _rng_fields(9, 5, 2, 4)
     frames.append(encoder.encode_msm(1085, 7, 80_000_000, [4, 9], [1, 7], sats, cells, glonass_dow=5))
+    # MSM4 / MSM6 (no ext_info / rates — graceful decode, SURVEY §7.3)
+    for t4 in (1074, 1096, 1086):
+        sats, cells = _rng_fields(11 + t4 % 10, t4 % 10, 2, 4)
+        frames.append(
+            encoder.encode_msm(
+                t4, 31, 7_200_000, [3, 8], [1, 7], sats, cells,
+                glonass_dow=(2 if 1081 <= t4 <= 1087 else 0),
+            )
+        )
     # envelope-only MSM level (MSM4): header + masks only
     w = (
         BitWriter().uint(1074, 12).uint(55, 12).uint(1234, 30)
