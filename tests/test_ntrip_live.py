@@ -102,3 +102,69 @@ def test_read_socket_window_loopback():
     srv.close()
     assert [r[2] for r in rows] == [f1, f2]
     assert all(r[0] == "LOOP" for r in rows)
+
+
+def test_live_source_through_readstream(spark, tmp_path):
+    """Full Structured Streaming path: spark.readStream against a live
+    loopback caster → memory sink; frames arrive CRC-valid with the
+    mountpoint column attached."""
+    import time
+
+    from ntripmonitor_spark.sources.ntrip_live import register_live_source
+
+    f1, f2 = _frames()
+    srv = socket.socket()
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        while not stop.is_set():
+            try:
+                srv.settimeout(0.5)
+                conn, _ = srv.accept()
+            except TimeoutError:
+                continue
+            except OSError:
+                return
+            try:
+                conn.recv(4096)
+                conn.sendall(b"ICY 200 OK\r\n\r\n" + f1 + f2)
+                # hold the connection briefly so the reader window drains
+                time.sleep(1.0)
+                conn.close()
+            except OSError:
+                pass
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        register_live_source(spark)
+        casters = [{"url": f"http://127.0.0.1:{port}", "mountpoint": "LOOPS"}]
+        q = (
+            spark.readStream.format("ntrip_live")
+            .option("casters", json.dumps(casters))
+            .option("window_s", "0.8")
+            .load()
+            .writeStream.format("memory")
+            .queryName("live_rs")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + 60
+            while time.monotonic() < deadline:
+                if spark.sql("SELECT * FROM live_rs").count() >= 2:
+                    break
+                time.sleep(0.5)
+            rows = spark.sql("SELECT mountpoint, frame FROM live_rs").collect()
+        finally:
+            q.stop()
+    finally:
+        stop.set()
+        srv.close()
+    assert len(rows) >= 2
+    assert {bytes(r.frame) for r in rows} >= {f1, f2}
+    assert all(r.mountpoint == "LOOPS" for r in rows)

@@ -1,0 +1,63 @@
+"""Physical-plan quality guards (the SCALE.md §5 audit, pinned).
+
+These tests assert plan *shape*, not results: column pruning reaches
+the parquet scan, range predicates push down, dimension joins broadcast
+(no sort-merge of the fact side), and the pure-filter operators compile
+to zero exchanges. A regression here means a future change silently
+re-introduced a shuffle or un-pruned a scan — the kind of thing that is
+invisible at sf0.01 and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from ntripmonitor_spark.plans import REGISTRY
+
+
+def _explain(spark, name, sf_dir):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _exchanges(plan: str) -> int:
+    # numbered operator lines, excluding reuse nodes
+    return len(re.findall(r"^\(\d+\) (?:Exchange|BroadcastExchange)\b", plan, re.M)) - len(
+        re.findall(r"^\(\d+\) BroadcastExchange\b", plan, re.M)
+    )
+
+
+def test_pure_filters_have_zero_exchanges(spark, sf_dir):
+    for name in ("sp01_stratified_sample", "tx02_quality_score", "tx03_token_count"):
+        plan = _explain(spark, name, sf_dir)
+        assert _exchanges(plan) == 0, f"{name}: unexpected shuffle\n{plan[:2000]}"
+
+
+def test_window_agg_single_shuffle(spark, sf_dir):
+    for name in ("q01_pricing_summary", "q02_tumbling_window", "q05_rate_normalization"):
+        plan = _explain(spark, name, sf_dir)
+        assert _exchanges(plan) == 1, f"{name}: expected exactly one (agg) shuffle"
+
+
+def test_dim_joins_broadcast_not_sortmerge(spark, sf_dir):
+    for name in ("q07_dim_join", "q08_semi_join", "q09_three_way_join"):
+        plan = _explain(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, f"{name}: dimension join not broadcast"
+        assert "SortMergeJoin" not in plan, f"{name}: fact-side sort-merge crept in"
+
+
+def test_scan_column_pruning(spark, sf_dir):
+    plan = _explain(spark, "tx02_quality_score", sf_dir)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no parquet ReadSchema found"
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}, f"documents scan reads extra columns: {cols}"
+
+
+def test_time_range_predicate_pushdown(spark, sf_dir):
+    plan = _explain(spark, "q08_semi_join", sf_dir)
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan), (
+        "orderdate range filter not pushed to the orders scan"
+    )
