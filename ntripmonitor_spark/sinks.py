@@ -122,3 +122,41 @@ def jdbc_sink(url: str, packages_table: str = "rtcm_packages",
             write_jdbc_append(part, url, table, options)
 
     return write
+
+
+# ---------------------------------------------------------------------------
+# Parquet silver layout (SCALE.md §1): event-time + mountpoint
+# partitioned mirror — the Spark analog of the reference's hypertable
+# layout (time range + 2 hash partitions on mountpoint,
+# initdb/01-rtcm_packages.sql:11). Time-range dashboard predicates
+# (SURVEY Q11) become partition pruning, the analog of TimescaleDB
+# chunk exclusion.
+# ---------------------------------------------------------------------------
+
+MOUNTPOINT_BUCKETS = 2  # matches create_hypertable(…, 'mountpoint', 2)
+
+
+def with_layout_columns(df: DataFrame, time_col: str = "receive_time") -> DataFrame:
+    """Add the physical layout keys: event date + mountpoint hash
+    bucket (small fixed fan-out so partition counts stay bounded —
+    date × bucket, not date × mountpoint-cardinality)."""
+    return df.withColumn("p_date", F.to_date(F.col(time_col))).withColumn(
+        "p_bucket", F.pmod(F.xxhash64("mountpoint"), F.lit(MOUNTPOINT_BUCKETS)).cast("int")
+    )
+
+
+def write_silver(df: DataFrame, path: str, time_col: str = "receive_time") -> None:
+    """Land a packages/observations DataFrame in the partitioned silver
+    layout (append — micro-batches add files, never rewrite)."""
+    (
+        with_layout_columns(df, time_col)
+        .write.mode("append")
+        .partitionBy("p_date", "p_bucket")
+        .parquet(path)
+    )
+
+
+def read_silver(spark, path: str) -> DataFrame:
+    """Read the silver mirror; time/mountpoint predicates prune
+    partitions (assert via PartitionFilters in the scan plan)."""
+    return spark.read.parquet(path)
