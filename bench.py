@@ -33,15 +33,15 @@ def main() -> None:
     # Warm-up: run every bench query once at the TARGET SF to pay the
     # one-time JVM/codegen, Python-worker-pool spawn (32 workers
     # importing pandas/pyarrow) and OS page-cache costs — steady-state
-    # on a long-lived cluster. Then report best-of-2 timed runs to
-    # shave scheduler/GC jitter.
+    # on a long-lived cluster. Then report best-of-3 timed runs to
+    # shave scheduler/GC/co-tenant jitter.
     for name in names:
         REGISTRY[name].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             n = REGISTRY[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
