@@ -47,7 +47,9 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFram
     this is the IVF coarse quantizer). Norms are precomputed once per
     vector, not per pair.
     """
-    v = emb.select(
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    v = ensure_parallelism(emb).select(
         "vec_id",
         "label",
         as_double_vec(F.col("embedding")).alias("v"),
@@ -76,7 +78,9 @@ def knn_bruteforce(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame
     """
     from pyspark.sql.window import Window
 
-    v = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v")).withColumn(
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    v = ensure_parallelism(emb).select("vec_id", as_double_vec(F.col("embedding")).alias("v")).withColumn(
         "nrm", norm(F.col("v"))
     )
     q = v.filter(F.col("vec_id") < n_queries).select(
@@ -121,7 +125,9 @@ def ann_bucketed(emb: DataFrame, n_queries: int = 10, k: int = 3) -> DataFrame:
     )
     anchors = sorted((r["vec_id"], list(r["v"])) for r in anchors_rows)
 
-    v = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v")).withColumn(
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    v = ensure_parallelism(emb).select("vec_id", as_double_vec(F.col("embedding")).alias("v")).withColumn(
         "nrm", norm(F.col("v"))
     ).withColumn("bucket", _bucket_signature(F.col("v"), anchors))
     q = v.filter(F.col("vec_id") < n_queries).select(
