@@ -165,8 +165,8 @@ cand AS (
 )
 SELECT doc_a, doc_b, hamming FROM (
     SELECT doc_a, doc_b,
-           list_sum(list_transform(range(1, 65),
-               i -> CASE WHEN substr(sig_a, CAST(i AS INT), 1) <> substr(sig_b, CAST(i AS INT), 1) THEN 1 ELSE 0 END)) AS hamming
+           CAST(list_sum(list_transform(range(1, 65),
+               i -> CASE WHEN substr(sig_a, CAST(i AS INT), 1) <> substr(sig_b, CAST(i AS INT), 1) THEN 1 ELSE 0 END)) AS INT) AS hamming
     FROM cand
 )
 WHERE hamming <= 6
@@ -431,17 +431,22 @@ def mm02_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_BYTES_CTE}
 SELECT doc_id,
        CAST((n + 15) // 16 AS INT) AS n_frames,
-       list_transform(range(0, (n + 15) // 16), f ->
+       array_to_string(list_transform(range(0, (n + 15) // 16), f ->
            CAST(list_sum(list_transform(range(16*f, least(16*f + 16, CAST(n AS BIGINT))),
                                         i -> list_extract(bts, CAST(i + 1 AS INT)))) AS INT)
-       ) AS frame_sums
+       ), ',') AS frame_sums
 FROM by
 """,
 )
 def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Video frame sampling' stub: fixed-stride payload chunks with a
-    per-frame signature, emitted as an array column."""
-    return multimodal.sample_frames(table(spark, sf_dir, "documents"))
+    per-frame signature. The operator emits an array column; the declared
+    query flattens it to a comma-joined string so the oracle comparator
+    (which sorts rows) can canonicalize the output."""
+    frames = multimodal.sample_frames(table(spark, sf_dir, "documents"))
+    return frames.withColumn(
+        "frame_sums", F.array_join(F.col("frame_sums").cast("array<string>"), ",")
+    )
 
 
 @register(
