@@ -469,3 +469,169 @@ def rt06_msm46_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaling — the spec-correct behavior the reference's decoder
     crashes on (src/decoderclasses.py:220-221 vs src/rtcm3.py:368)."""
     return rtcm.observations(rtcm.decode_frames(_msm46_frames(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# rt07 — all six constellations end-to-end. The reference routes
+# GPS/GLONASS/Galileo/SBAS/QZSS/BeiDou to six obs tables
+# (src/databasehandling.py:60-129, signal tables src/rtcm3.py:394-599);
+# this fixture emits MSM frames for every constellation so sat-id
+# prefixes (G/R/E/S/J/C), per-constellation signal names, and the
+# GLONASS-only −3 h epoch shift are all value-checked.
+# ---------------------------------------------------------------------------
+
+# e%6 → (msg_type, signal-mask slots). MSM7 for GPS/GLONASS/Galileo
+# (rates on the wire), MSM4 for SBAS/QZSS/BeiDou (doppler null).
+_CONST_MIX = [
+    (1077, (1, 7)),   # GPS MSM7      → L1C, L2C
+    (1087, (1, 7)),   # GLONASS MSM7  → G1C, G2C
+    (1097, (1, 7)),   # Galileo MSM7  → E1C, E6C
+    (1104, (1, 21)),  # SBAS MSM4     → L1C, L5I
+    (1114, (1, 21)),  # QZSS MSM4     → L1C, L5I
+    (1124, (1, 7)),   # BeiDou MSM4   → B2I, B6I
+]
+
+
+def _all_const_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → one MSM frame per event cycling the six constellations,
+    every field an integer function of (event_id, user_id, ts)."""
+    from ntripmonitor_spark.schema import FRAMES_SCHEMA
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev = ev.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mps, rts, frs = [], [], []
+            for e, u, ts in zip(pdf["event_id"], pdf["user_id"], pdf["ts"]):
+                e, u = int(e), int(u)
+                ts_us = ts.value // 1000
+                t, sig_slots = _CONST_MIX[e % 6]
+                hi = t % 10 == 7
+                nsat = 1 + e % 3
+                ncell_pos = nsat * 2
+                drop = e % 4 == 1
+                cell_mask = "".join(
+                    "0" if (drop and c == ncell_pos - 1) else "1" for c in range(ncell_pos)
+                )
+                sats = [
+                    {
+                        "int_ms": (e + j) % 128,
+                        "ext_info": j % 16,
+                        "mod1ms": (e * 31 + j * 7) % 1024,
+                        "rough_rate": ((e * 13 + j * 101) % 16384) - 8192,
+                    }
+                    for j in range(nsat)
+                ]
+                cells = [
+                    {
+                        "fine_code": ((e * 7919 + c * 131) % (1 << (20 if hi else 15)))
+                        - (1 << (19 if hi else 14)),
+                        "fine_phase": ((e * 104729 + c * 7919) % (1 << (24 if hi else 22)))
+                        - (1 << (23 if hi else 21)),
+                        "lock": (e + c) % (1024 if hi else 16),
+                        "half_cycle": (e + c) % 2,
+                        "cnr": (e * 3 + c) % (1024 if hi else 64),
+                        "fine_rate": ((e * 17 + c * 29) % (1 << 15)) - (1 << 14),
+                    }
+                    for c in range(ncell_pos)
+                    if cell_mask[c] == "1"
+                ]
+                epoch_ms = (ts_us % _US_DAY) // 1000
+                dow = (ts_us // _US_DAY + 4) % 7
+                frs.append(
+                    encoder.encode_msm(
+                        t, u % 4096, epoch_ms, [(e % 50) + j for j in range(nsat)],
+                        list(sig_slots), sats, cells, cell_mask=cell_mask,
+                        glonass_dow=dow if t == 1087 else 0,
+                    )
+                )
+                mps.append(f"MP{u % 8}")
+                rts.append(pd.Timestamp((ts_us + ((e % 200) + 40) * 1000) * 1000))
+            yield pd.DataFrame({"mountpoint": mps, "receive_time": rts, "frame": frs})
+
+    return ev.mapInPandas(gen, schema=FRAMES_SCHEMA)
+
+
+@register(
+    "rt07_all_constellations",
+    tags=("rtcm",),
+    oracle="""
+WITH ev AS (
+    SELECT event_id AS e, user_id AS u,
+           'MP' || CAST(user_id % 8 AS VARCHAR) AS mountpoint,
+           epoch_us(ts) AS ts_us,
+           epoch_us(ts) + ((event_id % 200) + 40) * 1000 AS now_us,
+           CASE event_id % 6 WHEN 0 THEN 1077 WHEN 1 THEN 1087 WHEN 2 THEN 1097
+                WHEN 3 THEN 1104 WHEN 4 THEN 1114 ELSE 1124 END AS msg_type,
+           CAST(1 + event_id % 3 AS INT) AS nsat
+    FROM events
+),
+m AS (
+    SELECT *, (ts_us % 86400000000) // 1000 AS epoch_ms,
+           msg_type % 10 = 7 AS hi,
+           CASE msg_type // 10 WHEN 107 THEN 'GPS' WHEN 108 THEN 'GLONASS'
+                WHEN 109 THEN 'GALILEO' WHEN 110 THEN 'SBAS'
+                WHEN 111 THEN 'QZSS' ELSE 'BEIDOU' END AS constellation,
+           CASE msg_type // 10 WHEN 107 THEN 'G' WHEN 108 THEN 'R'
+                WHEN 109 THEN 'E' WHEN 110 THEN 'S'
+                WHEN 111 THEN 'J' ELSE 'C' END AS prefix
+    FROM ev
+),
+t AS (
+    SELECT *, make_timestamp(
+        (now_us // 86400000000) * 86400000000
+        + (epoch_ms // 1000) * 1000000 + (epoch_ms % 1000) * 1000
+        + CASE WHEN (epoch_ms // 1000) * 1000000 - (now_us % 86400000000)
+                    < -18000000000 THEN 86400000000 ELSE 0 END
+        - CASE WHEN msg_type = 1087 THEN 10800000000 ELSE 0 END) AS obs_epoch
+    FROM m
+),
+grid AS (
+    SELECT t.*, j, s, CAST(j * 2 + s AS INT) AS c
+    FROM t
+    CROSS JOIN (SELECT CAST(unnest(range(0, 3)) AS INT) AS j)
+    CROSS JOIN (SELECT CAST(unnest(range(0, 2)) AS INT) AS s)
+    WHERE j < nsat AND NOT (e % 4 = 1 AND j * 2 + s = nsat * 2 - 1)
+),
+f AS (
+    SELECT *,
+           (e + j) % 128 + CAST((e * 31 + j * 7) % 1024 AS DOUBLE) / 1024 AS rough,
+           ((e * 13 + j * 101) % 16384) - 8192 AS rough_rate,
+           CASE WHEN hi
+                THEN (((e * 7919 + c * 131) % 1048576) - 524288) / 536870912.0
+                ELSE (((e * 7919 + c * 131) % 32768) - 16384) / 16777216.0 END AS code_fine,
+           CASE WHEN hi
+                THEN (((e * 104729 + c * 7919) % 16777216) - 8388608) / 2147483648.0
+                ELSE (((e * 104729 + c * 7919) % 4194304) - 2097152) / 536870912.0 END AS phase_fine,
+           CASE WHEN hi THEN (e + c) % 1024 ELSE (e + c) % 16 END AS lck,
+           CASE WHEN hi THEN CAST((e * 3 + c) % 1024 AS DOUBLE) / 16
+                ELSE CAST((e * 3 + c) % 64 AS DOUBLE) END AS snr,
+           ((e * 17 + c * 29) % 32768) - 16384 AS fine_rate
+    FROM grid
+)
+SELECT mountpoint, obs_epoch, msg_type,
+       printf('%s%02d', prefix, e % 50 + j + 1) AS sat_id,
+       CASE constellation
+            WHEN 'GPS'     THEN (CASE WHEN s = 0 THEN 'L1C' ELSE 'L2C' END)
+            WHEN 'GLONASS' THEN (CASE WHEN s = 0 THEN 'G1C' ELSE 'G2C' END)
+            WHEN 'GALILEO' THEN (CASE WHEN s = 0 THEN 'E1C' ELSE 'E6C' END)
+            WHEN 'SBAS'    THEN (CASE WHEN s = 0 THEN 'L1C' ELSE 'L5I' END)
+            WHEN 'QZSS'    THEN (CASE WHEN s = 0 THEN 'L1C' ELSE 'L5I' END)
+            ELSE                (CASE WHEN s = 0 THEN 'B2I' ELSE 'B6I' END) END AS sat_signal,
+       rough + code_fine AS code,
+       rough + phase_fine AS phase,
+       CASE WHEN hi THEN rough_rate + fine_rate * CAST(0.0001 AS DOUBLE) END AS doppler,
+       snr,
+       CAST(lck AS INT) AS lock,
+       constellation
+FROM f
+""",
+)
+def rt07_all_constellations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-six-constellation observations end-to-end: G/R/E/S/J/C sat-id
+    prefixes, per-constellation signal-name tables (P12/P13,
+    src/rtcm3.py:394-599), GLONASS-only −3 h epoch shift, MSM7 doppler
+    vs MSM4 null — matching the reference's six-table routing
+    (src/databasehandling.py:60-129)."""
+    return rtcm.observations(rtcm.decode_frames(_all_const_frames(spark, sf_dir)))
