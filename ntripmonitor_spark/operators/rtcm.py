@@ -43,14 +43,39 @@ from ntripmonitor_spark.schema import (
 
 _MSM_RANGES = ((1071, 1077), (1081, 1087), (1091, 1097), (1101, 1107), (1111, 1117), (1121, 1127))
 
-# Legacy observation record widths in bits (layouts src/rtcm3.py:320-339
-# / RTCM 10403). The reference decodes these but never stores their
-# observations (no DECODER_MAP entry, SURVEY.md §7.3); we decode the
-# header for envelope fields and skip the records spec-correctly.
-_LEGACY_OBS_BITS = {
-    1001: 58, 1002: 74, 1003: 110, 1004: 134,     # GPS (u30 epoch)
-    1009: 63, 1010: 79, 1011: 115, 1012: 139,     # GLONASS (u27 epoch)
-}
+# Legacy observation record layouts (src/rtcm3.py:320-339 / RTCM
+# 10403): ordered (field, width, signed) per type. The reference
+# decodes these but never STORES them (no DECODER_MAP entry,
+# SURVEY.md §7.3); here they decode into the IR's `legacy` list
+# ("decoded-but-optional", SURVEY.md §7.3).
+def _legacy_layout(t: int) -> tuple[tuple[str, int, bool], ...]:
+    base: list[tuple[str, int, bool]] = [("sat_id_raw", 6, False), ("l1_code", 1, False)]
+    if t >= 1009:
+        base.append(("fcn", 5, False))
+    base += [("l1_pr", 24, False), ("l1_phr_diff", 20, True), ("l1_lock", 7, False)]
+    amb = [("l1_amb", 8, False), ("l1_cnr", 8, False)]
+    l2 = [("l2_code", 1, False), ("l2_pr", 24, False),
+          ("l2_phr_diff", 20, True), ("l2_lock", 7, False)]
+    sub = t - (1000 if t <= 1004 else 1008)
+    if sub == 1:
+        fields = base
+    elif sub == 2:
+        fields = base + amb
+    elif sub == 3:
+        fields = base + l2
+    else:  # 1004 / 1012
+        fields = base + amb + l2 + [("l2_cnr", 8, False)]
+    return tuple(fields)
+
+
+LEGACY_LAYOUTS = {t: _legacy_layout(t) for t in (1001, 1002, 1003, 1004, 1009, 1010, 1011, 1012)}
+LEGACY_FIELDS = (
+    "sat_id_raw", "l1_code", "fcn", "l1_pr", "l1_phr_diff", "l1_lock",
+    "l1_amb", "l1_cnr", "l2_code", "l2_pr", "l2_phr_diff", "l2_lock", "l2_cnr",
+)
+
+# Record widths in bits (1001:58 .. 1004:134, 1009:63 .. 1012:139).
+_LEGACY_OBS_BITS = {t: sum(w for _, w, _ in lay) for t, lay in LEGACY_LAYOUTS.items()}
 
 
 def _is_msm(t: int) -> bool:
@@ -63,7 +88,7 @@ def _decode_one(frame: bytes) -> dict:
         "msg_type": None, "msg_size": len(frame), "crc_ok": frame_crc_ok(frame),
         "station_id": None, "epoch_ms": None, "glonass_dow": None,
         "sat_mask": None, "sig_mask": None, "cell_mask": None,
-        "sats": None, "cells": None,
+        "sats": None, "cells": None, "legacy": None,
         "ecef_x": None, "ecef_y": None, "ecef_z": None, "ant_height": None,
         "text": None,
     }
@@ -93,7 +118,13 @@ def _decode_one(frame: bytes) -> dict:
             sig_mask = r.bin(32)
             nsat = sat_mask.count("1")
             nsig = sig_mask.count("1")
-            cell_mask = r.bin(nsat * nsig)
+            if nsat * nsig > 64:
+                # RTCM DF396 caps the cell mask at 64 bits; frames
+                # violating that (impossible per spec) get
+                # envelope-only treatment — same as the vectorized
+                # decoder (rtcm_vec._decode_msm).
+                return out
+            cell_mask = r.bin(nsat * nsig) if nsat * nsig else ""
             ncells = cell_mask.count("1")
             out["sat_mask"], out["sig_mask"], out["cell_mask"] = sat_mask, sig_mask, cell_mask
             level = t % 10
@@ -144,10 +175,21 @@ def _decode_one(frame: bytes) -> dict:
             nsat = r.uint(5)
             r.bit()          # divergence-free smoothing
             r.uint(3)        # smoothing interval
-            r.pad(nsat * _LEGACY_OBS_BITS[t])  # per-sat records (decoded-not-stored)
             out["sats"] = [
                 {"int_ms": None, "ext_info": None, "mod1ms": None, "rough_rate": None}
             ] * nsat
+            # Per-sat records decode only when ALL nsat records are on
+            # the wire (truncated → envelope-only, like the MSM path).
+            if r.remaining >= nsat * _LEGACY_OBS_BITS[t]:
+                layout = LEGACY_LAYOUTS[t]
+                recs = []
+                for _ in range(nsat):
+                    rec = dict.fromkeys(LEGACY_FIELDS)
+                    for name, nbits, signed in layout:
+                        v = r.sint(nbits) if signed else r.uint(nbits)
+                        rec[name] = bool(v) if name in ("l1_code", "l2_code") else v
+                    recs.append(rec)
+                out["legacy"] = recs
         elif t in (1005, 1006):
             out["station_id"] = r.uint(12)
             r.uint(6)        # ITRF year
@@ -381,6 +423,61 @@ def observations(decoded: DataFrame) -> DataFrame:
         (sat.getField("rough_rate") + cell.getField("fine_rate") * F.lit(0.0001)).alias("doppler"),
         (cell.getField("cnr") * snr_scale).alias("snr"),
         cell.getField("lock").alias("lock"),
+        "constellation",
+    )
+
+
+def legacy_observations(decoded: DataFrame) -> DataFrame:
+    """Legacy 1001-1012 observation flattening + RTCM scaling, JVM-side.
+
+    The reference decodes these records but never stores them
+    (src/rtcm3.py:320-339 read loop :128-131; no DECODER_MAP entry) —
+    SURVEY.md §7.3 scopes them "decoded-but-optional". Scaling follows
+    the published RTCM 10403 data fields: pseudorange = amb·299792.458
+    + pr·0.02 m (ambiguity only on the full messages 1002/1004/1010/
+    1012), phaserange = pseudorange + diff·0.0005 m, CNR in 0.25 dB-Hz
+    steps, GLONASS frequency channel = fcn − 7.
+    """
+    d = (
+        decoded.filter(
+            (F.col("msg_type").between(1001, 1004) | F.col("msg_type").between(1009, 1012))
+            & F.col("legacy").isNotNull()
+        )
+        .withColumn("constellation", constellation_col(F.col("msg_type")))
+        .withColumn("obs_epoch", obs_epoch_col(F.col("receive_time"), F.col("epoch_ms"), F.col("msg_type")))
+        .select(
+            "mountpoint", "obs_epoch", "msg_type", "station_id", "constellation",
+            F.explode("legacy").alias("rec"),
+        )
+    )
+    rec = F.col("rec")
+    amb_m = F.coalesce(rec.getField("l1_amb"), F.lit(0)) * F.lit(299792.458)
+    l1_pr_m = amb_m + rec.getField("l1_pr") * F.lit(0.02)
+    l2_pr_m = amb_m + rec.getField("l2_pr") * F.lit(0.02)
+    return d.select(
+        "mountpoint",
+        "obs_epoch",
+        "msg_type",
+        "station_id",
+        F.format_string(
+            "%s%02d",
+            F.when(F.col("constellation") == "GLONASS", F.lit("R")).otherwise(F.lit("G")),
+            rec.getField("sat_id_raw"),
+        ).alias("sat_id"),
+        (rec.getField("fcn") - 7).alias("freq_channel"),
+        rec.getField("l1_code").alias("l1_code"),
+        l1_pr_m.alias("l1_pseudorange_m"),
+        (l1_pr_m + rec.getField("l1_phr_diff") * F.lit(0.0005)).alias("l1_phaserange_m"),
+        rec.getField("l1_lock").alias("l1_lock"),
+        (rec.getField("l1_cnr") * F.lit(0.25)).alias("l1_cnr_dbhz"),
+        rec.getField("l2_code").alias("l2_code"),
+        F.when(rec.getField("l2_pr").isNotNull(), l2_pr_m).alias("l2_pseudorange_m"),
+        F.when(
+            rec.getField("l2_pr").isNotNull(),
+            l2_pr_m + rec.getField("l2_phr_diff") * F.lit(0.0005),
+        ).alias("l2_phaserange_m"),
+        rec.getField("l2_lock").alias("l2_lock"),
+        (rec.getField("l2_cnr") * F.lit(0.25)).alias("l2_cnr_dbhz"),
         "constellation",
     )
 

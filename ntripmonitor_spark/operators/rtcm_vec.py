@@ -43,6 +43,7 @@ from ntripmonitor_spark.functions.bitvec import (
     read_uint,
 )
 from ntripmonitor_spark.functions.crc24q import frame_crc_ok_batch
+from ntripmonitor_spark.operators.rtcm import LEGACY_FIELDS, LEGACY_LAYOUTS
 
 _MSM_HUNDREDS = np.array([107, 108, 109, 110, 111, 112])
 
@@ -83,6 +84,8 @@ class _Cols:
         self.sats_real = np.zeros(n, bool)      # MSM5/7: real field values
         self.ncells = np.zeros(n, np.int64)
         self.cells_valid = np.zeros(n, bool)
+        self.nleg = np.zeros(n, np.int64)       # legacy record list length
+        self.legacy_valid = np.zeros(n, bool)
 
 
 def _decode_msm(m, lens, cols: _Cols, rows: np.ndarray, payload_bits: np.ndarray):
@@ -173,8 +176,12 @@ def decode_matrix(frames: list[bytes]) -> dict:
     n = len(frames)
     cols = _Cols(n)
     if n == 0:
+        z = np.zeros(1, np.int64)
+        empty = lambda fields: {f: (np.zeros(0, np.int64), np.zeros(0, bool)) for f in fields}  # noqa: E731
         return {"cols": cols, "lens": np.zeros(0, np.int64), "crc_ok": np.zeros(0, bool),
-                "sat_children": {}, "cell_children": {}}
+                "sat_starts": z, "sat_children": empty(_SAT_FIELDS),
+                "cell_starts": z, "cell_children": empty(_CELL_FIELDS),
+                "leg_starts": z, "leg_children": empty(LEGACY_FIELDS)}
     m, lens = frames_matrix(frames)
     crc_ok = frame_crc_ok_batch(m, lens)
     ok = crc_ok & (lens >= 8)
@@ -189,8 +196,9 @@ def decode_matrix(frames: list[bytes]) -> dict:
     is_msm[rows_ok] = np.isin(t[rows_ok] // 10, _MSM_HUNDREDS) & (t[rows_ok] % 10 >= 1) & (t[rows_ok] % 10 <= 7)
     msm57 = _decode_msm(m, lens, cols, np.flatnonzero(is_msm), payload_bits) or []
 
-    # Legacy observables 1001-1004 / 1009-1012 (header only; satellite
-    # records are decoded-not-stored, cf. SURVEY.md §7.3).
+    # Legacy observables 1001-1004 / 1009-1012: header + per-satellite
+    # records (layouts src/rtcm3.py:320-339); records decode only when
+    # ALL nsat records fit the payload (matching the row-wise decoder).
     is_leg = np.zeros(n, bool)
     is_leg[rows_ok] = ((t[rows_ok] >= 1001) & (t[rows_ok] <= 1004)) | (
         (t[rows_ok] >= 1009) & (t[rows_ok] <= 1012)
@@ -213,6 +221,13 @@ def decode_matrix(frames: list[bytes]) -> dict:
         r = rl[ok_ns]
         cols.nsat[r] = read_uint(m, r, np.where(is_gps[ok_ns], 79, 76), 5)
         cols.sats_valid[r] = True
+        # Full-record reach: header (64/61 payload bits) + nsat·rec.
+        rec_bits = np.array([sum(w for _, w, _ in LEGACY_LAYOUTS[tt]) for tt in t[r]])
+        hdr = np.where(is_gps[ok_ns], 64, 61)
+        full = pb[ok_ns] >= hdr + cols.nsat[r] * rec_bits
+        rf = r[full]
+        cols.nleg[rf] = cols.nsat[rf]
+        cols.legacy_valid[rf] = True
 
     # Station ARP 1005/1006 — per-field reach (reads at payload-
     # relative x:[34,72) y:[74,112) z:[114,152) ant:[152,168)).
@@ -258,6 +273,32 @@ def decode_matrix(frames: list[bytes]) -> dict:
     cell_children = {
         f: (np.zeros(total_cell, np.int64), np.ones(total_cell, bool)) for f in _CELL_FIELDS
     }
+    leg_starts = np.concatenate([[0], np.cumsum(cols.nleg)])
+    total_leg = int(leg_starts[-1])
+    leg_children = {
+        f: (np.zeros(total_leg, np.int64), np.ones(total_leg, bool)) for f in LEGACY_FIELDS
+    }
+
+    # Legacy records: fixed width per type → field offset is an affine
+    # function of the record index (record-major on the wire, unlike
+    # the field-major MSM blocks).
+    rleg = np.flatnonzero(cols.legacy_valid)
+    for t_val, layout in LEGACY_LAYOUTS.items():
+        rt_ = rleg[cols.msg_type[rleg] == t_val]
+        if not len(rt_):
+            continue
+        rec_w = sum(w for _, w, _ in layout)
+        hdr_frame = 24 + (64 if t_val <= 1004 else 61)
+        fr, k = ragged_indices(cols.nleg[rt_])
+        rows = rt_[fr]
+        flat = leg_starts[rows] + k
+        off0 = hdr_frame + k * rec_w
+        off = 0
+        for name, w, signed in layout:
+            vals, mask = leg_children[name]
+            vals[flat] = (read_sint if signed else read_uint)(m, rows, off0 + off, w)
+            mask[flat] = False
+            off += w
 
     for lvl, r4, ns4, cs4, ncell4, ok_cell in msm57:
         has_rate = lvl in (5, 7)
@@ -300,6 +341,7 @@ def decode_matrix(frames: list[bytes]) -> dict:
         "cols": cols, "lens": lens, "crc_ok": crc_ok,
         "sat_starts": sat_starts, "sat_children": sat_children,
         "cell_starts": cell_starts, "cell_children": cell_children,
+        "leg_starts": leg_starts, "leg_children": leg_children,
     }
 
 
@@ -310,6 +352,9 @@ def decode_matrix(frames: list[bytes]) -> dict:
 _SAT_PA = pa.struct([pa.field(f, pa.int32()) for f in _SAT_FIELDS])
 _CELL_PA = pa.struct(
     [pa.field(f, pa.bool_() if f == "half_cycle" else pa.int32()) for f in _CELL_FIELDS]
+)
+_LEGACY_PA = pa.struct(
+    [pa.field(f, pa.bool_() if f in ("l1_code", "l2_code") else pa.int32()) for f in LEGACY_FIELDS]
 )
 
 
@@ -341,6 +386,7 @@ def decoded_record_batch(
 
     sats = _list_array(d["sat_starts"], d["sat_children"], _SAT_PA, cols.sats_valid, cols.nsat)
     cells = _list_array(d["cell_starts"], d["cell_children"], _CELL_PA, cols.cells_valid, cols.ncells)
+    legacy = _list_array(d["leg_starts"], d["leg_children"], _LEGACY_PA, cols.legacy_valid, cols.nleg)
 
     ex, exv = cols.ecef["x"]
     ey, eyv = cols.ecef["y"]
@@ -360,6 +406,7 @@ def decoded_record_batch(
         pa.array(cols.cell_mask, type=pa.string()),
         sats,
         cells,
+        legacy,
         iarr(ex, exv, pa.int64()),
         iarr(ey, eyv, pa.int64()),
         iarr(ez, ezv, pa.int64()),
@@ -369,7 +416,7 @@ def decoded_record_batch(
     names = [
         "mountpoint", "receive_time", "msg_type", "msg_size", "crc_ok",
         "station_id", "epoch_ms", "glonass_dow", "sat_mask", "sig_mask",
-        "cell_mask", "sats", "cells", "ecef_x", "ecef_y", "ecef_z",
+        "cell_mask", "sats", "cells", "legacy", "ecef_x", "ecef_y", "ecef_z",
         "ant_height", "text",
     ]
     return pa.RecordBatch.from_arrays(arrays, names=names)

@@ -635,3 +635,123 @@ def rt07_all_constellations(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs MSM4 null — matching the reference's six-table routing
     (src/databasehandling.py:60-129)."""
     return rtcm.observations(rtcm.decode_frames(_all_const_frames(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# rt08 — legacy 1001-1012 per-satellite observation decode (P3/P4).
+# The reference reads these records (src/rtcm3.py:320-339, loop
+# :128-131) but never stores them; SURVEY §7.3 scopes them
+# "decoded-but-optional" — here they are decoded AND value-checked.
+# ---------------------------------------------------------------------------
+
+
+def _legacy_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → legacy observable frames cycling 1002/1010/1004/1012,
+    every record field an integer function of (event_id, sat index)."""
+    from ntripmonitor_spark.schema import FRAMES_SCHEMA
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev = ev.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mps, rts, frs = [], [], []
+            for e, u, ts in zip(pdf["event_id"], pdf["user_id"], pdf["ts"]):
+                e, u = int(e), int(u)
+                ts_us = ts.value // 1000
+                t = (1002, 1010, 1004, 1012)[e % 4]
+                nsat = 1 + e % 3
+                recs = []
+                for k in range(nsat):
+                    rec = {
+                        "sat_id_raw": (e + 3 * k) % 32 + 1,
+                        "l1_code": (e + k) % 2,
+                        "l1_pr": (e * 9973 + k * 131) % (1 << 24),
+                        "l1_phr_diff": ((e * 104729 + k * 7919) % (1 << 20)) - (1 << 19),
+                        "l1_lock": (e + k) % 128,
+                        "l1_amb": (e * 3 + k) % 256,
+                        "l1_cnr": (e * 5 + k) % 256,
+                    }
+                    if t >= 1009:
+                        rec["fcn"] = (e * 3 + k) % 21
+                    if t in (1004, 1012):
+                        rec.update(
+                            l2_code=(e + k + 1) % 2,
+                            l2_pr=(e * 31337 + k * 271) % (1 << 24),
+                            l2_phr_diff=((e * 271 + k * 17) % (1 << 20)) - (1 << 19),
+                            l2_lock=(e + k + 3) % 128,
+                            l2_cnr=(e * 7 + k) % 256,
+                        )
+                    recs.append(rec)
+                epoch_ms = (ts_us % _US_DAY) // 1000
+                frs.append(encoder.encode_legacy(t, u % 4096, epoch_ms, nsat, records=recs))
+                mps.append(f"MP{u % 8}")
+                rts.append(pd.Timestamp((ts_us + ((e % 200) + 40) * 1000) * 1000))
+            yield pd.DataFrame({"mountpoint": mps, "receive_time": rts, "frame": frs})
+
+    return ev.mapInPandas(gen, schema=FRAMES_SCHEMA)
+
+
+@register(
+    "rt08_legacy_observations",
+    tags=("rtcm",),
+    oracle="""
+WITH ev AS (
+    SELECT event_id AS e, user_id AS u,
+           'MP' || CAST(user_id % 8 AS VARCHAR) AS mountpoint,
+           epoch_us(ts) AS ts_us,
+           epoch_us(ts) + ((event_id % 200) + 40) * 1000 AS now_us,
+           CASE event_id % 4 WHEN 0 THEN 1002 WHEN 1 THEN 1010
+                WHEN 2 THEN 1004 ELSE 1012 END AS msg_type,
+           CAST(1 + event_id % 3 AS INT) AS nsat
+    FROM events
+),
+m AS (
+    SELECT *, (ts_us % 86400000000) // 1000 AS epoch_ms,
+           msg_type >= 1009 AS glo, msg_type IN (1004, 1012) AS has_l2
+    FROM ev
+),
+t AS (
+    SELECT *, make_timestamp(
+        (now_us // 86400000000) * 86400000000
+        + (epoch_ms // 1000) * 1000000 + (epoch_ms % 1000) * 1000
+        + CASE WHEN (epoch_ms // 1000) * 1000000 - (now_us % 86400000000)
+                    < -18000000000 THEN 86400000000 ELSE 0 END
+        - CASE WHEN glo THEN 10800000000 ELSE 0 END) AS obs_epoch
+    FROM m
+),
+g AS (
+    SELECT t.*, k,
+           (e * 3 + k) % 256 AS amb,
+           (e * 9973 + k * 131) % 16777216 AS l1_pr,
+           ((e * 104729 + k * 7919) % 1048576) - 524288 AS l1_phr,
+           (e * 31337 + k * 271) % 16777216 AS l2_pr,
+           ((e * 271 + k * 17) % 1048576) - 524288 AS l2_phr
+    FROM t
+    CROSS JOIN (SELECT CAST(unnest(range(0, 3)) AS INT) AS k)
+    WHERE k < nsat
+)
+SELECT mountpoint, obs_epoch, msg_type, CAST(u % 4096 AS INT) AS station_id,
+       printf('%s%02d', CASE WHEN glo THEN 'R' ELSE 'G' END,
+              (e + 3 * k) % 32 + 1) AS sat_id,
+       CASE WHEN glo THEN CAST((e * 3 + k) % 21 - 7 AS INT) END AS freq_channel,
+       (e + k) % 2 = 1 AS l1_code,
+       amb * CAST(299792.458 AS DOUBLE) + l1_pr * CAST(0.02 AS DOUBLE) AS l1_pseudorange_m,
+       (amb * CAST(299792.458 AS DOUBLE) + l1_pr * CAST(0.02 AS DOUBLE)) + l1_phr * CAST(0.0005 AS DOUBLE) AS l1_phaserange_m,
+       CAST((e + k) % 128 AS INT) AS l1_lock,
+       (e * 5 + k) % 256 * CAST(0.25 AS DOUBLE) AS l1_cnr_dbhz,
+       CASE WHEN has_l2 THEN (e + k + 1) % 2 = 1 END AS l2_code,
+       CASE WHEN has_l2 THEN amb * CAST(299792.458 AS DOUBLE) + l2_pr * CAST(0.02 AS DOUBLE) END AS l2_pseudorange_m,
+       CASE WHEN has_l2 THEN (amb * CAST(299792.458 AS DOUBLE) + l2_pr * CAST(0.02 AS DOUBLE)) + l2_phr * CAST(0.0005 AS DOUBLE) END AS l2_phaserange_m,
+       CASE WHEN has_l2 THEN CAST((e + k + 3) % 128 AS INT) END AS l2_lock,
+       CASE WHEN has_l2 THEN (e * 7 + k) % 256 * CAST(0.25 AS DOUBLE) END AS l2_cnr_dbhz,
+       CASE WHEN glo THEN 'GLONASS' ELSE 'GPS' END AS constellation
+FROM g
+""",
+)
+def rt08_legacy_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy GPS/GLONASS observables end-to-end (encode→decode→
+    flatten→scale): per-band pseudorange/phaserange with the published
+    RTCM scalings, ambiguity stitching, GLONASS freq channel and −3 h
+    epoch shift (P3/P4/P15)."""
+    return rtcm.legacy_observations(rtcm.decode_frames(_legacy_frames(spark, sf_dir)))

@@ -68,6 +68,27 @@ _CELL_STRUCT = StructType(
     ]
 )
 
+# Legacy 1001-1012 per-satellite observation record (layouts
+# src/rtcm3.py:320-339; field superset across the eight types, nulls
+# where a type doesn't carry the field).
+_LEGACY_STRUCT = StructType(
+    [
+        StructField("sat_id_raw", IntegerType()),   # uint:6
+        StructField("l1_code", BooleanType()),      # bool  C/A vs P
+        StructField("fcn", IntegerType()),          # uint:5 GLONASS freq channel
+        StructField("l1_pr", IntegerType()),        # uint:24 pseudorange (0.02 m)
+        StructField("l1_phr_diff", IntegerType()),  # int:20  phr−pr (0.0005 m)
+        StructField("l1_lock", IntegerType()),      # uint:7
+        StructField("l1_amb", IntegerType()),       # uint:8  (1002/1004/1010/1012)
+        StructField("l1_cnr", IntegerType()),       # uint:8  (0.25 dB-Hz)
+        StructField("l2_code", BooleanType()),      # bool    (1003/1004/1011/1012)
+        StructField("l2_pr", IntegerType()),        # uint:24
+        StructField("l2_phr_diff", IntegerType()),  # int:20
+        StructField("l2_lock", IntegerType()),      # uint:7
+        StructField("l2_cnr", IntegerType()),       # uint:8  (1004/1012)
+    ]
+)
+
 # One row per decoded frame — the engine's nested IR (decode stage
 # output; cf. the reference's [head, satData, signalData] lists,
 # src/rtcm3.py:114-175). Flattening to observations is pure Spark SQL.
@@ -86,6 +107,7 @@ DECODED_SCHEMA = StructType(
         StructField("cell_mask", StringType()),     # bin:(nsat*nsig)
         StructField("sats", ArrayType(_SAT_STRUCT)),
         StructField("cells", ArrayType(_CELL_STRUCT)),
+        StructField("legacy", ArrayType(_LEGACY_STRUCT)),
         StructField("ecef_x", LongType()),          # 1005/1006 int:38 (1e-4 m)
         StructField("ecef_y", LongType()),
         StructField("ecef_z", LongType()),

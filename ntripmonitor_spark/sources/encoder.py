@@ -161,13 +161,23 @@ _LEGACY_OBS_BITS = {
 }
 
 
-def encode_legacy(msg_type: int, station_id: int, epoch_ms: int, nsat: int) -> bytes:
-    """Legacy GPS/GLONASS observable message (1001-1004 / 1009-1012)
-    with zero-filled satellite records — enough to test the
-    envelope-level decode path (the reference never stores legacy
+def encode_legacy(
+    msg_type: int, station_id: int, epoch_ms: int, nsat: int,
+    records: list[dict] | None = None,
+) -> bytes:
+    """Legacy GPS/GLONASS observable message (1001-1004 / 1009-1012).
+
+    With ``records`` (one dict per satellite, keys from the type's
+    layout — src/rtcm3.py:320-339) the per-sat observation records are
+    encoded field-for-field; without, they are zero-filled (enough for
+    the envelope-level tests; the reference never stores legacy
     observations either, src/decoderclasses.py:256-316)."""
+    from ntripmonitor_spark.operators.rtcm import LEGACY_LAYOUTS
+
     if msg_type not in _LEGACY_OBS_BITS:
         raise ValueError(f"not a legacy observable type: {msg_type}")
+    if records is not None and len(records) != nsat:
+        raise ValueError("records count must equal nsat")
     w = (
         BitWriter()
         .uint(msg_type, 12)
@@ -177,8 +187,17 @@ def encode_legacy(msg_type: int, station_id: int, epoch_ms: int, nsat: int) -> b
         .uint(nsat, 5)
         .bit(0)          # smoothing
         .bin("000")      # smoothing interval
-        .pad(nsat * _LEGACY_OBS_BITS[msg_type])
     )
+    if records is None:
+        w.pad(nsat * _LEGACY_OBS_BITS[msg_type])
+    else:
+        for rec in records:
+            for name, nbits, signed in LEGACY_LAYOUTS[msg_type]:
+                v = int(rec[name])
+                if signed:
+                    w.sint(v, nbits)
+                else:
+                    w.uint(v, nbits)
     return frame(w.to_bytes())
 
 

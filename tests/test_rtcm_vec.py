@@ -93,9 +93,54 @@ def _fixture_frames() -> list[bytes]:
     w.bin("01" + "0" * 30)            # sig mask: 1 signal
     w.bin("1")                         # cell mask
     frames.append(encoder.frame(w.to_bytes()))
-    # legacy GPS + GLONASS
+    # legacy GPS + GLONASS (zero-filled records)
     frames.append(encoder.encode_legacy(1004, 321, 3_600_000, nsat=7))
     frames.append(encoder.encode_legacy(1012, 99, 80_000_000, nsat=3))
+    # legacy with real per-sat records, all eight types
+    for i, t in enumerate((1001, 1002, 1003, 1004, 1009, 1010, 1011, 1012)):
+        nsat = 1 + i % 3
+        recs = []
+        for k in range(nsat):
+            rec = {
+                "sat_id_raw": (i + 3 * k) % 32 + 1,
+                "l1_code": (i + k) % 2,
+                "l1_pr": (i * 9973 + k * 131) % (1 << 24),
+                "l1_phr_diff": ((i * 104729 + k * 7919) % (1 << 20)) - (1 << 19),
+                "l1_lock": (i + k) % 128,
+                "l1_amb": (i * 3 + k) % 256,
+                "l1_cnr": (i * 5 + k) % 256,
+                "fcn": (i * 3 + k) % 21,
+                "l2_code": (i + k + 1) % 2,
+                "l2_pr": (i * 31337 + k * 271) % (1 << 24),
+                "l2_phr_diff": ((i * 271 + k * 17) % (1 << 20)) - (1 << 19),
+                "l2_lock": (i + k + 3) % 128,
+                "l2_cnr": (i * 7 + k) % 256,
+            }
+            recs.append(rec)
+        frames.append(encoder.encode_legacy(t, 100 + i, 3_600_000 + i, nsat, records=recs))
+    # truncated legacy: nsat says 5, only ~2 records on the wire →
+    # header decodes, records don't (both decoders: legacy null)
+    wl = (
+        BitWriter().uint(1002, 12).uint(77, 12).uint(12345, 30)
+        .bit(0).uint(5, 5).bit(0).bin("000").pad(150)
+    )
+    frames.append(encoder.frame(wl.to_bytes()))
+    # DF396 violation: nsat*nsig = 9*8 = 72 > 64 → envelope-only in
+    # both decoders
+    sats9 = [{"int_ms": j, "ext_info": 0, "mod1ms": j, "rough_rate": 0} for j in range(9)]
+    cells36 = [
+        {"fine_code": 0, "fine_phase": 0, "lock": 0, "half_cycle": 0, "cnr": 0, "fine_rate": 0}
+        for _ in range(36)
+    ]
+    frames.append(
+        encoder.encode_msm(
+            1075, 5, 1000, list(range(9)), list(range(8)), sats9, cells36,
+            cell_mask="10" * 36,
+        )
+    )
+    # empty signal mask: nsat*nsig = 0 → cell_mask '' in both decoders
+    sats2 = [{"int_ms": 1, "ext_info": 2, "mod1ms": 3, "rough_rate": 4} for _ in range(2)]
+    frames.append(encoder.encode_msm(1075, 6, 2000, [3, 9], [], sats2, [], cell_mask=""))
     # station coordinates
     frames.append(encoder.encode_1005(900, -12345678, 87654321, 1, ant_height=None))
     frames.append(encoder.encode_1005(901, 2**37 - 1, -(2**37), 0, ant_height=65535))
