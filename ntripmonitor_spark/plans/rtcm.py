@@ -312,10 +312,11 @@ def rt04_text_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("rtcm",),
     oracle=f"""
 WITH {_EV_CTE}
-SELECT CASE WHEN msg_type = 1029 THEN 'Unicode text string'
-            WHEN msg_type = 1006 THEN 'Stationary RTK reference station ARP'
-            WHEN msg_type BETWEEN 1071 AND 1077 THEN 'GPS MSM1-7'
-            ELSE 'GLONASS MSM1-7' END AS description,
+SELECT CASE WHEN msg_type = 1029 THEN 'Unicode Text String'
+            WHEN msg_type = 1006 THEN 'Stationary RTK Reference Station ARP with Antenna Height'
+            WHEN msg_type = 1077 THEN 'GPS MSM7'
+            WHEN msg_type = 1075 THEN 'GPS MSM5'
+            ELSE 'GLONASS MSM7' END AS description,
        CAST(count(*) AS BIGINT) AS n_msgs,
        CAST(sum(CASE WHEN msg_type = 1029 THEN 15 + strlen(props)
                 WHEN msg_type = 1006 THEN 27
@@ -328,7 +329,9 @@ GROUP BY 1
 )
 def rt05_message_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Envelope ⋈ broadcast message-catalog dim (P22 + Q6-style
-    broadcast join on decode output)."""
+    broadcast join on decode output). Per-type descriptions (140-entry
+    catalog parity, src/rtcm3.py:183-313): GPS MSM5 vs MSM7 and the
+    1006-vs-1005 ARP variant come out as distinct rows."""
     pk = rtcm.packages(decoded_events(spark, sf_dir))
     cat = message_catalog_dim(spark)
     return (

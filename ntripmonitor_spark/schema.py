@@ -195,24 +195,99 @@ MSM_SIGNAL_TYPES = {
     const: [slots.get(i, "Res") for i in range(32)] for const, slots in _SIGNAL_SLOTS.items()
 }
 
-# Compact message catalog (P22; the reference carries a 140-entry
-# type→description dict, src/rtcm3.py:177-313 — ranges collapse it).
-MESSAGE_CATALOG_RANGES = [
-    (1001, 1004, "Legacy GPS L1/L2 observables"),
-    (1005, 1006, "Stationary RTK reference station ARP"),
-    (1007, 1008, "Antenna descriptor"),
-    (1009, 1012, "Legacy GLONASS L1/L2 observables"),
-    (1019, 1020, "Ephemerides (GPS/GLONASS)"),
-    (1029, 1029, "Unicode text string"),
-    (1033, 1033, "Receiver and antenna descriptors"),
-    (1071, 1077, "GPS MSM1-7"),
-    (1081, 1087, "GLONASS MSM1-7"),
-    (1091, 1097, "Galileo MSM1-7"),
-    (1101, 1107, "SBAS MSM1-7"),
-    (1111, 1117, "QZSS MSM1-7"),
-    (1121, 1127, "BeiDou MSM1-7"),
-    (1230, 1230, "GLONASS L1/L2 code-phase biases"),
-]
+# Per-type message catalog (P22) — the published RTCM 10403 message
+# names, parity with the reference's 140-entry dict
+# (src/rtcm3.py:183-313). Non-MSM types listed explicitly; the
+# regular MSM block (1070-1140) is generated.
+_CATALOG_NON_MSM = {
+    1001: "L1-Only GPS RTK Observables",
+    1002: "Extended L1-Only GPS RTK Observables",
+    1003: "L1 & L2 GPS RTK Observables",
+    1004: "Extended L1 & L2 GPS RTK Observables",
+    1005: "Stationary RTK Reference Station ARP",
+    1006: "Stationary RTK Reference Station ARP with Antenna Height",
+    1007: "Antenna Descriptor",
+    1008: "Antenna Descriptor & Serial Number",
+    1009: "L1-Only GLONASS RTK Observables",
+    1010: "Extended L1-Only GLONASS RTK Observables",
+    1011: "L1 & L2 GLONASS RTK Observables",
+    1012: "Extended L1 & L2 GLONASS RTK Observables",
+    1013: "System Parameters",
+    1014: "Network Auxiliary Station Data",
+    1015: "GPS Ionospheric Correction Differences",
+    1016: "GPS Geometric Correction Differences",
+    1017: "GPS Combined Geometric and Ionospheric Correction Differences",
+    1018: "RESERVED for Alternative Ionospheric Correction Difference Message",
+    1019: "GPS Ephemerides",
+    1020: "GLONASS Ephemerides",
+    1021: "Helmert / Abridged Molodenski Transformation Parameters",
+    1022: "Molodenski-Badekas Transformation Parameters",
+    1023: "Residuals, Ellipsoidal Grid Representation",
+    1024: "Residuals, Plane Grid Representation",
+    1025: "Projection Parameters, Projection Types other than "
+    "Lambert Conic Conformal (2 SP) and Oblique Mercator",
+    1026: "Projection Parameters, Projection Type LCC2SP "
+    "(Lambert Conic Conformal (2 SP))",
+    1027: "Projection Parameters, Projection Type OM (Oblique Mercator)",
+    1028: "(Reserved for Global to Plate-Fixed Transformation)",
+    1029: "Unicode Text String",
+    1030: "GPS Network RTK Residual Message",
+    1031: "GLONASS Network RTK Residual Message",
+    1032: "Physical Reference Station Position Message",
+    1033: "Receiver and Antenna Descriptors",
+    1034: "GPS Network FKP Gradient",
+    1035: "GLONASS Network FKP Gradient",
+    1037: "GLONASS Ionospheric Correction Differences",
+    1038: "GLONASS Geometric Correction Differences",
+    1039: "GLONASS Combined Geometric and Ionospheric Correction Differences",
+    1042: "BDS Satellite Ephemeris Data",
+    1044: "QZSS Ephemerides",
+    1045: "Galileo F/NAV Satellite Ephemeris Data",
+    1046: "Galileo I/NAV Satellite Ephemeris Data",
+    1057: "SSR GPS Orbit Correction",
+    1058: "SSR GPS Clock Correction",
+    1059: "SSR GPS Code Bias",
+    1060: "SSR GPS Combined Orbit and Clock Corrections",
+    1061: "SSR GPS URA",
+    1062: "SSR GPS High Rate Clock Correction",
+    1063: "SSR GLONASS Orbit Correction",
+    1064: "SSR GLONASS Clock Correction",
+    1065: "SSR GLONASS Code Bias",
+    1066: "SSR GLONASS Combined Orbit and Clock Corrections",
+    1067: "SSR GLONASS URA",
+    1068: "SSR GLONASS High Rate Clock Correction",
+    1230: "GLONASS L1 and L2 Code-Phase Biases",
+}
+
+_MSM_CATALOG_NAMES = {
+    107: "GPS", 108: "GLONASS", 109: "Galileo",
+    110: "SBAS", 111: "QZSS", 112: "BeiDou",
+}
+
+
+def _msm_catalog() -> dict[int, str]:
+    cat = {1070: "Reserved MSM"}
+    for hundreds, name in _MSM_CATALOG_NAMES.items():
+        for n in range(1, 8):
+            cat[hundreds * 10 + n] = f"{name} MSM{n}"
+        for n in range(8, 11):
+            cat[hundreds * 10 + n] = "Reserved MSM"
+    for n in range(1, 8):
+        cat[1130 + n] = f"IRNSS MSM{n} (Experimental, not implemented)"
+    for n in range(8, 11):
+        cat[1130 + n] = "Reserved MSM (Experimental)"
+    return cat
+
+
+MESSAGE_CATALOG = {**_CATALOG_NON_MSM, **_msm_catalog()}
+
+
+def message_description(msg_type: int) -> str:
+    """Catalog lookup with the reference's fallback text
+    (src/rtcm3.py:177-181)."""
+    return MESSAGE_CATALOG.get(
+        msg_type, f"Message type {msg_type} currently not implemented"
+    )
 
 
 def constellation_of(msg_type: int) -> str:
@@ -248,11 +323,7 @@ def signal_dim(spark: SparkSession) -> DataFrame:
 
 
 def message_catalog_dim(spark: SparkSession) -> DataFrame:
-    """(msg_type, description) dimension expanded from the range
-    catalog (P22)."""
-    rows = [
-        (t, desc)
-        for lo, hi, desc in MESSAGE_CATALOG_RANGES
-        for t in range(lo, hi + 1)
-    ]
+    """(msg_type, description) dimension — one row per catalogued type
+    (P22, parity with src/rtcm3.py:183-313)."""
+    rows = sorted(MESSAGE_CATALOG.items())
     return spark.createDataFrame(rows, "msg_type int, description string")

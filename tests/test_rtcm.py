@@ -174,3 +174,19 @@ def test_signal_tables_shape():
         assert len(names) == 32
     assert MSM_SIGNAL_TYPES["GPS"][1] == "L1C"
     assert MSM_SIGNAL_TYPES["GLONASS"][7] == "G2C"
+
+
+def test_message_catalog_per_type():
+    """P22: per-type catalog (parity with the reference's 126-entry
+    dict, src/rtcm3.py:183-313) — adjacent types must be distinct."""
+    from ntripmonitor_spark.schema import MESSAGE_CATALOG, message_description
+
+    assert len(MESSAGE_CATALOG) == 126
+    assert MESSAGE_CATALOG[1019] == "GPS Ephemerides"
+    assert MESSAGE_CATALOG[1020] == "GLONASS Ephemerides"
+    assert MESSAGE_CATALOG[1007] == "Antenna Descriptor"
+    assert MESSAGE_CATALOG[1008] == "Antenna Descriptor & Serial Number"
+    assert MESSAGE_CATALOG[1094] == "Galileo MSM4"
+    assert MESSAGE_CATALOG[1127] == "BeiDou MSM7"
+    assert MESSAGE_CATALOG[1070] == "Reserved MSM"
+    assert message_description(4001) == "Message type 4001 currently not implemented"
