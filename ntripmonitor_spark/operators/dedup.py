@@ -256,40 +256,65 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     )
 
 
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         max_iter: int = 20) -> tuple[DataFrame, int]:
+    """Min-label propagation with pointer doubling over an undirected
+    edge list → (labels DataFrame(doc_id, cluster_id), rounds used).
+
+    Each round shuffles only (node, label) + the edge list, both keyed
+    by node id — the graph never leaves the cluster; the driver sees
+    one scalar per round (sum of labels, strictly decreasing until
+    convergence). The doubling step (label ← label of label) makes the
+    round count O(log diameter) instead of O(diameter), so even
+    chain-shaped duplicate clusters converge inside a small budget.
+    Each round is eagerly localCheckpoint-ed: that truncates the
+    logical plan (the doubling self-join would otherwise double the
+    plan tree every round) and lets the ContextCleaner release
+    superseded round data — no cache accumulation in long-lived
+    sessions.
+    """
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    prev_sum, rounds = None, 0
+    for _ in range(max_iter):
+        labels = labels.localCheckpoint()
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        rounds += 1
+        msgs = sym.join(labels, sym.doc_a == labels.doc_id).select(
+            F.col("doc_b").alias("doc_id"), "cluster_id"
+        )
+        prop = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        parent = prop.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_cluster")
+        )
+        labels = prop.join(parent, prop.cluster_id == parent.p_id, "left").select(
+            prop.doc_id,
+            F.least(
+                prop.cluster_id, F.coalesce(F.col("p_cluster"), prop.cluster_id)
+            ).alias("cluster_id"),
+        )
+    sym.unpersist()
+    return labels, rounds
+
+
 def duplicate_clusters(docs: DataFrame, n: int = 3, threshold: float = 0.6,
                        max_iter: int = 20, id_col: str = "doc_id") -> DataFrame:
     """Connected components over the near-dup pair graph → cluster
     assignment (cluster_id = min doc_id reachable; survivor = the
     canonical min). This is the step that turns pairwise dedup scores
-    into keep/drop decisions.
-
-    Iterative min-label propagation: each round shuffles only
-    (node, label) + the edge list, both keyed by node id; rounds =
-    near-dup cluster diameter (tiny in practice — duplicates of a
-    document are duplicates of each other), with a driver-side
-    convergence check (sum of labels is strictly decreasing). No
-    collect of nodes/edges — the graph never leaves the cluster.
-    """
+    into keep/drop decisions."""
     edges = ngram_jaccard_pairs(docs, n, threshold).select("doc_a", "doc_b")
-    sym = edges.union(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-    labels = docs.select(F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster_id"))
-    prev_sum = None
-    for _ in range(max_iter):
-        labels = labels.persist()
-        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-        msgs = sym.join(labels, sym.doc_a == labels.doc_id).select(
-            F.col("doc_b").alias("doc_id"), "cluster_id"
-        )
-        labels = (
-            labels.unionByName(msgs)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-        )
+    nodes = docs.select(F.col(id_col).alias("doc_id"))
+    labels, _ = connected_components(nodes, edges, max_iter=max_iter)
     return labels.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
     )

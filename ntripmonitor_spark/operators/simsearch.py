@@ -40,29 +40,42 @@ def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
 
 
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
-    """All-pairs cosine near-duplicates above a threshold.
+    """Blocked cosine near-duplicates above a threshold.
 
-    Label blocking bounds the pair space (near-dups share a label in
-    this corpus; generally: block on a coarse cluster id — at scale
-    this is the IVF coarse quantizer). Norms are precomputed once per
-    vector, not per pair.
+    Candidate pairs are keyed on (label, sign-bucket): the label is the
+    coarse cluster (at scale: the IVF coarse quantizer) and the
+    anchor-sign signature (`_bucket_signature`, shared with the ANN
+    path) sub-blocks within each label — so no label block is ever
+    all-pairs, even when one label dominates the corpus. Norms are
+    precomputed once per vector, not per pair.
     """
     from ntripmonitor_spark.tables import ensure_parallelism
+
+    anchors_rows = (
+        emb.filter(F.col("vec_id").isin(*ANCHOR_IDS))
+        .select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    anchors = sorted((r["vec_id"], list(r["v"])) for r in anchors_rows)
 
     v = ensure_parallelism(emb).select(
         "vec_id",
         "label",
         as_double_vec(F.col("embedding")).alias("v"),
-    ).withColumn("nrm", norm(F.col("v")))
+    ).withColumn("nrm", norm(F.col("v"))).withColumn(
+        "bucket", _bucket_signature(F.col("v"), anchors)
+    )
     a = v.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("bucket"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
     b = v.select(
-        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("bucket"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
     cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return (
-        a.join(b, "label")
+        a.join(b, ["label", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", "label", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)

@@ -188,18 +188,29 @@ n AS (SELECT vec_id, label, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v)
     "dd05_embedding_neardup",
     tags=("dedup", "simsearch"),
     oracle=f"""
-WITH {_VEC_CTE}
+WITH {_VEC_CTE},
+anch AS (SELECT vec_id, vec FROM n WHERE vec_id IN (11, 23, 37, 41)),
+sigs AS (
+    SELECT n.vec_id,
+           string_agg(CASE WHEN list_dot_product(n.vec, anch.vec) >= 0 THEN '1' ELSE '0' END,
+                      '' ORDER BY anch.vec_id) AS bucket
+    FROM n CROSS JOIN anch
+    GROUP BY n.vec_id
+),
+vs AS (SELECT n.vec_id, n.label, n.vec, n.nrm, sigs.bucket FROM n JOIN sigs USING (vec_id))
 SELECT vec_a, vec_b, label, cos_sim FROM (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
            round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS cos_sim
-    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM vs a JOIN vs b
+      ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 WHERE cos_sim >= 0.45
 """,
 )
 def dd05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, label-blocked (the coarse
-    cluster id at scale)."""
+    """Embedding-cosine near-dup pairs, blocked on (label, anchor-sign
+    bucket) — the coarse cluster id plus an LSH sub-block, so no label
+    block is ever all-pairs."""
     return simsearch.embedding_neardup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.45)
 
 

@@ -61,3 +61,19 @@ def test_time_range_predicate_pushdown(spark, sf_dir):
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan), (
         "orderdate range filter not pushed to the orders scan"
     )
+
+
+def test_connected_components_log_rounds(spark):
+    """dd06 scale guard: pointer doubling must converge a 64-node CHAIN
+    (worst-case diameter) in O(log n) rounds, not O(n)."""
+    from ntripmonitor_spark.operators.dedup import connected_components
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels, rounds = connected_components(nodes, edges, max_iter=20)
+    rows = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert rows == {i: 0 for i in range(n)}, "chain did not fully contract"
+    assert rounds <= 10, f"chain of 64 took {rounds} rounds (pointer doubling broken?)"
