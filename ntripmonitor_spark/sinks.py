@@ -108,18 +108,30 @@ def write_jdbc_append(df: DataFrame, url: str, table: str,
 
 
 def jdbc_sink(url: str, packages_table: str = "rtcm_packages",
-              options: dict[str, str] | None = None):
-    """foreachBatch body for the streaming ingest path: append the
-    envelope, then route + append observations. Idempotency: callers
-    pair this with batch-id bookkeeping (see
+              options: dict[str, str] | None = None,
+              store_observations: bool = True):
+    """foreachBatch body for the streaming ingest path: takes ONE
+    decoded micro-batch DataFrame (DECODED_SCHEMA — the foreachBatch
+    contract passes a single DataFrame) and derives envelope +
+    observations inside, appending each. ``store_observations=False``
+    is the K7 envelope-only gate (reference
+    ``DB_STORE_OBSERVATIONS=false``, src/ingestion.py:944).
+    Idempotency: callers pair this with batch-id bookkeeping (see
     streaming.pipeline.idempotent_parquet_sink for the parquet analog).
     """
+    from ntripmonitor_spark.operators import rtcm
 
-    def write(pk_obs: tuple[DataFrame, DataFrame], batch_id: int) -> None:
-        packages, obs = pk_obs
-        write_jdbc_append(with_package_uid(packages), url, packages_table, options)
-        for table, part in route_observations(obs).items():
-            write_jdbc_append(part, url, table, options)
+    def write(decoded: DataFrame, batch_id: int) -> None:
+        decoded.persist()
+        try:
+            write_jdbc_append(
+                with_package_uid(rtcm.packages(decoded)), url, packages_table, options
+            )
+            if store_observations:
+                for table, part in route_observations(rtcm.observations(decoded)).items():
+                    write_jdbc_append(part, url, table, options)
+        finally:
+            decoded.unpersist()
 
     return write
 

@@ -26,11 +26,26 @@ def stream_observations(frames: DataFrame) -> DataFrame:
     return rtcm.observations(rtcm.decode_frames(frames))
 
 
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def window_seconds(window: str) -> float:
+    """'15 seconds' / '1 minute' / '2 hours' → seconds (the subset of
+    Spark's window-duration grammar the rates panel uses)."""
+    n, unit = window.strip().split()
+    return float(n) * _UNIT_SECONDS[unit.lower()]
+
+
 def windowed_rates(packages: DataFrame, window: str = "1 minute",
                    watermark: str = "2 minutes") -> DataFrame:
     """Streaming Q1+Q2+Q5: tumbling event-time window per mountpoint
     with byte-rate normalization (the flagship dashboard panel, RTCM
-    monitor.json:645), late data bounded by the watermark."""
+    monitor.json:645), late data bounded by the watermark. The rate
+    divisor derives from the window length, whatever it is."""
+    w_s = window_seconds(window)
     return (
         packages.withWatermark("receive_time", watermark)
         .groupBy(F.window("receive_time", window).alias("w"), "mountpoint")
@@ -43,7 +58,7 @@ def windowed_rates(packages: DataFrame, window: str = "1 minute",
             "mountpoint",
             "n_msgs",
             "total_bytes",
-            (F.col("total_bytes") / 60.0 / 1024.0).alias("kb_per_s"),
+            (F.col("total_bytes") / F.lit(w_s) / 1024.0).alias("kb_per_s"),
         )
     )
 
@@ -61,23 +76,73 @@ def idempotent_parquet_sink(base_path: str):
     return write
 
 
-def run_archive_to_parquet(spark, archive_path: str, out_path: str,
-                           checkpoint: str, batch_rows: int = 1000):
-    """End-to-end streaming job: replay archive → decode → envelope →
-    idempotent parquet sink. Returns the finished StreamingQuery."""
+def decoded_parquet_sink(out_path: str, obs_path: str | None = None,
+                         store_observations: bool = True):
+    """foreachBatch body over a DECODED stream: envelope always, routed
+    observations behind the K7 gate (reference
+    ``DB_STORE_OBSERVATIONS=false`` ⇒ envelope-only,
+    src/ingestion.py:944). Same batch_id=N overwrite discipline as
+    ``idempotent_parquet_sink`` — replayed batch ids cannot
+    double-write. One decode feeds both projections (the batch is
+    persisted across the two writes)."""
+    from ntripmonitor_spark.operators import rtcm as rtcm_ops
+
+    def write(decoded: DataFrame, batch_id: int) -> None:
+        decoded.persist()
+        try:
+            rtcm_ops.packages(decoded).write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch_id={batch_id}")
+            )
+            if store_observations and obs_path:
+                rtcm_ops.observations(decoded).write.mode("overwrite").parquet(
+                    os.path.join(obs_path, f"batch_id={batch_id}")
+                )
+        finally:
+            decoded.unpersist()
+
+    return write
+
+
+def graceful_stop(query, drain: bool = True) -> None:
+    """D8: drain buffered micro-batches, then stop and wait for
+    termination. Safe to call on an already-stopped query."""
+    if drain and query.isActive:
+        query.processAllAvailable()
+    if query.isActive:
+        query.stop()
+    query.awaitTermination()
+
+
+def start_archive_stream(spark, archive_path: str, out_path: str,
+                         checkpoint: str, batch_rows: int = 1000,
+                         store_observations: bool = False,
+                         obs_path: str | None = None):
+    """Start (but don't drain) the replay→decode→sink streaming query —
+    the restart-from-checkpoint tests drive stop/resume themselves."""
     from ntripmonitor_spark.streaming.replay import frames_stream
 
-    frames = frames_stream(spark, archive_path, batch_rows)
-    pk = stream_packages(frames)
+    decoded = rtcm.decode_frames(frames_stream(spark, archive_path, batch_rows))
     # Python DataSources don't support Trigger.AvailableNow (Spark
     # falls back to ONE batch); drive with processAllAvailable instead.
-    q = (
-        pk.writeStream.outputMode("append")
+    return (
+        decoded.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)
-        .foreachBatch(idempotent_parquet_sink(out_path))
+        .foreachBatch(decoded_parquet_sink(out_path, obs_path, store_observations))
         .trigger(processingTime="0 seconds")
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+
+
+def run_archive_to_parquet(spark, archive_path: str, out_path: str,
+                           checkpoint: str, batch_rows: int = 1000,
+                           store_observations: bool = False,
+                           obs_path: str | None = None):
+    """End-to-end streaming job: replay archive → decode → envelope
+    (+observations behind the K7 gate) → idempotent parquet sink.
+    Returns the finished StreamingQuery."""
+    q = start_archive_stream(
+        spark, archive_path, out_path, checkpoint, batch_rows,
+        store_observations, obs_path,
+    )
+    graceful_stop(q)
     return q

@@ -102,3 +102,67 @@ def test_ntrip_protocol_parsers():
     assert [r["mountpoint"] for r in rows] == ["MP1", "MP2"]
     assert rows[0]["countrycode"] == "DK" and rows[0]["casterprovider"] == "casterA"
     assert nc.live_casters({"a": rows, "b": None, "c": []}) == {"a": rows}
+
+
+def test_restart_from_checkpoint_no_duplicates(spark, sf_dir, archive, tmp_path):
+    """D6/D8: hard-stop the streaming query mid-run, resume from the
+    same checkpoint — the idempotent batch_id=N sink must yield exactly
+    the batch expectation (no duplicates from the replayed batch, no
+    gaps)."""
+    import time
+
+    out = str(tmp_path / "pk")
+    ckpt = str(tmp_path / "ckpt")
+    q = sp.start_archive_stream(spark, archive, out, ckpt, batch_rows=200)
+    deadline = time.time() + 120
+    while time.time() < deadline and len(q.recentProgress) < 2:
+        time.sleep(0.2)
+    assert len(q.recentProgress) >= 2, "stream produced no progress to interrupt"
+    q.stop()  # hard stop: do NOT drain — leaves unprocessed tail
+    q.awaitTermination()
+
+    q2 = sp.start_archive_stream(spark, archive, out, ckpt, batch_rows=200)
+    sp.graceful_stop(q2)
+
+    got = spark.read.parquet(out).drop("batch_id")
+    want = rtcm.packages(decoded_events(spark, sf_dir))
+    assert _canon(got) == _canon(want)
+
+
+def test_store_observations_gate(spark, sf_dir, archive, tmp_path):
+    """K7: with the gate on, routed observations land next to the
+    envelope and match the batch plan; with it off (the reference's
+    DB_STORE_OBSERVATIONS=false), only the envelope is written."""
+    import os
+
+    out = str(tmp_path / "pk")
+    obs = str(tmp_path / "obs")
+    sp.run_archive_to_parquet(
+        spark, archive, out, str(tmp_path / "c1"), batch_rows=5000,
+        store_observations=True, obs_path=obs,
+    )
+    got_obs = spark.read.parquet(obs).drop("batch_id")
+    want_obs = rtcm.observations(decoded_events(spark, sf_dir))
+    assert _canon(got_obs) == _canon(want_obs)
+
+    out2 = str(tmp_path / "pk2")
+    obs2 = str(tmp_path / "obs2")
+    sp.run_archive_to_parquet(
+        spark, archive, out2, str(tmp_path / "c2"), batch_rows=5000,
+        store_observations=False, obs_path=obs2,
+    )
+    assert spark.read.parquet(out2).count() > 0
+    assert not os.path.exists(obs2), "envelope-only mode still wrote observations"
+
+
+def test_windowed_rates_divisor_follows_window(spark, sf_dir):
+    """The kb_per_s divisor must track the window argument, not assume
+    60 s."""
+    import pyspark.sql.functions as F
+
+    assert sp.window_seconds("15 seconds") == 15.0
+    assert sp.window_seconds("2 hours") == 7200.0
+    pk = rtcm.packages(decoded_events(spark, sf_dir))
+    r30 = sp.windowed_rates(pk, window="30 seconds")
+    row = r30.orderBy("bucket", "mountpoint").first()
+    assert abs(row["kb_per_s"] - row["total_bytes"] / 30.0 / 1024.0) < 1e-12
