@@ -21,6 +21,7 @@ truncation (src/decoderclasses.py:27) can lose 1 µs.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -218,11 +219,7 @@ def rt01_packages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rtcm.packages(decoded_events(spark, sf_dir))
 
 
-@register(
-    "rt02_observations",
-    bench=True,
-    tags=("rtcm",),
-    oracle=f"""
+_RT02_ORACLE = f"""
 WITH {_EV_CTE},
 grid AS (
     SELECT t.*, j, s, CAST(j * 2 + s AS INT) AS c
@@ -261,12 +258,65 @@ SELECT mountpoint, obs_epoch, msg_type,
        CAST(lck AS INT) AS lock,
        constellation
 FROM f
-""",
+"""
+
+
+@register(
+    "rt02_observations",
+    bench=True,
+    tags=("rtcm",),
+    oracle=_RT02_ORACLE,
 )
 def rt02_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flattened, scaled MSM5/7 observations (P7-P10, P12-P14, P17) —
     value-parity on code/phase/doppler/snr against analytic recompute."""
     return rtcm.observations(decoded_events(spark, sf_dir))
+
+
+def _frame_archive_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the rt-fixture frames ONCE per sf_dir as a parquet
+    archive under /tmp (deterministic content — safe to cache). The
+    decode-throughput bench reads this so its timed runs measure the
+    ENGINE decode, not the Python fixture encoder. The cache key mixes
+    in the mtimes of the fixture-defining sources so an encoder or
+    fixture-mix change invalidates stale archives instead of silently
+    serving old frames."""
+    import hashlib
+
+    from ntripmonitor_spark.sources import encoder_vec, framing
+
+    salt = "|".join(
+        str(os.path.getmtime(m.__file__))
+        for m in (encoder, encoder_vec, framing)
+        if getattr(m, "__file__", None)
+    )
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + "|" + salt + "|" + __file__
+         + "|" + str(os.path.getmtime(__file__))).encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/spark_graft_frames_{key}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        frames = split_frames(event_blobs(spark, sf_dir))
+        frames.write.mode("overwrite").parquet(path)
+    return path
+
+
+@register(
+    "rt09_decode_throughput",
+    bench=True,
+    tags=("rtcm",),
+    oracle=_RT02_ORACLE,
+)
+def rt09_decode_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rt02's decode isolated from fixture-encode cost: aligned frames
+    come from a cached parquet archive, so the timed path is
+    scan → vectorized decode → flatten only (the BENCH entry that
+    tracks engine decode throughput across rounds). Same oracle as
+    rt02 — the archive is the same frame set."""
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    frames = ensure_parallelism(spark.read.parquet(_frame_archive_path(spark, sf_dir)))
+    return rtcm.observations(rtcm.decode_frames(frames))
 
 
 @register(

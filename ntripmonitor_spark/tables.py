@@ -9,6 +9,7 @@ pushdown / column pruning on every query that uses these.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,12 +53,48 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     one row group arrives as ONE input split, serializing everything
     downstream onto one core. Repartition up to cluster parallelism
     only when the scan is under-split (at real scale inputs already
-    have enough splits and this is a no-op — no gratuitous shuffle)."""
-    sc = df.sparkSession.sparkContext
-    target = min_parts or sc.defaultParallelism
+    have enough splits and this is a no-op — no gratuitous shuffle).
+
+    Split count is ESTIMATED from the input file listing with Spark's
+    own FilePartition packing formula (maxSplitBytes =
+    min(maxPartitionBytes, max(openCostInBytes, bytesPerCore))) — no
+    ``df.rdd`` detour, which would build the RDD lineage on every
+    invocation. Non-file plans fall back to the RDD partition count."""
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        total = 0
+        for f in files:
+            p = f[7:] if f.startswith("file://") else f
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                total = 0
+                break
+        if total:
+            mpb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 134217728)
+            open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4194304)
+            padded = total + len(files) * open_cost
+            bytes_per_core = padded // max(target, 1)
+            max_split = min(mpb, max(open_cost, bytes_per_core))
+            est_splits = -(-padded // max(max_split, 1))
+            if est_splits >= target:
+                return df
+        return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
+    raw = str(spark.conf.get(key, str(default)))
+    m = re.match(r"(\d+)\s*([kmgt]?)b?$", raw.strip().lower())
+    mult = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    return int(m.group(1)) * mult[m.group(2)] if m else default
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
