@@ -16,13 +16,14 @@ Split of labor (SURVEY.md §2.2, §3.1):
 Layouts follow RTCM 10403 as transcribed by the reference
 (src/rtcm3.py:316-391); observable semantics mirror
 DecoderMSM.decode (src/decoderclasses.py:177-254). The reference's
-quirks (SURVEY.md §7.3) are NOT reproduced: MSM4/6 frames — which
-crash the reference's decoder (missing sat[2]/sat[3] fields) — decode
-gracefully here per spec (no ext_info/rates; doppler comes out null),
-with level-appropriate scale factors (MSM4/5: 2^-24/2^-29 fine fields,
-1 dB CNR; MSM6/7: 2^-29/2^-31, 2^-4 CNR). Legacy 1001-1012 decode to
-envelope level (their observations are unreachable in the reference's
-DECODER_MAP too).
+quirks (SURVEY.md §7.3) are NOT reproduced: MSM1-4/6 frames — whose
+observations the reference routes (src/databasehandling.py:60-129) but
+whose decode crashes/short-circuits (DecoderMSM scales only levels
+5/7) — decode gracefully here per spec, with level-appropriate scale
+factors (MSM1-5: 2^-24/2^-29 fine fields, 1 dB CNR; MSM6/7:
+2^-29/2^-31, 2^-4 CNR; MSM1-3: mod-1-ms rough range only, absent
+fields null). Legacy 1001-1012 per-satellite records decode too
+("decoded-but-optional", SURVEY.md §7.3).
 """
 
 from __future__ import annotations
@@ -163,11 +164,43 @@ def _decode_one(frame: bytes) -> dict:
                     for fc, fp, lk, hc, cn, fr in zip(*cols)
                 ]
             else:
-                # MSM1-3: envelope-level decode only (sat count from
-                # the mask); observations intentionally not produced.
+                # MSM1-3 (RTCM 10403): satellite block is the 10-bit
+                # rough-range mod 1 ms alone (no int_ms/ext/rate);
+                # cells carry level subsets — MSM1: fine code; MSM2:
+                # fine phase + lock + half-cycle; MSM3: both. The
+                # reference's DecoderMSM defines scaling only for
+                # 5/7 (src/decoderclasses.py:206-214 — others die in
+                # its except), so like MSM4/6 these decode gracefully
+                # per spec rather than reproducing the crash.
+                mod1ms = [r.uint(10) for _ in range(nsat)]
                 out["sats"] = [
-                    {"int_ms": None, "ext_info": None, "mod1ms": None, "rough_rate": None}
-                ] * nsat
+                    {"int_ms": None, "ext_info": None, "mod1ms": v, "rough_rate": None}
+                    for v in mod1ms
+                ]
+                if level == 1:
+                    widths = [("fine_code", 15, True)]
+                elif level == 2:
+                    widths = [("fine_phase", 22, True), ("lock", 4, False),
+                              ("half_cycle", 1, False)]
+                else:
+                    widths = [("fine_code", 15, True), ("fine_phase", 22, True),
+                              ("lock", 4, False), ("half_cycle", 1, False)]
+                data = {
+                    name: [r.sint(nbits) if signed else r.uint(nbits) for _ in range(ncells)]
+                    for name, nbits, signed in widths
+                }
+                none = [None] * ncells
+                out["cells"] = [
+                    {
+                        "fine_code": fc, "fine_phase": fp, "lock": lk,
+                        "half_cycle": None if hc is None else bool(hc),
+                        "cnr": None, "fine_rate": None,
+                    }
+                    for fc, fp, lk, hc in zip(
+                        data.get("fine_code", none), data.get("fine_phase", none),
+                        data.get("lock", none), data.get("half_cycle", none),
+                    )
+                ]
         elif t in _LEGACY_OBS_BITS:
             out["station_id"] = r.uint(12)
             out["epoch_ms"] = r.uint(30 if t <= 1004 else 27)
@@ -354,7 +387,7 @@ def _signal_name_map() -> Column:
 
 
 def observations(decoded: DataFrame) -> DataFrame:
-    """MSM5/7 observation flattening + scaling, entirely JVM-side.
+    """MSM1-7 observation flattening + scaling, entirely JVM-side.
 
     Mirrors DecoderMSM.decode (src/decoderclasses.py:177-254): for the
     k-th '1' in the cell mask at position p, satNo = p div nsig indexes
@@ -363,7 +396,7 @@ def observations(decoded: DataFrame) -> DataFrame:
     """
     level = F.col("msg_type") % 10
     d = (
-        decoded.filter(F.col("msg_type").between(1071, 1127) & (level.isin(4, 5, 6, 7)) & F.col("cells").isNotNull())
+        decoded.filter(F.col("msg_type").between(1071, 1127) & F.col("cells").isNotNull())
         .withColumn("constellation", constellation_col(F.col("msg_type")))
         .withColumn("constellation_id", F.element_at(
             F.create_map(
@@ -398,13 +431,18 @@ def observations(decoded: DataFrame) -> DataFrame:
     sig_no = (pos % F.col("nsig")).cast("int")
     sat = F.element_at(F.col("sats"), sat_no + 1)
 
-    # MSM4/5 carry the 15/22-bit fine fields (2^-24 / 2^-29, CNR 1 dB);
+    # MSM1-5 carry the 15/22-bit fine fields (2^-24 / 2^-29, CNR 1 dB);
     # MSM6/7 the high-res 20/24-bit ones (2^-29 / 2^-31, CNR 2^-4).
-    lo_res = (F.col("msg_type") % 10).isin(4, 5)
+    # MSM1-3 satellites have no int_ms: their ranges are rough-range
+    # mod 1 ms only (RTCM DF398), so `rough` is the fractional term
+    # alone and absent fine fields null out code/phase/snr/doppler.
+    lvl = F.col("msg_type") % 10
+    lo_res = lvl <= 5
     code_fine = F.when(lo_res, F.pow(2.0, -24)).otherwise(F.pow(2.0, -29))
     phase_fine = F.when(lo_res, F.pow(2.0, -29)).otherwise(F.pow(2.0, -31))
-    snr_scale = F.when(lo_res, F.lit(1.0)).otherwise(F.pow(2.0, -4))
-    rough = sat.getField("int_ms") + sat.getField("mod1ms") / F.lit(1024.0)
+    snr_scale = F.when(lvl.isin(4, 5), F.lit(1.0)).otherwise(F.pow(2.0, -4))
+    frac = sat.getField("mod1ms") / F.lit(1024.0)
+    rough = F.when(lvl <= 3, frac).otherwise(sat.getField("int_ms") + frac)
 
     sig_map = _signal_name_map()
     return d.select(

@@ -49,14 +49,35 @@ _MSM_HUNDREDS = np.array([107, 108, 109, 110, 111, 112])
 
 _SAT_FIELDS = ("int_ms", "ext_info", "mod1ms", "rough_rate")
 _CELL_FIELDS = ("fine_code", "fine_phase", "lock", "half_cycle", "cnr", "fine_rate")
-# (width, signed) per cell field, by MSM level, in _CELL_FIELDS order
-# (MSM4/6 carry no fine rate — decoded gracefully, SURVEY.md §7.3).
+# Wire layouts per MSM level as ordered (field, width, signed) —
+# fields absent from a level stay null in the IR. MSM1-3 carry the
+# low-res subsets; MSM4/6 carry no fine rate (decoded gracefully,
+# SURVEY.md §7.3; the reference's DecoderMSM only scales 5/7).
+_LO_CELLS = (("fine_code", 15, True), ("fine_phase", 22, True),
+             ("lock", 4, False), ("half_cycle", 1, False))
+_HI_CELLS = (("fine_code", 20, True), ("fine_phase", 24, True),
+             ("lock", 10, False), ("half_cycle", 1, False), ("cnr", 10, False))
 _CELL_LAYOUT = {
-    4: ((15, True), (22, True), (4, False), (1, False), (6, False)),
-    5: ((15, True), (22, True), (4, False), (1, False), (6, False), (15, True)),
-    6: ((20, True), (24, True), (10, False), (1, False), (10, False)),
-    7: ((20, True), (24, True), (10, False), (1, False), (10, False), (15, True)),
+    1: _LO_CELLS[:1],
+    2: _LO_CELLS[1:],
+    3: _LO_CELLS,
+    4: _LO_CELLS + (("cnr", 6, False),),
+    5: _LO_CELLS + (("cnr", 6, False), ("fine_rate", 15, True)),
+    6: _HI_CELLS,
+    7: _HI_CELLS + (("fine_rate", 15, True),),
 }
+_SAT_LAYOUT = {
+    1: (("mod1ms", 10, False),),
+    2: (("mod1ms", 10, False),),
+    3: (("mod1ms", 10, False),),
+    4: (("int_ms", 8, False), ("mod1ms", 10, False)),
+    6: (("int_ms", 8, False), ("mod1ms", 10, False)),
+    5: (("int_ms", 8, False), ("ext_info", 4, False), ("mod1ms", 10, False),
+        ("rough_rate", 14, True)),
+    7: (("int_ms", 8, False), ("ext_info", 4, False), ("mod1ms", 10, False),
+        ("rough_rate", 14, True)),
+}
+_SAT_BITS = {lvl: sum(w for _, w, _ in lay) for lvl, lay in _SAT_LAYOUT.items()}
 _LEGACY_EPOCH_BITS = {True: 30, False: 27}  # is_gps
 
 
@@ -81,7 +102,6 @@ class _Cols:
         # sats / cells list containers
         self.nsat = np.zeros(n, np.int64)       # list length where sats_valid
         self.sats_valid = np.zeros(n, bool)
-        self.sats_real = np.zeros(n, bool)      # MSM5/7: real field values
         self.ncells = np.zeros(n, np.int64)
         self.cells_valid = np.zeros(n, bool)
         self.nleg = np.zeros(n, np.int64)       # legacy record list length
@@ -131,32 +151,24 @@ def _decode_msm(m, lens, cols: _Cols, rows: np.ndarray, payload_bits: np.ndarray
         cols.cell_mask[i] = s
 
     level = t2 % 10
-    is47 = (level >= 4) & (level <= 7)
-    # MSM1-3: envelope-level only — null-struct sat entries (count =
-    # popcount of the sat mask), no cells.
-    r_env = r2[~is47]
-    cols.nsat[r_env] = nsat2[~is47]
-    cols.sats_valid[r_env] = True
-
     out = []
-    for lvl in (4, 5, 6, 7):
+    for lvl in (1, 2, 3, 4, 5, 6, 7):
         sel = level == lvl
         if not sel.any():
             continue
         r3 = r2[sel]
         ns, nsg, cs = nsat2[sel], nsig2[sel], csize2[sel]
-        sat_bits = (36 if lvl in (5, 7) else 18) * ns
+        sat_bits = _SAT_BITS[lvl] * ns
         ok_sat = payload_bits[r3] >= 169 + cs + sat_bits
         r4 = r3[ok_sat]
         if not len(r4):
             continue
         ns4, cs4 = ns[ok_sat], cs[ok_sat]
         ncell4 = popcount64(read_mask(m, r3, 193, np.maximum(cs, 1)) & _width_mask(cs))[ok_sat]
-        cell_w = sum(w for w, _ in _CELL_LAYOUT[lvl])
+        cell_w = sum(w for _, w, _ in _CELL_LAYOUT[lvl])
         ok_cell = payload_bits[r4] >= 169 + cs4 + sat_bits[ok_sat] + cell_w * ncell4
         cols.nsat[r4] = ns4
         cols.sats_valid[r4] = True
-        cols.sats_real[r4] = True
         cols.ncells[r4[ok_cell]] = ncell4[ok_cell]
         cols.cells_valid[r4[ok_cell]] = True
         out.append((lvl, r4, ns4, cs4, ncell4, ok_cell))
@@ -301,7 +313,6 @@ def decode_matrix(frames: list[bytes]) -> dict:
             off += w
 
     for lvl, r4, ns4, cs4, ncell4, ok_cell in msm57:
-        has_rate = lvl in (5, 7)
         # satellite block: field-major (all int_ms, all ext, ...).
         fr, j = ragged_indices(ns4)
         rows = r4[fr]
@@ -309,12 +320,8 @@ def decode_matrix(frames: list[bytes]) -> dict:
         flat = sat_starts[rows] + j
         # field-major: field f's block starts after all previous
         # fields' full blocks — offset = base + sum(prev widths)*nsat + j*w
-        if has_rate:
-            widths = (("int_ms", 8, False), ("ext_info", 4, False), ("mod1ms", 10, False), ("rough_rate", 14, True))
-        else:
-            widths = (("int_ms", 8, False), ("mod1ms", 10, False))
         prev = 0
-        for name, w, signed in widths:
+        for name, w, signed in _SAT_LAYOUT[lvl]:
             vals, mask = sat_children[name]
             off = base + prev * ns4[fr] + j * w
             vals[flat] = (read_sint if signed else read_uint)(m, rows, off, w)
@@ -327,10 +334,10 @@ def decode_matrix(frames: list[bytes]) -> dict:
             nsc, csc, ncc = ns4[ok_cell], cs4[ok_cell], ncell4[ok_cell]
             frc, k = ragged_indices(ncc)
             rowsc = rc[frc]
-            cbase = (193 + csc + (36 if has_rate else 18) * nsc)[frc]
+            cbase = (193 + csc + _SAT_BITS[lvl] * nsc)[frc]
             flatc = cell_starts[rowsc] + k
             prev = 0
-            for (name, (w, signed)) in zip(_CELL_FIELDS, _CELL_LAYOUT[lvl]):
+            for name, w, signed in _CELL_LAYOUT[lvl]:
                 vals, mask = cell_children[name]
                 off = cbase + prev * ncc[frc] + k * w
                 vals[flatc] = (read_sint if signed else read_uint)(m, rowsc, off, w)

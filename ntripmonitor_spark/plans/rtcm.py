@@ -808,3 +808,131 @@ def rt08_legacy_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     RTCM scalings, ambiguity stitching, GLONASS freq channel and −3 h
     epoch shift (P3/P4/P15)."""
     return rtcm.legacy_observations(rtcm.decode_frames(_legacy_frames(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# rt10 — MSM1/2/3 observation decode. The reference routes 1071-1073
+# etc. to its obs tables (src/databasehandling.py:72-78) but its
+# DecoderMSM defines scaling only for levels 5/7
+# (src/decoderclasses.py:206-214 — lower levels die in its except and
+# store nothing); here the low-level messages decode per RTCM 10403:
+# the 10-bit rough-range mod 1 ms alone (no int-ms ambiguity term) plus
+# the level's fine-field subset — MSM1: code; MSM2: phase+lock; MSM3:
+# both. CNR/doppler are null at every low level.
+# ---------------------------------------------------------------------------
+
+
+def _msm123_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → MSM1/2/3 frames cycling GPS 1071 / GLONASS 1082 /
+    Galileo 1093, every field an integer function of (event_id, ts)."""
+    from ntripmonitor_spark.schema import FRAMES_SCHEMA
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev = ev.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mps, rts, frs = [], [], []
+            for e, u, ts in zip(pdf["event_id"], pdf["user_id"], pdf["ts"]):
+                e, u = int(e), int(u)
+                ts_us = ts.value // 1000
+                t = (1071, 1082, 1093)[e % 3]
+                nsat = 1 + e % 3
+                ncell_pos = nsat * 2
+                drop = e % 4 == 1
+                cell_mask = "".join(
+                    "0" if (drop and c == ncell_pos - 1) else "1" for c in range(ncell_pos)
+                )
+                sats = [{"mod1ms": (e * 31 + j * 7) % 1024} for j in range(nsat)]
+                cells = [
+                    {
+                        "fine_code": ((e * 7919 + c * 131) % (1 << 15)) - (1 << 14),
+                        "fine_phase": ((e * 104729 + c * 7919) % (1 << 22)) - (1 << 21),
+                        "lock": (e + c) % 16,
+                        "half_cycle": (e + c) % 2,
+                    }
+                    for c in range(ncell_pos)
+                    if cell_mask[c] == "1"
+                ]
+                epoch_ms = (ts_us % _US_DAY) // 1000
+                dow = (ts_us // _US_DAY + 4) % 7
+                frs.append(
+                    encoder.encode_msm(
+                        t, u % 4096, epoch_ms, [(e % 50) + j for j in range(nsat)],
+                        [1, 7], sats, cells, cell_mask=cell_mask,
+                        glonass_dow=dow if t == 1082 else 0,
+                    )
+                )
+                mps.append(f"MP{u % 8}")
+                rts.append(pd.Timestamp((ts_us + ((e % 200) + 40) * 1000) * 1000))
+            yield pd.DataFrame({"mountpoint": mps, "receive_time": rts, "frame": frs})
+
+    return ev.mapInPandas(gen, schema=FRAMES_SCHEMA)
+
+
+@register(
+    "rt10_msm123_observations",
+    tags=("rtcm",),
+    oracle="""
+WITH ev AS (
+    SELECT event_id AS e, user_id AS u,
+           'MP' || CAST(user_id % 8 AS VARCHAR) AS mountpoint,
+           epoch_us(ts) AS ts_us,
+           epoch_us(ts) + ((event_id % 200) + 40) * 1000 AS now_us,
+           CASE event_id % 3 WHEN 0 THEN 1071 WHEN 1 THEN 1082 ELSE 1093 END AS msg_type,
+           CAST(1 + event_id % 3 AS INT) AS nsat
+    FROM events
+),
+m AS (
+    SELECT *, (ts_us % 86400000000) // 1000 AS epoch_ms,
+           msg_type % 10 AS lvl,
+           CASE msg_type // 10 WHEN 107 THEN 'GPS' WHEN 108 THEN 'GLONASS'
+                ELSE 'GALILEO' END AS constellation,
+           CASE msg_type // 10 WHEN 107 THEN 'G' WHEN 108 THEN 'R'
+                ELSE 'E' END AS prefix
+    FROM ev
+),
+t AS (
+    SELECT *, make_timestamp(
+        (now_us // 86400000000) * 86400000000
+        + (epoch_ms // 1000) * 1000000 + (epoch_ms % 1000) * 1000
+        + CASE WHEN (epoch_ms // 1000) * 1000000 - (now_us % 86400000000)
+                    < -18000000000 THEN 86400000000 ELSE 0 END
+        - CASE WHEN msg_type = 1082 THEN 10800000000 ELSE 0 END) AS obs_epoch
+    FROM m
+),
+grid AS (
+    SELECT t.*, j, s, CAST(j * 2 + s AS INT) AS c
+    FROM t
+    CROSS JOIN (SELECT CAST(unnest(range(0, 3)) AS INT) AS j)
+    CROSS JOIN (SELECT CAST(unnest(range(0, 2)) AS INT) AS s)
+    WHERE j < nsat AND NOT (e % 4 = 1 AND j * 2 + s = nsat * 2 - 1)
+),
+f AS (
+    SELECT *,
+           CAST((e * 31 + j * 7) % 1024 AS DOUBLE) / 1024 AS rough,
+           (((e * 7919 + c * 131) % 32768) - 16384) / 16777216.0 AS code_fine,
+           (((e * 104729 + c * 7919) % 4194304) - 2097152) / 536870912.0 AS phase_fine
+    FROM grid
+)
+SELECT mountpoint, obs_epoch, msg_type,
+       printf('%s%02d', prefix, e % 50 + j + 1) AS sat_id,
+       CASE constellation
+            WHEN 'GPS'     THEN (CASE WHEN s = 0 THEN 'L1C' ELSE 'L2C' END)
+            WHEN 'GLONASS' THEN (CASE WHEN s = 0 THEN 'G1C' ELSE 'G2C' END)
+            ELSE                (CASE WHEN s = 0 THEN 'E1C' ELSE 'E6C' END) END AS sat_signal,
+       CASE WHEN lvl IN (1, 3) THEN rough + code_fine END AS code,
+       CASE WHEN lvl IN (2, 3) THEN rough + phase_fine END AS phase,
+       CAST(NULL AS DOUBLE) AS doppler,
+       CAST(NULL AS DOUBLE) AS snr,
+       CASE WHEN lvl IN (2, 3) THEN CAST((e + c) % 16 AS INT) END AS lock,
+       constellation
+FROM f
+""",
+)
+def rt10_msm123_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MSM1/2/3 observations end-to-end: mod-1-ms rough ranges, per-
+    level fine-field subsets (code-only / phase-only / both), null
+    CNR/doppler, GLONASS −3 h shift — spec-correct decode of the
+    low-rate MSM levels the reference routes but cannot scale."""
+    return rtcm.observations(rtcm.decode_frames(_msm123_frames(spark, sf_dir)))

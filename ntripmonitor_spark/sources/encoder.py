@@ -86,8 +86,8 @@ def encode_msm(
     (src/rtcm3.py:106-109,366).
     """
     level = msg_type % 10
-    if level not in (4, 5, 6, 7):
-        raise ValueError(f"only MSM4-7 supported, got {msg_type}")
+    if level not in (1, 2, 3, 4, 5, 6, 7):
+        raise ValueError(f"not an MSM type: {msg_type}")
     nsat, nsig = len(sat_slots), len(sig_slots)
     if cell_mask is None:
         cell_mask = "1" * (nsat * nsig)
@@ -120,11 +120,13 @@ def encode_msm(
 
     # Satellite block, field-major (all int_ms, then all ext, ...) —
     # matching the reference's read order (src/rtcm3.py:161-163).
-    # MSM4/6 satellites carry no ext_info / rough rate (RTCM 10403;
-    # the reference's MSM4/6 decode crash is NOT reproduced —
-    # SURVEY.md §7.3).
-    for s in sats:
-        w.uint(s["int_ms"], 8)
+    # MSM1-3 satellites are the 10-bit rough-range-mod-1-ms alone;
+    # MSM4/6 add int_ms but no ext_info / rough rate (RTCM 10403; the
+    # reference's non-5/7 decode crash is NOT reproduced — SURVEY.md
+    # §7.3).
+    if level >= 4:
+        for s in sats:
+            w.uint(s["int_ms"], 8)
     if level in (5, 7):
         for s in sats:
             w.uint(s["ext_info"], 4)
@@ -134,10 +136,18 @@ def encode_msm(
         for s in sats:
             w.sint(s["rough_rate"], 14)
 
-    # Signal block, field-major (src/rtcm3.py:164-167). MSM4/5 use the
-    # 15/22-bit fine fields, MSM6/7 the 20/24-bit high-res ones;
-    # MSM4/6 have no fine phase-range rate.
-    if level in (4, 5):
+    # Signal block, field-major (src/rtcm3.py:164-167). MSM1-5 use the
+    # 15/22-bit fine fields, MSM6/7 the 20/24-bit high-res ones; the
+    # lower levels carry subsets (MSM1: code; MSM2: phase+lock+half;
+    # MSM3: both; MSM4+ adds CNR; 5/7 add the fine rate).
+    if level == 1:
+        widths = [("fine_code", 15, True)]
+    elif level == 2:
+        widths = [("fine_phase", 22, True), ("lock", 4, False), ("half_cycle", 1, False)]
+    elif level == 3:
+        widths = [("fine_code", 15, True), ("fine_phase", 22, True), ("lock", 4, False),
+                  ("half_cycle", 1, False)]
+    elif level in (4, 5):
         widths = [("fine_code", 15, True), ("fine_phase", 22, True), ("lock", 4, False),
                   ("half_cycle", 1, False), ("cnr", 6, False)]
     else:

@@ -75,6 +75,27 @@ def _fixture_frames() -> list[bytes]:
     # GLONASS MSM5 with DOW
     sats, cells = _rng_fields(9, 5, 2, 4)
     frames.append(encoder.encode_msm(1085, 7, 80_000_000, [4, 9], [1, 7], sats, cells, glonass_dow=5))
+    # MSM1/2/3: 10-bit rough-only sat block, per-level cell subsets
+    for t123 in (1071, 1082, 1093, 1101, 1112, 1123, 1113):
+        sats, cells = _rng_fields(17 + t123 % 10, t123 % 10, 2, 4)
+        frames.append(
+            encoder.encode_msm(
+                t123, 42, 5_400_000, [2, 7], [1, 7], sats, cells,
+                glonass_dow=(6 if 1081 <= t123 <= 1087 else 0),
+            )
+        )
+    # truncated MSM2: sat block complete, cell block cut short →
+    # sats decode, cells stay null (both decoders)
+    w2 = (
+        BitWriter().uint(1072, 12).uint(9, 12).uint(777, 30)
+        .bit(0).uint(0, 3).pad(7).uint(0, 2).uint(0, 2).bit(0).uint(0, 3)
+    )
+    w2.bin("0" * 5 + "1" + "0" * 58)  # 1 sat
+    w2.bin("1" + "0" * 31)            # 1 signal
+    w2.bin("1")                        # 1 cell
+    w2.uint(512, 10)                   # sat rough mod1ms
+    w2.uint(3, 2)                      # 2 of the 27 cell bits only
+    frames.append(encoder.frame(w2.to_bytes()))
     # MSM4 / MSM6 (no ext_info / rates — graceful decode, SURVEY §7.3)
     for t4 in (1074, 1096, 1086):
         sats, cells = _rng_fields(11 + t4 % 10, t4 % 10, 2, 4)
