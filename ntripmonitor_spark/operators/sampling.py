@@ -63,6 +63,33 @@ def quota_per_group(docs: DataFrame, group_col: str = "source", k: int = 10) -> 
     )
 
 
+def temperature_mix(docs: DataFrame, coeff: float = 5.0) -> DataFrame:
+    """Temperature-flattened source mixing (the standard LLM-corpus
+    reweighting: expected kept docs per source ∝ n_s^0.5, so dominant
+    sources are downsampled hardest while small sources keep
+    everything). Per-source keep rate = min(1, coeff/√n_s), applied as
+    the same deterministic hash coin as `stratified_sample`.
+
+    Scale shape: one tiny per-source count aggregate (map-side
+    combine, |sources| rows) broadcast back onto the corpus, then a
+    pure filter — the corpus itself is never shuffled. All arithmetic
+    is IEEE double in a fixed operation order, with no cross-source
+    float summation, so the SQL oracle reproduces rates bit-for-bit.
+    """
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    rate = F.floor(
+        F.lit(BUCKETS)
+        * F.least(F.lit(1.0), F.lit(coeff) / F.sqrt(F.col("n_src").cast("double")))
+    ).cast("int")
+    rates = counts.select("source", rate.alias("rate"))
+    b = hash_bucket(F.col("doc_id"))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .select("doc_id", "lang", "source", b.alias("bucket"), "rate")
+        .filter(F.col("bucket") < F.col("rate"))
+    )
+
+
 def sequence_pack(docs: DataFrame, pack_tokens: int = 512) -> DataFrame:
     """Greedy in-order sequence packing: within each source (ordered by
     doc_id) assign docs to consecutive packs of ~pack_tokens whitespace

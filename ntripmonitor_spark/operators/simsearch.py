@@ -121,6 +121,75 @@ def _bucket_signature(vec_col: Column, anchors: list[tuple[int, list[float]]]) -
     return F.concat(*bits)
 
 
+# Three independent hash tables × three anchor hyperplanes each: a
+# candidate needs to collide in ONE table only, so recall is far
+# higher than the single-signature `ann_bucketed` at the same cost
+# class (the classic multi-table LSH trade).
+LSH_TABLES = ((3, 14, 25), (8, 19, 30), (12, 23, 34))
+
+
+def ann_lsh_multitable(emb: DataFrame, n_queries: int = 10, k: int = 3) -> DataFrame:
+    """Multi-table sign-LSH approximate top-k.
+
+    Each table's bucket id is the sign signature of the vector against
+    that table's anchor set; corpus and queries are exploded into one
+    (table, bucket) row per table, joined per table (broadcast query
+    side), and candidate pairs are deduplicated BEFORE the vectors are
+    re-attached for scoring — so the wide embedding column never rides
+    the candidate-generation shuffle. At 100 TB: signatures (bytes per
+    vector per table) are what the join moves; candidates ≪ corpus and
+    only they pay the cosine.
+    """
+    from pyspark.sql.window import Window
+
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    all_ids = sorted({i for tbl in LSH_TABLES for i in tbl})
+    anchors_rows = (
+        emb.filter(F.col("vec_id").isin(*all_ids))
+        .select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    by_id = {r["vec_id"]: list(r["v"]) for r in anchors_rows}
+
+    v = ensure_parallelism(emb).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    sig_structs = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            _bucket_signature(
+                F.col("v"), [(i, by_id[i]) for i in sorted(tbl)]
+            ).alias("sig"),
+        )
+        for t, tbl in enumerate(LSH_TABLES)
+    ])
+    stack = v.select("vec_id", F.explode(sig_structs).alias("ts")).select(
+        "vec_id", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig")
+    )
+    qstack = stack.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "tbl", "sig"
+    )
+    cand = (
+        stack.join(F.broadcast(qstack), ["tbl", "sig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    n = v.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"), F.col("nrm").alias("nn"))
+    cos = F.round(dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6)
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ann_bucketed(emb: DataFrame, n_queries: int = 10, k: int = 3) -> DataFrame:
     """Anchor-bucketed approximate top-k: candidates limited to the
     query's own sign-bucket. Deterministic (fixed anchors), so the

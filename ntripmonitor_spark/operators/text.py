@@ -184,3 +184,45 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_phones.alias("n_phones"),
         F.md5(scrubbed.cast("binary")).alias("scrubbed_fp"),
     )
+
+
+def unigram_model(docs: DataFrame, vocab_size: int = 64) -> tuple[list[tuple[str, int]], int]:
+    """Corpus-derived unigram LM: the top `vocab_size` words by
+    (count DESC, word ASC — deterministic ties) plus the total token
+    count. One word-keyed aggregate (map-side combine does the heavy
+    lifting; only |vocab| rows cross the final exchange via the
+    sort-limit) — the 100 TB shape for "fit a tiny model, broadcast
+    it"."""
+    words = docs.select(F.explode(normalized_words(F.col("text"))).alias("w"))
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = words.count()
+    top = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(vocab_size).collect()
+    return [(r["w"], r["c"]) for r in top], int(total)
+
+
+def unigram_surprisal(docs: DataFrame, vocab_size: int = 64) -> DataFrame:
+    """Mean per-token surprisal (−log2 p) under the corpus unigram LM —
+    the cheap proxy for LM-perplexity quality filtering. The fitted
+    model (integer counts) is folded into the plan as a map literal, so
+    scoring is a pure column fold over each doc's word list: no join,
+    no shuffle, order-deterministic summation; OOV words get the
+    0.5/total floor. Rounded to 6 decimals to absorb cross-engine
+    log-ULP noise."""
+    vocab, total = unigram_model(docs, vocab_size)
+    cnt_map = F.create_map(
+        *[F.lit(x) for wc in vocab for x in (wc[0], float(wc[1]))]
+    ) if vocab else F.create_map()
+    words = normalized_words(F.col("text"))
+    logp = lambda w: -F.log2(  # noqa: E731
+        F.coalesce(F.element_at(cnt_map, w), F.lit(0.5)) / F.lit(float(total))
+    )
+    total_surprisal = F.aggregate(
+        F.transform(words, logp), F.lit(0.0), lambda acc, v: acc + v
+    )
+    n = F.size(words)
+    return docs.select(
+        "doc_id",
+        "source",
+        n.alias("n_tokens"),
+        F.round(F.when(n > 0, total_surprisal / n), 6).alias("mean_surprisal"),
+    )

@@ -666,3 +666,133 @@ def tx06_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return text.pii_scrub(docs)
+
+
+# ---------------------------------------------------------------------------
+# sp03 — temperature-flattened source mixing (expected kept ∝ √n_s).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sp03_source_mixing",
+    tags=("sampling",),
+    oracle=f"""
+WITH rates AS (
+    SELECT source,
+           CAST(FLOOR(1000 * LEAST(1.0, 5.0 / sqrt(CAST(COUNT(*) AS DOUBLE)))) AS INT) AS rate
+    FROM documents GROUP BY source
+)
+SELECT doc_id, lang, source, {_BUCKET_SQL} AS bucket, rate
+FROM documents JOIN rates USING (source)
+WHERE {_BUCKET_SQL} < rate
+""",
+)
+def sp03_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing: per-source keep rate
+    min(1, 5/√n_s) — dominant sources downsampled hardest (the
+    standard LLM-corpus reweighting), applied as the deterministic
+    hash coin. One tiny count aggregate broadcast onto a pure corpus
+    filter; the corpus never shuffles."""
+    from ntripmonitor_spark.operators import sampling
+
+    return sampling.temperature_mix(table(spark, sf_dir, "documents"), coeff=5.0)
+
+
+# ---------------------------------------------------------------------------
+# ss03 — multi-table sign-LSH ANN (collide in ANY table → candidate).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ss03_ann_lsh_multitable",
+    tags=("simsearch",),
+    oracle=f"""
+WITH {_VEC_CTE},
+anch AS (
+    SELECT tbl, vec_id, vec FROM (
+        SELECT 0 AS tbl, unnest([3, 14, 25]) AS vec_id UNION ALL
+        SELECT 1, unnest([8, 19, 30]) UNION ALL
+        SELECT 2, unnest([12, 23, 34])
+    ) JOIN n USING (vec_id)
+),
+sigs AS (
+    SELECT n.vec_id, anch.tbl,
+           string_agg(CASE WHEN list_dot_product(n.vec, anch.vec) >= 0 THEN '1' ELSE '0' END,
+                      '' ORDER BY anch.vec_id) AS sig
+    FROM n CROSS JOIN anch
+    GROUP BY n.vec_id, anch.tbl
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig
+    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           round(list_dot_product(q.vec, c.vec) / (q.nrm * c.nrm), 6) AS cos_sim
+    FROM cand
+    JOIN n q ON q.vec_id = cand.query_id
+    JOIN n c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+WHERE rank <= 3
+""",
+)
+def ss03_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH top-k: a candidate needs a bucket collision
+    in ANY of three anchor tables (higher recall than the single
+    signature of ss02 at the same candidate cost); pairs are
+    deduplicated before the embedding column is re-attached, so only
+    signatures ride the candidate join."""
+    return simsearch.ann_lsh_multitable(table(spark, sf_dir, "embeddings"), n_queries=10, k=3)
+
+
+# ---------------------------------------------------------------------------
+# tx07 — mean unigram surprisal (perplexity-proxy quality filter).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx07_unigram_surprisal",
+    tags=("text",),
+    oracle="""
+WITH w AS (
+    SELECT doc_id, source, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+tok AS (SELECT unnest(ws) AS tok FROM w),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+vocab AS (
+    SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c
+    FROM tok GROUP BY tok
+    ORDER BY COUNT(*) DESC, tok ASC LIMIT 64
+),
+-- per-token surprisal with its in-document position, so the final
+-- sum can replay the engine's sequential left-fold order exactly
+toks AS (
+    SELECT doc_id, i, ws[i] AS tok
+    FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w)
+),
+vals AS (
+    SELECT toks.doc_id, toks.i,
+           -log2(coalesce(v.c, 0.5) / (SELECT total FROM tot)) AS s
+    FROM toks LEFT JOIN vocab v ON v.tok = toks.tok
+),
+agg AS (
+    SELECT doc_id, list_sum(list(s ORDER BY i)) AS tot_s
+    FROM vals GROUP BY doc_id
+)
+SELECT w.doc_id, w.source, CAST(len(w.ws) AS INT) AS n_tokens,
+       round(CASE WHEN len(w.ws) > 0 THEN agg.tot_s / len(w.ws) END, 6) AS mean_surprisal
+FROM w LEFT JOIN agg ON agg.doc_id = w.doc_id
+""",
+)
+def tx07_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-token −log2 p under the corpus-fitted top-64 unigram
+    LM (OOV floored at 0.5/total) — the cheap perplexity-proxy quality
+    score. The model is one word aggregate folded back into the plan
+    as a literal map; scoring is a shuffle-free column fold."""
+    return text.unigram_surprisal(table(spark, sf_dir, "documents"), vocab_size=64)

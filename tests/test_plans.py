@@ -77,3 +77,27 @@ def test_connected_components_log_rounds(spark):
     rows = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert rows == {i: 0 for i in range(n)}, "chain did not fully contract"
     assert rounds <= 10, f"chain of 64 took {rounds} rounds (pointer doubling broken?)"
+
+
+def test_tx07_scoring_stage_shuffle_free(spark, sf_dir):
+    """tx07's SCORING plan must be a pure column fold: the fitted
+    vocab rides in as a literal map, so after model-fit (a separate
+    job) the per-doc scan compiles to zero exchanges."""
+    plan = _explain(spark, "tx07_unigram_surprisal", sf_dir)
+    assert _exchanges(plan) == 0, f"tx07 scoring shuffles\n{plan[:2000]}"
+
+
+def test_sp03_corpus_never_shuffles(spark, sf_dir):
+    """sp03: the only exchange feeds the tiny per-source count agg;
+    the corpus side reaches the filter via a broadcast join."""
+    plan = _explain(spark, "sp03_source_mixing", sf_dir)
+    assert "BroadcastHashJoin" in plan, "rates join not broadcast"
+    assert "SortMergeJoin" not in plan, "corpus shuffled for the rates join"
+    assert _exchanges(plan) <= 1, f"extra corpus shuffle\n{plan[:2000]}"
+
+
+def test_ss03_candidates_deduped_before_vectors(spark, sf_dir):
+    """ss03: the candidate join must move signatures, not embeddings —
+    query side broadcast, no sort-merge on the signature stack."""
+    plan = _explain(spark, "ss03_ann_lsh_multitable", sf_dir)
+    assert "BroadcastHashJoin" in plan, "query stack not broadcast"
