@@ -172,3 +172,34 @@ def read_silver(spark, path: str) -> DataFrame:
     """Read the silver mirror; time/mountpoint predicates prune
     partitions (assert via PartitionFilters in the scan plan)."""
     return spark.read.parquet(path)
+
+
+def retention_sweep(path: str, keep_days: int, today: "dt.date | str") -> list[str]:
+    """Drop silver date-partitions older than ``keep_days`` — the
+    partition-drop maintenance job standing in for the reference's
+    TimescaleDB retention policies (add_retention_policy 2 months on
+    every hypertable, initdb/01-rtcm_packages.sql:16-17 /
+    11-gps_observations.sql:20-21).
+
+    Partition-drop is O(#expired-partitions) directory removals — no
+    data is read or rewritten (the same property drop_chunks has), so
+    it is safe to run as a scheduled job at any corpus size. Returns
+    the dropped partition directory names. ``today`` is explicit (no
+    wall-clock read) so sweeps are deterministic and testable."""
+    import datetime as dt
+    import os
+    import re as _re
+    import shutil
+
+    if isinstance(today, str):
+        today = dt.date.fromisoformat(today)
+    cutoff = today - dt.timedelta(days=keep_days)
+    dropped = []
+    if not os.path.isdir(path):
+        return dropped
+    for entry in sorted(os.listdir(path)):
+        m = _re.match(r"p_date=(\d{4}-\d{2}-\d{2})$", entry)
+        if m and dt.date.fromisoformat(m.group(1)) < cutoff:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(entry)
+    return dropped

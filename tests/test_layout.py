@@ -37,3 +37,30 @@ def test_silver_partition_pruning(spark, sf_dir, tmp_path):
 
     # round-trip fidelity: silver holds every envelope row
     assert silver.count() == pk.count()
+
+
+def test_retention_sweep_drops_expired_partitions(spark, sf_dir, tmp_path):
+    """Retention parity (SURVEY §2.6): partitions older than the keep
+    window are dropped as whole directories — no data rewrite — and
+    the surviving partitions stay readable and prunable."""
+    import datetime as dt
+
+    path = str(tmp_path / "silver_ret")
+    pk = rtcm.packages(decoded_events(spark, sf_dir))
+    sinks.write_silver(pk, path)
+
+    dates = sorted(
+        r[0] for r in sinks.read_silver(spark, path).select("p_date").distinct().collect()
+    )
+    assert len(dates) >= 2
+    # keep only the newest date: sweep with cutoff just after the oldest
+    keep_from = dates[-1]
+    today = keep_from + dt.timedelta(days=30)
+    dropped = sinks.retention_sweep(path, keep_days=30, today=str(today))
+    assert dropped == [f"p_date={d}" for d in dates[:-1]]
+
+    survivors = sinks.read_silver(spark, path)
+    left = sorted(r[0] for r in survivors.select("p_date").distinct().collect())
+    assert left == [keep_from]
+    # idempotent: second sweep drops nothing
+    assert sinks.retention_sweep(path, keep_days=30, today=str(today)) == []
