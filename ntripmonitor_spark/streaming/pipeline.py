@@ -63,6 +63,22 @@ def windowed_rates(packages: DataFrame, window: str = "1 minute",
     )
 
 
+def stream_frame_dedup(frames: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Cross-batch frame dedup: a reconnect replays the tail of the
+    caster's buffer, so the same frame can arrive twice in adjacent
+    micro-batches (the reference simply double-inserts — at-least-once,
+    SURVEY.md §2.6). Key = (mountpoint, 8-byte frame fingerprint);
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state by the
+    watermark horizon instead of growing forever, which is what makes
+    this safe on an unbounded stream."""
+    keyed = frames.withColumn("frame_fp", F.xxhash64("frame"))
+    return (
+        keyed.withWatermark("receive_time", watermark)
+        .dropDuplicatesWithinWatermark(["mountpoint", "frame_fp"])
+        .drop("frame_fp")
+    )
+
+
 def idempotent_parquet_sink(base_path: str):
     """foreachBatch writer: each micro-batch lands in its own
     ``batch_id=N`` partition with overwrite, so replayed batch ids

@@ -166,3 +166,36 @@ def test_windowed_rates_divisor_follows_window(spark, sf_dir):
     r30 = sp.windowed_rates(pk, window="30 seconds")
     row = r30.orderBy("bucket", "mountpoint").first()
     assert abs(row["kb_per_s"] - row["total_bytes"] / 30.0 / 1024.0) < 1e-12
+
+
+def test_stream_frame_dedup_across_batches(spark, sf_dir, tmp_path):
+    """A replayed buffer tail (same mountpoint + identical frame bytes,
+    arriving again in a later micro-batch) must be dropped by the
+    watermarked dedup; distinct frames all survive."""
+    import pyspark.sql.functions as F
+
+    frames = split_frames(event_blobs(spark, sf_dir)).limit(200).cache()
+    n_distinct = frames.select("mountpoint", "frame").distinct().count()
+
+    # duplicate every frame once (same receive_time — inside any
+    # watermark) and interleave; write as one archive the replay
+    # source will chop into several micro-batches
+    doubled = frames.union(frames)
+    path = str(tmp_path / "dup_frames")
+    write_frame_archive(doubled, path)
+
+    deduped = sp.stream_frame_dedup(frames_stream(spark, path, batch_rows=100))
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT mountpoint, frame FROM dedup_out")
+    assert got.count() == n_distinct, "duplicate frames leaked through"
+    assert got.distinct().count() == n_distinct
+    frames.unpersist()
