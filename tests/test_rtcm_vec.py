@@ -281,3 +281,100 @@ def test_scan_frames_batch_matches_scalar():
         want_idx.extend([bi] * len(fs))
     assert got_frames == want_frames
     assert got_idx == want_idx
+
+
+# ---------------------------------------------------------------------------
+# Property-based round-trip + parity across every MSM level (SURVEY §5:
+# hypothesis drives encode → scalar decode == vectorized decode ==
+# original fields, over randomized masks/values/constellations).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _msm_case(draw):
+    base = draw(st.sampled_from((1070, 1080, 1090, 1100, 1110, 1120)))
+    level = draw(st.integers(1, 7))
+    t = base + level
+    nsat = draw(st.integers(1, 4))
+    nsig = draw(st.integers(1, 3))
+    sat_slots = sorted(draw(st.sets(st.integers(0, 63), min_size=nsat, max_size=nsat)))
+    sig_slots = sorted(draw(st.sets(st.integers(0, 31), min_size=nsig, max_size=nsig)))
+    mask_bits = draw(st.lists(st.booleans(), min_size=nsat * nsig, max_size=nsat * nsig))
+    cell_mask = "".join("1" if b else "0" for b in mask_bits)
+    hi = level in (6, 7)
+    sats = [
+        {
+            "int_ms": draw(st.integers(0, 255)),
+            "ext_info": draw(st.integers(0, 15)),
+            "mod1ms": draw(st.integers(0, 1023)),
+            "rough_rate": draw(st.integers(-(1 << 13), (1 << 13) - 1)),
+        }
+        for _ in range(nsat)
+    ]
+    cells = [
+        {
+            "fine_code": draw(st.integers(-(1 << (19 if hi else 14)), (1 << (19 if hi else 14)) - 1)),
+            "fine_phase": draw(st.integers(-(1 << (23 if hi else 21)), (1 << (23 if hi else 21)) - 1)),
+            "lock": draw(st.integers(0, (1 << (10 if hi else 4)) - 1)),
+            "half_cycle": draw(st.integers(0, 1)),
+            "cnr": draw(st.integers(0, (1 << (10 if hi else 6)) - 1)),
+            "fine_rate": draw(st.integers(-(1 << 14), (1 << 14) - 1)),
+        }
+        for _ in range(cell_mask.count("1"))
+    ]
+    epoch = draw(st.integers(0, (1 << 27) - 1))
+    dow = draw(st.integers(0, 7))
+    return t, sat_slots, sig_slots, cell_mask, sats, cells, epoch, dow
+
+
+@given(_msm_case())
+@settings(max_examples=120, deadline=None)
+def test_msm_roundtrip_property_all_levels(case):
+    t, sat_slots, sig_slots, cell_mask, sats, cells, epoch, dow = case
+    level = t % 10
+    fr = encoder.encode_msm(
+        t, 42, epoch, sat_slots, sig_slots, sats, cells,
+        cell_mask=cell_mask, glonass_dow=dow if 1081 <= t <= 1087 else 0,
+    )
+    d = _decode_one(fr)
+    assert d["msg_type"] == t and d["crc_ok"]
+    assert d["epoch_ms"] == epoch
+    if 1081 <= t <= 1087:
+        assert d["glonass_dow"] == dow
+    assert d["cell_mask"] == cell_mask
+
+    # satellite fields: level-present fields round-trip, absent are null
+    for j, s in enumerate(d["sats"]):
+        assert s["mod1ms"] == sats[j]["mod1ms"]
+        assert s["int_ms"] == (sats[j]["int_ms"] if level >= 4 else None)
+        assert s["ext_info"] == (sats[j]["ext_info"] if level in (5, 7) else None)
+        assert s["rough_rate"] == (sats[j]["rough_rate"] if level in (5, 7) else None)
+
+    present = {
+        1: ("fine_code",),
+        2: ("fine_phase", "lock", "half_cycle"),
+        3: ("fine_code", "fine_phase", "lock", "half_cycle"),
+        4: ("fine_code", "fine_phase", "lock", "half_cycle", "cnr"),
+        5: ("fine_code", "fine_phase", "lock", "half_cycle", "cnr", "fine_rate"),
+        6: ("fine_code", "fine_phase", "lock", "half_cycle", "cnr"),
+        7: ("fine_code", "fine_phase", "lock", "half_cycle", "cnr", "fine_rate"),
+    }[level]
+    for k, c in enumerate(d["cells"]):
+        for f in ("fine_code", "fine_phase", "lock", "half_cycle", "cnr", "fine_rate"):
+            want = cells[k][f] if f in present else None
+            if f == "half_cycle" and want is not None:
+                want = bool(want)
+            assert c[f] == want, (t, k, f)
+
+    # vectorized decoder agrees field-for-field
+    import pyarrow as pa
+
+    row = decoded_record_batch(
+        pa.array(["MP"]), pa.array([0], type=pa.int64()), [fr]
+    ).to_pylist()[0]
+    for key in ("msg_type", "epoch_ms", "glonass_dow", "sat_mask", "sig_mask",
+                "cell_mask", "sats", "cells"):
+        assert row[key] == d[key], key
