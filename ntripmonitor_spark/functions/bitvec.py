@@ -123,3 +123,23 @@ def put_bits(bitmat: np.ndarray, off: int, width: int, values: np.ndarray) -> No
     v = v.astype(np.uint64)
     shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
     bitmat[:, off : off + width] = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+
+
+def mask_positions(v: np.ndarray, width) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 masks → (flat positions, per-row counts): the 0-based
+    set-bit indices in MSB-first string order (ascending within each
+    row, rows concatenated in order). Vectorized: one unpackbits + one
+    nonzero — the decoder-side replacement for JVM mask-string
+    parsing."""
+    n = len(v)
+    w = np.broadcast_to(np.asarray(width, dtype=np.int64), (n,))
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    bits = np.unpackbits(
+        np.ascontiguousarray(v.astype(">u8")).view(np.uint8).reshape(n, 8), axis=1
+    ).astype(bool)
+    start = 64 - w
+    cols = np.arange(64)
+    valid = bits & (cols[None, :] >= start[:, None])
+    r, c = np.nonzero(valid)
+    return c - start[r], valid.sum(axis=1).astype(np.int64)

@@ -89,6 +89,7 @@ def _decode_one(frame: bytes) -> dict:
         "msg_type": None, "msg_size": len(frame), "crc_ok": frame_crc_ok(frame),
         "station_id": None, "epoch_ms": None, "glonass_dow": None,
         "sat_mask": None, "sig_mask": None, "cell_mask": None,
+        "sat_slots": None, "sig_slots": None, "cell_slots": None,
         "sats": None, "cells": None, "legacy": None,
         "ecef_x": None, "ecef_y": None, "ecef_z": None, "ant_height": None,
         "text": None,
@@ -128,6 +129,10 @@ def _decode_one(frame: bytes) -> dict:
             cell_mask = r.bin(nsat * nsig) if nsat * nsig else ""
             ncells = cell_mask.count("1")
             out["sat_mask"], out["sig_mask"], out["cell_mask"] = sat_mask, sig_mask, cell_mask
+            # set-bit positions, so the JVM flatten never parses strings
+            out["sat_slots"] = [i for i, ch in enumerate(sat_mask) if ch == "1"]
+            out["sig_slots"] = [i for i, ch in enumerate(sig_mask) if ch == "1"]
+            out["cell_slots"] = [i for i, ch in enumerate(cell_mask) if ch == "1"]
             level = t % 10
             if level in (4, 5, 6, 7):
                 # Field-major read (src/rtcm3.py:161-167); stored
@@ -366,15 +371,6 @@ def packages(decoded: DataFrame) -> DataFrame:
     )
 
 
-def _mask_positions(mask: Column, n: int) -> Column:
-    """0-based indices of the '1' bits of a '0'/'1' mask string, in
-    order — the posexplode side of P13/P14."""
-    return F.filter(
-        F.sequence(F.lit(0), F.lit(n - 1)),
-        lambda i: mask.substr(i + 1, F.lit(1)) == "1",
-    )
-
-
 def _signal_name_map() -> Column:
     """map<'CONST|slot', name> literal for the P13 lookup (tiny,
     constant-folded; the join-free alternative to signal_dim)."""
@@ -406,26 +402,19 @@ def observations(decoded: DataFrame) -> DataFrame:
             ),
             F.col("constellation"),
         ))
-        .withColumn("sat_slots", _mask_positions(F.col("sat_mask"), 64))
-        .withColumn("sig_slots", _mask_positions(F.col("sig_mask"), 32))
         .withColumn("nsig", F.size("sig_slots"))
-        .withColumn(
-            "cell_positions",
-            F.filter(
-                F.sequence(F.lit(0), F.length("cell_mask") - 1),
-                lambda p: F.col("cell_mask").substr(p + 1, F.lit(1)) == "1",
-            ),
-        )
         .withColumn("obs_epoch", obs_epoch_col(F.col("receive_time"), F.col("epoch_ms"), F.col("msg_type")))
     )
 
     # k-th cell ↔ k-th set position: zip then explode (P10's transpose
-    # analog — one generator, no Python).
-    d = d.withColumn("cellz", F.arrays_zip("cell_positions", "cells")).select(
+    # analog — one generator, no Python). The slot/position arrays are
+    # decoder-precomputed integers (DECODED_SCHEMA), so no mask-string
+    # parsing happens JVM-side.
+    d = d.withColumn("cellz", F.arrays_zip("cell_slots", "cells")).select(
         "mountpoint", "obs_epoch", "msg_type", "constellation", "constellation_id",
         "sat_slots", "sig_slots", "nsig", F.explode("cellz").alias("cz"), "sats",
     )
-    pos = F.col("cz.cell_positions")
+    pos = F.col("cz.cell_slots")
     cell = F.col("cz.cells")
     sat_no = (pos / F.col("nsig")).cast("int")
     sig_no = (pos % F.col("nsig")).cast("int")

@@ -35,6 +35,7 @@ import pyarrow as pa
 
 from ntripmonitor_spark.functions.bitvec import (
     frames_matrix,
+    mask_positions,
     mask_strings,
     popcount64,
     ragged_indices,
@@ -99,6 +100,16 @@ class _Cols:
         self.sig_mask: list = [None] * n
         self.cell_mask: list = [None] * n
         self.text: list = [None] * n
+        # mask set-bit positions (flat buffers + per-row counts; valid
+        # exactly where the mask strings are)
+        self.nsatpos = np.zeros(n, np.int64)
+        self.nsigpos = np.zeros(n, np.int64)
+        self.ncellpos = np.zeros(n, np.int64)
+        self.slots_valid = np.zeros(n, bool)
+        self.slot_rows = np.zeros(0, np.int64)
+        self.satpos_flat = np.zeros(0, np.int64)
+        self.sigpos_flat = np.zeros(0, np.int64)
+        self.cellpos_flat = np.zeros(0, np.int64)
         # sats / cells list containers
         self.nsat = np.zeros(n, np.int64)       # list length where sats_valid
         self.sats_valid = np.zeros(n, bool)
@@ -149,6 +160,14 @@ def _decode_msm(m, lens, cols: _Cols, rows: np.ndarray, payload_bits: np.ndarray
         cols.sig_mask[i] = s
     for i, s in zip(r2, mask_strings(cellm, csize2)):
         cols.cell_mask[i] = s
+    # set-bit positions (r2 is ascending, so the flat buffers are
+    # already in global row order for the Arrow list assembly)
+    cols.slot_rows = r2
+    cols.satpos_flat, satc = mask_positions(satm[ok_cm], 64)
+    cols.sigpos_flat, sigc = mask_positions(sigm[ok_cm], 32)
+    cols.cellpos_flat, cellc = mask_positions(cellm, csize2)
+    cols.nsatpos[r2], cols.nsigpos[r2], cols.ncellpos[r2] = satc, sigc, cellc
+    cols.slots_valid[r2] = True
 
     level = t2 % 10
     out = []
@@ -365,6 +384,15 @@ _LEGACY_PA = pa.struct(
 )
 
 
+def _int_list_array(counts: np.ndarray, flat: np.ndarray, list_valid: np.ndarray) -> pa.Array:
+    """list<int32> column from per-row counts + a flat value buffer
+    already in ascending row order."""
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    offsets = pa.array(starts.astype(np.int32), type=pa.int32())
+    child = pa.array(flat.astype(np.int32), type=pa.int32())
+    return pa.ListArray.from_arrays(offsets, child, mask=pa.array(~list_valid))
+
+
 def _list_array(starts, children, struct_type, list_valid, counts) -> pa.Array:
     arrs = []
     for field in struct_type:
@@ -411,6 +439,9 @@ def decoded_record_batch(
         pa.array(cols.sat_mask, type=pa.string()),
         pa.array(cols.sig_mask, type=pa.string()),
         pa.array(cols.cell_mask, type=pa.string()),
+        _int_list_array(cols.nsatpos, cols.satpos_flat, cols.slots_valid),
+        _int_list_array(cols.nsigpos, cols.sigpos_flat, cols.slots_valid),
+        _int_list_array(cols.ncellpos, cols.cellpos_flat, cols.slots_valid),
         sats,
         cells,
         legacy,
@@ -423,7 +454,8 @@ def decoded_record_batch(
     names = [
         "mountpoint", "receive_time", "msg_type", "msg_size", "crc_ok",
         "station_id", "epoch_ms", "glonass_dow", "sat_mask", "sig_mask",
-        "cell_mask", "sats", "cells", "legacy", "ecef_x", "ecef_y", "ecef_z",
+        "cell_mask", "sat_slots", "sig_slots", "cell_slots", "sats",
+        "cells", "legacy", "ecef_x", "ecef_y", "ecef_z",
         "ant_height", "text",
     ]
     return pa.RecordBatch.from_arrays(arrays, names=names)

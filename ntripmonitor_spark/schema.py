@@ -105,6 +105,12 @@ DECODED_SCHEMA = StructType(
         StructField("sat_mask", StringType()),      # bin:64
         StructField("sig_mask", StringType()),      # bin:32
         StructField("cell_mask", StringType()),     # bin:(nsat*nsig)
+        # Set-bit positions of the three masks (ascending, 0-based in
+        # string order) — precomputed in the decoder so the JVM-side
+        # flatten never parses mask strings (SCALE.md §4).
+        StructField("sat_slots", ArrayType(IntegerType())),
+        StructField("sig_slots", ArrayType(IntegerType())),
+        StructField("cell_slots", ArrayType(IntegerType())),
         StructField("sats", ArrayType(_SAT_STRUCT)),
         StructField("cells", ArrayType(_CELL_STRUCT)),
         StructField("legacy", ArrayType(_LEGACY_STRUCT)),
