@@ -26,9 +26,32 @@ _SHIFTS = (np.arange(7, -1, -1, dtype=np.uint64) * np.uint64(8))
 
 
 def frames_matrix(frames) -> tuple[np.ndarray, np.ndarray]:
-    """Sequence of byte strings → (uint8 matrix [N, maxlen+8] zero-
-    padded so any in-range bit offset can gather a full 8-byte window,
-    lengths int64[N])."""
+    """Byte strings (list OR Arrow binary array) → (uint8 matrix
+    [N, maxlen+8] zero-padded so any in-range bit offset can gather a
+    full 8-byte window, lengths int64[N]).
+
+    The Arrow path reads the offsets/values buffers directly and
+    copies row slices out of the flat data buffer — no to_pylist, no
+    per-row bytes objects (this is the mapInArrow ingest fast path;
+    the slice loop also beat a flat fancy-index scatter when
+    measured on the sf0.1 archive)."""
+    import pyarrow as pa
+
+    if isinstance(frames, (pa.Array, pa.ChunkedArray)) and frames.null_count == 0:
+        arr = frames.combine_chunks() if isinstance(frames, pa.ChunkedArray) else frames
+        n = len(arr)
+        odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        offs = np.frombuffer(arr.buffers()[1], odt)[arr.offset : arr.offset + n + 1]
+        offs = offs.astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        lens = offs[1:] - offs[:-1]
+        maxlen = int(lens.max()) if n else 0
+        m = np.zeros((n, maxlen + 8), dtype=np.uint8)
+        for i in range(n):
+            m[i, : lens[i]] = data[offs[i] : offs[i + 1]]
+        return m, lens
+
+    frames = frames.to_pylist() if isinstance(frames, (pa.Array, pa.ChunkedArray)) else frames
     n = len(frames)
     lens = np.fromiter((len(f) for f in frames), dtype=np.int64, count=n)
     maxlen = int(lens.max()) if n else 0

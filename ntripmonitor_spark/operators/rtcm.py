@@ -288,9 +288,11 @@ def decode_frames(frames: DataFrame) -> DataFrame:
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            frs = [bytes(x) for x in batch.column("frame").to_pylist()]
+            # the Arrow binary column feeds frames_matrix buffer-
+            # directly — no per-row bytes() materialization
             yield decoded_record_batch(
-                batch.column("mountpoint"), batch.column("receive_time"), frs
+                batch.column("mountpoint"), batch.column("receive_time"),
+                batch.column("frame"),
             )
 
     return frames.mapInArrow(gen, schema=DECODED_SCHEMA)

@@ -201,7 +201,7 @@ def _width_mask(w: np.ndarray) -> np.ndarray:
     return np.where(w >= 64, full, (np.uint64(1) << w) - np.uint64(1))
 
 
-def decode_matrix(frames: list[bytes]) -> dict:
+def decode_matrix(frames: "list[bytes] | pa.Array") -> dict:
     """Batch decode → dict of flat per-frame arrays + flat sat/cell
     child buffers with list offsets (Arrow-assembly-ready)."""
     n = len(frames)
@@ -408,7 +408,7 @@ def _list_array(starts, children, struct_type, list_valid, counts) -> pa.Array:
 
 
 def decoded_record_batch(
-    mountpoint: pa.Array, receive_time: pa.Array, frames: list[bytes]
+    mountpoint: pa.Array, receive_time: pa.Array, frames: "list[bytes] | pa.Array"
 ) -> pa.RecordBatch:
     """Decode ``frames`` and assemble the DECODED_SCHEMA record batch
     (mountpoint / receive_time are passed through unchanged)."""
