@@ -148,6 +148,23 @@ def put_bits(bitmat: np.ndarray, off: int, width: int, values: np.ndarray) -> No
     bitmat[:, off : off + width] = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
 
 
+def mask_string_chars(v: np.ndarray, width) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 masks → (flat ASCII '0'/'1' chars uint8 array in
+    row-major order, per-row widths). The buffer-level twin of
+    ``mask_strings`` — feed straight into an Arrow StringArray
+    instead of materializing per-row Python strings."""
+    n = len(v)
+    w = np.broadcast_to(np.asarray(width, dtype=np.int64), (n,))
+    if n == 0:
+        return np.zeros(0, np.uint8), np.zeros(0, np.int64)
+    bits = np.unpackbits(
+        np.ascontiguousarray(v.astype(">u8")).view(np.uint8).reshape(n, 8), axis=1
+    )
+    chars = (bits + ord("0")).astype(np.uint8)
+    sel = np.arange(64)[None, :] >= (64 - w)[:, None]
+    return chars[sel], w
+
+
 def mask_positions(v: np.ndarray, width) -> tuple[np.ndarray, np.ndarray]:
     """uint64 masks → (flat positions, per-row counts): the 0-based
     set-bit indices in MSB-first string order (ascending within each

@@ -36,7 +36,7 @@ import pyarrow as pa
 from ntripmonitor_spark.functions.bitvec import (
     frames_matrix,
     mask_positions,
-    mask_strings,
+    mask_string_chars,
     popcount64,
     ragged_indices,
     read_mask,
@@ -96,10 +96,15 @@ class _Cols:
         self.gdow = np.zeros(n, np.int64)
         self.gdow_valid = np.zeros(n, bool)
         self.ecef = {k: (np.zeros(n, np.int64), np.zeros(n, bool)) for k in ("x", "y", "z", "ant")}
-        self.sat_mask: list = [None] * n
-        self.sig_mask: list = [None] * n
-        self.cell_mask: list = [None] * n
         self.text: list = [None] * n
+        # raw mask values for the rows that reached the MSM header —
+        # mask STRINGS are assembled buffer-level at the Arrow stage
+        # (mask_string_chars), never as per-row Python strings
+        self.mask_rows = np.zeros(0, np.int64)
+        self.satm = np.zeros(0, np.uint64)
+        self.sigm = np.zeros(0, np.uint64)
+        self.cellm = np.zeros(0, np.uint64)
+        self.cell_widths = np.zeros(0, np.int64)
         # mask set-bit positions (flat buffers + per-row counts; valid
         # exactly where the mask strings are)
         self.nsatpos = np.zeros(n, np.int64)
@@ -154,14 +159,11 @@ def _decode_msm(m, lens, cols: _Cols, rows: np.ndarray, payload_bits: np.ndarray
     r2, t2 = r[ok_cm], t[ok_cm]
     nsat2, nsig2, csize2 = nsat[ok_cm], nsig[ok_cm], csize[ok_cm]
     cellm = read_mask(m, r2, 193, np.maximum(csize2, 1)) & _width_mask(csize2)
-    for i, s in zip(r2, mask_strings(satm[ok_cm], 64)):
-        cols.sat_mask[i] = s
-    for i, s in zip(r2, mask_strings(sigm[ok_cm], 32)):
-        cols.sig_mask[i] = s
-    for i, s in zip(r2, mask_strings(cellm, csize2)):
-        cols.cell_mask[i] = s
-    # set-bit positions (r2 is ascending, so the flat buffers are
-    # already in global row order for the Arrow list assembly)
+    # r2 is ascending, so flat buffers derived from these are already
+    # in global row order for the Arrow assembly
+    cols.mask_rows = r2
+    cols.satm, cols.sigm = satm[ok_cm], sigm[ok_cm]
+    cols.cellm, cols.cell_widths = cellm, csize2
     cols.slot_rows = r2
     cols.satpos_flat, satc = mask_positions(satm[ok_cm], 64)
     cols.sigpos_flat, sigc = mask_positions(sigm[ok_cm], 32)
@@ -384,6 +386,24 @@ _LEGACY_PA = pa.struct(
 )
 
 
+def _mask_string_array(v: np.ndarray, width, rows: np.ndarray, n: int) -> pa.Array:
+    """Global string column of mask strings: values for ``rows``
+    (ascending), null elsewhere — assembled from flat char buffers,
+    zero per-row Python."""
+    flat, w = mask_string_chars(v, width)
+    w_glob = np.zeros(n, np.int64)
+    w_glob[rows] = w
+    offsets = np.zeros(n + 1, np.int32)
+    offsets[1:] = np.cumsum(w_glob)
+    valid = np.zeros(n, bool)
+    valid[rows] = True
+    nulls = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+    return pa.Array.from_buffers(
+        pa.utf8(), n,
+        [nulls, pa.py_buffer(offsets.tobytes()), pa.py_buffer(flat.tobytes())],
+    )
+
+
 def _int_list_array(counts: np.ndarray, flat: np.ndarray, list_valid: np.ndarray) -> pa.Array:
     """list<int32> column from per-row counts + a flat value buffer
     already in ascending row order."""
@@ -436,9 +456,9 @@ def decoded_record_batch(
         iarr(cols.station, cols.station_valid),
         iarr(cols.epoch, cols.epoch_valid, pa.int64()),
         iarr(cols.gdow, cols.gdow_valid),
-        pa.array(cols.sat_mask, type=pa.string()),
-        pa.array(cols.sig_mask, type=pa.string()),
-        pa.array(cols.cell_mask, type=pa.string()),
+        _mask_string_array(cols.satm, 64, cols.mask_rows, n),
+        _mask_string_array(cols.sigm, 32, cols.mask_rows, n),
+        _mask_string_array(cols.cellm, cols.cell_widths, cols.mask_rows, n),
         _int_list_array(cols.nsatpos, cols.satpos_flat, cols.slots_valid),
         _int_list_array(cols.nsigpos, cols.sigpos_flat, cols.slots_valid),
         _int_list_array(cols.ncellpos, cols.cellpos_flat, cols.slots_valid),
