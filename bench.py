@@ -33,15 +33,16 @@ def main() -> None:
     # Warm-up: run every bench query once at the TARGET SF to pay the
     # one-time JVM/codegen, Python-worker-pool spawn (32 workers
     # importing pandas/pyarrow) and OS page-cache costs — steady-state
-    # on a long-lived cluster. Then report best-of-3 timed runs to
-    # shave scheduler/GC/co-tenant jitter.
+    # on a long-lived cluster. Then report best-of-5 timed runs to
+    # shave scheduler/GC/co-tenant jitter (observed bursts inflate a
+    # 0.4 s query to 3+ s; 5 samples ride out most bursts).
     for name in names:
         REGISTRY[name].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:
         best, n = float("inf"), 0
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             n = REGISTRY[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
