@@ -125,31 +125,30 @@ def event_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (cheap shuffle of tiny rows vs 32x loss of parallelism).
     ev = ev.repartition(spark.sparkContext.defaultParallelism)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches):
         import numpy as np
+        import pyarrow as pa
 
-        from ntripmonitor_spark.sources.encoder_vec import encode_event_frames
+        from ntripmonitor_spark.sources.encoder_vec import encode_event_blobs
 
-        for pdf in batches:
-            e = pdf["event_id"].to_numpy().astype(np.int64)
-            u = pdf["user_id"].to_numpy().astype(np.int64)
-            ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            frames = encode_event_frames(e, u, ts_us, [str(p) for p in pdf["props"]])
-            blobs = []
-            for ei, frame in zip(e, frames):
-                blob = b"\xaa" * (ei % 3)
-                if ei % 13 == 0:
-                    blob += frame[:-1] + bytes([frame[-1] ^ 0xFF])  # bad CRC decoy
-                blobs.append(blob + frame)
-            yield pd.DataFrame(
-                {
-                    "mountpoint": np.char.add("MP", (u % 8).astype(str)),
-                    "receive_time": (ts_us + ((e % 200) + 40) * 1000).astype("datetime64[us]"),
-                    "blob": blobs,
-                }
+        for batch in batches:
+            e = batch.column("event_id").to_numpy().astype(np.int64)
+            u = batch.column("user_id").to_numpy().astype(np.int64)
+            ts_col = batch.column("ts")
+            ts_us = ts_col.cast(pa.int64()).to_numpy().astype(np.int64)
+            props = [str(p) for p in batch.column("props").to_pylist()]
+            data, offs = encode_event_blobs(e, u, ts_us, props)
+            blob = pa.Array.from_buffers(
+                pa.binary(), len(e),
+                [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+                 pa.py_buffer(data.tobytes())],
             )
+            mp = pa.array(np.char.add("MP", (u % 8).astype(str)))
+            rt = pa.array(ts_us + ((e % 200) + 40) * 1000, type=pa.int64()).cast(ts_col.type)
+            yield pa.RecordBatch.from_arrays([mp, rt, blob],
+                                             names=["mountpoint", "receive_time", "blob"])
 
-    return ev.mapInPandas(gen, schema=BLOBS_SCHEMA)
+    return ev.mapInArrow(gen, schema=BLOBS_SCHEMA)
 
 
 def decoded_events(spark: SparkSession, sf_dir: str) -> DataFrame:

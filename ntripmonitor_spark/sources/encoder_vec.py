@@ -189,3 +189,36 @@ def encode_event_frames(e: np.ndarray, u: np.ndarray, ts_us: np.ndarray,
                 for k, i in enumerate(g):
                     out[i] = frames[k].tobytes()
     return out  # type: ignore[return-value]
+
+
+def encode_event_blobs(e: np.ndarray, u: np.ndarray, ts_us: np.ndarray,
+                       props: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Frames + junk/decoy blob assembly as flat (data, offsets)
+    buffers — the mapInArrow fixture fast path. Per event: 0xAA junk
+    bytes (e%3), a CRC-corrupted decoy copy every 13th event, then the
+    real frame; identical layout to the per-row assembly it replaces
+    (plans/rtcm.py event_blobs), but the output binary column is built
+    from these buffers with no per-row Python bytes objects."""
+    n = len(e)
+    frames = encode_event_frames(e, u, ts_us, props)
+    flens = np.fromiter((len(f) for f in frames), dtype=np.int64, count=n)
+    jl = (e % 3).astype(np.int64)
+    dup = e % 13 == 0
+    blens = jl + np.where(dup, flens, 0) + flens
+    offs = np.zeros(n + 1, dtype=np.int64)
+    offs[1:] = np.cumsum(blens)
+    data = np.zeros(int(offs[-1]), dtype=np.uint8)
+    starts = offs[:-1]
+    data[starts[jl >= 1]] = 0xAA
+    data[starts[jl == 2] + 1] = 0xAA
+    fstart = starts + jl
+    for i in np.flatnonzero(dup):
+        fb = np.frombuffer(frames[i], dtype=np.uint8)
+        s = int(fstart[i])
+        data[s : s + flens[i]] = fb
+        data[s + flens[i] - 1] ^= 0xFF  # corrupt the decoy's CRC tail
+    fstart = fstart + np.where(dup, flens, 0)
+    for i in range(n):
+        s = int(fstart[i])
+        data[s : s + flens[i]] = np.frombuffer(frames[i], dtype=np.uint8)
+    return data, offs
