@@ -1,0 +1,65 @@
+"""End-to-end corpus curation funnel — the composition the individual
+operators exist for: quality gate → exact dedup → temperature-
+flattened source mixing → sequence packing, as ONE declarative plan.
+
+Scale shape (100 TB): the gate and the final mix filter are pure
+column predicates on the scan; dedup is one window keyed by content
+hash (the only corpus-sized shuffle); the mix rates are a tiny
+broadcast aggregate; packing shuffles only (doc_id, source, n_tokens)
+survivors keyed by source. Everything is deterministic — hash coin,
+min-doc_id dedup winner — so retries and the SQL oracle reproduce the
+exact survivor set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ntripmonitor_spark.operators.sampling import BUCKETS, hash_bucket
+from ntripmonitor_spark.operators.text import quality_score_col
+
+
+def curation_funnel(docs: DataFrame, quality_min: float = 0.5,
+                    coeff: float = 5.0, pack_tokens: int = 512) -> DataFrame:
+    """documents → packed training sequences after three cuts:
+
+    1. quality gate: weighted score ≥ ``quality_min``;
+    2. exact dedup: min-doc_id winner per md5(text);
+    3. temperature mix: per-source keep rate min(1, coeff/√n_s)
+       computed over the DEDUPED survivors, applied as the
+       deterministic hash coin;
+    then greedy in-order packing into ~``pack_tokens`` packs per
+    source. Output: (doc_id, source, n_tokens, pack_id).
+    """
+    from ntripmonitor_spark.operators.dedup import normalized_words
+
+    d = docs.withColumn("quality_score", quality_score_col(F.col("text"))).filter(
+        F.col("quality_score") >= quality_min
+    )
+    w_dup = Window.partitionBy(F.md5(F.col("text")))
+    d = d.withColumn("win", F.min("doc_id").over(w_dup)).filter(
+        F.col("doc_id") == F.col("win")
+    )
+
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    rate = F.floor(
+        F.lit(BUCKETS)
+        * F.least(F.lit(1.0), F.lit(coeff) / F.sqrt(F.col("n_src").cast("double")))
+    ).cast("int")
+    d = d.join(F.broadcast(counts.select("source", rate.alias("rate"))), "source").filter(
+        hash_bucket(F.col("doc_id")) < F.col("rate")
+    )
+
+    n_tok = F.size(normalized_words(F.col("text")))
+    staged = d.select("doc_id", "source", n_tok.alias("n_tokens"))
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum("n_tokens").over(w_pack) - F.col("n_tokens")
+    return staged.select(
+        "doc_id", "source", "n_tokens",
+        F.floor(running / pack_tokens).cast("int").alias("pack_id"),
+    )

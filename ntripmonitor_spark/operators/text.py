@@ -49,6 +49,21 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_score_col(text: Column) -> Column:
+    """The weighted quality score alone (rounded to 6) — shared by
+    `quality_features` and the curation funnel's gate."""
+    words = normalized_words(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(words)
+    alpha_ratio = F.length(F.regexp_replace(text, "[^a-z]", "")).cast("double") / n_chars
+    digit_ratio = F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double") / n_chars
+    punct_ratio = F.length(F.regexp_replace(text, "[a-z0-9 ]", "")).cast("double") / n_chars
+    stop_ratio = stopword_count(words, LANG_STOPWORDS["en"]).cast("double") / n_tokens
+    return F.round(
+        0.4 * alpha_ratio + 0.3 * (1 - punct_ratio) + 0.2 * stop_ratio + 0.1 * (1 - digit_ratio), 6
+    )
+
+
 def quality_features(docs: DataFrame) -> DataFrame:
     """Length / punctuation / stopword / digit ratios + a weighted
     quality score — the standard cheap pre-filter for training corpora."""
@@ -66,9 +81,7 @@ def quality_features(docs: DataFrame) -> DataFrame:
     punct_ratio = punct_chars.cast("double") / n_chars
     stop_ratio = stop_all.cast("double") / n_tokens
     mean_tok_len = sum_tok_len.cast("double") / n_tokens
-    score = F.round(
-        0.4 * alpha_ratio + 0.3 * (1 - punct_ratio) + 0.2 * stop_ratio + 0.1 * (1 - digit_ratio), 6
-    )
+    score = quality_score_col(text)
     return docs.select(
         "doc_id",
         n_chars.alias("n_chars_calc"),

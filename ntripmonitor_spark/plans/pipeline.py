@@ -796,3 +796,57 @@ def tx07_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     score. The model is one word aggregate folded back into the plan
     as a literal map; scoring is a shuffle-free column fold."""
     return text.unigram_surprisal(table(spark, sf_dir, "documents"), vocab_size=64)
+
+
+# ---------------------------------------------------------------------------
+# cu01 — the full curation funnel as one declarative plan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cu01_curation_funnel",
+    tags=("sampling", "text"),
+    oracle="""
+WITH w AS (
+    SELECT doc_id, text, lang, source,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+scored AS (
+    SELECT *, round(
+        0.4 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text))
+      + 0.3 * (1 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+      + 0.2 * (CAST(len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE) / len(ws))
+      + 0.1 * (1 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)), 6
+    ) AS quality_score
+    FROM w
+),
+gated AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+dedup AS (
+    SELECT * FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS win FROM gated
+    ) WHERE doc_id = win
+),
+rates AS (
+    SELECT source,
+           CAST(FLOOR(1000 * LEAST(1.0, 5.0 / sqrt(CAST(COUNT(*) AS DOUBLE)))) AS INT) AS rate
+    FROM dedup GROUP BY source
+),
+mixed AS (
+    SELECT dedup.* FROM dedup JOIN rates USING (source)
+    WHERE ((doc_id * 2654435761) % 4294967296) % 1000 < rate
+)
+SELECT doc_id, source, CAST(len(ws) AS INT) AS n_tokens,
+       CAST(FLOOR((SUM(len(ws)) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(ws)) / 512.0) AS INT) AS pack_id
+FROM mixed
+""",
+)
+def cu01_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate → exact dedup (min-doc_id per content hash) →
+    temperature source mixing → greedy sequence packing, as ONE
+    declarative plan — the end-to-end composition every individual
+    operator feeds (deterministic survivor set, oracle-reproduced)."""
+    from ntripmonitor_spark.operators.curation import curation_funnel
+
+    return curation_funnel(table(spark, sf_dir, "documents"))

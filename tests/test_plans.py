@@ -101,3 +101,12 @@ def test_ss03_candidates_deduped_before_vectors(spark, sf_dir):
     query side broadcast, no sort-merge on the signature stack."""
     plan = _explain(spark, "ss03_ann_lsh_multitable", sf_dir)
     assert "BroadcastHashJoin" in plan, "query stack not broadcast"
+
+
+def test_cu01_funnel_shape(spark, sf_dir):
+    """cu01: rates join broadcast (corpus never sort-merged); the only
+    corpus-sized shuffles are the content-hash dedup window and the
+    per-source pack window."""
+    plan = _explain(spark, "cu01_curation_funnel", sf_dir)
+    assert "BroadcastHashJoin" in plan, "rates join not broadcast"
+    assert "SortMergeJoin" not in plan, "corpus sort-merge crept in"
