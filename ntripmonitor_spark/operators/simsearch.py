@@ -226,3 +226,61 @@ def ann_bucketed(emb: DataFrame, n_queries: int = 10, k: int = 3) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+IVF_K = 8  # coarse-quantizer size; seeds = corpus vectors 0..K-1
+
+
+def ivf_train_step(emb: DataFrame, k: int = IVF_K) -> DataFrame:
+    """One Lloyd iteration of IVF coarse-quantizer training,
+    DataFrame-native: assign every vector to its nearest seed centroid
+    (deterministic seeds = vec_id 0..k-1, collected once and folded in
+    as literals — the broadcast "ANN index under training"), then
+    recompute each centroid as the member mean.
+
+    Output: (centroid_id, n_members, centroid) with the new centroid
+    rounded per component. Scale shape: seeds ride the closure (k
+    rows), assignment is a pure column expression over one corpus
+    scan, and the update is one aggregate keyed by centroid_id —
+    exactly the shape of a full distributed k-means round; iterating
+    is a driver loop over this step. At serving time the assignment
+    column becomes the storage partition key, so a query probes one
+    centroid's partition (classic IVF)."""
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    seeds_rows = (
+        emb.filter(F.col("vec_id") < k)
+        .select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    seeds = sorted((r["vec_id"], list(r["v"])) for r in seeds_rows)
+
+    v = ensure_parallelism(emb).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    # nearest seed by squared L2 distance, rounded to absorb ULP noise;
+    # ties break to the lower centroid id (array_position of the min)
+    dists = F.array(*[
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in vec]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, d: acc + d,
+            ), 6)
+        for _, vec in seeds
+    ])
+    assigned = v.withColumn(
+        "centroid_id",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+    dim = len(seeds[0][1])
+    sums = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[F.sum(F.element_at(F.col("v"), i + 1)).alias(f"s{i}") for i in range(dim)],
+    )
+    # + 0.0 normalizes IEEE -0.0 (a near-zero mean whose residue sign
+    # depends on summation order) so both engines print the same zero
+    centroid = F.array(*[
+        F.round(F.col(f"s{i}") / F.col("n_members"), 4) + 0.0 for i in range(dim)
+    ])
+    return sums.select("centroid_id", "n_members", centroid.alias("centroid"))

@@ -850,3 +850,49 @@ def cu01_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntripmonitor_spark.operators.curation import curation_funnel
 
     return curation_funnel(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ss04 — IVF coarse-quantizer training step (one Lloyd iteration).
+# ---------------------------------------------------------------------------
+
+_IVF_DIM = 64
+_IVF_SUMS = ",\n           ".join(
+    f"round(sum(vec[{i + 1}]) / count(*), 4) + 0.0 AS c{i}" for i in range(_IVF_DIM)
+)
+_IVF_LIST = ", ".join(f"c{i}" for i in range(_IVF_DIM))
+
+
+@register(
+    "ss04_ivf_train_step",
+    tags=("simsearch",),
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+seeds AS (SELECT vec_id AS cid, vec AS sv FROM v WHERE vec_id < 8),
+d AS (
+    SELECT v.vec_id, seeds.cid, v.vec,
+           round(list_sum(list_transform(range(1, 65),
+               i -> (v.vec[i] - seeds.sv[i]) * (v.vec[i] - seeds.sv[i]))), 6) AS dist
+    FROM v CROSS JOIN seeds
+),
+a AS (
+    SELECT vec_id, cid AS centroid_id, vec FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+        FROM d
+    ) WHERE rk = 1
+),
+agg AS (
+    SELECT centroid_id, count(*) AS n_members,
+           {_IVF_SUMS}
+    FROM a GROUP BY centroid_id
+)
+SELECT centroid_id, n_members, [{_IVF_LIST}] AS centroid FROM agg
+""",
+)
+def ss04_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of IVF coarse-quantizer training: nearest-
+    seed assignment (seeds = vec 0..7 folded as literals) + per-
+    centroid member mean — one corpus scan, one aggregate; the
+    k-means round a driver loop iterates, and whose assignment column
+    becomes the IVF storage partition key at serving time."""
+    return simsearch.ivf_train_step(table(spark, sf_dir, "embeddings"), k=8)

@@ -190,3 +190,30 @@ def test_message_catalog_per_type():
     assert MESSAGE_CATALOG[1127] == "BeiDou MSM7"
     assert MESSAGE_CATALOG[1070] == "Reserved MSM"
     assert message_description(4001) == "Message type 4001 currently not implemented"
+
+
+@given(
+    st.lists(
+        st.tuples(st.binary(min_size=0, max_size=12), st.integers(0, 5)),
+        min_size=1, max_size=8,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_aligner_recovers_planted_frames_property(segments):
+    """Fuzz S3/S4: arbitrary junk (which may contain 0xD3 decoy bytes
+    and even truncated frame prefixes) interleaved with real frames —
+    the aligner must return exactly the planted frames, in order."""
+    from ntripmonitor_spark.sources.framing import scan_frames
+
+    planted = []
+    blob = b""
+    for junk, nsat in segments:
+        # junk that cannot contain a full valid frame (max 12 bytes
+        # cannot hold the 1005 frame below; CRC makes random 0xD3
+        # prefixes fail validation)
+        blob += junk
+        f = encode_1005(nsat, 1000 + nsat, -2000, 3000)
+        planted.append(f)
+        blob += f
+    frames, rest = scan_frames(blob)
+    assert frames == planted
