@@ -2,10 +2,13 @@
 extensions beyond the reference surface — BASELINE.json):
 
   dd* — deduplication (exact, n-gram Jaccard, MinHash-LSH, SimHash,
-        embedding cosine)
-  ss* — similarity search (brute-force top-k, anchor-bucketed ANN)
-  tx* — text analysis (language-ID, quality, tokens, fingerprints)
+        embedding cosine, connected-component clusters)
+  ss* — similarity search (brute-force top-k, anchor-bucketed ANN,
+        multi-table sign-LSH, IVF k-means training)
+  tx* — text analysis (language-ID, quality, tokens, fingerprints,
+        repetition, PII scrub, unigram surprisal)
   mm* — multimodal binary columns (stubbed decode over mapInPandas)
+  sp*/tp*/cu* — sampling, packing, and the end-to-end curation funnel
 
 Every oracle recomputes the identical md5-based signatures in DuckDB
 SQL, so even the hash-based ops are value-checked, not rows-only.
