@@ -1,0 +1,89 @@
+"""Temporal join operators Spark has no primitive for: as-of join and
+range (interval-containment) join, expressed in the shapes that
+survive 100 TB.
+
+* As-of: NOT an inequality join (which Catalyst would plan as a
+  BroadcastNestedLoopJoin / cartesian): union both sides, one
+  window-sorted pass per key carrying the last right-side timestamp
+  forward — the distributed merge-join formulation. One shuffle,
+  keyed by the join key; linear scan per partition.
+* Range join: NOT `ON ts BETWEEN lo AND hi` (same cartesian trap):
+  intervals of bounded length are exploded to the fixed-grain time
+  buckets they cover (≤ 2 buckets when grain = max interval length),
+  probes join on (key, bucket) — an equi-join Catalyst hash-joins —
+  and the exact containment predicate filters the candidates. Each
+  (probe, interval) pair meets in exactly one bucket (the probe's),
+  so no dedup pass is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_latest(events: DataFrame, right_pred: Column,
+                     key_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """For every left row (``right_pred`` false), the latest right row
+    timestamp at-or-before its own, per key (inclusive: a right row at
+    the exact same timestamp matches).
+
+    Single-pass merge: tag right rows 0 / left rows 1, sort per key by
+    (ts, tag, event_id) — right-before-left on ties — and carry the
+    last right timestamp forward with ``last(ignorenulls)``. Output:
+    (event_id, key, ts, asof_ts, gap_us), gap_us null when no prior
+    right row exists.
+    """
+    tagged = events.select(
+        "event_id", key_col, ts_col,
+        F.when(right_pred, 0).otherwise(1).alias("tag"),
+    ).withColumn("m_ts", F.when(F.col("tag") == 0, F.col(ts_col)))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("tag").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumn("asof_ts", F.last("m_ts", ignorenulls=True).over(w))
+    return filled.filter(F.col("tag") == 1).select(
+        "event_id",
+        key_col,
+        ts_col,
+        "asof_ts",
+        (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("asof_ts"))).alias("gap_us"),
+    )
+
+
+def range_join_intervals(events: DataFrame, interval_pred: Column,
+                         length_s: int = 300, key_col: str = "user_id",
+                         ts_col: str = "ts") -> DataFrame:
+    """Interval-containment join: probe rows (``interval_pred`` false)
+    against [t, t+length_s) windows opened by interval rows, same key.
+
+    Buckets at ``length_s`` grain: an interval covers its start bucket
+    and the next one; probes carry their single bucket; the join is an
+    equi-join on (key, bucket) + exact containment filter. Output one
+    row per (probe, containing interval): (event_id, interval_id, key,
+    ts, interval_start).
+    """
+    len_us = length_s * 1_000_000
+    bucket = lambda c: (F.unix_micros(c) / len_us).cast("long")  # noqa: E731
+
+    probes = events.filter(~interval_pred).select(
+        "event_id", key_col, ts_col, bucket(F.col(ts_col)).alias("bkt")
+    )
+    intervals = events.filter(interval_pred).select(
+        F.col("event_id").alias("interval_id"),
+        F.col(key_col).alias("ikey"),
+        F.col(ts_col).alias("interval_start"),
+        bucket(F.col(ts_col)).alias("b0"),
+    ).withColumn("bkt", F.explode(F.array(F.col("b0"), F.col("b0") + 1))).drop("b0")
+
+    joined = probes.join(
+        intervals,
+        (probes[key_col] == intervals["ikey"]) & (probes["bkt"] == intervals["bkt"]),
+    )
+    ts_us = F.unix_micros(F.col(ts_col))
+    start_us = F.unix_micros(F.col("interval_start"))
+    return joined.filter((ts_us >= start_us) & (ts_us < start_us + len_us)).select(
+        "event_id", "interval_id", key_col, ts_col, "interval_start"
+    )

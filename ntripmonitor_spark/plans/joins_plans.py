@@ -1,0 +1,56 @@
+"""Temporal-join queries (aj*/rj*): as-of and range joins over the
+events table — operators Spark lacks as primitives, re-expressed in
+shapes that hash-join/window instead of degenerating to a
+BroadcastNestedLoopJoin (plan-pinned in tests/test_plans.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ntripmonitor_spark.operators import joins
+from ntripmonitor_spark.plans.registry import register
+from ntripmonitor_spark.tables import table
+
+
+@register(
+    "aj01_asof_join",
+    tags=("joins",),
+    oracle="""
+WITH r AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'error'),
+m AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+SELECT r.event_id, r.user_id, r.ts, m.ts AS asof_ts,
+       epoch_us(r.ts) - epoch_us(m.ts) AS gap_us
+FROM r ASOF LEFT JOIN m ON r.user_id = m.user_id AND r.ts >= m.ts
+""",
+)
+def aj01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every non-error event, the user's latest error at-or-before
+    it (as-of join): single merge-sorted window pass per user — one
+    shuffle, no inequality join. Oracle is DuckDB's native ASOF JOIN."""
+    ev = table(spark, sf_dir, "events")
+    return joins.asof_join_latest(ev, F.col("event_type") == "error")
+
+
+@register(
+    "rj01_range_join",
+    tags=("joins",),
+    oracle="""
+WITH r AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'error'),
+e AS (SELECT event_id AS interval_id, user_id, ts AS interval_start
+      FROM events WHERE event_type = 'error')
+SELECT r.event_id, e.interval_id, r.user_id, r.ts, e.interval_start
+FROM r JOIN e
+  ON r.user_id = e.user_id
+ AND epoch_us(r.ts) >= epoch_us(e.interval_start)
+ AND epoch_us(r.ts) < epoch_us(e.interval_start) + 300000000
+""",
+)
+def rj01_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events inside each user's 5-minute post-error window (range
+    join): bounded intervals explode to ≤ 2 fixed-grain buckets, the
+    join is an equi-join on (user, bucket) + exact containment filter
+    — the shape that hash-joins at 100 TB instead of a
+    nested-loop/cartesian plan."""
+    ev = table(spark, sf_dir, "events")
+    return joins.range_join_intervals(ev, F.col("event_type") == "error", length_s=300)

@@ -110,3 +110,16 @@ def test_cu01_funnel_shape(spark, sf_dir):
     plan = _explain(spark, "cu01_curation_funnel", sf_dir)
     assert "BroadcastHashJoin" in plan, "rates join not broadcast"
     assert "SortMergeJoin" not in plan, "corpus sort-merge crept in"
+
+
+def test_temporal_joins_never_nested_loop(spark, sf_dir):
+    """aj01/rj01 exist precisely to avoid the inequality-join trap:
+    neither plan may contain a BroadcastNestedLoopJoin or
+    CartesianProduct — as-of compiles to one window pass, range join
+    to an equi hash join on (key, bucket)."""
+    for name in ("aj01_asof_join", "rj01_range_join"):
+        plan = _explain(spark, name, sf_dir)
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} degenerated\n{plan[:1500]}"
+        assert "CartesianProduct" not in plan, f"{name} degenerated\n{plan[:1500]}"
+    aj = _explain(spark, "aj01_asof_join", sf_dir)
+    assert "Window" in aj, "as-of join lost its window formulation"
