@@ -899,3 +899,43 @@ def ss04_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means round a driver loop iterates, and whose assignment column
     becomes the IVF storage partition key at serving time."""
     return simsearch.ivf_train_step(table(spark, sf_dir, "embeddings"), k=8)
+
+
+# ---------------------------------------------------------------------------
+# sk01 — KMV distinct-count sketch (deterministic, engine-portable).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sk01_kmv_distinct",
+    tags=("sketch",),
+    oracle="""
+WITH d AS (
+    SELECT DISTINCT event_type, user_id,
+           (user_id * 2654435761) % 4294967296 AS h
+    FROM events
+),
+kth AS (
+    SELECT event_type, h AS hk FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h ASC, user_id ASC) AS rk
+        FROM d
+    ) WHERE rk = 64
+),
+exact AS (
+    SELECT event_type, count(*) AS exact_distinct FROM d GROUP BY event_type
+)
+SELECT exact.event_type, exact.exact_distinct,
+       CASE WHEN exact.exact_distinct < 64 THEN CAST(exact.exact_distinct AS DOUBLE)
+            ELSE round(63.0 * 4294967296.0 / kth.hk, 4) + 0.0 END AS kmv_estimate
+FROM exact LEFT JOIN kth USING (event_type)
+""",
+)
+def sk01_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-user sketch per event type (k=64,
+    portable Knuth hash) with the exact count alongside — a mergeable
+    O(k)-state sketch whose estimate both engines reproduce
+    bit-for-bit, unlike HLL."""
+    from ntripmonitor_spark.operators.sketch import kmv_distinct
+
+    return kmv_distinct(table(spark, sf_dir, "events"), "event_type", "user_id", k=64)

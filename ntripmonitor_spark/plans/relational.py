@@ -703,3 +703,52 @@ def q20_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("event_type", "event_id", "value", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension: hierarchical rollup (GROUPING SETS) — the batch form of a
+# TimescaleDB continuous-aggregate hierarchy (hour -> day -> total per
+# event type), computed with ONE pass + partial re-aggregation instead
+# of three scans.
+# ---------------------------------------------------------------------------
+@register(
+    "q21_rollup_hierarchy",
+    tags=("extension",),
+    oracle="""
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS DATE) AS day,
+       date_trunc('hour', ts) AS hour,
+       CAST(GROUPING(date_trunc('day', ts)) AS INT) AS g_day,
+       CAST(GROUPING(date_trunc('hour', ts)) AS INT) AS g_hour,
+       count(*) AS n_events,
+       round(sum(value), 4) + 0.0 AS sum_value
+FROM events
+GROUP BY GROUPING SETS (
+    (event_type, date_trunc('day', ts), date_trunc('hour', ts)),
+    (event_type, date_trunc('day', ts)),
+    (event_type)
+)
+""",
+)
+def q21_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hour → day → per-type rollup via GROUPING SETS: Spark computes
+    the hierarchy with partial re-aggregation (one logical pass), the
+    batch analog of the reference's TimescaleDB continuous-aggregate
+    ladder. GROUPING() flags disambiguate the NULLed-out levels."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_q21")
+    return spark.sql("""
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               date_trunc('hour', ts) AS hour,
+               CAST(GROUPING(date_trunc('day', ts)) AS INT) AS g_day,
+               CAST(GROUPING(date_trunc('hour', ts)) AS INT) AS g_hour,
+               count(*) AS n_events,
+               round(sum(value), 4) + 0.0 AS sum_value
+        FROM events_q21
+        GROUP BY event_type, date_trunc('day', ts), date_trunc('hour', ts)
+        GROUPING SETS (
+            (event_type, date_trunc('day', ts), date_trunc('hour', ts)),
+            (event_type, date_trunc('day', ts)),
+            (event_type)
+        )
+    """)
