@@ -199,3 +199,30 @@ def test_stream_frame_dedup_across_batches(spark, sf_dir, tmp_path):
     assert got.count() == n_distinct, "duplicate frames leaked through"
     assert got.distinct().count() == n_distinct
     frames.unpersist()
+
+
+def test_incremental_rollup_matches_batch(spark, sf_dir, archive, tmp_path):
+    """Continuous-aggregate analog: streaming per-batch PARTIAL rollup
+    appends + merge-on-read must equal the one-shot batch rollup, and
+    a compacted snapshot must equal both."""
+    from ntripmonitor_spark.streaming import rollup as ru
+
+    base = str(tmp_path / "rollup")
+    decoded = rtcm.decode_frames(frames_stream(spark, archive, batch_rows=300))
+    q = (
+        decoded.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(ru.rollup_sink(base, window="1 hour"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    want = ru.rollup_partials(rtcm.packages(decoded_events(spark, sf_dir)), "1 hour")
+    got = ru.read_rollup(spark, base)
+    assert _canon(got) == _canon(want)
+
+    out = str(tmp_path / "rollup_compact")
+    ru.compact_rollup(spark, base, out)
+    assert _canon(spark.read.parquet(out)) == _canon(want)
