@@ -39,15 +39,19 @@ def main() -> None:
     for name in names:
         REGISTRY[name].fn(spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        best, n = float("inf"), 0
-        for _ in range(5):
+    # Trials interleave round-robin across queries so a co-tenant load
+    # burst degrades one SAMPLE of many queries, not all five samples
+    # of one query (best-of would then still see a clean run).
+    best: dict[str, float] = {name: float("inf") for name in names}
+    rows: dict[str, int] = {}
+    for _ in range(5):
+        for name in names:
             t0 = time.perf_counter()
-            n = REGISTRY[name].fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            rows[name] = REGISTRY[name].fn(spark, sf_dir).count()
+            best[name] = min(best[name], time.perf_counter() - t0)
+    timings = {name: round(best[name], 4) for name in names}
+    for name in names:
+        print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(
