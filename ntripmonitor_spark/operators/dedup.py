@@ -318,3 +318,44 @@ def duplicate_clusters(docs: DataFrame, n: int = 3, threshold: float = 0.6,
     return labels.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical")
     )
+
+
+def decontaminate(docs: DataFrame, benchmark_pred, n: int = 3,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Train/test decontamination: for every corpus doc, how many of
+    its distinct word n-grams also appear in the BENCHMARK set
+    (``benchmark_pred`` rows), plus the contamination fraction — the
+    standard eval-leakage scrub before training.
+
+    Scale shape: the benchmark shingle set is tiny (the eval suite) —
+    it deduplicates to distinct 8-byte hashes and BROADCASTS; the
+    corpus side streams through one scan + map-side join, then one
+    aggregate keyed by doc. The corpus never self-joins and never
+    shuffles its shingle relation.
+    """
+    sh = doc_shingles(docs, n, id_col=id_col).select(
+        id_col, F.xxhash64("shingle").alias("shingle_h")
+    )
+    bench_ids = docs.filter(benchmark_pred).select(id_col)
+    bench_sh = (
+        sh.join(F.broadcast(bench_ids), id_col)
+        .select("shingle_h").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus_sh = sh.join(F.broadcast(bench_ids), id_col, "left_anti")
+    scored = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
+    )
+    frac = F.col("n_contaminated").cast("double") / F.col("n_shingles")
+    return scored.select(
+        id_col,
+        "n_shingles",
+        F.col("n_contaminated").cast("int").alias("n_contaminated"),
+        F.round(frac, 6).alias("contamination_frac"),
+        (frac >= 0.8).alias("is_contaminated"),
+    )

@@ -939,3 +939,40 @@ def sk01_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntripmonitor_spark.operators.sketch import kmv_distinct
 
     return kmv_distinct(table(spark, sf_dir, "events"), "event_type", "user_id", k=64)
+
+
+# ---------------------------------------------------------------------------
+# dc01 — train/test decontamination (eval-leakage scrub).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dc01_decontamination",
+    tags=("dedup", "text"),
+    oracle=f"""
+WITH {_SH_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20),
+scored AS (
+    SELECT corpus.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN bench.shingle IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_contaminated
+    FROM corpus LEFT JOIN bench ON corpus.shingle = bench.shingle
+    GROUP BY corpus.doc_id
+)
+SELECT doc_id, n_shingles, n_contaminated,
+       round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination_frac,
+       CAST(n_contaminated AS DOUBLE) / n_shingles >= 0.8 AS is_contaminated
+FROM scored
+""",
+)
+def dc01_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage scrub: per corpus doc (doc_id ≥ 20), the count and
+    fraction of its distinct word-3-grams that also appear in the
+    benchmark set (doc_id < 20). The benchmark shingle set broadcasts;
+    the corpus streams through one scan + map-side join — no corpus
+    self-join, no corpus-side shingle shuffle beyond the per-doc
+    aggregate."""
+    return dedup.decontaminate(
+        table(spark, sf_dir, "documents"), F.col("doc_id") < 20, n=3
+    )
