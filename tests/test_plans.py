@@ -123,3 +123,11 @@ def test_temporal_joins_never_nested_loop(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name} degenerated\n{plan[:1500]}"
     aj = _explain(spark, "aj01_asof_join", sf_dir)
     assert "Window" in aj, "as-of join lost its window formulation"
+
+
+def test_dc01_benchmark_side_broadcasts(spark, sf_dir):
+    """dc01: both benchmark joins must broadcast — the corpus side may
+    never sort-merge against the (tiny) benchmark shingle set."""
+    plan = _explain(spark, "dc01_decontamination", sf_dir)
+    assert "BroadcastHashJoin" in plan, "benchmark join not broadcast"
+    assert "SortMergeJoin" not in plan, f"corpus sort-merged\n{plan[:1500]}"
