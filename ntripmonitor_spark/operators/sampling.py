@@ -113,3 +113,26 @@ def sequence_pack(docs: DataFrame, pack_tokens: int = 512) -> DataFrame:
         "n_tokens",
         F.floor(running / pack_tokens).cast("int").alias("pack_id"),
     )
+
+
+def sequence_pack_sorted(docs: DataFrame, pack_tokens: int = 512) -> DataFrame:
+    """Sorted greedy packing: within each source, pack docs in
+    DESCENDING token order (first-fit-decreasing's sort step) so long
+    documents seed packs and short ones fill tails — measurably less
+    tail fragmentation than arrival-order `sequence_pack`, while
+    staying a pure window computation (one shuffle keyed by source,
+    deterministic (n_tokens DESC, doc_id) order)."""
+    from ntripmonitor_spark.operators.dedup import normalized_words
+
+    n_tok = F.size(normalized_words(F.col("text")))
+    staged = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return staged.select(
+        "doc_id", "source", "n_tokens",
+        F.floor(running / pack_tokens).cast("int").alias("pack_id"),
+    )

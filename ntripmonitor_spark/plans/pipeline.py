@@ -976,3 +976,28 @@ def dc01_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate(
         table(spark, sf_dir, "documents"), F.col("doc_id") < 20, n=3
     )
+
+
+@register(
+    "tp02_sorted_pack",
+    tags=("sampling",),
+    oracle="""
+SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY n_tokens DESC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS INT) AS pack_id
+FROM (
+    SELECT doc_id, source,
+           len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+    FROM documents
+)
+""",
+)
+def tp02_sorted_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted greedy packing (first-fit-decreasing's sort step as a
+    window): long docs seed packs, short docs fill tails — less
+    fragmentation than arrival-order tp01 at the same one-shuffle
+    cost."""
+    from ntripmonitor_spark.operators import sampling
+
+    return sampling.sequence_pack_sorted(table(spark, sf_dir, "documents"), pack_tokens=512)
