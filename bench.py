@@ -36,8 +36,14 @@ def main() -> None:
     # on a long-lived cluster. Then report best-of-5 timed runs to
     # shave scheduler/GC/co-tenant jitter (observed bursts inflate a
     # 0.4 s query to 3+ s; 5 samples ride out most bursts).
-    for name in names:
-        REGISTRY[name].fn(spark, sf_dir).count()
+    # A query that errors must not sink the whole bench record: drop it
+    # from the set (reported on stderr) and keep timing the rest.
+    for name in list(names):
+        try:
+            REGISTRY[name].fn(spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001
+            print(f"# {name}: FAILED in warm-up ({exc!r}) — excluded", file=sys.stderr)
+            names.remove(name)
 
     # Trials interleave round-robin across queries so a co-tenant load
     # burst degrades one SAMPLE of many queries, not all five samples
