@@ -96,6 +96,20 @@ def read_dotenv(path: str) -> dict[str, str]:
     return out
 
 
+def _merge_env(
+    env: Mapping[str, str] | None, dotenv_path: str | None
+) -> dict[str, str]:
+    """Process env layered over ``.env`` file values. Matches the
+    reference's ``load_dotenv()`` (python-dotenv ``override=False``,
+    src/ingestion.py): a variable already set in the process
+    environment WINS over the same key in the file."""
+    merged: dict[str, str] = dict(os.environ if env is None else env)
+    if dotenv_path:
+        for k, v in read_dotenv(dotenv_path).items():
+            merged.setdefault(k, v)
+    return merged
+
+
 def load_caster_settings(
     env: Mapping[str, str] | None = None, dotenv_path: str | None = None
 ) -> dict[str, CasterSettings]:
@@ -104,9 +118,7 @@ def load_caster_settings(
     ``{prefix}_CASTER_ID`` is set and not the literal ``"Empty"``; the
     prefix is everything before the first ``_``; mountpoints are
     comma-separated and stripped, with the empty string yielding []."""
-    merged: dict[str, str] = dict(os.environ if env is None else env)
-    if dotenv_path:
-        merged.update(read_dotenv(dotenv_path))
+    merged = _merge_env(env, dotenv_path)
 
     casters: dict[str, CasterSettings] = {}
     for key in sorted(merged):
@@ -135,9 +147,7 @@ def load_db_settings(
     """Flat ``DB_*`` keys (reference src/ingestion.py:940-945).
     ``DB_STORE_OBSERVATIONS`` compares against the literal ``"True"``,
     matching the reference's semantics (anything else is false)."""
-    merged: dict[str, str] = dict(os.environ if env is None else env)
-    if dotenv_path:
-        merged.update(read_dotenv(dotenv_path))
+    merged = _merge_env(env, dotenv_path)
     return DbSettings(
         host=merged.get("DB_HOST", ""),
         port=int(merged.get("DB_PORT", "5432") or 5432),
@@ -151,9 +161,7 @@ def load_db_settings(
 def load_engine_settings(
     env: Mapping[str, str] | None = None, dotenv_path: str | None = None
 ) -> EngineSettings:
-    merged: dict[str, str] = dict(os.environ if env is None else env)
-    if dotenv_path:
-        merged.update(read_dotenv(dotenv_path))
+    merged = _merge_env(env, dotenv_path)
 
     def _int(key: str) -> int | None:
         v = merged.get(key)

@@ -66,7 +66,10 @@ def range_join_intervals(events: DataFrame, interval_pred: Column,
     ts, interval_start).
     """
     len_us = length_s * 1_000_000
-    bucket = lambda c: (F.unix_micros(c) / len_us).cast("long")  # noqa: E731
+    # F.floor, not a plain long cast: casting truncates toward zero, so for
+    # pre-1970 timestamps a probe and its containing interval could land in
+    # non-adjacent buckets and the pair would be silently dropped.
+    bucket = lambda c: F.floor(F.unix_micros(c) / len_us).cast("long")  # noqa: E731
 
     probes = events.filter(~interval_pred).select(
         "event_id", key_col, ts_col, bucket(F.col(ts_col)).alias("bkt")

@@ -277,10 +277,14 @@ def _frame_archive_path(spark: SparkSession, sf_dir: str) -> str:
     archive under /tmp (deterministic content — safe to cache). The
     decode-throughput bench reads this so its timed runs measure the
     ENGINE decode, not the Python fixture encoder. The cache key mixes
-    in the mtimes of the fixture-defining sources so an encoder or
-    fixture-mix change invalidates stale archives instead of silently
-    serving old frames."""
+    in the mtimes of the fixture-defining sources AND the mtime/size of
+    the underlying events parquet, so an encoder change OR a
+    regenerated sf_dir invalidates stale archives instead of silently
+    serving old frames; the directory is per-uid so concurrent users
+    cannot race on a shared predictable path."""
+    import getpass
     import hashlib
+    import tempfile
 
     from ntripmonitor_spark.sources import encoder_vec, framing
 
@@ -289,14 +293,35 @@ def _frame_archive_path(spark: SparkSession, sf_dir: str) -> str:
         for m in (encoder, encoder_vec, framing)
         if getattr(m, "__file__", None)
     )
+    data_salt = "|".join(
+        f"{f}:{os.path.getmtime(os.path.join(sf_dir, f))}:{os.path.getsize(os.path.join(sf_dir, f))}"
+        for f in sorted(os.listdir(sf_dir))
+        if f.endswith(".parquet") and os.path.isfile(os.path.join(sf_dir, f))
+    )
     key = hashlib.md5(
-        (os.path.abspath(sf_dir) + "|" + salt + "|" + __file__
-         + "|" + str(os.path.getmtime(__file__))).encode()
+        (os.path.abspath(sf_dir) + "|" + salt + "|" + data_salt + "|"
+         + __file__ + "|" + str(os.path.getmtime(__file__))).encode()
     ).hexdigest()[:12]
-    path = f"/tmp/spark_graft_frames_{key}"
+    try:
+        user = getpass.getuser()
+    except Exception:
+        user = str(os.getuid()) if hasattr(os, "getuid") else "u"
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_{user}")
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, f"frames_{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # Write to a unique scratch dir, then atomically rename into place
+        # so a concurrent run never observes a half-written archive.
+        scratch = tempfile.mkdtemp(dir=base, prefix=f"frames_{key}.tmp.")
         frames = split_frames(event_blobs(spark, sf_dir))
-        frames.write.mode("overwrite").parquet(path)
+        frames.write.mode("overwrite").parquet(scratch)
+        try:
+            os.rename(scratch, path)
+        except OSError:
+            # Lost the race to another run — its archive is equivalent.
+            import shutil
+
+            shutil.rmtree(scratch, ignore_errors=True)
     return path
 
 
@@ -378,7 +403,7 @@ GROUP BY 1
 )
 def rt05_message_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Envelope ⋈ broadcast message-catalog dim (P22 + Q6-style
-    broadcast join on decode output). Per-type descriptions (140-entry
+    broadcast join on decode output). Per-type descriptions (126-entry
     catalog parity, src/rtcm3.py:183-313): GPS MSM5 vs MSM7 and the
     1006-vs-1005 ARP variant come out as distinct rows."""
     pk = rtcm.packages(decoded_events(spark, sf_dir))

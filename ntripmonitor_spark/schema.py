@@ -202,7 +202,7 @@ MSM_SIGNAL_TYPES = {
 }
 
 # Per-type message catalog (P22) — the published RTCM 10403 message
-# names, parity with the reference's 140-entry dict
+# names, parity with the reference's 126-entry dict
 # (src/rtcm3.py:183-313). Non-MSM types listed explicitly; the
 # regular MSM block (1070-1140) is generated.
 _CATALOG_NON_MSM = {

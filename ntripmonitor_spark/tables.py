@@ -67,15 +67,17 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     except Exception:
         files = []
     if files:
-        total = 0
+        total, stat_ok = 0, True
         for f in files:
-            p = f[7:] if f.startswith("file://") else f
+            # inputFiles() may report file:/p, file://p, or file:///p —
+            # collapse any run of slashes after the scheme to a single "/".
+            p = re.sub(r"^file:/+", "/", f) if f.startswith("file:") else f
             try:
                 total += os.path.getsize(p)
             except OSError:
-                total = 0
+                stat_ok = False
                 break
-        if total:
+        if stat_ok and total:
             mpb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 134217728)
             open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4194304)
             padded = total + len(files) * open_cost
@@ -84,7 +86,10 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
             est_splits = -(-padded // max(max_split, 1))
             if est_splits >= target:
                 return df
-        return df.repartition(target)
+            return df.repartition(target)
+        # Un-stat-able inputs (s3://, hdfs://): fall through to the RDD
+        # partition count rather than forcing a full shuffle of a
+        # possibly huge scan on every call.
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -102,18 +102,21 @@ def test_dotenv_reader(tmp_path):
     assert casters["gnss-x"].mountpoints == ["A", "B"]
 
 
-def test_dotenv_overrides_process_env():
-    # mirrors load_dotenv() then os.environ iteration: file wins on merge
+def test_process_env_overrides_dotenv():
+    # mirrors python-dotenv load_dotenv(override=False), as the reference
+    # uses it: a var already present in the process env wins over the file;
+    # keys only in the file are still picked up.
     import tempfile, os as _os
 
     with tempfile.NamedTemporaryFile("w", suffix=".env", delete=False) as f:
-        f.write("5_CASTER_ID=from-file\n")
+        f.write("5_CASTER_ID=from-file\n6_CASTER_ID=file-only\n")
         path = f.name
     try:
         casters = load_caster_settings(
             env={"5_CASTER_ID": "from-env"}, dotenv_path=path
         )
-        assert "from-file" in casters and "from-env" not in casters
+        assert "from-env" in casters and "from-file" not in casters
+        assert "file-only" in casters
     finally:
         _os.unlink(path)
 
