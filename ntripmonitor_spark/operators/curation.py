@@ -6,7 +6,9 @@ Scale shape (100 TB): the gate and the final mix filter are pure
 column predicates on the scan; dedup is one window keyed by content
 hash (the only corpus-sized shuffle); the mix rates are a tiny
 broadcast aggregate; packing shuffles only (doc_id, source, n_tokens)
-survivors keyed by source. Everything is deterministic — hash coin,
+survivors keyed by (source, shard) — shard-level parallelism inside
+every source, so no single source serializes onto one core (see
+sampling.PACK_SHARDS). Everything is deterministic — hash coin,
 min-doc_id dedup winner — so retries and the SQL oracle reproduce the
 exact survivor set.
 """
@@ -30,7 +32,8 @@ def curation_funnel(docs: DataFrame, quality_min: float = 0.5,
        computed over the DEDUPED survivors, applied as the
        deterministic hash coin;
     then greedy in-order packing into ~``pack_tokens`` packs per
-    source. Output: (doc_id, source, n_tokens, pack_id).
+    (source, shard). Output: (doc_id, source, n_tokens, pack_id) with
+    pack_id = shard * 2^20 + local_pack.
     """
     from ntripmonitor_spark.operators.dedup import normalized_words
 
@@ -51,15 +54,9 @@ def curation_funnel(docs: DataFrame, quality_min: float = 0.5,
         hash_bucket(F.col("doc_id")) < F.col("rate")
     )
 
+    from ntripmonitor_spark.operators.sampling import _pack_by_shard
+
     n_tok = F.size(normalized_words(F.col("text")))
     staged = d.select("doc_id", "source", n_tok.alias("n_tokens"))
-    w_pack = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    running = F.sum("n_tokens").over(w_pack) - F.col("n_tokens")
-    return staged.select(
-        "doc_id", "source", "n_tokens",
-        F.floor(running / pack_tokens).cast("int").alias("pack_id"),
-    )
+    return _pack_by_shard(staged, pack_tokens, n_shards=16,
+                          order_cols=[F.col("doc_id").asc()])

@@ -13,7 +13,7 @@ DuckDB oracle computes the identical signatures).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -63,13 +63,22 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs.
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
+                        max_df_frac: float = 0.01, min_df_cap: int = 5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs over the DF-capped shingle
+    universe.
 
     Blocking: self-join the (doc, shingle) relation on shingle — only
-    docs sharing ≥1 shingle ever meet (no cross join). Jaccard from
-    inclusion-exclusion: |A∩B| / (|A|+|B|-|A∩B|), all integer counts so
-    the division is bit-identical across engines.
+    docs sharing ≥1 shingle ever meet (no cross join). Before the
+    self-join, shingles whose document frequency exceeds
+    max(min_df_cap, max_df_frac · n_docs) are dropped: a stopword gram
+    appearing in 10% of docs would alone contribute 10⁻²·n² candidate
+    pairs (the hot-key quadratic term that kills the join at corpus
+    scale), while contributing nothing to near-dup detection. Jaccard
+    is EXACT w.r.t. the capped shingle sets — |A∩B| and |A|,|B| are all
+    counted over surviving shingles (self-consistent, and what
+    production near-dup pipelines compute), all integer counts so the
+    division is bit-identical across engines.
     """
     # The shingle relation feeds four plan branches (both join sides +
     # both size lookups); without materialization Spark recomputes the
@@ -78,9 +87,22 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6) -> 
     # xxhash64(shingle) — an 8-byte long instead of a ~25-byte string,
     # so the self-join shuffles ~3x less and compares longs, not
     # strings (collision odds ~2^-64 per candidate pair: immaterial).
-    sh = (
+    # The DF cap is a window count over shingle_h: same shuffle key as
+    # the self-join, so the capped relation arrives at the join already
+    # hash-partitioned by it. n_docs is one bounded scalar folded as a
+    # literal (the same pattern as the ANN anchor folds), read from the
+    # already-persisted shingle relation — not a data-bearing collect.
+    raw = (
         doc_shingles(docs, n)
         .select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
+        .persist()
+    )
+    n_docs = raw.agg(F.countDistinct("doc_id")).first()[0]
+    cap = max(min_df_cap, int(max_df_frac * n_docs))
+    sh = (
+        raw.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle_h")))
+        .filter(F.col("df") <= F.lit(cap))
+        .select("doc_id", "shingle_h")
         .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -175,9 +197,14 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per doc as a '0'/'1' string.
 
     Token bit b comes from md5(token) hex digit b//4, bit 3-b%4; the
-    per-doc bit is the sign of the count-weighted ±1 vote. Token bits
-    are computed once per DISTINCT token (the vocabulary), then joined
-    back — at corpus scale the vocabulary table is the broadcast side.
+    per-doc bit is the sign of the count-weighted ±1 vote. The bits are
+    derived ARITHMETICALLY on the (doc, token) relation: the first 16
+    md5 hex digits become four 16-bit integer chunks (conv), and bit b
+    is a literal shiftright of chunk b//16 — all inside whole-stage
+    codegen. The fit is then ONE groupBy(doc_id) carrying 64 map-side-
+    combined integer sums; the earlier formulation joined a 64-row-per-
+    token vocabulary bit table onto the relation, multiplying the fit
+    shuffle 64×.
     """
     from ntripmonitor_spark.tables import ensure_parallelism
 
@@ -187,29 +214,30 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    vocab = toks.select("tok").distinct().withColumn("h", F.md5(F.col("tok").cast("binary")))
-    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b")
-    hex_digit = F.substring(F.col("h"), (F.col("b") / 4).cast("int") + 1, 1)
-    hex_val = F.instr(F.lit("0123456789abcdef"), hex_digit) - 1
-    # shiftright() needs a literal shift amount; the shift varies per
-    # row, so use floor-division by 2^k instead (hex_val < 16).
-    bit = F.floor(hex_val / F.pow(F.lit(2.0), (3 - (F.col("b") % 4)).cast("double"))).cast("int") % 2
-    tok_bits = vocab.select("tok", "h", bit_idx).select("tok", "b", bit.alias("bit"))
-
-    votes = (
-        toks.join(tok_bits, "tok")
-        .groupBy("doc_id", "b")
-        .agg(F.sum(F.col("cnt") * (2 * F.col("bit") - 1)).alias("v"))
+    h = F.md5(F.col("tok").cast("binary"))
+    staged = toks.select(
+        "doc_id",
+        "cnt",
+        *[
+            F.conv(F.substring(h, 4 * k + 1, 4), 16, 10).cast("int").alias(f"c{k}")
+            for k in range(SIMHASH_BITS // 16)
+        ],
     )
-    bitchar = F.when(F.col("v") > 0, F.lit("1")).otherwise(F.lit("0"))
-    return votes.groupBy("doc_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("b"), bitchar.alias("c")))),
-                lambda s: s.getField("c"),
-            ),
-        ).alias("simhash")
+
+    def vote(b: int) -> Column:
+        k, pos = divmod(b, 16)
+        bit = F.shiftright(F.col(f"c{k}"), 15 - pos).bitwiseAND(F.lit(1))
+        return F.sum(F.col("cnt") * (2 * bit - 1)).alias(f"v{b}")
+
+    votes = staged.groupBy("doc_id").agg(*[vote(b) for b in range(SIMHASH_BITS)])
+    return votes.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                for b in range(SIMHASH_BITS)
+            ]
+        ).alias("simhash"),
     )
 
 

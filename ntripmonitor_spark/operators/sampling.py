@@ -8,8 +8,10 @@ scan, runs identically in batch and streaming, and is reproducible
 across retries. The pseudo-random coin is a multiplicative Knuth hash
 of the stable row id (exact integer arithmetic, portable to any SQL
 engine — the DuckDB oracle recomputes it bit-for-bit). Quota and
-packing use window functions partitioned by the stratum, so the only
-shuffle is keyed by the (bounded-cardinality) stratum column.
+packing use window functions partitioned by the stratum (packing adds
+a hash shard inside each stratum), so the only shuffle is keyed by the
+(bounded-cardinality) stratum column — and no single stratum ever
+serializes onto one task.
 """
 
 from __future__ import annotations
@@ -90,49 +92,67 @@ def temperature_mix(docs: DataFrame, coeff: float = 5.0) -> DataFrame:
     )
 
 
-def sequence_pack(docs: DataFrame, pack_tokens: int = 512) -> DataFrame:
-    """Greedy in-order sequence packing: within each source (ordered by
-    doc_id) assign docs to consecutive packs of ~pack_tokens whitespace
-    tokens — pack_id = floor(running_total_before / pack_tokens).
-    The running sum is a window aggregate: one shuffle keyed by source,
-    then a linear scan per partition — the standard distributed
-    formulation of the (inherently sequential) packer."""
-    from ntripmonitor_spark.operators.dedup import normalized_words
+# Sequence packing is sharded WITHIN each source: a window partitioned
+# by source alone runs one task per source, so at 100 TB a dominant
+# source (~10 TB) would serialize through a single core (and AQE cannot
+# split a window partition). Packing instead runs per (source, shard)
+# where shard = hash_bucket(doc_id) % PACK_SHARDS, and the global id is
+# pack_id = shard * PACK_SHARD_STRIDE + local_pack. Each shard still
+# packs greedily and deterministically; the only cross-shard effect is
+# ≤1 fragmented pack per shard tail (bounded, amortized to nothing at
+# scale). STRIDE = 2^20 leaves room for 2^20 packs (≈0.5 G tokens at
+# 512) per shard before ids collide; raise PACK_SHARDS — not STRIDE —
+# to scale out, keeping pack_id well inside int64.
+PACK_SHARDS = 16
+PACK_SHARD_STRIDE = 1 << 20
 
-    n_tok = F.size(normalized_words(F.col("text")))
+
+def _pack_by_shard(staged: DataFrame, pack_tokens: int, n_shards: int,
+                   order_cols: list[Column]) -> DataFrame:
+    """Shared shard-level packer: staged = (doc_id, source, n_tokens)."""
+    staged = staged.withColumn("shard", hash_bucket(F.col("doc_id"), n_shards))
     w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
+        Window.partitionBy("source", "shard")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    staged = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
     running = F.sum("n_tokens").over(w) - F.col("n_tokens")
     return staged.select(
         "doc_id",
         "source",
         "n_tokens",
-        F.floor(running / pack_tokens).cast("int").alias("pack_id"),
+        (F.col("shard") * PACK_SHARD_STRIDE
+         + F.floor(running / pack_tokens)).cast("long").alias("pack_id"),
     )
 
 
-def sequence_pack_sorted(docs: DataFrame, pack_tokens: int = 512) -> DataFrame:
-    """Sorted greedy packing: within each source, pack docs in
-    DESCENDING token order (first-fit-decreasing's sort step) so long
-    documents seed packs and short ones fill tails — measurably less
-    tail fragmentation than arrival-order `sequence_pack`, while
-    staying a pure window computation (one shuffle keyed by source,
-    deterministic (n_tokens DESC, doc_id) order)."""
+def sequence_pack(docs: DataFrame, pack_tokens: int = 512,
+                  n_shards: int = PACK_SHARDS) -> DataFrame:
+    """Greedy in-order sequence packing: within each (source, shard) —
+    ordered by doc_id — assign docs to consecutive packs of
+    ~pack_tokens whitespace tokens; pack_id = shard * 2^20 +
+    floor(running_total_before / pack_tokens). One shuffle keyed by
+    (source, shard), then a linear scan per partition: n_shards-way
+    parallelism inside every source."""
     from ntripmonitor_spark.operators.dedup import normalized_words
 
     n_tok = F.size(normalized_words(F.col("text")))
     staged = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    running = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    return staged.select(
-        "doc_id", "source", "n_tokens",
-        F.floor(running / pack_tokens).cast("int").alias("pack_id"),
+    return _pack_by_shard(staged, pack_tokens, n_shards, [F.col("doc_id").asc()])
+
+
+def sequence_pack_sorted(docs: DataFrame, pack_tokens: int = 512,
+                         n_shards: int = PACK_SHARDS) -> DataFrame:
+    """Sorted greedy packing: within each (source, shard), pack docs in
+    DESCENDING token order (first-fit-decreasing's sort step) so long
+    documents seed packs and short ones fill tails — measurably less
+    tail fragmentation than arrival-order `sequence_pack`, at the same
+    one-shuffle, shard-parallel cost."""
+    from ntripmonitor_spark.operators.dedup import normalized_words
+
+    n_tok = F.size(normalized_words(F.col("text")))
+    staged = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+    return _pack_by_shard(
+        staged, pack_tokens, n_shards,
+        [F.col("n_tokens").desc(), F.col("doc_id").asc()],
     )

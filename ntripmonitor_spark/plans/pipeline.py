@@ -58,10 +58,15 @@ def dd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
     oracle=f"""
 WITH {_SH_CTE},
-sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+shc AS (
+    SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh
+    ) WHERE df <= greatest(5, CAST(floor(0.01 * (SELECT count(DISTINCT doc_id) FROM sh)) AS BIGINT))
+),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
 p AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, jaccard FROM (
@@ -75,8 +80,10 @@ WHERE jaccard >= 0.6
 """,
 )
 def dd02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (shingle-blocked
-    self-join — no O(n²) cross join)."""
+    """Exact word-3-gram Jaccard near-dup pairs over the DF-capped
+    shingle universe (shingle-blocked self-join — no O(n²) cross join;
+    stopword grams with df > max(5, 1% of docs) are dropped before the
+    join, killing the hot-key quadratic term)."""
     return dedup.ngram_jaccard_pairs(table(spark, sf_dir, "documents"), n=3, threshold=0.6)
 
 
@@ -531,18 +538,22 @@ def sp02_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sampling",),
     oracle="""
 SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
-       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS INT) AS pack_id
+       CAST(shard * 1048576
+            + FLOOR((SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0)
+            AS BIGINT) AS pack_id
 FROM (
     SELECT doc_id, source,
-           len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+           len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+           ((doc_id * 2654435761) % 4294967296) % 16 AS shard
     FROM documents
 )
 """,
 )
 def tp01_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy in-order sequence packing into ~512-token packs per
-    source (running-sum window — the distributed form of the packer)."""
+    (source, shard) — running-sum window keyed by (source, hash shard)
+    so no single source serializes onto one task."""
     from ntripmonitor_spark.operators import sampling
 
     return sampling.sequence_pack(table(spark, sf_dir, "documents"), pack_tokens=512)
@@ -840,8 +851,12 @@ mixed AS (
     WHERE ((doc_id * 2654435761) % 4294967296) % 1000 < rate
 )
 SELECT doc_id, source, CAST(len(ws) AS INT) AS n_tokens,
-       CAST(FLOOR((SUM(len(ws)) OVER (PARTITION BY source ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(ws)) / 512.0) AS INT) AS pack_id
+       CAST(((doc_id * 2654435761) % 4294967296) % 16 * 1048576
+            + FLOOR((SUM(len(ws)) OVER (
+                     PARTITION BY source, ((doc_id * 2654435761) % 4294967296) % 16
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(ws)) / 512.0)
+            AS BIGINT) AS pack_id
 FROM mixed
 """,
 )
@@ -983,12 +998,15 @@ def dc01_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sampling",),
     oracle="""
 SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
-       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source
-                    ORDER BY n_tokens DESC, doc_id ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS INT) AS pack_id
+       CAST(shard * 1048576
+            + FLOOR((SUM(n_tokens) OVER (PARTITION BY source, shard
+                     ORDER BY n_tokens DESC, doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0)
+            AS BIGINT) AS pack_id
 FROM (
     SELECT doc_id, source,
-           len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+           len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+           ((doc_id * 2654435761) % 4294967296) % 16 AS shard
     FROM documents
 )
 """,

@@ -131,3 +131,68 @@ def test_dc01_benchmark_side_broadcasts(spark, sf_dir):
     plan = _explain(spark, "dc01_decontamination", sf_dir)
     assert "BroadcastHashJoin" in plan, "benchmark join not broadcast"
     assert "SortMergeJoin" not in plan, f"corpus sort-merged\n{plan[:1500]}"
+
+
+def test_packing_shards_within_source(spark, sf_dir):
+    """tp01/tp02/cu01: the pack window must partition by (source,
+    shard), never source alone — one-task-per-source serializes a
+    dominant source at 100 TB and AQE cannot split a window partition."""
+    for name in ("tp01_sequence_pack", "tp02_sorted_pack", "cu01_curation_funnel"):
+        plan = _explain(spark, name, sf_dir)
+        parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        pack_parts = [p for p in parts if "source" in p and "shard" in p]
+        assert pack_parts, f"{name}: pack window not sharded within source\n{plan[:2000]}"
+
+
+def test_packing_parallel_within_single_source(spark):
+    """Skewed fixture: ONE source holding every doc still packs across
+    >1 shard (so >1 task), and shard-local pack ids stay dense from 0."""
+    from ntripmonitor_spark.operators.sampling import (
+        PACK_SHARD_STRIDE,
+        sequence_pack,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "only-source", "tok " * (1 + i % 7)) for i in range(400)],
+        "doc_id long, source string, text string",
+    )
+    packed = sequence_pack(docs, pack_tokens=32).collect()
+    shards = {r.pack_id // PACK_SHARD_STRIDE for r in packed}
+    assert len(shards) > 1, "single source collapsed to one shard/task"
+    for s in shards:
+        local = sorted(r.pack_id % PACK_SHARD_STRIDE for r in packed
+                       if r.pack_id // PACK_SHARD_STRIDE == s)
+        assert local[0] == 0 and local[-1] == len(set(local)) - 1
+
+
+def test_dd02_df_cap_kills_hot_shingles(spark):
+    """dd02 scale guard: a stopword gram present in EVERY doc must not
+    generate candidate pairs. 60 docs all sharing one hot 3-gram but
+    otherwise disjoint → with the DF cap the join yields zero pairs;
+    without it, the hot shingle alone would emit C(60,2)=1770
+    candidates. Two genuinely near-dup docs must still be found."""
+    from ntripmonitor_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "of the and"
+    rows = [(i, f"{hot} u{i}a u{i}b u{i}c u{i}d u{i}e") for i in range(60)]
+    rows.append((1000, "real dup text body shared across both copies"))
+    rows.append((1001, "real dup text body shared across both copies"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.6).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert got == {(1000, 1001)}, f"expected only the true dup pair, got {sorted(got)[:10]}"
+
+
+def test_dd04_fit_is_join_free(spark, sf_dir):
+    """dd04 scale guard: the signature fit must not join a vocabulary
+    bit table onto the token relation (64× shuffle amplification) —
+    bits come from arithmetic on md5 chunks, so the fit is zero joins
+    and ≤3 exchanges ((doc,tok) count + per-doc vote sums + the
+    ensure_parallelism respread of the under-split small fixture)."""
+    from ntripmonitor_spark.operators.dedup import simhash_signatures
+    from ntripmonitor_spark.tables import table
+
+    df = simhash_signatures(table(spark, sf_dir, "documents"))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "Join" not in plan, f"vocab join crept back into the fit\n{plan[:2000]}"
+    assert _exchanges(plan) <= 3, f"fit shuffles more than expected\n{plan[:2000]}"
