@@ -15,6 +15,7 @@ from ntripmonitor_spark.tables import table
 
 @register(
     "aj01_asof_join",
+    bench=True,
     tags=("joins",),
     oracle="""
 WITH r AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'error'),
@@ -34,6 +35,7 @@ def aj01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rj01_range_join",
+    bench=True,
     tags=("joins",),
     oracle="""
 WITH r AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'error'),

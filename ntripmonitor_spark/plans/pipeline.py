@@ -819,6 +819,7 @@ def tx07_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cu01_curation_funnel",
+    bench=True,
     tags=("sampling", "text"),
     oracle="""
 WITH w AS (
@@ -963,6 +964,7 @@ def sk01_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dc01_decontamination",
+    bench=True,
     tags=("dedup", "text"),
     oracle=f"""
 WITH {_SH_CTE},

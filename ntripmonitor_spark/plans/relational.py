@@ -713,6 +713,7 @@ def q20_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q21_rollup_hierarchy",
+    bench=True,
     tags=("extension",),
     oracle="""
 SELECT event_type,
