@@ -37,12 +37,16 @@ def main() -> None:
     # shave scheduler/GC/co-tenant jitter (observed bursts inflate a
     # 0.4 s query to 3+ s; 5 samples ride out most bursts).
     # A query that errors must not sink the whole bench record: drop it
-    # from the set (reported on stderr) and keep timing the rest.
+    # from the set and keep timing the rest — but record the drop in the
+    # JSON line itself ("excluded"), not only on stderr, so a bench=True
+    # query that breaks is visible in the archived record.
+    excluded: dict[str, str] = {}
     for name in list(names):
         try:
             REGISTRY[name].fn(spark, sf_dir).count()
         except Exception as exc:  # noqa: BLE001
             print(f"# {name}: FAILED in warm-up ({exc!r}) — excluded", file=sys.stderr)
+            excluded[name] = f"{type(exc).__name__}: {exc}"[:200]
             names.remove(name)
 
     # Trials interleave round-robin across queries so a co-tenant load
@@ -67,6 +71,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "excluded": sorted(excluded),
                 "sf": sf,
             }
         )

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ntripmonitor_spark.functions.timeutil import epoch_us
+
 
 def asof_join_latest(events: DataFrame, right_pred: Column,
                      key_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
@@ -49,7 +51,7 @@ def asof_join_latest(events: DataFrame, right_pred: Column,
         key_col,
         ts_col,
         "asof_ts",
-        (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("asof_ts"))).alias("gap_us"),
+        (epoch_us(ts_col) - epoch_us("asof_ts")).alias("gap_us"),
     )
 
 
@@ -69,7 +71,7 @@ def range_join_intervals(events: DataFrame, interval_pred: Column,
     # F.floor, not a plain long cast: casting truncates toward zero, so for
     # pre-1970 timestamps a probe and its containing interval could land in
     # non-adjacent buckets and the pair would be silently dropped.
-    bucket = lambda c: F.floor(F.unix_micros(c) / len_us).cast("long")  # noqa: E731
+    bucket = lambda c: F.floor(epoch_us(c) / len_us).cast("long")  # noqa: E731
 
     probes = events.filter(~interval_pred).select(
         "event_id", key_col, ts_col, bucket(F.col(ts_col)).alias("bkt")
@@ -85,8 +87,8 @@ def range_join_intervals(events: DataFrame, interval_pred: Column,
         intervals,
         (probes[key_col] == intervals["ikey"]) & (probes["bkt"] == intervals["bkt"]),
     )
-    ts_us = F.unix_micros(F.col(ts_col))
-    start_us = F.unix_micros(F.col("interval_start"))
+    ts_us = epoch_us(ts_col)
+    start_us = epoch_us("interval_start")
     return joined.filter((ts_us >= start_us) & (ts_us < start_us + len_us)).select(
         "event_id", "interval_id", key_col, ts_col, "interval_start"
     )

@@ -904,8 +904,11 @@ agg AS (
     SELECT centroid_id, count(*) AS n_members,
            {_IVF_SUMS}
     FROM a GROUP BY centroid_id
-)
-SELECT centroid_id, n_members, [{_IVF_LIST}] AS centroid FROM agg
+),
+wide AS (SELECT centroid_id, n_members, [{_IVF_LIST}] AS centroid FROM agg)
+SELECT centroid_id, n_members,
+       CAST(r.i - 1 AS INT) AS dim_idx, centroid[r.i] AS component
+FROM wide, range(1, {_IVF_DIM + 1}) r(i)
 """,
 )
 def ss04_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -913,8 +916,16 @@ def ss04_ivf_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed assignment (seeds = vec 0..7 folded as literals) + per-
     centroid member mean — one corpus scan, one aggregate; the
     k-means round a driver loop iterates, and whose assignment column
-    becomes the IVF storage partition key at serving time."""
-    return simsearch.ivf_train_step(table(spark, sf_dir, "embeddings"), k=8)
+    becomes the IVF storage partition key at serving time. The
+    centroid vector is exploded to one (dim_idx, component) row per
+    dimension: the harness hash-canonicalizes result cells through
+    pandas, which cannot sort/factorize array cells — scalar rows
+    carry identical information and stay hashable."""
+    out = simsearch.ivf_train_step(table(spark, sf_dir, "embeddings"), k=8)
+    return out.select(
+        "centroid_id", "n_members",
+        F.posexplode("centroid").alias("dim_idx", "component"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from ntripmonitor_spark.functions.timeutil import epoch_us
+
 DEFAULT_GAP_S = 1800  # 30 min inactivity closes a session
 
 SESSION_SCHEMA = StructType(
@@ -54,7 +56,7 @@ def sessionize_batch(events: DataFrame, gap_s: int = DEFAULT_GAP_S,
     groupBy, all on the same ``key`` partitioning (a single shuffle
     feeds every step — at scale this is one exchange, not three)."""
     w = Window.partitionBy(key).orderBy(ts)
-    ts_us = F.unix_micros(F.col(ts))
+    ts_us = epoch_us(ts)
     new_flag = (
         F.when(ts_us - F.lag(ts_us).over(w) > gap_s * 1_000_000, 1).otherwise(0)
     )
@@ -70,7 +72,7 @@ def sessionize_batch(events: DataFrame, gap_s: int = DEFAULT_GAP_S,
         )
         .withColumn(
             "duration_s",
-            (F.unix_micros("session_end") - F.unix_micros("session_start")) / F.lit(1_000_000),
+            (epoch_us("session_end") - epoch_us("session_start")) / F.lit(1_000_000),
         )
         .withColumn("duration_s", F.floor("duration_s"))
         .drop("_sess")
@@ -145,7 +147,7 @@ def reconnect_pairs(events: DataFrame, down_type: str = "error") -> DataFrame:
             F.col("ts").alias("disconnect_time"),
             F.col("_next_ts").alias("reconnect_time"),
             F.floor(
-                (F.unix_micros("_next_ts") - F.unix_micros("ts")) / F.lit(1_000_000)
+                (epoch_us("_next_ts") - epoch_us("ts")) / F.lit(1_000_000)
             ).alias("outage_s"),
         )
     )

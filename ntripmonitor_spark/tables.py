@@ -35,15 +35,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read nanos as long and truncate to microseconds
-        # (integer division — the ns value overflows double precision),
-        # matching DuckDB's implicit ns→us cast on the oracle side.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+        # vectorized reader rejects) and as naive TIMESTAMP(MICROS) (which
+        # Spark 4 infers as TIMESTAMP_NTZ — rejected by unix_micros and
+        # friends). Normalize both to TIMESTAMP_LTZ whose epoch value is the
+        # raw parquet integer, matching DuckDB's naive-timestamp semantics:
+        # nanos → read as long, integer-truncate to µs (the ns value
+        # overflows double precision); naive µs → disable NTZ inference so
+        # the stored µs value is taken as the epoch directly (tz-independent).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Inference conf not honored (e.g. cached scan): fall back to a
+            # session-tz cast — the harness pins UTC, where NTZ wall time
+            # and epoch coincide exactly as in the DuckDB oracle.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

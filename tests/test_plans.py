@@ -192,6 +192,10 @@ def test_dd04_fit_is_join_free(spark, sf_dir):
     from ntripmonitor_spark.operators.dedup import simhash_signatures
     from ntripmonitor_spark.tables import table
 
+    # Earlier tests may leave a persisted signature relation in the cache
+    # manager; the cache-substituted plan string nests the original plan
+    # (initial + final AQE sections), double-counting its exchanges.
+    spark.catalog.clearCache()
     df = simhash_signatures(table(spark, sf_dir, "documents"))
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "Join" not in plan, f"vocab join crept back into the fit\n{plan[:2000]}"
