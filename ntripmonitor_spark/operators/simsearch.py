@@ -231,6 +231,29 @@ def ann_bucketed(emb: DataFrame, n_queries: int = 10, k: int = 3) -> DataFrame:
 IVF_K = 8  # coarse-quantizer size; seeds = corpus vectors 0..K-1
 
 
+def _seed_dists(vec_col: Column, seeds: list[tuple[int, list[float]]]) -> Column:
+    """Array of rounded squared-L2 distances from ``vec_col`` to each
+    seed centroid (seeds folded in as literals, ordered by seed id)."""
+    return F.array(*[
+        F.round(
+            F.aggregate(
+                F.zip_with(vec_col, F.array(*[F.lit(x) for x in vec]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, d: acc + d,
+            ), 6)
+        for _, vec in seeds
+    ])
+
+
+def _collect_seed_vectors(emb: DataFrame, k: int) -> list[tuple[int, list[float]]]:
+    rows = (
+        emb.filter(F.col("vec_id") < k)
+        .select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    return sorted((r["vec_id"], list(r["v"])) for r in rows)
+
+
 def ivf_train_step(emb: DataFrame, k: int = IVF_K) -> DataFrame:
     """One Lloyd iteration of IVF coarse-quantizer training,
     DataFrame-native: assign every vector to its nearest seed centroid
@@ -248,27 +271,14 @@ def ivf_train_step(emb: DataFrame, k: int = IVF_K) -> DataFrame:
     centroid's partition (classic IVF)."""
     from ntripmonitor_spark.tables import ensure_parallelism
 
-    seeds_rows = (
-        emb.filter(F.col("vec_id") < k)
-        .select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
-        .collect()
-    )
-    seeds = sorted((r["vec_id"], list(r["v"])) for r in seeds_rows)
+    seeds = _collect_seed_vectors(emb, k)
 
     v = ensure_parallelism(emb).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
     )
     # nearest seed by squared L2 distance, rounded to absorb ULP noise;
     # ties break to the lower centroid id (array_position of the min)
-    dists = F.array(*[
-        F.round(
-            F.aggregate(
-                F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in vec]),
-                           lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, d: acc + d,
-            ), 6)
-        for _, vec in seeds
-    ])
+    dists = _seed_dists(F.col("v"), seeds)
     assigned = v.withColumn(
         "centroid_id",
         (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
@@ -284,3 +294,110 @@ def ivf_train_step(emb: DataFrame, k: int = IVF_K) -> DataFrame:
         F.round(F.col(f"s{i}") / F.col("n_members"), 4) + 0.0 for i in range(dim)
     ])
     return sums.select("centroid_id", "n_members", centroid.alias("centroid"))
+
+
+PQ_M = 8  # product-quantization subspaces (64-dim → 8 sub-vectors of 8)
+PQ_K = 4  # codewords per subspace; codebook = sub-vectors of seeds 0..K-1
+
+
+def pq_encode(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
+    """Product-quantization encoder: split each embedding into ``m``
+    contiguous sub-vectors and replace each with the id of its nearest
+    codeword (codebook = the matching sub-vectors of corpus seeds
+    0..k-1, folded in as literals — the broadcast trained codebook).
+
+    Output: (vec_id, pq_code, distortion) — pq_code is the m-digit
+    code string (one digit per subspace), distortion the summed
+    squared quantization error. This is the storage-side compression
+    step of an IVF-PQ index: at 100 TB the 64×8-byte vector column
+    becomes m bytes, candidates are re-ranked on codes (asymmetric
+    distance), and only the final top-k re-reads real vectors. One
+    corpus scan, zero joins, zero shuffles — pure column expressions.
+
+    Reference scope note: the reference has no vector surface; this is
+    a north-star extension (SURVEY.md §2 "beyond the reference").
+    """
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    seeds = _collect_seed_vectors(emb, k)
+    dim = len(seeds[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    d = dim // m
+
+    v = ensure_parallelism(emb).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    codes, sub_errs = [], []
+    for s in range(m):
+        sub = F.slice(F.col("v"), s * d + 1, d)
+        dists = F.array(*[
+            F.round(
+                F.aggregate(
+                    F.zip_with(sub, F.array(*[F.lit(x) for x in vec[s * d:(s + 1) * d]]),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, e: acc + e,
+                ), 6)
+            for _, vec in seeds
+        ])
+        # argmin with ties to the lower codeword id (first position of min)
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+        sub_errs.append(F.array_min(dists))
+    code_str = F.concat(*[c.cast("string") for c in codes])
+    distortion = F.round(sum(sub_errs[1:], sub_errs[0]), 6)
+    return v.select(
+        "vec_id", code_str.alias("pq_code"), distortion.alias("distortion")
+    )
+
+
+def ivf_probe(emb: DataFrame, k_centroids: int = IVF_K, n_queries: int = 10,
+              nprobe: int = 2, k: int = 5) -> DataFrame:
+    """IVF serving path: the search that the trained coarse quantizer
+    (`ivf_train_step`) exists for. Every corpus vector belongs to its
+    nearest centroid's cell (at scale: the storage partition key);
+    a query probes only its ``nprobe`` nearest cells and ranks the
+    candidates there by cosine.
+
+    Scale shape: the corpus is scanned once and NEVER shuffled — the
+    query side (n_queries × nprobe rows) is broadcast onto the cell
+    column, so candidate generation is a broadcast hash join touching
+    nprobe/k_centroids of the data; only candidates pay the cosine.
+    Output: (query_id, neighbor_id, cell, cos_sim, rank).
+    """
+    from pyspark.sql.window import Window
+
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    seeds = _collect_seed_vectors(emb, k_centroids)
+
+    v = ensure_parallelism(emb).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    dists = _seed_dists(F.col("v"), seeds)
+    corpus = v.withColumn(
+        "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+
+    # nprobe nearest cells per query vector (ties to the lower centroid
+    # id), exploded to one (query, cell) probe row each
+    qd = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+        F.posexplode(_seed_dists(F.col("v"), seeds)).alias("cid", "qdist"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("qdist").asc(), F.col("cid").asc())
+    probes = (
+        qd.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "qv", "qn", F.col("cid").alias("cell"))
+    )
+
+    cos = F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cell",
+                cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,53 @@
+"""Distributional statistics for corpus curation.
+
+Quantile thresholds are how a training-data pipeline turns a quality
+metric into a filter: "drop the bottom decile per source" needs the
+per-source decile first. The exact operator below is the oracle-checked
+baseline; its 100 TB twin is `approx_quantiles` (t-digest-style
+`approx_percentile`, mergeable O(1)-per-row state, one partial+final
+aggregate) which trades a bounded rank error for never sorting a group.
+
+Reference scope note: the reference has no percentile surface (SURVEY.md
+§2.5 lists no ordered-set aggregates); this is a north-star extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def quantile_thresholds(docs: DataFrame, value_col: str = "n_chars",
+                        group_col: str = "source",
+                        qs: tuple[float, ...] = QUANTILES) -> DataFrame:
+    """Exact per-group quantiles (linear interpolation — the
+    percentile_cont/quantile_cont definition both engines share) of a
+    numeric quality metric, plus the group size.
+
+    One hash-partial + sort-within-group aggregate (a single exchange
+    on ``group_col``). Exactness requires each group's values to meet
+    on one task; at 100 TB switch to `approx_quantiles` below — same
+    output shape, bounded error, no per-group sort.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for q in qs:
+        pct = F.expr(f"percentile({value_col}, {q!r})")
+        aggs.append(F.round(pct, 4).alias(f"p{int(q * 100)}"))
+    return docs.groupBy(group_col).agg(*aggs)
+
+
+def approx_quantiles(docs: DataFrame, value_col: str = "n_chars",
+                     group_col: str = "source",
+                     qs: tuple[float, ...] = QUANTILES,
+                     accuracy: int = 10000) -> DataFrame:
+    """The scale path: `approx_percentile` — mergeable sketch state,
+    no per-group materialization. Not oracle-checkable (the sketch is
+    engine-specific), so it ships as a library operator pinned by a
+    pytest tolerance test against the exact operator instead."""
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for q in qs:
+        pct = F.expr(f"approx_percentile({value_col}, {q!r}, {accuracy})")
+        aggs.append(F.round(pct, 4).alias(f"p{int(q * 100)}"))
+    return docs.groupBy(group_col).agg(*aggs)

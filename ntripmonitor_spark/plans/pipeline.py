@@ -1032,3 +1032,131 @@ def tp02_sorted_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntripmonitor_spark.operators import sampling
 
     return sampling.sequence_pack_sorted(table(spark, sf_dir, "documents"), pack_tokens=512)
+
+
+# ---------------------------------------------------------------------------
+# ss05 — product-quantization encode (IVF-PQ storage-side compression).
+# ---------------------------------------------------------------------------
+
+_PQ_SUB = 8  # subspaces; 64-dim vectors → 8-dim sub-vectors
+
+
+@register(
+    "ss05_pq_encode",
+    tags=("simsearch",),
+    bench=True,
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+seeds AS (SELECT vec_id AS cid, vec AS sv FROM v WHERE vec_id < 4),
+d AS (
+    SELECT v.vec_id, s.s, seeds.cid,
+           round(list_sum(list_transform(range(1, 9),
+               i -> (v.vec[s.s * 8 + i] - seeds.sv[s.s * 8 + i])
+                  * (v.vec[s.s * 8 + i] - seeds.sv[s.s * 8 + i]))), 6) AS dist
+    FROM v CROSS JOIN range(0, {_PQ_SUB}) s(s) CROSS JOIN seeds
+),
+best AS (
+    SELECT vec_id, s, cid, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rk
+        FROM d
+    ) WHERE rk = 1
+)
+SELECT vec_id, string_agg(CAST(cid AS VARCHAR), '' ORDER BY s) AS pq_code,
+       round(sum(dist), 6) AS distortion
+FROM best GROUP BY vec_id
+""",
+)
+def ss05_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes: each embedding split into 8
+    sub-vectors, each replaced by its nearest codeword id (codebook =
+    sub-vectors of seeds 0..3 folded as literals). One corpus scan,
+    zero joins/shuffles — the compression step of an IVF-PQ index."""
+    return simsearch.pq_encode(table(spark, sf_dir, "embeddings"), m=_PQ_SUB, k=4)
+
+
+# ---------------------------------------------------------------------------
+# ss06 — IVF probe (the serving path of the ss04-trained coarse quantizer).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ss06_ivf_probe",
+    tags=("simsearch",),
+    bench=True,
+    oracle=f"""
+WITH {_VEC_CTE},
+seeds AS (SELECT vec_id AS cid, vec AS sv FROM v WHERE vec_id < 8),
+d AS (
+    SELECT v.vec_id, seeds.cid,
+           round(list_sum(list_transform(range(1, 65),
+               i -> (v.vec[i] - seeds.sv[i]) * (v.vec[i] - seeds.sv[i]))), 6) AS dist
+    FROM v CROSS JOIN seeds
+),
+corpus AS (
+    SELECT n.vec_id, n.vec, n.nrm, a.cell
+    FROM n JOIN (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+            FROM d
+        ) WHERE rk = 1
+    ) a ON a.vec_id = n.vec_id
+),
+probes AS (
+    SELECT t.vec_id AS query_id, nn.vec AS qv, nn.nrm AS qnrm, t.cid AS cell
+    FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS pr
+        FROM d WHERE vec_id < 10
+    ) t JOIN n nn ON nn.vec_id = t.vec_id
+    WHERE t.pr <= 2
+),
+scored AS (
+    SELECT p.query_id, c.vec_id AS neighbor_id, c.cell,
+           round(list_dot_product(p.qv, c.vec) / (p.qnrm * c.nrm), 6) AS cos_sim
+    FROM corpus c JOIN probes p ON p.cell = c.cell
+    WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cell, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 5
+""",
+)
+def ss06_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving: corpus vectors live in their nearest-centroid cell
+    (the storage partition key at scale); each query probes its 2
+    nearest cells (broadcast) and ranks candidates by cosine — the
+    corpus is scanned once and never shuffled."""
+    return simsearch.ivf_probe(
+        table(spark, sf_dir, "embeddings"), k_centroids=8, n_queries=10, nprobe=2, k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# qa01 — exact per-source quantile thresholds (curation cutoffs).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qa01_quantile_thresholds",
+    tags=("stats", "curation"),
+    bench=True,
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY source
+""",
+)
+def qa01_quantile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source quantiles of document length (the cutoffs a
+    curation gate consumes): one exchange on source, linear-interp
+    percentile on both engines; `stats.approx_quantiles` is the
+    sketch-based 100 TB twin, pinned by a pytest tolerance test."""
+    from ntripmonitor_spark.operators import stats
+
+    return stats.quantile_thresholds(
+        table(spark, sf_dir, "documents"), value_col="n_chars", group_col="source"
+    )

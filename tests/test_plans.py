@@ -200,3 +200,58 @@ def test_dd04_fit_is_join_free(spark, sf_dir):
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "Join" not in plan, f"vocab join crept back into the fit\n{plan[:2000]}"
     assert _exchanges(plan) <= 3, f"fit shuffles more than expected\n{plan[:2000]}"
+
+
+def test_ss05_pq_encode_is_scan_only(spark, sf_dir):
+    """PQ encoding is pure column arithmetic over one corpus scan: no
+    joins and at most the ensure_parallelism respread of an
+    under-split small fixture — never a data-dependent shuffle."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "ss05_pq_encode", sf_dir)
+    assert "Join" not in plan, f"codebook join crept into PQ encode\n{plan[:2000]}"
+    assert _exchanges(plan) <= 1, f"PQ encode shuffles\n{plan[:2000]}"
+
+
+def test_ss06_ivf_probe_corpus_never_shuffled(spark, sf_dir):
+    """IVF serving: candidate generation must be a broadcast hash join
+    of the (tiny) probe set onto the corpus cell column — a sort-merge
+    or nested-loop join here would shuffle/replicate the corpus."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "ss06_ivf_probe", sf_dir)
+    assert "SortMergeJoin" not in plan, f"corpus shuffled for probe join\n{plan[:2000]}"
+    assert "BroadcastNestedLoopJoin" not in plan, f"cartesian probe join\n{plan[:2000]}"
+    assert "BroadcastHashJoin" in plan, f"expected broadcast probe join\n{plan[:2000]}"
+
+
+def test_qa01_exact_quantiles_single_exchange(spark, sf_dir):
+    """Exact per-group percentile = one partial+final aggregate pair:
+    exactly one exchange, keyed on the group column."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "qa01_quantile_thresholds", sf_dir)
+    assert _exchanges(plan) == 1, f"quantile agg shuffles more than once\n{plan[:2000]}"
+
+
+def test_approx_quantiles_tracks_exact(spark, sf_dir):
+    """The sketch-based scale path: approx_percentile returns a group
+    MEMBER (no interpolation) with rank error < 1 at this accuracy on
+    these group sizes — so each approx value must be one of the two
+    order statistics bracketing the target rank q·(n−1)."""
+    import math
+
+    from ntripmonitor_spark.operators import stats
+    from ntripmonitor_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    approx = {r["source"]: r for r in stats.approx_quantiles(docs).collect()}
+    groups: dict[str, list[int]] = {}
+    for r in docs.select("source", "n_chars").collect():
+        groups.setdefault(r["source"], []).append(r["n_chars"])
+    assert set(groups) == set(approx)
+    for src, vals in groups.items():
+        vals.sort()
+        a = approx[src]
+        assert a["n_docs"] == len(vals)
+        for q, p in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            pos = q * (len(vals) - 1)
+            allowed = {vals[math.floor(pos)], vals[math.ceil(pos)]}
+            assert a[p] in allowed, f"{src} {p}: approx={a[p]} not in {allowed}"
