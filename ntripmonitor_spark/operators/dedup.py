@@ -13,7 +13,7 @@ DuckDB oracle computes the identical signatures).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -87,11 +87,15 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
     # xxhash64(shingle) — an 8-byte long instead of a ~25-byte string,
     # so the self-join shuffles ~3x less and compares longs, not
     # strings (collision odds ~2^-64 per candidate pair: immaterial).
-    # The DF cap is a window count over shingle_h: same shuffle key as
-    # the self-join, so the capped relation arrives at the join already
-    # hash-partitioned by it. n_docs is one bounded scalar folded as a
-    # literal (the same pattern as the ANN anchor folds), read from the
-    # already-persisted shingle relation — not a data-bearing collect.
+    # The DF cap is a HEAVY-HITTERS anti-join, not a window count: the
+    # per-shingle count aggregates with map-side partial combine (tiny
+    # partials — distinct shingles, not raw rows), only shingles ABOVE
+    # the cap survive the filter (bounded by rows/cap ≈ 100·avg
+    # shingles/doc however large the corpus), and that small set is
+    # broadcast anti-joined away — so the full (doc, shingle) relation
+    # is never window-sorted just to learn its frequencies. n_docs is
+    # one bounded scalar folded as a literal (the same pattern as the
+    # ANN anchor folds) — not a data-bearing collect.
     raw = (
         doc_shingles(docs, n)
         .select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
@@ -99,10 +103,19 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
     )
     n_docs = raw.agg(F.countDistinct("doc_id")).first()[0]
     cap = max(min_df_cap, int(max_df_frac * n_docs))
+    hot = (
+        raw.groupBy("shingle_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > F.lit(cap))
+        .select("shingle_h")
+    )
+    # Repartition by the join key BEFORE persisting: the cached capped
+    # relation is then join-ready on both sides of the self-join (zero
+    # exchanges at join time) — the in-memory analog of bucketing the
+    # silver shingle table by shingle_h.
     sh = (
-        raw.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle_h")))
-        .filter(F.col("df") <= F.lit(cap))
-        .select("doc_id", "shingle_h")
+        raw.join(F.broadcast(hot), "shingle_h", "left_anti")
+        .repartition("shingle_h")
         .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

@@ -26,15 +26,19 @@ DECODE_SCHEMA = (
     "doc_id bigint, n_bytes int, width int, height int, checksum string"
 )
 
-REAL_CODECS_AVAILABLE = False  # no PIL/ffmpeg in this container
+try:  # real image codec, if the container ships one
+    import PIL.Image  # noqa: F401
+
+    REAL_CODECS_AVAILABLE = True
+except ImportError:  # pragma: no cover - container-dependent
+    REAL_CODECS_AVAILABLE = False
 
 
 def _decode_stub(payload: bytes) -> tuple[int, int]:
     """Deterministic fake of an image-header decode: derive dimensions
-    from the first two payload bytes. A real build replaces this with
-    PIL/pyav behind the same signature."""
-    if REAL_CODECS_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("wire a real codec here")
+    from the first two payload bytes. The stub is the DEFAULT even when
+    PIL is present — it is what the DuckDB oracle reproduces; the real
+    codec is the opt-in ``real=True`` path below."""
     if not payload:
         return (0, 0)
     w = payload[0] % 64 + 1
@@ -42,21 +46,43 @@ def _decode_stub(payload: bytes) -> tuple[int, int]:
     return (w, h)
 
 
-def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: one Arrow batch in, one metadata frame out."""
-    import hashlib
+def _decode_real(payload: bytes) -> tuple[int, int]:
+    """Actual image-header decode via PIL (lazy: reads the header, not
+    the pixel data)."""
+    if not REAL_CODECS_AVAILABLE:
+        raise NotImplementedError("real image codec requires PIL in the container")
+    import io
 
-    for pdf in batches:
-        dims = pdf["payload"].map(_decode_stub)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": pdf["payload"].map(len).astype("int32"),
-                "width": dims.map(lambda d: d[0]).astype("int32"),
-                "height": dims.map(lambda d: d[1]).astype("int32"),
-                "checksum": pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest()),
-            }
-        )
+    import PIL.Image as Image
+
+    if not payload:
+        return (0, 0)
+    with Image.open(io.BytesIO(payload)) as im:
+        return im.size
+
+
+def _make_decode_batch(decode):
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            dims = pdf["payload"].map(decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "width": dims.map(lambda d: d[0]).astype("int32"),
+                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "checksum": pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return decode_batch
+
+
+#: mapInPandas kernel: one Arrow batch in, one metadata frame out.
+decode_batch = _make_decode_batch(_decode_stub)
+decode_batch_real = _make_decode_batch(_decode_real)
 
 
 def binary_payloads(docs: DataFrame) -> DataFrame:
@@ -65,9 +91,14 @@ def binary_payloads(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
 
 
-def decode_metadata(docs: DataFrame) -> DataFrame:
-    """binary payload → typed metadata via Arrow-batched mapInPandas."""
-    return binary_payloads(docs).mapInPandas(decode_batch, schema=DECODE_SCHEMA)
+def decode_metadata(docs: DataFrame, real: bool = False) -> DataFrame:
+    """binary payload → typed metadata via Arrow-batched mapInPandas.
+
+    ``real=True`` swaps the deterministic stub for the PIL header
+    decode (requires PIL; payloads must then be actual image bytes) —
+    identical schema, batch shape, and partitioning either way."""
+    kernel = decode_batch_real if real else decode_batch
+    return binary_payloads(docs).mapInPandas(kernel, schema=DECODE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -124,10 +124,13 @@ def _read_socket_window(caster: dict, window_s: float) -> list[tuple[str, int, b
             data = sock.recv(8192)
             if not data:
                 raise ConnectionError("EOF")
-        except (TimeoutError, OSError):
-            continue
+        # ConnectionError ⊂ OSError: the reconnect handler must come
+        # FIRST or a graceful EOF falls into the retry-same-socket arm
+        # and the dead connection is never dropped (D7 would stall).
         except ConnectionError:
             _CONNECTIONS.pop(key, None)
+            continue
+        except (TimeoutError, OSError):
             continue
         now_us = time.time_ns() // 1000
         try:
