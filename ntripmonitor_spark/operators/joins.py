@@ -25,7 +25,8 @@ from ntripmonitor_spark.functions.timeutil import epoch_us
 
 
 def asof_join_latest(events: DataFrame, right_pred: Column,
-                     key_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     tolerance_s: int | None = None) -> DataFrame:
     """For every left row (``right_pred`` false), the latest right row
     timestamp at-or-before its own, per key (inclusive: a right row at
     the exact same timestamp matches).
@@ -35,6 +36,12 @@ def asof_join_latest(events: DataFrame, right_pred: Column,
     last right timestamp forward with ``last(ignorenulls)``. Output:
     (event_id, key, ts, asof_ts, gap_us), gap_us null when no prior
     right row exists.
+
+    ``tolerance_s`` bounds the lookback (pandas ``merge_asof``
+    tolerance semantics): a match further back than the tolerance is
+    reported as no match (NULL asof_ts/gap_us). Applied as a post-pass
+    column condition, so the plan shape — one keyed shuffle, one
+    window pass — is unchanged.
     """
     tagged = events.select(
         "event_id", key_col, ts_col,
@@ -46,13 +53,21 @@ def asof_join_latest(events: DataFrame, right_pred: Column,
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = tagged.withColumn("asof_ts", F.last("m_ts", ignorenulls=True).over(w))
-    return filled.filter(F.col("tag") == 1).select(
+    out = filled.filter(F.col("tag") == 1).select(
         "event_id",
         key_col,
         ts_col,
         "asof_ts",
         (epoch_us(ts_col) - epoch_us("asof_ts")).alias("gap_us"),
     )
+    if tolerance_s is not None:
+        within = F.col("gap_us") <= tolerance_s * 1_000_000
+        out = out.select(
+            "event_id", key_col, ts_col,
+            F.when(within, F.col("asof_ts")).alias("asof_ts"),
+            F.when(within, F.col("gap_us")).alias("gap_us"),
+        )
+    return out
 
 
 def range_join_intervals(events: DataFrame, interval_pred: Column,

@@ -56,3 +56,28 @@ def rj01_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested-loop/cartesian plan."""
     ev = table(spark, sf_dir, "events")
     return joins.range_join_intervals(ev, F.col("event_type") == "error", length_s=300)
+
+
+@register(
+    "aj02_asof_tolerance",
+    tags=("joins",),
+    oracle="""
+WITH r AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'error'),
+m AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+SELECT r.event_id, r.user_id, r.ts,
+       CASE WHEN epoch_us(r.ts) - epoch_us(m.ts) <= 600000000
+            THEN m.ts END AS asof_ts,
+       CASE WHEN epoch_us(r.ts) - epoch_us(m.ts) <= 600000000
+            THEN epoch_us(r.ts) - epoch_us(m.ts) END AS gap_us
+FROM r ASOF LEFT JOIN m ON r.user_id = m.user_id AND r.ts >= m.ts
+""",
+)
+def aj02_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 10-minute lookback tolerance (pandas
+    merge_asof tolerance semantics): matches further back report as no
+    match. Same single-shuffle window plan as aj01 — the tolerance is
+    a post-pass column condition, not a join-shape change."""
+    ev = table(spark, sf_dir, "events")
+    return joins.asof_join_latest(
+        ev, F.col("event_type") == "error", tolerance_s=600
+    )

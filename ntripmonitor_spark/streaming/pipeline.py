@@ -79,6 +79,45 @@ def stream_frame_dedup(frames: DataFrame, watermark: str = "10 minutes") -> Data
     )
 
 
+def stream_curation_gate(docs: DataFrame, quality_min: float = 0.5,
+                         watermark: str = "1 hour",
+                         rates: DataFrame | None = None) -> DataFrame:
+    """Streaming slice of the curation funnel (operators/curation.py):
+    the cuts that are per-row or watermark-bounded run on the live
+    document stream; the global ones ride in as broadcast state.
+
+    1. quality gate — stateless column predicate;
+    2. cross-batch exact dedup — ``dropDuplicatesWithinWatermark`` on
+       md5(text), state bounded by the watermark horizon (survivor =
+       FIRST arrival, the streaming analog of the batch min-doc_id
+       winner — identical when docs arrive in id order);
+    3. optional temperature mix — a (source, rate) table from a prior
+       batch stats job, broadcast onto the stream and applied as the
+       same deterministic hash coin as the batch funnel.
+
+    Expects an ``ingest_time`` event-time column. At 100 TB the same
+    plan runs continuously on the ingest firehose; the rates table
+    refreshes from the nightly stats job.
+    """
+    from ntripmonitor_spark.operators.sampling import hash_bucket
+    from ntripmonitor_spark.operators.text import quality_score_col
+
+    d = docs.withColumn("quality_score", quality_score_col(F.col("text"))).filter(
+        F.col("quality_score") >= quality_min
+    )
+    d = (
+        d.withColumn("fp", F.md5(F.col("text")))
+        .withWatermark("ingest_time", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .drop("fp")
+    )
+    if rates is not None:
+        d = d.join(F.broadcast(rates), "source").filter(
+            hash_bucket(F.col("doc_id")) < F.col("rate")
+        ).drop("rate")
+    return d
+
+
 def idempotent_parquet_sink(base_path: str):
     """foreachBatch writer: each micro-batch lands in its own
     ``batch_id=N`` partition with overwrite, so replayed batch ids

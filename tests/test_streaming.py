@@ -226,3 +226,68 @@ def test_incremental_rollup_matches_batch(spark, sf_dir, archive, tmp_path):
     out = str(tmp_path / "rollup_compact")
     ru.compact_rollup(spark, base, out)
     assert _canon(spark.read.parquet(out)) == _canon(want)
+
+
+def test_stream_curation_gate_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming curation slice (quality gate + watermarked exact
+    dedup + broadcast temperature mix) must select the same survivor
+    set as the batch funnel's first three cuts when docs arrive in
+    doc_id order (first-arrival winner == min-doc_id winner)."""
+    import pyspark.sql.functions as F
+
+    from ntripmonitor_spark.operators.sampling import BUCKETS, hash_bucket
+    from ntripmonitor_spark.operators.text import quality_score_col
+
+    docs = table(spark, sf_dir, "documents")
+
+    # batch expectation: gate -> min-doc_id dedup -> mix over survivors
+    from pyspark.sql import Window
+
+    g = docs.withColumn("q", quality_score_col(F.col("text"))).filter(F.col("q") >= 0.5)
+    g = g.withColumn("win", F.min("doc_id").over(Window.partitionBy(F.md5("text")))).filter(
+        F.col("doc_id") == F.col("win")
+    )
+    counts = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    rate = F.floor(
+        F.lit(BUCKETS) * F.least(F.lit(1.0), F.lit(5.0) / F.sqrt(F.col("n_src").cast("double")))
+    ).cast("int")
+    rates = counts.select("source", rate.alias("rate"))
+    expected = {
+        r["doc_id"]
+        for r in g.join(F.broadcast(rates), "source")
+        .filter(hash_bucket(F.col("doc_id")) < F.col("rate"))
+        .select("doc_id")
+        .collect()
+    }
+
+    # stream the same docs (plus exact duplicates of every doc, which
+    # the watermarked dedup must drop) in doc_id order across batches
+    src_path = str(tmp_path / "doc_stream")
+    # offset away from epoch 0: a row AT the initial watermark (0) is
+    # treated as late and dropped
+    stamped = docs.withColumn(
+        "ingest_time", F.timestamp_micros((F.col("doc_id") + 1) * 1_000_000)
+    )
+    dup = stamped.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    stamped.union(dup).orderBy("doc_id").coalesce(1).write.parquet(src_path)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_path)
+    )
+    out = sp.stream_curation_gate(stream, rates=rates)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cur_gate")
+        .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM cur_gate").collect()}
+    assert got == expected, (
+        f"streaming survivors diverge: extra={sorted(got - expected)[:5]} "
+        f"missing={sorted(expected - got)[:5]}"
+    )
