@@ -400,3 +400,94 @@ def decontaminate(docs: DataFrame, benchmark_pred, n: int = 3,
         F.round(frac, 6).alias("contamination_frac"),
         (frac >= 0.8).alias("is_contaminated"),
     )
+
+
+BLOOM_K = 6  # probe hashes; at 20 bits/key the fpp is ~3e-4
+
+
+def _bloom_positions(key: Column, m: int, k: int = BLOOM_K) -> list[Column]:
+    """k bit positions in [0, m) via double hashing: h1 = the 8-byte
+    key itself (already xxhash64 output), h2 = xxhash64 of it again.
+    Both reduce mod m BEFORE combining so the int64 arithmetic never
+    overflows under ANSI mode ((a + j·b) mod m == (a%m + j·(b%m)) mod m)."""
+    h1m = F.pmod(key, F.lit(m))
+    h2m = F.pmod(F.xxhash64(key), F.lit(m))
+    return [F.pmod(h1m + F.lit(j) * h2m, F.lit(m)) for j in range(k)]
+
+
+def bloom_filter_build(keys: DataFrame, key_col: str, n_keys: int,
+                       bits_per_key: int = 20, k: int = BLOOM_K) -> tuple[list[int], int]:
+    """Distributed Bloom-filter build from public primitives (the
+    builtin ``bloom_filter_agg`` is not in the public registry): each
+    key explodes to k bit positions, a groupBy ORs them into 64-bit
+    words, and the dense word list comes back to the driver — bounded
+    by bits_per_key·n_keys/64 longs (≈ the size class of a broadcast
+    of the key set /26, so whenever the keys were broadcastable this
+    certainly is). Returns (words, m)."""
+    m = max(64, ((bits_per_key * max(n_keys, 1) + 63) // 64) * 64)
+    pos = F.explode(F.array(*_bloom_positions(F.col(key_col), m, k))).alias("pos")
+    words_rows = (
+        keys.select(pos)
+        .groupBy((F.col("pos") / 64).cast("long").alias("w"))
+        .agg(F.bit_or(
+            F.call_function("shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int"))
+        ).alias("bits"))
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in words_rows:
+        words[r["w"]] = r["bits"]
+    return words, m
+
+
+def bloom_might_contain(key: Column, words: list[int], m: int,
+                        k: int = BLOOM_K) -> Column:
+    """Membership probe against the literal word array — pure column
+    arithmetic, no join. False positives possible, negatives never."""
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    cond = F.lit(True)
+    for p in _bloom_positions(key, m, k):
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        bit = F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond
+
+
+def decontaminate_bloom(docs: DataFrame, benchmark_pred, n: int = 3,
+                        id_col: str = "doc_id",
+                        bits_per_key: int = 20) -> DataFrame:
+    """Bloom-pre-filtered decontamination: EXACT contaminated-doc hit
+    counts, with a Bloom filter doing the heavy lifting.
+
+    ``decontaminate`` broadcasts the full distinct benchmark shingle-
+    hash set — right while the eval suite fits in a broadcast. This
+    variant demonstrates the shape for when it is borderline: fold the
+    benchmark hashes into a Bloom filter (20 bits/key ≈ 26× smaller
+    than the 8-byte hash set, built distributed by
+    ``bloom_filter_build``) and apply it as a corpus SCAN PREDICATE
+    (``bloom_might_contain`` — column arithmetic, no join): the corpus
+    keeps only probable hits (true hits + ~3e-4 fpp noise), and only
+    that small set pays the exact confirming join — where false
+    positives drop out, so the result is byte-identical to the
+    no-bloom plan (Bloom filters have no false negatives) and the
+    plain-SQL oracle checks it. The confirming join needs no
+    broadcast hint: its probe side is tiny by construction.
+
+    Output: one row per corpus doc with ≥1 exactly-confirmed benchmark
+    shingle: (doc_id, n_contaminated).
+    """
+    sh = doc_shingles(docs, n, id_col=id_col).select(
+        id_col, F.xxhash64("shingle").alias("shingle_h")
+    )
+    bench_ids = docs.filter(benchmark_pred).select(id_col)
+    bench_sh = sh.join(F.broadcast(bench_ids), id_col).select("shingle_h").distinct()
+    n_bench = bench_sh.count()
+    words, m = bloom_filter_build(bench_sh, "shingle_h", n_bench, bits_per_key)
+
+    corpus_sh = sh.join(F.broadcast(bench_ids), id_col, "left_anti")
+    probable = corpus_sh.filter(bloom_might_contain(F.col("shingle_h"), words, m))
+    return (
+        probable.join(bench_sh, "shingle_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_contaminated"))
+    )

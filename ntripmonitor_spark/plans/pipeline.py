@@ -1160,3 +1160,68 @@ def qa01_quantile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.quantile_thresholds(
         table(spark, sf_dir, "documents"), value_col="n_chars", group_col="source"
     )
+
+
+# ---------------------------------------------------------------------------
+# dc02 — Bloom-pre-filtered decontamination (exact results).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dc02_decontamination_bloom",
+    tags=("dedup", "text"),
+    oracle=f"""
+WITH {_SH_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20)
+SELECT corpus.doc_id, CAST(count(*) AS INT) AS n_contaminated
+FROM corpus JOIN bench ON corpus.shingle = bench.shingle
+GROUP BY corpus.doc_id
+""",
+)
+def dc02_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contaminated-doc report via a Bloom pre-filter: benchmark
+    shingle hashes fold into a bloom_filter_agg literal applied as a
+    corpus scan predicate (might_contain); only probable hits reach
+    the exact confirming join, so results are byte-identical to the
+    no-bloom plan (the oracle) while the corpus side never joins the
+    full benchmark set — the shape that survives a benchmark too big
+    to broadcast."""
+    return dedup.decontaminate_bloom(
+        table(spark, sf_dir, "documents"), F.col("doc_id") < 20
+    )
+
+
+# ---------------------------------------------------------------------------
+# cu02 — quantile-adaptive quality gate (qa01 thresholds driving curation).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cu02_adaptive_gate",
+    tags=("curation", "stats"),
+    oracle="""
+WITH t AS (
+    SELECT source, round(quantile_cont(n_chars, 0.5), 4) AS p50
+    FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars, t.p50
+FROM documents d JOIN t ON d.source = t.source
+WHERE d.n_chars >= t.p50
+""",
+)
+def cu02_adaptive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive curation gate: keep each source's top half by document
+    length, with the cutoff COMPUTED from the data (qa01's exact
+    per-source median) instead of a global constant — the two-pass
+    shape of every data-driven filter at scale: a tiny per-group stats
+    aggregate broadcast back onto one corpus scan."""
+    from ntripmonitor_spark.operators import stats
+
+    docs = table(spark, sf_dir, "documents")
+    thresholds = stats.quantile_thresholds(docs, qs=(0.5,)).select("source", "p50")
+    return (
+        docs.join(F.broadcast(thresholds), "source")
+        .filter(F.col("n_chars") >= F.col("p50"))
+        .select("doc_id", "source", "n_chars", "p50")
+    )

@@ -255,3 +255,23 @@ def test_approx_quantiles_tracks_exact(spark, sf_dir):
             pos = q * (len(vals) - 1)
             allowed = {vals[math.floor(pos)], vals[math.ceil(pos)]}
             assert a[p] in allowed, f"{src} {p}: approx={a[p]} not in {allowed}"
+
+
+def test_dc02_bloom_probe_filters_before_join(spark, sf_dir):
+    """dc02: the corpus must reach the exact confirming join through
+    the Bloom probe FILTER (element_at word probes in the plan) — the
+    whole point is that the corpus is filtered by literal arithmetic,
+    not joined against the full benchmark set."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "dc02_decontamination_bloom", sf_dir)
+    assert "element_at" in plan, f"bloom probe missing from corpus path\n{plan[:2000]}"
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_cu02_thresholds_broadcast(spark, sf_dir):
+    """cu02: the per-source quantile thresholds (tiny) must broadcast
+    onto the corpus scan — never sort-merge the corpus against them."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "cu02_adaptive_gate", sf_dir)
+    assert "BroadcastHashJoin" in plan, f"thresholds join not broadcast\n{plan[:2000]}"
+    assert "SortMergeJoin" not in plan, f"corpus sort-merged\n{plan[:2000]}"
