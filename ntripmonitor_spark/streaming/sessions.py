@@ -60,6 +60,10 @@ def sessionize_batch(events: DataFrame, gap_s: int = DEFAULT_GAP_S,
     new_flag = (
         F.when(ts_us - F.lag(ts_us).over(w) > gap_s * 1_000_000, 1).otherwise(0)
     )
+    # No explicit pre-projection needed: Catalyst prunes the scan to
+    # (key, ts) below the window (verified: events ReadSchema is
+    # struct<ts,user_id> in the sn01 plan), so the payload columns
+    # never ride the sessionization exchange.
     sess = events.withColumn("_new", new_flag).withColumn(
         "_sess", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )

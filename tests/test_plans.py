@@ -275,3 +275,15 @@ def test_cu02_thresholds_broadcast(spark, sf_dir):
     plan = _explain(spark, "cu02_adaptive_gate", sf_dir)
     assert "BroadcastHashJoin" in plan, f"thresholds join not broadcast\n{plan[:2000]}"
     assert "SortMergeJoin" not in plan, f"corpus sort-merged\n{plan[:2000]}"
+
+
+def test_sn01_single_exchange_pruned_scan(spark, sf_dir):
+    """sn01 (VERDICT r2 #6): sessionization is ONE exchange on the
+    session key, and Catalyst prunes the events scan to (ts, user_id)
+    — the payload columns never ride the window shuffle."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "sn01_user_sessions", sf_dir)
+    assert _exchanges(plan) == 1, f"sessionization shuffles more than once\n{plan[:2000]}"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"ts", "user_id"}, f"window shuffle carries extra columns: {cols}"
