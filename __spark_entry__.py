@@ -13,7 +13,8 @@ twice since their last code change are exposed under an ``x_`` alias
 (see ``plans.registry.DRIVER_ROTATED_OUT``) so the fixed, modified, new,
 and once-verified queries sit inside the checked window; the remaining
 window slots re-verify ``x_`` aliases. All 68 remain registered under
-canonical names and locally DuckDB-parity-checked.
+canonical names and locally DuckDB-parity-checked (72 registered as of
+round 4).
 """
 
 from __future__ import annotations

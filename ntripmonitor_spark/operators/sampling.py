@@ -156,3 +156,31 @@ def sequence_pack_sorted(docs: DataFrame, pack_tokens: int = 512,
         staged, pack_tokens, n_shards,
         [F.col("n_tokens").desc(), F.col("doc_id").asc()],
     )
+
+
+def split_long_docs(docs: DataFrame, chunk_tokens: int = 128) -> DataFrame:
+    """Sequence SPLITTING — the step before packing for documents
+    longer than the training context: each doc explodes into
+    ceil(n_tokens / chunk_tokens) contiguous chunks; the last chunk
+    carries the remainder.
+
+    Pure per-row generate (sequence + explode) — zero shuffles, zero
+    joins; at 100 TB this fuses into the corpus scan. Output one row
+    per chunk: (doc_id, source, n_tokens, chunk_idx, chunk_len);
+    chunks then feed the packer as independent units (`pack id` keying
+    works unchanged because chunk rows keep their source).
+    """
+    from ntripmonitor_spark.operators.dedup import normalized_words
+
+    n_tok = F.size(normalized_words(F.col("text")))
+    staged = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+    n_chunks = F.ceil(F.col("n_tokens") / F.lit(chunk_tokens)).cast("int")
+    # empty docs still produce one (empty) chunk — greatest(n_chunks, 1)
+    idx = F.explode(F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1))
+    return staged.withColumn("chunk_idx", idx).withColumn(
+        "chunk_len",
+        F.least(
+            F.lit(chunk_tokens),
+            F.col("n_tokens") - F.col("chunk_idx") * chunk_tokens,
+        ).cast("int"),
+    )

@@ -1225,3 +1225,36 @@ def cu02_adaptive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_chars") >= F.col("p50"))
         .select("doc_id", "source", "n_chars", "p50")
     )
+
+
+# ---------------------------------------------------------------------------
+# tp03 — long-document splitting (chunking before packing).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tp03_split_long_docs",
+    tags=("packing",),
+    oracle="""
+WITH staged AS (
+    SELECT doc_id, source,
+           len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(least(128, n_tokens - i * 128) AS INT) AS chunk_len
+FROM (
+    SELECT doc_id, source, n_tokens,
+           unnest(range(0, greatest(CAST(ceil(n_tokens / 128.0) AS BIGINT), 1))) AS i
+    FROM staged
+)
+""",
+)
+def tp03_split_long_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long documents split into 128-token training chunks (the step
+    before packing): pure per-row sequence+explode, zero shuffles —
+    fuses into the corpus scan at any scale."""
+    from ntripmonitor_spark.operators.sampling import split_long_docs
+
+    return split_long_docs(table(spark, sf_dir, "documents"), chunk_tokens=128)

@@ -287,3 +287,24 @@ def test_sn01_single_exchange_pruned_scan(spark, sf_dir):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"ts", "user_id"}, f"window shuffle carries extra columns: {cols}"
+
+
+def test_tp03_split_math_and_plan(spark, sf_dir):
+    """tp03: a 300-token doc yields chunks (128, 128, 44), an empty doc
+    one zero-length chunk; and the plan is a pure generate — zero
+    exchanges, no join (the oracle corpus only has single-chunk docs,
+    so the multi-chunk arithmetic is pinned here)."""
+    from ntripmonitor_spark.operators.sampling import split_long_docs
+
+    docs = spark.createDataFrame(
+        [(1, "s", "tok " * 300), (2, "s", "")],
+        "doc_id long, source string, text string",
+    )
+    rows = {(r["doc_id"], r["chunk_idx"]): r["chunk_len"]
+            for r in split_long_docs(docs, 128).collect()}
+    assert rows == {(1, 0): 128, (1, 1): 128, (1, 2): 44, (2, 0): 0}, rows
+
+    spark.catalog.clearCache()
+    plan = _explain(spark, "tp03_split_long_docs", sf_dir)
+    assert _exchanges(plan) == 0, f"split shuffles\n{plan[:2000]}"
+    assert "Join" not in plan, f"split joins\n{plan[:2000]}"

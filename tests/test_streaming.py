@@ -291,3 +291,48 @@ def test_stream_curation_gate_matches_batch(spark, sf_dir, tmp_path):
         f"streaming survivors diverge: extra={sorted(got - expected)[:5]} "
         f"missing={sorted(expected - got)[:5]}"
     )
+
+
+def test_streaming_kmv_matches_batch(spark, sf_dir, tmp_path):
+    """Mergeable-sketch proof: per-micro-batch KMV partials (blind
+    batch_id appends, same discipline as the incremental rollup) merged
+    on read must give EXACTLY the batch kmv_distinct estimates."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ntripmonitor_spark.operators import sketch
+
+    ev = table(spark, sf_dir, "events")
+    expected = {
+        r["event_type"]: r["kmv_estimate"]
+        for r in sketch.kmv_distinct(ev, k=16).collect()
+    }
+
+    src = str(tmp_path / "kmv_src")
+    ev.select("event_type", "user_id").repartition(4).write.parquet(src)
+    state = str(tmp_path / "kmv_state")
+
+    def write(batch_df, batch_id):
+        sketch.kmv_partial(batch_df, k=16).write.mode("overwrite").parquet(
+            os.path.join(state, f"batch_id={batch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(write)
+        .option("checkpointLocation", str(tmp_path / "kmv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_batches = len([p for p in os.listdir(state) if p.startswith("batch_id=")])
+    assert n_batches > 1, "stream collapsed into one batch; merge path untested"
+
+    got = {
+        r["event_type"]: r["kmv_estimate"]
+        for r in sketch.kmv_merge_estimate(spark.read.parquet(state), k=16).collect()
+    }
+    assert got == expected, f"merged sketch diverged: {got} vs {expected}"
