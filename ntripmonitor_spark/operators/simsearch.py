@@ -401,3 +401,56 @@ def ivf_probe(emb: DataFrame, k_centroids: int = IVF_K, n_queries: int = 10,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_train(emb: DataFrame, k: int = IVF_K, iters: int = 3):
+    """Full Lloyd training loop for the IVF coarse quantizer — the
+    driver-side iteration `ivf_train_step` is one round of.
+
+    Each round: one corpus scan computes assignments (nearest centroid
+    by the same rounded squared-L2 as the step operator) and one
+    aggregate reduces to k rows of (count, per-dim sums, summed
+    min-distance) — collected to the driver (k·dim doubles, bounded)
+    to fold the NEW centroids into the next round's plan as literals.
+    Classic distributed k-means: per-round cost is one scan + one
+    shuffle of k×(dim+2) partials; nothing corpus-sized ever reaches
+    the driver. Empty clusters keep their previous centroid.
+
+    Returns (centroids, inertia_history): centroids as a list of
+    (centroid_id, vector), inertia as the per-round sum of min
+    distances — non-increasing by Lloyd's guarantee (modulo the 1e-6
+    rounding the cross-engine determinism needs).
+    """
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    cents = [list(vec) for _, vec in _collect_seed_vectors(emb, k)]
+    dim = len(cents[0])
+    v = ensure_parallelism(emb).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    history: list[float] = []
+    for _ in range(iters):
+        dists = _seed_dists(F.col("v"), list(enumerate(cents)))
+        assigned = v.select(
+            "v",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cid"),
+            F.array_min(dists).alias("mind"),
+        )
+        rows = (
+            assigned.groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("mind").alias("inertia"),
+                *[F.sum(F.element_at(F.col("v"), i + 1)).alias(f"s{i}")
+                  for i in range(dim)],
+            )
+            .collect()
+        )
+        by_cid = {r["cid"]: r for r in rows}
+        history.append(round(sum(r["inertia"] for r in rows), 6))
+        cents = [
+            [by_cid[c][f"s{i}"] / by_cid[c]["n"] for i in range(dim)]
+            if c in by_cid else cents[c]
+            for c in range(k)
+        ]
+    return list(enumerate(cents)), history

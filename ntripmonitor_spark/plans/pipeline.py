@@ -1258,3 +1258,29 @@ def tp03_split_long_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntripmonitor_spark.operators.sampling import split_long_docs
 
     return split_long_docs(table(spark, sf_dir, "documents"), chunk_tokens=128)
+
+
+# ---------------------------------------------------------------------------
+# ss07 — full IVF training loop (iterative; rows-only driver check).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ss07_ivf_train_full",
+    tags=("simsearch",),
+    # No oracle: a driver-side iterative loop is not SQL-expressible —
+    # the driver records the weaker rows-only check; each single round
+    # is the oracle-checked ss04, and convergence is pytest-pinned.
+)
+def ss07_ivf_train_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three Lloyd rounds of IVF coarse-quantizer training (the
+    driver loop whose single round is ss04): per round one corpus
+    scan + one k-row aggregate; new centroids fold back as literals.
+    Output: converged centroids exploded to scalar rows."""
+    cents, _hist = simsearch.ivf_train(
+        table(spark, sf_dir, "embeddings"), k=8, iters=3
+    )
+    rows = [
+        (cid, i, round(x, 4)) for cid, vec in cents for i, x in enumerate(vec)
+    ]
+    return spark.createDataFrame(rows, "centroid_id int, dim_idx int, component double")

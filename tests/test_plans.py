@@ -308,3 +308,31 @@ def test_tp03_split_math_and_plan(spark, sf_dir):
     plan = _explain(spark, "tp03_split_long_docs", sf_dir)
     assert _exchanges(plan) == 0, f"split shuffles\n{plan[:2000]}"
     assert "Join" not in plan, f"split joins\n{plan[:2000]}"
+
+
+def test_ivf_train_loop_converges(spark, sf_dir):
+    """ss04's driver loop made real: three Lloyd rounds on the
+    embeddings table must produce non-increasing inertia (within the
+    1e-6 rounding slack) and k full-dimension centroids."""
+    from ntripmonitor_spark.operators.simsearch import ivf_train
+    from ntripmonitor_spark.tables import table
+
+    cents, hist = ivf_train(table(spark, sf_dir, "embeddings"), k=4, iters=3)
+    assert len(cents) == 4 and all(len(vec) == 64 for _, vec in cents)
+    assert len(hist) == 3
+    for a, b in zip(hist, hist[1:]):
+        assert b <= a + 1e-3, f"inertia increased across rounds: {hist}"
+
+
+def test_kmv_estimator_accuracy(spark):
+    """KMV statistical sanity: k=64 on 2000 distinct members must land
+    within ~3/sqrt(k) (≈37%) of truth — a loose bound that still
+    catches an off-by-2^x or inverted estimator."""
+    from ntripmonitor_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(2000)], "event_type string, user_id long"
+    )
+    row = kmv_distinct(df, k=64).first()
+    assert row["exact_distinct"] == 2000
+    assert abs(row["kmv_estimate"] - 2000) / 2000 < 0.4, row["kmv_estimate"]
