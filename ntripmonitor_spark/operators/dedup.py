@@ -476,9 +476,11 @@ def decontaminate_bloom(docs: DataFrame, benchmark_pred, n: int = 3,
     Output: one row per corpus doc with ≥1 exactly-confirmed benchmark
     shingle: (doc_id, n_contaminated).
     """
+    # the shingle relation feeds three branches (benchmark side, bloom
+    # build, corpus probe) — persist once, same as dd02's silver table
     sh = doc_shingles(docs, n, id_col=id_col).select(
         id_col, F.xxhash64("shingle").alias("shingle_h")
-    )
+    ).persist()
     bench_ids = docs.filter(benchmark_pred).select(id_col)
     bench_sh = sh.join(F.broadcast(bench_ids), id_col).select("shingle_h").distinct()
     n_bench = bench_sh.count()

@@ -60,6 +60,7 @@ def rj01_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "aj02_asof_tolerance",
+    bench=True,
     tags=("joins",),
     oracle="""
 WITH r AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'error'),

@@ -1169,6 +1169,7 @@ def qa01_quantile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dc02_decontamination_bloom",
+    bench=True,
     tags=("dedup", "text"),
     oracle=f"""
 WITH {_SH_CTE},
@@ -1199,6 +1200,7 @@ def dc02_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cu02_adaptive_gate",
+    bench=True,
     tags=("curation", "stats"),
     oracle="""
 WITH t AS (
@@ -1234,6 +1236,7 @@ def cu02_adaptive_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tp03_split_long_docs",
+    bench=True,
     tags=("packing",),
     oracle="""
 WITH staged AS (
