@@ -107,3 +107,33 @@ def range_join_intervals(events: DataFrame, interval_pred: Column,
     return joined.filter((ts_us >= start_us) & (ts_us < start_us + len_us)).select(
         "event_id", "interval_id", key_col, ts_col, "interval_start"
     )
+
+
+def event_funnel(events: DataFrame, stages: list[tuple[str, str]],
+                 key_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Ordered conversion funnel: for each key, the earliest timestamp
+    of stage 1, then the earliest stage-2 event strictly after it, and
+    so on — the product-analytics "did the user view, then click, then
+    purchase, in that order" question.
+
+    stages = [(event_type_value, output_col), ...].
+
+    Shape: chained conditional window minimums over ONE key
+    partitioning — stage i's cutoff is a window column stage i+1's
+    predicate reads, so Catalyst plans all windows plus the final
+    per-key reduction on a single exchange. No joins, no per-stage
+    passes over the data.
+    """
+    w = Window.partitionBy(key_col)
+    out = events.select(key_col, ts_col, type_col)
+    prev: Column | None = None
+    cols = []
+    for stage_type, out_col in stages:
+        cond = F.col(type_col) == stage_type
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        out = out.withColumn(out_col, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = out_col
+        cols.append(out_col)
+    return out.groupBy(key_col).agg(*[F.min(c).alias(c) for c in cols])

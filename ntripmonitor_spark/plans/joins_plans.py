@@ -82,3 +82,39 @@ def aj02_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.asof_join_latest(
         ev, F.col("event_type") == "error", tolerance_s=600
     )
+
+
+@register(
+    "fn01_conversion_funnel",
+    bench=True,
+    tags=("joins", "analytics"),
+    oracle="""
+WITH s1 AS (
+    SELECT user_id, ts, event_type,
+           min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS view_ts
+    FROM events
+),
+s2 AS (
+    SELECT *, min(CASE WHEN event_type = 'click' AND ts > view_ts THEN ts END)
+                  OVER (PARTITION BY user_id) AS click_ts
+    FROM s1
+),
+s3 AS (
+    SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > click_ts THEN ts END)
+                  OVER (PARTITION BY user_id) AS purchase_ts
+    FROM s2
+)
+SELECT user_id, min(view_ts) AS view_ts, min(click_ts) AS click_ts,
+       min(purchase_ts) AS purchase_ts
+FROM s3 GROUP BY user_id
+""",
+)
+def fn01_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase ordered funnel per user: chained
+    conditional window minimums on one key partitioning — a single
+    exchange for the whole funnel, no joins, no per-stage scans."""
+    ev = table(spark, sf_dir, "events")
+    return joins.event_funnel(
+        ev, [("view", "view_ts"), ("click", "click_ts"), ("purchase", "purchase_ts")]
+    )

@@ -336,3 +336,14 @@ def test_kmv_estimator_accuracy(spark):
     row = kmv_distinct(df, k=64).first()
     assert row["exact_distinct"] == 2000
     assert abs(row["kmv_estimate"] - 2000) / 2000 < 0.4, row["kmv_estimate"]
+
+
+def test_fn01_funnel_single_exchange(spark, sf_dir):
+    """fn01: all three chained funnel stages plus the final per-key
+    reduction must plan on ONE exchange (the key partitioning is
+    reused across every window pass) — per-stage scans or joins would
+    multiply the corpus cost by the funnel depth."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "fn01_conversion_funnel", sf_dir)
+    assert _exchanges(plan) == 1, f"funnel shuffles per stage\n{plan[:2000]}"
+    assert "Join" not in plan, f"funnel joins crept in\n{plan[:2000]}"
