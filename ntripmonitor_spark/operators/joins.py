@@ -137,3 +137,30 @@ def event_funnel(events: DataFrame, stages: list[tuple[str, str]],
         prev = out_col
         cols.append(out_col)
     return out.groupBy(key_col).agg(*[F.min(c).alias(c) for c in cols])
+
+
+def cohort_retention(events: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    day; for each (cohort_day, days_since) cell, how many of that
+    cohort's users were active that day.
+
+    Shape: the cohort assignment is a window minimum on the key
+    partitioning (no self-join back onto the activity — the classic
+    formulation joins first-seen per user against the event log; the
+    window form never moves the log twice), then one aggregate with
+    count-distinct. Two exchanges total at any scale.
+    """
+    w = Window.partitionBy(key_col)
+    t0 = F.min(F.col(ts_col)).over(w)
+    staged = events.select(
+        key_col,
+        F.to_date(t0).alias("cohort_day"),
+        F.to_date(F.col(ts_col)).alias("_day"),
+    )
+    return (
+        staged.groupBy(
+            "cohort_day", F.datediff(F.col("_day"), F.col("cohort_day")).alias("days_since")
+        )
+        .agg(F.countDistinct(key_col).alias("n_users"))
+    )

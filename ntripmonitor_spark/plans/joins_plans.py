@@ -118,3 +118,26 @@ def fn01_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.event_funnel(
         ev, [("view", "view_ts"), ("click", "click_ts"), ("purchase", "purchase_ts")]
     )
+
+
+@register(
+    "fn02_cohort_retention",
+    bench=True,
+    tags=("joins", "analytics"),
+    oracle="""
+WITH t AS (
+    SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS t0 FROM events
+)
+SELECT CAST(date_trunc('day', t0) AS DATE) AS cohort_day,
+       date_diff('day', CAST(date_trunc('day', t0) AS DATE),
+                        CAST(date_trunc('day', ts) AS DATE)) AS days_since,
+       count(DISTINCT user_id) AS n_users
+FROM t GROUP BY 1, 2
+""",
+)
+def fn02_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (first-activity-day cohorts × active
+    days since): window-min cohort assignment on one key partitioning
+    + one count-distinct aggregate — the event log is never joined
+    against itself."""
+    return joins.cohort_retention(table(spark, sf_dir, "events"))

@@ -347,3 +347,13 @@ def test_fn01_funnel_single_exchange(spark, sf_dir):
     plan = _explain(spark, "fn01_conversion_funnel", sf_dir)
     assert _exchanges(plan) == 1, f"funnel shuffles per stage\n{plan[:2000]}"
     assert "Join" not in plan, f"funnel joins crept in\n{plan[:2000]}"
+
+
+def test_fn02_no_self_join_two_exchanges(spark, sf_dir):
+    """fn02: cohort assignment is a window min, not a first-seen
+    self-join — the event log must never appear twice in the plan; two
+    exchanges total (key window + final aggregate)."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "fn02_cohort_retention", sf_dir)
+    assert "Join" not in plan, f"cohort self-join crept in\n{plan[:2000]}"
+    assert _exchanges(plan) <= 2, f"retention shuffles more than twice\n{plan[:2000]}"
