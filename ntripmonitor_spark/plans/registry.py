@@ -52,8 +52,9 @@ def bench_queries() -> dict[str, Query]:
 # TIMESTAMP_NTZ shift plus the array-output fix (aj01, rj01, sn01, sn02,
 # ss04), the r3-modified operators with only one post-change verification
 # (tp01, tp02, cu01, dd02, dd04), the once-verified r3 rotations (sp03, ss03,
-# tx07), and the new round-4 operators (qa01, ss05, ss06). With 16 canonical
-# names exposed, the remaining ~34 window slots re-verify x_ aliases
+# tx07), and the new round-4 operators (qa01, ss05-ss07, aj02, dc02, cu02,
+# tp03, fn01, fn02). With ~23 canonical
+# names exposed, the remaining ~27 window slots re-verify x_ aliases
 # alphabetically — nothing is hidden from the driver, only ordered. Every
 # query stays registered under its canonical name for tests/bench and remains
 # in the local DuckDB parity suite (tests/test_parity.py) at every SF.
