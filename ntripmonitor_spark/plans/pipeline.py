@@ -1287,3 +1287,45 @@ def ss07_ivf_train_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cid, i, round(x, 4)) for cid, vec in cents for i, x in enumerate(vec)
     ]
     return spark.createDataFrame(rows, "centroid_id int, dim_idx int, component double")
+
+
+# ---------------------------------------------------------------------------
+# lo01 — Z-order (Morton) clustering code (layout family).
+# ---------------------------------------------------------------------------
+
+_Z_TERMS = " | ".join(
+    f"(((xa >> {i}) & 1) << {2 * i}) | (((xb >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16)
+)
+
+
+@register(
+    "lo01_zorder_code",
+    tags=("layout",),
+    oracle=f"""
+WITH s AS (
+    SELECT min(CAST(user_id AS DOUBLE)) AS loa, max(CAST(user_id AS DOUBLE)) AS hia,
+           min(CAST(value AS DOUBLE)) AS lob, max(CAST(value AS DOUBLE)) AS hib
+    FROM events
+),
+b AS (
+    SELECT event_id,
+           CAST(floor(least(greatest((CAST(user_id AS DOUBLE) - s.loa)
+                / (CASE WHEN s.hia > s.loa THEN s.hia - s.loa ELSE 1 END), 0), 1) * 65535) AS BIGINT) AS xa,
+           CAST(floor(least(greatest((CAST(value AS DOUBLE) - s.lob)
+                / (CASE WHEN s.hib > s.lob THEN s.hib - s.lob ELSE 1 END), 0), 1) * 65535) AS BIGINT) AS xb
+    FROM events CROSS JOIN s
+)
+SELECT event_id, {_Z_TERMS} AS z FROM b
+""",
+)
+def lo01_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton code over (user_id, value): both dimensions min/max-
+    scaled to 16 bits (bounds one tiny agg, folded as literals) and
+    bit-interleaved — the write-time clustering key that gives every
+    output file a tight bounding box in BOTH dimensions, so parquet
+    min/max stats prune scans on either predicate."""
+    from ntripmonitor_spark.functions.zorder import zorder_code
+
+    ev = table(spark, sf_dir, "events")
+    return zorder_code(ev, "user_id", "value").select("event_id", "z")
