@@ -24,18 +24,36 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _pin_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Pin the session time zone to UTC before planning.
+
+    The engine's own session builder (ntripmonitor_spark/session.py) pins
+    UTC, but the driver supplies its own SparkSession here. Epoch
+    arithmetic on TIMESTAMP_NTZ columns (functions/timeutil.epoch_us) and
+    timestamp collection both reinterpret through the session zone, and
+    the DuckDB oracle treats naive timestamps as UTC wall time — so the
+    contract only holds under UTC. Idempotent; a no-op when already UTC.
+    """
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from ntripmonitor_spark.plans import REGISTRY
 
-    return REGISTRY["q05_rate_normalization"].fn(spark, "/root/testdata/sf0.001")
+    return _pin_utc(REGISTRY["q05_rate_normalization"].fn)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from ntripmonitor_spark.plans.registry import exposed_items
 
-    return {name: q.fn for name, q in exposed_items()}
+    return {name: _pin_utc(q.fn) for name, q in exposed_items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,133 @@
+"""Sparse-retrieval operators for training-data pipelines: inverted
+index construction and BM25 top-k scoring.
+
+Retrieval is a first-class training-data operation (data selection by
+query relevance, targeted decontamination, nearest-neighbour text
+search without embeddings). The reference has no retrieval surface;
+these extend it the way the dedup/similarity families do
+(cf. SURVEY.md §2 north-star scope, /root/reference/README.md:31-43 for
+the reference's analytics-only surface).
+
+100 TB shapes:
+
+* Inverted index: one explode + one groupBy keyed on the term — an
+  8-byte-hashable key, partial-aggregated map-side. Posting lists are
+  capped (``max_postings``): an uncapped ``collect_list`` on a stopword
+  term would funnel a constant fraction of the corpus through one
+  reducer — the classic build-side skew. Real engines shard postings;
+  the cap keeps the demo oracle-checkable while documenting the limit.
+* BM25: query terms are a literal filter pushed below the explode's
+  shuffle, so only postings for queried terms ever move; corpus-level
+  statistics (N, avgdl) ride in as a broadcast one-row join; per-term
+  document frequencies are a window count over the filtered postings
+  (no second corpus scan). Two corpus scans total (stats + postings),
+  never a self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ntripmonitor_spark.operators.dedup import normalized_words
+
+
+def doc_terms(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, doc_len): one row per distinct term per doc.
+
+    ``doc_len`` (whitespace token count) is computed before the explode
+    so it needs no second pass over the corpus.
+    """
+    staged = docs.select(
+        "doc_id", normalized_words(F.col("text")).alias("_toks")
+    ).select("doc_id", F.explode("_toks").alias("term"), F.size("_toks").alias("doc_len"))
+    return staged.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("doc_len").alias("doc_len")
+    )
+
+
+def inverted_index(docs: DataFrame, max_postings: int = 64) -> DataFrame:
+    """Term → (df, total tf, capped sorted posting list).
+
+    Postings are emitted as a comma-joined string of the first
+    ``max_postings`` doc_ids in ascending order — a deterministic,
+    oracle-comparable surrogate for a sharded posting file. The cap
+    bounds per-term reducer state; at scale, postings beyond the cap
+    live in further shards keyed by (term, shard).
+    """
+    terms = doc_terms(docs)
+    return terms.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("tf_total"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_postings), ","
+        ).alias("postings"),
+    )
+
+
+def bm25_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
+              k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-``k`` documents per query under BM25 (Lucene idf variant).
+
+    ``queries`` is a small literal list [(query_id, [terms...]), ...] —
+    folded into the plan as a filter + broadcast dim, never a shuffle
+    side. Scoring: idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf = ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Output: (query_id, rank, doc_id, score).
+    """
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    spark = docs.sparkSession
+
+    # Corpus stats BEFORE the term filter: N and avgdl describe the
+    # whole collection. One row; rides along as a broadcast.
+    stats = docs.select(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(normalized_words(F.col("text")))).alias("avgdl"),
+    )
+
+    # Document frequency as a window count over the (already query-term-
+    # filtered) postings relation — not a separate aggregation branch,
+    # which would re-scan and re-explode the whole corpus a second time.
+    # The window exchange moves only queried-term postings.
+    terms = (
+        doc_terms(docs)
+        .filter(F.col("term").isin(all_terms))
+        .withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    )
+
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts], "query_id int, term string"
+    )
+
+    scored = (
+        terms.join(F.broadcast(qdf), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("doc_len") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        # Rounded to 6 decimals BEFORE ranking: the rank cut is then
+        # cross-engine deterministic (ulp-level ln/sum-order noise
+        # can't reorder the top-k boundary); ties break on doc_id.
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

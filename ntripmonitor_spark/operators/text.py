@@ -239,3 +239,32 @@ def unigram_surprisal(docs: DataFrame, vocab_size: int = 64) -> DataFrame:
         n.alias("n_tokens"),
         F.round(F.when(n > 0, total_surprisal / n), 6).alias("mean_surprisal"),
     )
+
+
+def bpe_pair_counts(docs: DataFrame, top_n: int = 40) -> DataFrame:
+    """Adjacent-token pair frequencies — the counting step of one BPE
+    merge round (the top pair is the merge a BPE trainer would apply).
+
+    Pairs are built token-array-side with zip_with over two shifted
+    slices (O(1) per element; see word_shingles for the element_at
+    inlining trap), then one pair-keyed aggregate. Map-side combine
+    collapses each partition to |distinct pairs| rows before the
+    exchange, and the final sort-limit moves only top_n rows — the same
+    "fit a tiny model" shape as unigram_model, iterable for multi-round
+    BPE training. Deterministic ties: (count DESC, pair ASC).
+    """
+    toks = normalized_words(F.col("text"))
+    staged = docs.select(F.col("doc_id"), toks.alias("_toks"))
+    m = F.greatest(F.size(F.col("_toks")) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(F.col("_toks"), F.lit(1), m),
+        F.slice(F.col("_toks"), F.lit(2), m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        staged.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )

@@ -1,0 +1,122 @@
+"""Per-key time-series operators: rolling-statistic anomaly detection
+and gap filling (LOCF + linear interpolation) over a bucket spine.
+
+These extend the reference's gap analytics — the Grafana heatmap panel
+counts epochs per (bucket, mountpoint) and reads empty buckets as data
+gaps (/root/reference/initgrafana/dashboards/RTCM monitor.json:949,
+SURVEY.md §2.5 Q16) — to the fill side TimescaleDB users get from
+``locf()``/``interpolate()`` in time_bucket_gapfill.
+
+100 TB shapes: both operators are window passes over a single keyed
+exchange (the key partitioning bounds state; no self-joins). The spine
+explode in :func:`gap_fill` emits (range/bucket) rows per key — output-
+proportional, not input-proportional — and composes with the shard
+trick from the packing operators if one key's range dwarfs the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ntripmonitor_spark.functions.timeutil import epoch_us
+
+
+def rolling_zscore(events: DataFrame, n: int = 20, key_col: str = "user_id",
+                   ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """z-score of each value against the trailing ``n`` values of the
+    same key (the current row excluded, so a spike can't mask itself).
+
+    One exchange on the key; the rolling frame is ROWS-bounded so
+    per-row state is O(n) regardless of data volume.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+        .rowsBetween(-n, -1)
+    )
+    return events.select(
+        "event_id",
+        key_col,
+        ts_col,
+        value_col,
+        F.avg(value_col).over(w).alias("roll_mean"),
+        F.stddev_samp(value_col).over(w).alias("roll_std"),
+        F.count(value_col).over(w).alias("roll_n"),
+    )
+
+
+def zscore_anomalies(events: DataFrame, n: int = 20, z: float = 3.0,
+                     min_n: int = 8, **kw) -> DataFrame:
+    """Events whose value sits more than ``z`` rolling standard
+    deviations from the trailing mean (warm-up rows with fewer than
+    ``min_n`` trailing samples are not judged)."""
+    r = rolling_zscore(events, n=n, **kw)
+    zcol = (F.col("value") - F.col("roll_mean")) / F.col("roll_std")
+    return (
+        r.filter((F.col("roll_n") >= min_n) & (F.col("roll_std") > 0))
+        .withColumn("zscore", zcol)
+        .filter(F.abs(F.col("zscore")) > z)
+        .select("event_id", "user_id", "ts", "value", "zscore")
+    )
+
+
+def gap_fill(events: DataFrame, bucket_s: int = 3600, key_col: str = "user_id",
+             ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Dense per-key bucket series with gap fill.
+
+    Buckets ``ts`` at ``bucket_s`` grain, averages observed values per
+    (key, bucket), then generates every bucket between each key's first
+    and last observation and fills the empty ones two ways:
+
+    * ``v_locf``  — last observation carried forward;
+    * ``v_interp`` — linear interpolation between the surrounding
+      observations (null before the first / after the last, where LOCF
+      still answers).
+
+    Output: (key, bkt, v_obs, v_locf, v_interp) — ``v_obs`` null marks
+    a filled gap. Two exchanges: the bucket aggregation and the spine
+    window pass, both keyed by ``key_col``.
+    """
+    bkt_us = bucket_s * 1_000_000
+    observed = (
+        events.select(
+            key_col,
+            F.floor(epoch_us(ts_col) / bkt_us).cast("long").alias("bkt"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy(key_col, "bkt")
+        .agg(F.avg("v").alias("v_obs"))
+    )
+    spine = (
+        observed.groupBy(key_col)
+        .agg(F.min("bkt").alias("_mn"), F.max("bkt").alias("_mx"))
+        .select(key_col, F.explode(F.sequence("_mn", "_mx")).alias("bkt"))
+    )
+    dense = spine.join(observed, [key_col, "bkt"], "left")
+
+    w_back = (
+        Window.partitionBy(key_col).orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(key_col).orderBy("bkt")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last("v_obs", ignorenulls=True).over(w_back)
+    next_v = F.first("v_obs", ignorenulls=True).over(w_fwd)
+    prev_b = F.last(F.when(F.col("v_obs").isNotNull(), F.col("bkt")), ignorenulls=True).over(w_back)
+    next_b = F.first(F.when(F.col("v_obs").isNotNull(), F.col("bkt")), ignorenulls=True).over(w_fwd)
+
+    interp = F.when(
+        F.col("v_obs").isNotNull(), F.col("v_obs")
+    ).otherwise(
+        prev_v + (next_v - prev_v) * (F.col("bkt") - prev_b) / (next_b - prev_b)
+    )
+    return dense.select(
+        key_col,
+        "bkt",
+        "v_obs",
+        prev_v.alias("v_locf"),
+        interp.alias("v_interp"),
+    )

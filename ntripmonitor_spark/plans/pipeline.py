@@ -1329,3 +1329,33 @@ def lo01_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return zorder_code(ev, "user_id", "value").select("event_id", "z")
+
+
+# ---------------------------------------------------------------------------
+# tx08 — BPE pair-merge counting step.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx08_bpe_pairs",
+    bench=True,
+    tags=("text",),
+    oracle="""
+WITH t AS (
+    SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM t, unnest([toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))]) AS u(pair)
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 40
+""",
+)
+def tx08_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 adjacent-token pairs — the counting step of one BPE merge
+    round. Pairs are built array-side (zip_with over shifted slices,
+    no element_at inlining trap), then one pair-keyed aggregate with
+    map-side combine; only top_n rows cross the final sort-limit.
+    Deterministic ties: (count DESC, pair ASC)."""
+    return text.bpe_pair_counts(table(spark, sf_dir, "documents"), top_n=40)

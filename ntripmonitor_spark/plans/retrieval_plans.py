@@ -1,0 +1,99 @@
+"""Sparse-retrieval queries (bm*/in*): inverted index and BM25 top-k
+over the documents table — the retrieval leg of a training-data
+pipeline (relevance-based data selection, targeted decontamination)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ntripmonitor_spark.operators import retrieval
+from ntripmonitor_spark.plans.registry import register
+from ntripmonitor_spark.tables import table
+
+# Fixed literal query set: terms drawn from the synthetic corpus
+# vocabulary, folded into the plan as a pushed-down filter + broadcast
+# dim (never a shuffle side).
+BM25_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["hash", "join", "merge"]),
+    (2, ["stream", "window", "batch"]),
+    (3, ["vector", "scan", "filter"]),
+]
+
+_Q_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in BM25_QUERIES for t in ts
+)
+_Q_TERMS = ", ".join(sorted({f"'{t}'" for _, ts in BM25_QUERIES for t in ts}))
+
+_TOKS_CTE = (
+    "t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks "
+    "FROM documents)"
+)
+
+
+@register(
+    "in01_inverted_index",
+    bench=True,
+    tags=("retrieval",),
+    oracle=f"""
+WITH {_TOKS_CTE},
+dt AS (
+    SELECT doc_id, tok AS term, count(*) AS tf
+    FROM t, unnest(toks) AS u(tok)
+    GROUP BY 1, 2
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS tf_total,
+       array_to_string(list_sort(list(doc_id))[1:64], ',') AS postings
+FROM dt GROUP BY term
+""",
+)
+def in01_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term → (df, total tf, capped sorted posting list): one explode +
+    one term-keyed aggregate, postings capped at 64 doc_ids so a
+    stopword term can't funnel the corpus through one reducer."""
+    return retrieval.inverted_index(table(spark, sf_dir, "documents"), max_postings=64)
+
+
+@register(
+    "bm01_bm25_topk",
+    bench=True,
+    tags=("retrieval",),
+    oracle=f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t),
+dt AS (
+    SELECT doc_id, tok AS term, count(*) AS tf, min(len(toks)) AS doc_len
+    FROM t, unnest(toks) AS u(tok)
+    WHERE tok IN ({_Q_TERMS})
+    GROUP BY 1, 2
+),
+dfd AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+q(query_id, term) AS (VALUES {_Q_VALUES}),
+sc AS (
+    SELECT q.query_id, dt.doc_id,
+           round(sum(
+               ln(1 + (stats.n_docs - dfd.df + 0.5) / (dfd.df + 0.5))
+               * (dt.tf * (1.2 + 1))
+               / (dt.tf + 1.2 * (0.25 + 0.75 * dt.doc_len / stats.avgdl))
+           ), 6) AS score
+    FROM dt JOIN dfd USING (term) JOIN q USING (term) CROSS JOIN stats
+    GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+    ) AS rank FROM sc
+) WHERE rank <= 10
+""",
+)
+def bm01_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per query (Lucene idf, k1=1.2 b=0.75): query terms
+    filter the postings below the shuffle, corpus stats ride as a
+    one-row broadcast, document frequency is a window count over the
+    filtered postings, rank moves only k rows per query. Scores rounded
+    to 6 decimals in both engines (rank is taken on the rounded score
+    so the cut is cross-engine deterministic)."""
+    return retrieval.bm25_topk(
+        table(spark, sf_dir, "documents"), BM25_QUERIES, k=10
+    )

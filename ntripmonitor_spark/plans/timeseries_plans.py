@@ -1,0 +1,81 @@
+"""Per-key time-series queries (an*/ts*): rolling-statistic anomaly
+detection and gap filling over the events table — the fill side of the
+reference's gap analytics (the Grafana heatmap reads empty buckets as
+gaps, RTCM monitor.json:949 / SURVEY.md Q16; TimescaleDB users get
+locf()/interpolate() from time_bucket_gapfill)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ntripmonitor_spark.operators import timeseries
+from ntripmonitor_spark.plans.registry import register
+from ntripmonitor_spark.tables import table
+
+
+@register(
+    "an01_rolling_zscore",
+    bench=True,
+    tags=("timeseries",),
+    oracle="""
+WITH r AS (
+    SELECT event_id, user_id, ts, value,
+           avg(value) OVER w AS roll_mean,
+           stddev_samp(value) OVER w AS roll_std,
+           count(value) OVER w AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts, value, (value - roll_mean) / roll_std AS zscore
+FROM r
+WHERE roll_n >= 8 AND roll_std > 0 AND abs((value - roll_mean) / roll_std) > 3
+""",
+)
+def an01_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events more than 3 rolling standard deviations from their key's
+    trailing-20 mean (current row excluded; warm-up rows unjudged):
+    one key-partitioned window pass, O(n) state per row, one exchange
+    at any scale."""
+    return timeseries.zscore_anomalies(table(spark, sf_dir, "events"), n=20, z=3.0, min_n=8)
+
+
+@register(
+    "ts01_gap_fill",
+    bench=True,
+    tags=("timeseries",),
+    oracle="""
+WITH b AS (
+    SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bkt,
+           avg(value) AS v_obs
+    FROM events GROUP BY 1, 2
+),
+r AS (SELECT user_id, min(bkt) AS mn, max(bkt) AS mx FROM b GROUP BY 1),
+s AS (SELECT r.user_id, u.bkt FROM r, unnest(generate_series(r.mn, r.mx)) AS u(bkt)),
+d AS (
+    SELECT s.user_id, s.bkt, b.v_obs
+    FROM s LEFT JOIN b ON b.user_id = s.user_id AND b.bkt = s.bkt
+)
+SELECT user_id, bkt, v_obs,
+       last_value(v_obs IGNORE NULLS) OVER wb AS v_locf,
+       CASE WHEN v_obs IS NOT NULL THEN v_obs ELSE
+           last_value(v_obs IGNORE NULLS) OVER wb
+           + (first_value(v_obs IGNORE NULLS) OVER wf
+              - last_value(v_obs IGNORE NULLS) OVER wb)
+           * (bkt - last_value(CASE WHEN v_obs IS NOT NULL THEN bkt END IGNORE NULLS) OVER wb)
+           / (first_value(CASE WHEN v_obs IS NOT NULL THEN bkt END IGNORE NULLS) OVER wf
+              - last_value(CASE WHEN v_obs IS NOT NULL THEN bkt END IGNORE NULLS) OVER wb)
+       END AS v_interp
+FROM d
+WINDOW wb AS (PARTITION BY user_id ORDER BY bkt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       wf AS (PARTITION BY user_id ORDER BY bkt
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+""",
+)
+def ts01_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly per-user series: observed bucket averages plus
+    LOCF and linear-interpolation fills for the empty buckets. Bucket
+    agg + spine explode + one window pass, all keyed by user — two
+    exchanges total; spine size is output-proportional."""
+    return timeseries.gap_fill(table(spark, sf_dir, "events"), bucket_s=3600)

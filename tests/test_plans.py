@@ -357,3 +357,61 @@ def test_fn02_no_self_join_two_exchanges(spark, sf_dir):
     plan = _explain(spark, "fn02_cohort_retention", sf_dir)
     assert "Join" not in plan, f"cohort self-join crept in\n{plan[:2000]}"
     assert _exchanges(plan) <= 2, f"retention shuffles more than twice\n{plan[:2000]}"
+
+
+def test_an01_single_exchange_no_join(spark, sf_dir):
+    """an01: the rolling-statistics anomaly scan is ONE key-partitioned
+    window pass — a second exchange or a join would mean the rolling
+    frame got re-expressed as a self-join."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "an01_rolling_zscore", sf_dir)
+    assert _exchanges(plan) == 1, f"an01 shuffles more than once\n{plan[:2000]}"
+    assert "Join" not in plan, f"an01 rolling frame became a join\n{plan[:2000]}"
+
+
+def test_ts01_two_exchanges_no_nested_loop(spark, sf_dir):
+    """ts01: bucket aggregation + spine window, both keyed by user —
+    two exchanges; the spine↔observed attach must be an equi
+    (hash/broadcast) join, never a nested loop."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "ts01_gap_fill", sf_dir)
+    assert _exchanges(plan) <= 2, f"ts01 extra shuffles\n{plan[:2000]}"
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, (
+        f"ts01 spine join degenerated\n{plan[:2000]}"
+    )
+
+
+def test_in01_two_exchanges(spark, sf_dir):
+    """in01: (doc,term) tf aggregate + term-keyed posting aggregate =
+    two exchanges, join-free."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "in01_inverted_index", sf_dir)
+    assert _exchanges(plan) == 2, f"in01 unexpected shuffle count\n{plan[:2000]}"
+    assert "Join" not in plan, f"in01 join crept in\n{plan[:2000]}"
+
+
+def test_tx08_single_exchange_sort_limited(spark, sf_dir):
+    """tx08: one pair-keyed aggregate exchange; the top-n must compile
+    to TakeOrderedAndProject (only top_n rows move to the driver-side
+    limit), not a global Sort."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "tx08_bpe_pairs", sf_dir)
+    assert _exchanges(plan) == 1, f"tx08 unexpected shuffles\n{plan[:2000]}"
+    assert "TakeOrderedAndProject" in plan, f"tx08 global sort instead of top-k\n{plan[:2000]}"
+
+
+def test_bm01_no_sortmerge_stats_broadcast(spark, sf_dir):
+    """bm01: every join (query dim, 1-row stats cross) must broadcast —
+    the postings relation is the only thing allowed through an
+    exchange; a SortMergeJoin would mean the corpus got shuffled onto
+    a join key. Also pins the rank step to a WindowGroupLimit (top-k
+    pushdown), the exchange budget (5: tf agg, df window on term,
+    1-row stats partial, score agg, rank), and that only TWO parquet
+    scans exist (stats + postings; the df branch must not re-scan)."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "bm01_bm25_topk", sf_dir)
+    assert "SortMergeJoin" not in plan, f"bm01 corpus-side sort-merge join\n{plan[:2000]}"
+    assert "WindowGroupLimit" in plan, f"bm01 rank without top-k pushdown\n{plan[:2000]}"
+    assert _exchanges(plan) <= 5, f"bm01 extra shuffles\n{plan[:2000]}"
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2, f"bm01 corpus scanned more than twice\n{tree}"
