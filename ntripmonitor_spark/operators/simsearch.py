@@ -454,3 +454,79 @@ def ivf_train(emb: DataFrame, k: int = IVF_K, iters: int = 3):
             for c in range(k)
         ]
     return list(enumerate(cents)), history
+
+
+def semantic_dedup(emb: DataFrame, k_centroids: int = IVF_K,
+                   threshold: float = 0.3) -> DataFrame:
+    """SemDeDup-style cluster-scoped embedding dedup: vectors are
+    assigned to their nearest coarse-quantizer cell (seeds 0..k−1 as
+    literals, same assignment as `ivf_probe`), pairwise cosine runs
+    ONLY within a cell, and a vector is dropped when a lower-id vector
+    in its cell sits at-or-above the threshold (keep-lowest-id rule —
+    deterministic and oracle-reproducible).
+
+    Scale shape: the pairwise stage is an equi self-join on the cell id
+    — never a corpus cross-join. Cell population is the knob: k scales
+    with the corpus (SemDeDup uses k ≈ √N clusters) so per-cell
+    pairwise work stays bounded; the cell id is also the storage
+    partition key, making the join co-located at rest. Output:
+    (vec_id, cell, is_kept).
+    """
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    seeds = _collect_seed_vectors(emb, k_centroids)
+    v = ensure_parallelism(emb).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    dists = _seed_dists(F.col("v"), seeds)
+    corpus = v.withColumn(
+        "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+
+    a = corpus.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
+        F.col("nrm").alias("an"), "cell",
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"), "cell",
+    )
+    cos = F.round(dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6)
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cos >= threshold)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return corpus.join(dups, "vec_id", "left").select(
+        "vec_id", "cell", F.col("_dup").isNull().alias("is_kept")
+    )
+
+
+def ann_recall(emb: DataFrame, k_centroids: int = IVF_K, n_queries: int = 10,
+               nprobe: int = 2, k: int = 5) -> DataFrame:
+    """Recall@k of the IVF probe against the exact brute-force top-k —
+    the evaluation harness every ANN deployment needs (was the nprobe
+    budget enough?).
+
+    Both sides are the operators under test; the comparison itself
+    moves only n_queries × k id pairs. Output: (query_id, n_hits,
+    recall) with recall = n_hits / k.
+    """
+    bf = knn_bruteforce(emb, n_queries=n_queries, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    ann = ivf_probe(
+        emb, k_centroids=k_centroids, n_queries=n_queries, nprobe=nprobe, k=k
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    return (
+        bf.join(F.broadcast(ann), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").cast("int").alias("n_hits"))
+        .select(
+            "query_id", "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
+        )
+    )

@@ -1359,3 +1359,114 @@ def tx08_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine; only top_n rows cross the final sort-limit.
     Deterministic ties: (count DESC, pair ASC)."""
     return text.bpe_pair_counts(table(spark, sf_dir, "documents"), top_n=40)
+
+
+# ---------------------------------------------------------------------------
+# dd07 — SemDeDup cluster-scoped embedding dedup.
+# ---------------------------------------------------------------------------
+
+_CELL_CTE = f"""
+seeds AS (SELECT vec_id AS cid, vec AS sv FROM v WHERE vec_id < 8),
+cd AS (
+    SELECT v.vec_id, seeds.cid,
+           round(list_sum(list_transform(range(1, 65),
+               i -> (v.vec[i] - seeds.sv[i]) * (v.vec[i] - seeds.sv[i]))), 6) AS dist
+    FROM v CROSS JOIN seeds
+),
+cells AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+        FROM cd
+    ) WHERE rk = 1
+)"""
+
+
+@register(
+    "dd07_semantic_dedup",
+    bench=True,
+    tags=("dedup", "simsearch"),
+    oracle=f"""
+WITH {_VEC_CTE},
+{_CELL_CTE},
+c AS (SELECT n.vec_id, n.vec, n.nrm, cells.cell FROM n JOIN cells USING (vec_id)),
+dups AS (
+    SELECT DISTINCT b.vec_id
+    FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.3
+)
+SELECT c.vec_id, c.cell, dups.vec_id IS NULL AS is_kept
+FROM c LEFT JOIN dups ON dups.vec_id = c.vec_id
+""",
+)
+def dd07_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: pairwise cosine only within a vector's coarse-
+    quantizer cell (equi self-join on the cell id, never a corpus
+    cross-join); a vector is dropped when a lower-id cell-mate sits
+    at-or-above 0.3 cosine. k scales with the corpus (≈√N cells) so
+    per-cell work stays bounded; the cell id doubles as the storage
+    partition key."""
+    return simsearch.semantic_dedup(
+        table(spark, sf_dir, "embeddings"), k_centroids=8, threshold=0.3
+    )
+
+
+# ---------------------------------------------------------------------------
+# ss08 — ANN recall evaluation (IVF probe vs exact brute force).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ss08_ann_recall",
+    tags=("simsearch",),
+    oracle=f"""
+WITH {_VEC_CTE},
+q AS (SELECT vec_id AS query_id, vec AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+bf_scored AS (
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+           round(list_dot_product(q.qv, n.vec) / (q.qn * n.nrm), 6) AS cos_sim
+    FROM q CROSS JOIN n WHERE n.vec_id <> q.query_id
+),
+bf AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM bf_scored
+    ) WHERE rank <= 5
+),
+{_CELL_CTE},
+corpus AS (SELECT n.vec_id, n.vec, n.nrm, cells.cell FROM n JOIN cells USING (vec_id)),
+probes AS (
+    SELECT t.vec_id AS query_id, nn.vec AS qv, nn.nrm AS qnrm, t.cid AS cell
+    FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS pr
+        FROM cd WHERE vec_id < 10
+    ) t JOIN n nn ON nn.vec_id = t.vec_id
+    WHERE t.pr <= 2
+),
+ann_scored AS (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(p.qv, c.vec) / (p.qnrm * c.nrm), 6) AS cos_sim
+    FROM corpus c JOIN probes p ON p.cell = c.cell
+    WHERE c.vec_id <> p.query_id
+),
+ann AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM ann_scored
+    ) WHERE rank <= 5
+)
+SELECT bf.query_id,
+       CAST(count(ann.neighbor_id) AS INT) AS n_hits,
+       round(count(ann.neighbor_id) / 5.0, 6) AS recall
+FROM bf LEFT JOIN ann
+  ON ann.query_id = bf.query_id AND ann.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+""",
+)
+def ss08_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the nprobe=2 IVF probe against exact brute force,
+    per query — the ANN quality-evaluation harness; the comparison
+    itself moves only n_queries × k id pairs."""
+    return simsearch.ann_recall(
+        table(spark, sf_dir, "embeddings"), k_centroids=8, n_queries=10, nprobe=2, k=5
+    )

@@ -415,3 +415,28 @@ def test_bm01_no_sortmerge_stats_broadcast(spark, sf_dir):
     assert _exchanges(plan) <= 5, f"bm01 extra shuffles\n{plan[:2000]}"
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 2, f"bm01 corpus scanned more than twice\n{tree}"
+
+
+def test_dd07_pairwise_is_cell_equijoin(spark, sf_dir):
+    """dd07: the SemDeDup pairwise stage must be an equi-join on the
+    cell id — never a cartesian/nested-loop over the corpus. (With k
+    cells the join key cardinality is k; at scale k grows ~√N so
+    per-cell work stays bounded.)"""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "dd07_semantic_dedup", sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "Cartesian" not in tree and "NestedLoop" not in tree, (
+        f"dd07 pairwise degenerated to all-pairs\n{tree}"
+    )
+    assert _exchanges(plan) <= 5, f"dd07 extra shuffles\n{tree}"
+
+
+def test_ss08_only_intended_crossjoin(spark, sf_dir):
+    """ss08: the recall harness may contain exactly ONE nested-loop —
+    the brute-force side's broadcast query crossJoin (tiny build side);
+    the IVF side must stay equi-joined on the cell."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "ss08_ann_recall", sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, f"ss08 extra nested loops\n{tree}"
+    assert "CartesianProduct" not in tree, f"ss08 cartesian crept in\n{tree}"
