@@ -38,6 +38,26 @@ def quantile_thresholds(docs: DataFrame, value_col: str = "n_chars",
     return docs.groupBy(group_col).agg(*aggs)
 
 
+def grouped_regression(df: DataFrame, y_col: str, x_col: str,
+                       group_col: str) -> DataFrame:
+    """Per-group simple linear regression (slope, intercept, R²) as a
+    pure aggregation — the "ML as sufficient statistics" pattern: the
+    regr_* aggregates reduce to six mergeable sums (n, Σx, Σy, Σxy,
+    Σx², Σy²), so the fit is one hash aggregate with map-side combine
+    and O(1) state per group at any scale. No iteration, no driver
+    data movement — the exact opposite of collect-and-sklearn.
+
+    Results are rounded to 6 decimals so the value-hash is stable
+    across engines' accumulation orders.
+    """
+    return df.groupBy(group_col).agg(
+        F.regr_count(F.col(y_col), F.col(x_col)).alias("n"),
+        F.round(F.regr_slope(F.col(y_col), F.col(x_col)), 6).alias("slope"),
+        F.round(F.regr_intercept(F.col(y_col), F.col(x_col)), 6).alias("intercept"),
+        F.round(F.regr_r2(F.col(y_col), F.col(x_col)), 6).alias("r2"),
+    )
+
+
 def approx_quantiles(docs: DataFrame, value_col: str = "n_chars",
                      group_col: str = "source",
                      qs: tuple[float, ...] = QUANTILES,

@@ -61,6 +61,41 @@ def zscore_anomalies(events: DataFrame, n: int = 20, z: float = 3.0,
     )
 
 
+def event_transitions(events: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+    """First-order Markov transition matrix of event types: for every
+    observed (prev_type → next_type) step within a key's timeline, the
+    step count and the conditional probability P(next | prev).
+
+    The per-key sequencing is one ``lag`` window pass (a single
+    exchange on ``key_col``); the matrix aggregation that follows is a
+    standard hash aggregate with map-side combine, and the probability
+    normalization runs over the aggregated matrix — |types|² rows, not
+    the event stream — so nothing after the first exchange scales with
+    input volume. Extends the reference's per-mountpoint message-type
+    frequency panel (SURVEY.md §2.5 Q5) to type *sequences*.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    steps = (
+        events.select(
+            key_col,
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_prev), 9).alias("p"),
+    )
+
+
 def gap_fill(events: DataFrame, bucket_s: int = 3600, key_col: str = "user_id",
              ts_col: str = "ts", value_col: str = "value") -> DataFrame:
     """Dense per-key bucket series with gap fill.

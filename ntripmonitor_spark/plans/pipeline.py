@@ -1163,6 +1163,40 @@ def qa01_quantile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# lr01 — grouped linear regression as a pure aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lr01_grouped_regression",
+    tags=("stats",),
+    bench=True,
+    oracle="""
+SELECT l_returnflag,
+       regr_count(l_extendedprice, l_quantity) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def lr01_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS fit of extended price on quantity — the
+    "model fit as sufficient statistics" scale pattern: regr_* reduce
+    to six mergeable sums, so the whole fit is one hash aggregate with
+    map-side combine and O(1) state per group; at 100 TB nothing but
+    |groups| rows ever crosses the exchange. Extends the reference's
+    aggregate dashboard surface (SURVEY.md §2.5) with a model-fitting
+    aggregate neither Postgres panel attempts."""
+    from ntripmonitor_spark.operators import stats
+
+    return stats.grouped_regression(
+        table(spark, sf_dir, "lineitem"),
+        y_col="l_extendedprice", x_col="l_quantity", group_col="l_returnflag",
+    )
+
+
+# ---------------------------------------------------------------------------
 # dc02 — Bloom-pre-filtered decontamination (exact results).
 # ---------------------------------------------------------------------------
 

@@ -79,3 +79,33 @@ def ts01_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg + spine explode + one window pass, all keyed by user — two
     exchanges total; spine size is output-proportional."""
     return timeseries.gap_fill(table(spark, sf_dir, "events"), bucket_s=3600)
+
+
+@register(
+    "mk01_event_transitions",
+    bench=True,
+    tags=("timeseries",),
+    oracle="""
+WITH s AS (
+    SELECT user_id, event_type AS next_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+               AS prev_type
+    FROM events
+),
+c AS (
+    SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(n / sum(n) OVER (PARTITION BY prev_type), 9) AS p
+FROM c
+""",
+)
+def mk01_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event-type
+    sequence: (prev → next) step counts and P(next | prev). One lag
+    window pass keyed by user (single input-scaled exchange), then a
+    hash aggregate; the probability normalization windows over the
+    |types|² matrix only. Sequence twin of the reference's per-type
+    frequency panel (RTCM monitor.json:118, SURVEY.md Q5)."""
+    return timeseries.event_transitions(table(spark, sf_dir, "events"))

@@ -440,3 +440,24 @@ def test_ss08_only_intended_crossjoin(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("BroadcastNestedLoopJoin") <= 1, f"ss08 extra nested loops\n{tree}"
     assert "CartesianProduct" not in tree, f"ss08 cartesian crept in\n{tree}"
+
+
+def test_lr01_regression_is_one_aggregate(spark, sf_dir):
+    """lr01: the whole OLS fit must compile to one partial+final hash
+    aggregate (regr_* = six mergeable sums) — a second exchange would
+    mean the fit stopped being a pure aggregation."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "lr01_grouped_regression", sf_dir)
+    assert _exchanges(plan) == 1, f"lr01 extra shuffles\n{plan[:2000]}"
+    assert "HashAggregate" in plan
+
+
+def test_mk01_single_input_scaled_exchange(spark, sf_dir):
+    """mk01: one window exchange on user_id over the events scan; the
+    later aggregate + normalization window run over the |types|^2
+    matrix. Pin ≤3 exchanges and no join (the normalization must be a
+    window over the aggregate, not a join back to the stream)."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "mk01_event_transitions", sf_dir)
+    assert _exchanges(plan) <= 3, f"mk01 extra shuffles\n{plan[:2000]}"
+    assert "Join" not in plan.split("\n\n")[0], "mk01 normalization joined instead of windowed"
