@@ -493,3 +493,47 @@ def decontaminate_bloom(docs: DataFrame, benchmark_pred, n: int = 3,
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("int").alias("n_contaminated"))
     )
+
+
+def duplicate_spans(docs: DataFrame, window: int = 64, stride: int = 32,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    min_docs: int = 2) -> DataFrame:
+    """Cross-document duplicated character spans — the stride-sampled
+    form of exact substring deduplication (Lee et al. 2021, "Dedupli-
+    cating Training Data Makes Language Models Better", which builds a
+    suffix array to find verbatim repeats; a suffix array is inherently
+    sequential to construct, so the distributed form samples fixed
+    ``window``-char spans every ``stride`` chars and matches them by
+    hash — any verbatim repeat of length ≥ window+stride−1 is
+    guaranteed to contribute at least one aligned sampled span).
+
+    Output: one row per span content appearing in ≥ ``min_docs``
+    distinct documents, with its document frequency, total occurrence
+    count, and the lowest doc_id carrying it (the canonical keeper).
+
+    Scale shape: span generation is a per-row explode (rows ≈
+    chars/stride, each 32-byte hash + id — about 2× the text volume at
+    the defaults); the single exchange is the hash-keyed aggregate
+    with map-side combine, and only spans repeated within a task
+    survive combine un-reduced. No self-join, no corpus shuffle of the
+    text column itself.
+    """
+    d = docs.select(id_col, F.lower(F.col(text_col)).alias("t")).filter(
+        F.length("t") >= window
+    )
+    spans = d.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(1), F.length("t") - F.lit(window - 1), F.lit(stride))
+        ).alias("p"),
+        "t",
+    ).select(id_col, F.md5(F.expr(f"substring(t, p, {window})")).alias("span_h"))
+    return (
+        spans.groupBy("span_h")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

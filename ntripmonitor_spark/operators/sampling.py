@@ -184,3 +184,69 @@ def split_long_docs(docs: DataFrame, chunk_tokens: int = 128) -> DataFrame:
             F.col("n_tokens") - F.col("chunk_idx") * chunk_tokens,
         ).cast("int"),
     )
+
+
+DSIR_BUCKETS = 1024
+
+
+def _dsir_bucket(tok: Column, buckets: int = DSIR_BUCKETS) -> Column:
+    """Portable hashed-feature bucket: first 7 hex digits of md5(tok)
+    as an integer, mod buckets (DuckDB: CAST('0x'||substr(md5,1,7) AS
+    BIGINT) % buckets)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(tok), 1, 7), 16, 10).cast("long"), F.lit(buckets)
+    )
+
+
+def dsir_logweights(docs: DataFrame, target_pred: Column,
+                    buckets: int = DSIR_BUCKETS, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169) log importance weights: score every document by
+    how much its hashed-unigram distribution looks like the *target*
+    slice rather than the raw corpus.
+
+    logw(doc) = Σ_tokens  ln p̂_target(bucket) − ln p̂_raw(bucket)
+
+    with add-one smoothing over ``buckets`` hashed features. Sampling
+    ∝ exp(logw) is the DSIR resampling step; emitting the weight keeps
+    the operator deterministic and oracle-checkable.
+
+    Scale shape: the *model* is the ``buckets``-row log-ratio table —
+    built by one hash aggregate over the exploded token relation
+    (map-side combine collapses each task to ≤ buckets partials) and
+    broadcast back for scoring, so the corpus itself shuffles only as
+    (doc_id, partial-sum) rows keyed by doc. This is DSIR's actual
+    production shape: n-gram hash counts fit in memory; documents
+    stream past them once.
+    """
+    toks = docs.select(
+        id_col,
+        target_pred.alias("is_t"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+        ).alias("tok"),
+    ).select(id_col, "is_t", _dsir_bucket(F.col("tok"), buckets).alias("bkt"))
+
+    freq = toks.groupBy("bkt").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("n_t"),
+        F.count(F.lit(1)).alias("n_r"),
+    )
+    totals = freq.agg(
+        F.sum("n_t").alias("nt_tot"), F.sum("n_r").alias("nr_tot")
+    )
+    ratio = freq.crossJoin(F.broadcast(totals)).select(
+        "bkt",
+        (
+            F.log((F.col("n_t") + 1.0) / (F.col("nt_tot") + float(buckets)))
+            - F.log((F.col("n_r") + 1.0) / (F.col("nr_tot") + float(buckets)))
+        ).alias("lw"),
+    )
+    return (
+        toks.join(F.broadcast(ratio), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.sum("lw"), 6).alias("logw"),
+        )
+    )

@@ -61,6 +61,78 @@ def kmv_distinct(df: DataFrame, group_col: str = "event_type",
 # ---------------------------------------------------------------------------
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def _cms_bucket(member_str: Column, d: int, width: int = CMS_WIDTH) -> Column:
+    """Row d of the Count-Min hash family: the first 7 hex digits of
+    md5('d|member') as an integer, mod width. Portable — DuckDB spells
+    the identical bucket as CAST('0x'||substr(md5(..),1,7) AS BIGINT)."""
+    h = F.md5(F.concat(F.lit(f"{d}|"), member_str))
+    return F.pmod(F.conv(F.substring(h, 1, 7), 16, 10).cast("long"), F.lit(width))
+
+
+def countmin_heavy_hitters(df: DataFrame, member_col: str = "user_id",
+                           top_n: int = 20, depth: int = CMS_DEPTH,
+                           width: int = CMS_WIDTH) -> DataFrame:
+    """Count-Min sketch frequency estimates for the top-``top_n``
+    heavy hitters, alongside the exact counts that bound them
+    (CMS guarantees estimate ≥ exact; estimate − exact ≤ εN w.h.p.).
+
+    Deterministic by construction: with a fixed md5-derived hash
+    family the counter table — and therefore every estimate — is a
+    pure function of the data, so the sketch itself is
+    oracle-checkable (unlike HLL/approx_percentile internals).
+
+    Scale shape: the counter build explodes each row into ``depth``
+    (row, bucket) pairs, but map-side combine collapses every task's
+    output to at most depth×width (=2048 default) partial counters, so
+    the exchange moves O(tasks·depth·width) rows no matter how many
+    input rows there are — this is exactly why a 100 TB pipeline keeps
+    CMS state instead of exact per-key counts. The probe side is
+    top_n·depth rows, broadcast onto the counter table. The exact
+    counts computed here for comparison are the one piece that would
+    be dropped at scale (that aggregate is member-cardinality-bound).
+    """
+    m = F.col(member_col).cast("string")
+    counters = (
+        df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_bucket(m, d, width).alias("bkt")
+                    )
+                    for d in range(depth)
+                ])
+            ).alias("c")
+        )
+        .select("c.d", "c.bkt")
+        .groupBy("d", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = df.groupBy(member_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    top = exact.orderBy(F.col("n_exact").desc(), F.col(member_col).asc()).limit(top_n)
+    probes = top.select(
+        member_col,
+        "n_exact",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    _cms_bucket(F.col(member_col).cast("string"), d, width).alias("bkt"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("c"),
+    ).select(member_col, "n_exact", "c.d", "c.bkt")
+    return (
+        counters.join(F.broadcast(probes), ["d", "bkt"])
+        .groupBy(member_col, "n_exact")
+        .agg(F.min("cnt").alias("n_cms"))
+    )
+
+
 def kmv_hash(member: Column) -> Column:
     return F.pmod(member.cast("long") * F.lit(KNUTH), F.lit(1 << 32))
 

@@ -969,6 +969,50 @@ def sk01_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cm01 — Count-Min sketch heavy-hitter estimates (deterministic).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cm01_countmin_heavy_hitters",
+    tags=("sketch",),
+    bench=True,
+    oracle="""
+WITH c AS (
+    SELECT t.d,
+           CAST(concat('0x', substr(md5(t.d || '|' || CAST(user_id AS VARCHAR)), 1, 7))
+                AS BIGINT) % 512 AS bkt,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events, range(0, 4) t(d)
+    GROUP BY 1, 2
+),
+e AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact FROM events GROUP BY 1),
+top AS (SELECT * FROM e ORDER BY n_exact DESC, user_id ASC LIMIT 20),
+p AS (
+    SELECT top.user_id, top.n_exact, t.d,
+           CAST(concat('0x', substr(md5(t.d || '|' || CAST(top.user_id AS VARCHAR)), 1, 7))
+                AS BIGINT) % 512 AS bkt
+    FROM top, range(0, 4) t(d)
+)
+SELECT p.user_id, p.n_exact, min(c.cnt) AS n_cms
+FROM p JOIN c ON c.d = p.d AND c.bkt = p.bkt
+GROUP BY 1, 2
+""",
+)
+def cm01_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min estimates (depth 4 × width 512, fixed md5 hash
+    family) for the 20 busiest users, with exact counts alongside —
+    CMS guarantees n_cms ≥ n_exact. The counter build's exchange moves
+    at most depth×width partial counters per task regardless of input
+    volume (why 100 TB pipelines keep CMS state, not per-key counts);
+    the probe side is 80 broadcast rows. The deterministic hash family
+    makes the sketch itself oracle-checkable, unlike HLL."""
+    from ntripmonitor_spark.operators.sketch import countmin_heavy_hitters
+
+    return countmin_heavy_hitters(table(spark, sf_dir, "events"), "user_id", top_n=20)
+
+
+# ---------------------------------------------------------------------------
 # dc01 — train/test decontamination (eval-leakage scrub).
 # ---------------------------------------------------------------------------
 
@@ -1160,6 +1204,94 @@ def qa01_quantile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.quantile_thresholds(
         table(spark, sf_dir, "documents"), value_col="n_chars", group_col="source"
     )
+
+
+# ---------------------------------------------------------------------------
+# ig01 — DSIR importance weights (Xie et al. 2023).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ig01_dsir_weights",
+    tags=("sampling", "text"),
+    bench=True,
+    oracle="""
+WITH w AS (
+    SELECT doc_id, lang = 'en' AS is_t,
+           unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+    FROM documents
+),
+b AS (
+    SELECT doc_id, is_t,
+           CAST(concat('0x', substr(md5(tok), 1, 7)) AS BIGINT) % 1024 AS bkt
+    FROM w
+),
+f AS (
+    SELECT bkt,
+           CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+           CAST(count(*) AS BIGINT) AS n_r
+    FROM b GROUP BY 1
+),
+tot AS (SELECT sum(n_t) AS nt_tot, sum(n_r) AS nr_tot FROM f),
+r AS (
+    SELECT bkt,
+           ln((n_t + 1.0) / (nt_tot + 1024.0)) - ln((n_r + 1.0) / (nr_tot + 1024.0)) AS lw
+    FROM f, tot
+)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_toks, round(sum(r.lw), 6) AS logw
+FROM b JOIN r USING (bkt)
+GROUP BY b.doc_id
+""",
+)
+def ig01_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log importance weights toward the English slice: hashed-
+    unigram (1024-bucket) add-one-smoothed target/raw log-ratio model,
+    built in one hash aggregate and broadcast back for scoring — the
+    corpus shuffles only as (doc_id, partial-sum) rows. Resampling
+    ∝ exp(logw) is the DSIR selection step; the weight output keeps it
+    deterministic and oracle-checkable."""
+    from ntripmonitor_spark.operators import sampling
+
+    return sampling.dsir_logweights(
+        table(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sd01 — cross-document duplicated spans (stride-sampled exact
+# substring dedup, after Lee et al. 2021).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sd01_duplicate_spans",
+    tags=("dedup",),
+    bench=True,
+    oracle="""
+WITH d AS (
+    SELECT doc_id, lower(text) AS t FROM documents WHERE length(lower(text)) >= 64
+),
+p AS (
+    SELECT doc_id, t, unnest(range(1, length(t) - 62, 32)) AS p FROM d
+),
+s AS (
+    SELECT doc_id, md5(substr(t, CAST(p AS INT), 64)) AS span_h FROM p
+)
+SELECT span_h,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       min(doc_id) AS first_doc
+FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+""",
+)
+def sd01_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim 64-char spans (sampled every 32 chars) shared by ≥2
+    documents: document frequency, occurrence count, canonical keeper.
+    The distributed stand-in for suffix-array exact substring dedup —
+    any repeat of length ≥ 95 chars is guaranteed a matching sampled
+    span. One hash-keyed aggregate; the text column itself never
+    shuffles."""
+    return dedup.duplicate_spans(table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

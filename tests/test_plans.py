@@ -461,3 +461,40 @@ def test_mk01_single_input_scaled_exchange(spark, sf_dir):
     plan = _explain(spark, "mk01_event_transitions", sf_dir)
     assert _exchanges(plan) <= 3, f"mk01 extra shuffles\n{plan[:2000]}"
     assert "Join" not in plan.split("\n\n")[0], "mk01 normalization joined instead of windowed"
+
+
+def test_cm01_countmin_overestimates_and_broadcasts(spark, sf_dir):
+    """CMS invariant: estimate ≥ exact for every heavy hitter; plan:
+    the probe side broadcasts (no sort-merge), and no nested loop."""
+    spark.catalog.clearCache()
+    from ntripmonitor_spark.plans import REGISTRY
+
+    df = REGISTRY["cm01_countmin_heavy_hitters"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert rows, "no heavy hitters returned"
+    assert all(r.n_cms >= r.n_exact for r in rows), "CMS underestimated a count"
+    plan = _explain(spark, "cm01_countmin_heavy_hitters", sf_dir)
+    assert "SortMergeJoin" not in plan, f"cm01 probe join not broadcast\n{plan[:2000]}"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sd01_no_join_bounded_exchanges(spark, sf_dir):
+    """sd01 is explode + aggregate: no join of any kind, and at most
+    two exchanges (the count-distinct rewrite's two-phase aggregate);
+    the text column itself must not survive past the scan projection
+    into the exchange."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "sd01_duplicate_spans", sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, f"sd01 grew a join\n{tree}"
+    assert _exchanges(plan) <= 2, f"sd01 extra shuffles\n{tree}"
+
+
+def test_ig01_model_broadcasts_corpus_never_sortmerged(spark, sf_dir):
+    """ig01: the 1024-row log-ratio model must broadcast onto the
+    token relation — a sort-merge would shuffle the whole exploded
+    corpus by bucket, the exact thing the DSIR shape avoids."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "ig01_dsir_weights", sf_dir)
+    assert "SortMergeJoin" not in plan, f"ig01 corpus shuffled for model join\n{plan[:2000]}"
+    assert "BroadcastHashJoin" in plan
