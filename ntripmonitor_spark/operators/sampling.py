@@ -250,3 +250,39 @@ def dsir_logweights(docs: DataFrame, target_pred: Column,
             F.round(F.sum("lw"), 6).alias("logw"),
         )
     )
+
+
+def stratified_ksample(docs: DataFrame, k: int = 10,
+                       stratum_col: str = "source", id_col: str = "doc_id",
+                       n_shards: int = 32) -> DataFrame:
+    """Deterministic uniform k-sample per stratum — the distributed,
+    mergeable replacement for reservoir sampling: the sample is the k
+    rows with the smallest Knuth-hash coins, so any two partial
+    samples merge by re-ranking their union (same property KMV uses),
+    and re-runs are reproducible.
+
+    Skew-proof two-level shape: rows first rank within
+    (stratum, hash-shard) and only each shard's top-k (≤ n_shards·k
+    rows per stratum) proceeds to the global per-stratum re-rank —
+    identical output to a single window, but no stratum ever sorts on
+    one task. Same shard trick as sequence packing (tp01/tp02).
+    """
+    coin = F.pmod(F.col(id_col).cast("long") * F.lit(KNUTH), F.lit(1 << 32))
+    shard = F.pmod(F.col(id_col).cast("long"), F.lit(n_shards))
+    staged = docs.select(stratum_col, id_col).withColumn("coin", coin).withColumn("_shard", shard)
+    w_local = Window.partitionBy(stratum_col, "_shard").orderBy(
+        F.col("coin").asc(), F.col(id_col).asc()
+    )
+    survivors = (
+        staged.withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= k)
+        .drop("_lrk", "_shard")
+    )
+    w_global = Window.partitionBy(stratum_col).orderBy(
+        F.col("coin").asc(), F.col(id_col).asc()
+    )
+    return (
+        survivors.withColumn("rk", F.row_number().over(w_global))
+        .filter(F.col("rk") <= k)
+        .select(stratum_col, id_col, "coin", "rk")
+    )

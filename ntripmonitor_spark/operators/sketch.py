@@ -73,6 +73,36 @@ def _cms_bucket(member_str: Column, d: int, width: int = CMS_WIDTH) -> Column:
     return F.pmod(F.conv(F.substring(h, 1, 7), 16, 10).cast("long"), F.lit(width))
 
 
+def countmin_counters(df: DataFrame, member_col: str = "user_id",
+                      depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """The CMS counter table for one input slice: (d, bkt, cnt).
+    Mergeable state — the sketch of a union is the per-(d, bkt) SUM of
+    the slices' counters (see ``countmin_merge``), which is what a
+    streaming rollup stores per window and what lets 1000 executors
+    each sketch their partition and combine for free."""
+    m = F.col(member_col).cast("string")
+    return (
+        df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_bucket(m, d, width).alias("bkt")
+                    )
+                    for d in range(depth)
+                ])
+            ).alias("c")
+        )
+        .select("c.d", "c.bkt")
+        .groupBy("d", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_merge(partials: DataFrame) -> DataFrame:
+    """Merge unioned per-slice counter tables: per-(d, bkt) sum."""
+    return partials.groupBy("d", "bkt").agg(F.sum("cnt").alias("cnt"))
+
+
 def countmin_heavy_hitters(df: DataFrame, member_col: str = "user_id",
                            top_n: int = 20, depth: int = CMS_DEPTH,
                            width: int = CMS_WIDTH) -> DataFrame:
@@ -95,22 +125,7 @@ def countmin_heavy_hitters(df: DataFrame, member_col: str = "user_id",
     counts computed here for comparison are the one piece that would
     be dropped at scale (that aggregate is member-cardinality-bound).
     """
-    m = F.col(member_col).cast("string")
-    counters = (
-        df.select(
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(d).alias("d"), _cms_bucket(m, d, width).alias("bkt")
-                    )
-                    for d in range(depth)
-                ])
-            ).alias("c")
-        )
-        .select("c.d", "c.bkt")
-        .groupBy("d", "bkt")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    counters = countmin_counters(df, member_col, depth=depth, width=width)
     exact = df.groupBy(member_col).agg(F.count(F.lit(1)).alias("n_exact"))
     top = exact.orderBy(F.col("n_exact").desc(), F.col(member_col).asc()).limit(top_n)
     probes = top.select(

@@ -13,7 +13,7 @@ Reference scope note: the reference has no percentile surface (SURVEY.md
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 QUANTILES = (0.5, 0.9, 0.99)
@@ -71,3 +71,26 @@ def approx_quantiles(docs: DataFrame, value_col: str = "n_chars",
         pct = F.expr(f"approx_percentile({value_col}, {q!r}, {accuracy})")
         aggs.append(F.round(pct, 4).alias(f"p{int(q * 100)}"))
     return docs.groupBy(group_col).agg(*aggs)
+
+
+def length_histogram(docs: DataFrame, value_col: str = "n_chars",
+                     group_col: str = "lang", bin_width: int = 250) -> DataFrame:
+    """Per-group equal-width histogram of a numeric metric: observed
+    bins only, with in-group fraction. One hash aggregate (map-side
+    combine caps task output at groups×bins rows); the fraction
+    normalizes with a window over the aggregated histogram, so nothing
+    past the single exchange scales with input volume — same shape as
+    the transition-matrix normalization in mk01."""
+    b = F.floor(F.col(value_col) / bin_width).cast("long")
+    hist = (
+        docs.select(group_col, b.alias("bin"))
+        .groupBy(group_col, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(group_col)
+    return hist.select(
+        group_col,
+        (F.col("bin") * bin_width).alias("bin_lo"),
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 9).alias("frac"),
+    )

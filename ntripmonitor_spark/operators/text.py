@@ -6,7 +6,7 @@ in batch and streaming plans and are oracle-reproducible.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ntripmonitor_spark.operators.dedup import normalized_words, word_shingles
@@ -267,4 +267,121 @@ def bpe_pair_counts(docs: DataFrame, top_n: int = 40) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(top_n)
+    )
+
+
+def zipf_fit(docs: DataFrame, top_v: int = 1000, text_col: str = "text",
+             group_col: str | None = None) -> DataFrame:
+    """Zipf's-law fit over the corpus token-frequency distribution:
+    OLS slope/intercept of ln(freq) on ln(rank) for the ``top_v`` most
+    frequent tokens (natural text sits near slope −1; a corpus whose
+    slope drifts far off is a curation red flag — boilerplate floods
+    flatten it, aggressive dedup steepens it).
+
+    Scale shape: the token-frequency table is one hash aggregate with
+    map-side combine; only the top_v rows — selected by a bounded
+    TakeOrdered, never a full sort — reach the rank window, so the
+    single-partition ranking step is O(top_v) regardless of corpus
+    size, and the regression itself is lr01's one-aggregate
+    sufficient-statistics fit over those top_v rows.
+    """
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    top = freq.orderBy(F.col("f").desc(), F.col("tok").asc()).limit(top_v)
+    w = Window.orderBy(F.col("f").desc(), F.col("tok").asc())
+    ranked = top.select(
+        F.log(F.col("f").cast("double")).alias("ln_f"),
+        F.log(F.row_number().over(w).cast("double")).alias("ln_r"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.round(F.regr_slope(F.col("ln_f"), F.col("ln_r")), 6).alias("slope"),
+        F.round(F.regr_intercept(F.col("ln_f"), F.col("ln_r")), 6).alias("intercept"),
+        F.round(F.regr_r2(F.col("ln_f"), F.col("ln_r")), 6).alias("r2"),
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 8,
+              text_col: str = "text") -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): the
+    full merge loop, not just one pair-count round (tx08).
+
+    The corpus collapses ONCE into a word-frequency table (the only
+    input-scaled aggregate — map-side combine; Heaps' law keeps the
+    vocab ~O(√N) rows). Every merge round then runs entirely on that
+    bounded relation: explode adjacent symbol pairs weighted by word
+    count, pick the argmax pair (count desc, pair asc — the standard
+    deterministic tie-break), and apply the merge as a pure column
+    fold (``aggregate`` over the symbol array, leftmost-first
+    non-overlapping — no Python UDF anywhere). One tiny 1-row collect
+    per round steers the loop, exactly like the IVF Lloyd iteration
+    (ss04/ss07); per-round state is persisted and the previous round
+    unpersisted, the dd06 loop discipline.
+
+    Returns the merge table: (rank, left, right, merged, n) — the
+    artifact a tokenizer ships.
+    """
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cnt",
+            F.filter(F.split(F.col("tok"), ""), lambda x: x != "").alias("syms"),
+        )
+    )
+    state = words.persist()
+    merges = []
+    spark = docs.sparkSession
+    for rank in range(n_merges):
+        pairs = state.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.greatest(F.size("syms") - 1, F.lit(0))),
+                    F.slice(F.col("syms"), 2, F.greatest(F.size("syms") - 1, F.lit(0))),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] is None:
+            break
+        pair, n = best[0]["pair"], int(best[0]["n"])
+        left, right = pair.split(" ", 1)
+        merged = left + right
+        merges.append((rank, left, right, merged, n))
+        new_syms = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        nxt = state.select("cnt", new_syms.alias("syms")).persist()
+        nxt.count()  # materialize before dropping the parent
+        state.unpersist()
+        state = nxt
+    state.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, n bigint"
     )

@@ -1207,6 +1207,131 @@ def qa01_quantile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# bp01 — full distributed BPE tokenizer training (iterative merge
+# loop; non-SQL-expressible, so no DuckDB oracle — pinned instead by
+# tests/test_bpe.py against a pure-Python reference implementation).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bp01_bpe_train",
+    tags=("text",),
+    oracle=None,
+    doc="Full BPE merge loop on the word-frequency table",
+)
+def bp01_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 rounds of BPE training: corpus → word-frequency table once,
+    then per-round pair-count aggregate + argmax + column-fold merge
+    application, all on the bounded vocab relation (Heaps' law ~O(√N)
+    rows). Iterative, so no SQL oracle; exact-match-pinned against a
+    pure-Python BPE in tests/test_bpe.py."""
+    return text.bpe_train(table(spark, sf_dir, "documents"), n_merges=8)
+
+
+# ---------------------------------------------------------------------------
+# sp04 — deterministic per-stratum k-sample (mergeable "reservoir").
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sp04_stratified_ksample",
+    tags=("sampling",),
+    bench=True,
+    oracle="""
+WITH s AS (
+    SELECT source, doc_id, (doc_id * 2654435761) % 4294967296 AS coin FROM documents
+)
+SELECT source, doc_id, coin, rk FROM (
+    SELECT source, doc_id, coin,
+           row_number() OVER (PARTITION BY source ORDER BY coin ASC, doc_id ASC) AS rk
+    FROM s
+) WHERE rk <= 10
+""",
+)
+def sp04_stratified_ksample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform 10-doc sample per source as the k smallest Knuth-hash
+    coins — reservoir sampling's distributed replacement: partial
+    samples merge by re-ranking their union (the KMV property), and
+    re-runs reproduce the same sample. Two-level rank (per-shard top-k
+    feeds a per-stratum re-rank over ≤ shards·k rows) so a dominant
+    stratum never sorts on one task; output identical to the oracle's
+    single window."""
+    from ntripmonitor_spark.operators import sampling
+
+    return sampling.stratified_ksample(table(spark, sf_dir, "documents"), k=10)
+
+
+# ---------------------------------------------------------------------------
+# hs01 — per-language length histogram.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hs01_length_histogram",
+    tags=("stats",),
+    bench=True,
+    oracle="""
+WITH h AS (
+    SELECT lang, CAST(floor(n_chars / 250) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+)
+SELECT lang, bin * 250 AS bin_lo, n,
+       round(n / sum(n) OVER (PARTITION BY lang), 9) AS frac
+FROM h
+""",
+)
+def hs01_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width (250-char) document-length histogram per language
+    with in-group fractions: one hash aggregate (map-side combine caps
+    task output at groups×bins rows); the normalization windows over
+    the aggregated histogram only. The corpus-profiling step before
+    choosing curation thresholds (qa01 gives the quantile view of the
+    same distribution)."""
+    from ntripmonitor_spark.operators import stats
+
+    return stats.length_histogram(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# tx09 — Zipf's-law fit over the token-frequency distribution.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx09_zipf_fit",
+    tags=("text", "stats"),
+    bench=True,
+    oracle="""
+WITH t AS (
+    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+    FROM documents
+),
+f AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM t GROUP BY 1),
+top AS (SELECT tok, f FROM f ORDER BY f DESC, tok ASC LIMIT 1000),
+r AS (
+    SELECT ln(CAST(f AS DOUBLE)) AS ln_f,
+           ln(CAST(row_number() OVER (ORDER BY f DESC, tok ASC) AS DOUBLE)) AS ln_r
+    FROM top
+)
+SELECT CAST(count(*) AS BIGINT) AS n_top,
+       round(regr_slope(ln_f, ln_r), 6) AS slope,
+       round(regr_intercept(ln_f, ln_r), 6) AS intercept,
+       round(regr_r2(ln_f, ln_r), 6) AS r2
+FROM r
+""",
+)
+def tx09_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ln(freq)-on-ln(rank) OLS over the top-1000 tokens (natural text
+    ≈ slope −1; drift flags boilerplate floods or over-dedup). Token
+    counts are one map-side-combined aggregate; only top_v rows reach
+    the rank window via a bounded TakeOrdered — the single-partition
+    step is O(top_v) at any corpus size — and the fit reuses lr01's
+    sufficient-statistics aggregate."""
+    return text.zipf_fit(table(spark, sf_dir, "documents"), top_v=1000)
+
+
+# ---------------------------------------------------------------------------
 # ig01 — DSIR importance weights (Xie et al. 2023).
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,72 @@
+"""bp01: the distributed BPE merge loop must reproduce, exactly, the
+merge table of a pure-Python reference BPE trainer (Sennrich et al.
+2016 algorithm 1: count adjacent symbol pairs weighted by word
+frequency, merge the argmax leftmost-first non-overlapping, repeat).
+Iterative, so it has no SQL oracle — this test IS its correctness
+gate, alongside the driver's rows-only check."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from ntripmonitor_spark.operators.text import bpe_train
+
+
+def _ref_bpe(texts: list[str], n_merges: int) -> list[tuple[int, str, str, str, int]]:
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += words[w]
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = a + b
+        merges.append((rank, a, b, merged, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_matches_reference_trainer(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the cat chat",
+        "that hat is flat",
+        "matter chatter the the the",
+        "aaaa aaa aa a",  # overlap case: leftmost-first merging
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["n"])
+        for r in bpe_train(docs, n_merges=6).collect()
+    ]
+    assert got == _ref_bpe(texts, 6)
+
+
+def test_bpe_on_real_docs_is_deterministic(spark, sf_dir):
+    from ntripmonitor_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    a = bpe_train(docs, n_merges=3).collect()
+    b = bpe_train(docs, n_merges=3).collect()
+    assert a == b
+    assert len(a) == 3
+    # counts must be non-increasing across ranks (greedy argmax)
+    ns = [r["n"] for r in a]
+    assert ns == sorted(ns, reverse=True)

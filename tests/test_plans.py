@@ -498,3 +498,79 @@ def test_ig01_model_broadcasts_corpus_never_sortmerged(spark, sf_dir):
     plan = _explain(spark, "ig01_dsir_weights", sf_dir)
     assert "SortMergeJoin" not in plan, f"ig01 corpus shuffled for model join\n{plan[:2000]}"
     assert "BroadcastHashJoin" in plan
+
+
+def test_sp04_two_level_rank_no_join(spark, sf_dir):
+    """sp04: shard-level rank then stratum re-rank = two window
+    exchanges, no join; and the survivors filter must cut before the
+    global window (the second sort sees ≤ shards·k rows per stratum)."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "sp04_stratified_ksample", sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, f"sp04 grew a join\n{tree}"
+    assert _exchanges(plan) <= 2, f"sp04 extra shuffles\n{tree}"
+
+
+def test_sp04_matches_single_window_and_merges(spark, sf_dir):
+    """The two-level sample must equal the single-window top-k (the
+    mergeable-reservoir property: top-k of shard top-ks = global
+    top-k)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ntripmonitor_spark.operators import sampling
+    from ntripmonitor_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    got = {(r.source, r.doc_id, r.rk) for r in sampling.stratified_ksample(docs, k=10).collect()}
+    coin = F.pmod(F.col("doc_id").cast("long") * F.lit(sampling.KNUTH), F.lit(1 << 32))
+    w = Window.partitionBy("source").orderBy(F.col("coin").asc(), F.col("doc_id").asc())
+    ref = {
+        (r.source, r.doc_id, r.rk)
+        for r in docs.select("source", "doc_id", coin.alias("coin"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .collect()
+    }
+    assert got == ref
+
+
+def test_hs01_bounded_normalization(spark, sf_dir):
+    """hs01: one input-scaled aggregate; the fraction window runs over
+    the groups×bins histogram only (≤2 exchanges, no join)."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "hs01_length_histogram", sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, f"hs01 grew a join\n{tree}"
+    assert _exchanges(plan) <= 2, f"hs01 extra shuffles\n{tree}"
+
+
+def test_tx09_topv_via_bounded_takeordered(spark, sf_dir):
+    """tx09: the top-1000 selection must compile to TakeOrdered (a
+    bounded per-partition heap + driver merge), never a full global
+    sort of the token-frequency table."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "tx09_zipf_fit", sf_dir)
+    assert "TakeOrderedAndProject" in plan, f"tx09 full-sorts the frequency table\n{plan[:2000]}"
+
+
+def test_countmin_partials_merge_to_batch(spark, sf_dir):
+    """CMS mergeability: sketching two disjoint slices and summing the
+    counter tables must equal sketching the union — the property that
+    lets every executor (or every streaming window) keep its own
+    counters."""
+    from pyspark.sql import functions as F
+
+    from ntripmonitor_spark.operators import sketch
+    from ntripmonitor_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    full = {
+        (r.d, r.bkt): r.cnt for r in sketch.countmin_counters(ev, "user_id").collect()
+    }
+    a = sketch.countmin_counters(ev.filter(F.col("event_id") % 2 == 0), "user_id")
+    b = sketch.countmin_counters(ev.filter(F.col("event_id") % 2 == 1), "user_id")
+    merged = {
+        (r.d, r.bkt): r.cnt for r in sketch.countmin_merge(a.union(b)).collect()
+    }
+    assert merged == full
