@@ -385,3 +385,67 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, n bigint"
     )
+
+
+def bigram_nll(docs: DataFrame, vocab_size: int = 64, k: float = 0.5,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document bigram language-model negative log-likelihood —
+    the CCNet-style "perplexity against an in-domain LM" quality
+    signal (Wenzek et al. 2020 score against a KenLM model; here the
+    LM is fit on the corpus itself, closed vocabulary of the
+    ``vocab_size`` most frequent tokens + <unk>, add-k smoothing).
+    High avg_nll = text the corpus LM finds surprising: gibberish,
+    boilerplate soup, wrong-language fragments.
+
+    Scale shape ("fit tiny, broadcast" — the tx07/ig01 pattern, one
+    order up in model size): the vocab is a bounded TakeOrdered
+    (≤ vocab_size rows folded back as literals); the bigram model is
+    ≤ (V+1)² rows built by one map-side-combined aggregate and
+    broadcast for scoring; the corpus itself shuffles only as
+    (doc_id, partial-sum) rows in the final per-doc aggregate.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    staged = docs.select(F.col(id_col), toks.alias("_toks"))
+    m = F.greatest(F.size(F.col("_toks")) - 1, F.lit(0))
+    pair_col = F.zip_with(
+        F.slice(F.col("_toks"), F.lit(1), m),
+        F.slice(F.col("_toks"), F.lit(2), m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    pairs = staged.select(id_col, F.explode(pair_col).alias("pair")).select(
+        id_col,
+        F.split_part(F.col("pair"), F.lit(" "), F.lit(1)).alias("a"),
+        F.split_part(F.col("pair"), F.lit(" "), F.lit(2)).alias("b"),
+    )
+
+    vocab_rows = (
+        staged.select(F.explode(F.col("_toks")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab = [r["tok"] for r in vocab_rows]
+    v_plus = float(len(vocab) + 1)  # + <unk>
+
+    def to_vocab(c):
+        return F.when(c.isin(vocab), c).otherwise(F.lit("<unk>"))
+
+    mapped = pairs.select(
+        id_col, to_vocab(F.col("a")).alias("w1"), to_vocab(F.col("b")).alias("w2")
+    )
+    bc = mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cx = bc.groupBy("w1").agg(F.sum("c").alias("cw"))
+    model = bc.join(cx, "w1").select(
+        "w1", "w2",
+        F.log((F.col("c") + k) / (F.col("cw") + k * v_plus)).alias("logp"),
+    )
+    return (
+        mapped.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.col("logp")), 6).alias("avg_nll"),
+        )
+    )

@@ -1207,6 +1207,66 @@ def qa01_quantile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tx10 — bigram-LM perplexity quality scoring (CCNet-style).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx10_bigram_nll",
+    tags=("text",),
+    bench=True,
+    oracle="""
+WITH w AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+t AS (SELECT unnest(ws) AS tok FROM w),
+v AS (
+    SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM t GROUP BY 1 ORDER BY c DESC, tok ASC LIMIT 64
+    )
+),
+nv AS (SELECT count(*) + 1.0 AS v_plus FROM v),
+p AS (
+    SELECT doc_id,
+           string_split(pair, ' ')[1] AS a,
+           string_split(pair, ' ')[2] AS b
+    FROM (
+        SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS pair
+        FROM w
+    )
+),
+mp AS (
+    SELECT doc_id,
+           CASE WHEN a IN (SELECT tok FROM v) THEN a ELSE '<unk>' END AS w1,
+           CASE WHEN b IN (SELECT tok FROM v) THEN b ELSE '<unk>' END AS w2
+    FROM p
+),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM mp GROUP BY 1, 2),
+cx AS (SELECT w1, sum(c) AS cw FROM bc GROUP BY 1),
+model AS (
+    SELECT bc.w1, bc.w2, ln((bc.c + 0.5) / (cx.cw + 0.5 * nv.v_plus)) AS logp
+    FROM bc JOIN cx USING (w1), nv
+)
+SELECT mp.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-model.logp), 6) AS avg_nll
+FROM mp JOIN model ON mp.w1 = model.w1 AND mp.w2 = model.w2
+GROUP BY mp.doc_id
+""",
+)
+def tx10_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: per-doc average negative log
+    likelihood under a corpus-fit bigram model (top-64 closed vocab +
+    <unk>, add-0.5 smoothing) — high avg_nll flags gibberish and
+    wrong-language fragments. Fit-tiny-broadcast shape: vocab is a
+    bounded TakeOrdered folded back as literals, the ≤(V+1)² bigram
+    model broadcasts, the corpus shuffles only as per-doc partial
+    sums."""
+    return text.bigram_nll(table(spark, sf_dir, "documents"), vocab_size=64)
+
+
+# ---------------------------------------------------------------------------
 # bp01 — full distributed BPE tokenizer training (iterative merge
 # loop; non-SQL-expressible, so no DuckDB oracle — pinned instead by
 # tests/test_bpe.py against a pure-Python reference implementation).

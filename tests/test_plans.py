@@ -574,3 +574,12 @@ def test_countmin_partials_merge_to_batch(spark, sf_dir):
         (r.d, r.bkt): r.cnt for r in sketch.countmin_merge(a.union(b)).collect()
     }
     assert merged == full
+
+
+def test_tx10_model_broadcasts_no_sortmerge(spark, sf_dir):
+    """tx10: every join (model build and scoring) must broadcast —
+    a sort-merge would shuffle the exploded corpus by bigram key."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "tx10_bigram_nll", sf_dir)
+    assert "SortMergeJoin" not in plan, f"tx10 corpus shuffled for a join\n{plan[:2000]}"
+    assert "BroadcastHashJoin" in plan
