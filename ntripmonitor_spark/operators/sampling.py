@@ -220,13 +220,15 @@ def dsir_logweights(docs: DataFrame, target_pred: Column,
     production shape: n-gram hash counts fit in memory; documents
     stream past them once.
     """
+    # feeds both the frequency-model aggregate and the scoring join —
+    # persist once (the dd02/dc02 silver-relation discipline)
     toks = docs.select(
         id_col,
         target_pred.alias("is_t"),
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
         ).alias("tok"),
-    ).select(id_col, "is_t", _dsir_bucket(F.col("tok"), buckets).alias("bkt"))
+    ).select(id_col, "is_t", _dsir_bucket(F.col("tok"), buckets).alias("bkt")).persist()
 
     freq = toks.groupBy("bkt").agg(
         F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("n_t"),

@@ -94,3 +94,66 @@ def length_histogram(docs: DataFrame, value_col: str = "n_chars",
         "n",
         F.round(F.col("n") / F.sum("n").over(w), 9).alias("frac"),
     )
+
+
+def logistic_fit(df: DataFrame, label_col: str, feature_cols: list[str],
+                 iters: int = 20, lr: float = 1.0) -> tuple[list[float], int]:
+    """Full-batch gradient-descent logistic regression, distributed
+    the way iterative ML actually runs on Spark: the model (K+1
+    weights) lives on the driver as literals folded into the scoring
+    expression; each iteration is ONE aggregate over the feature
+    relation (K+2 mergeable sums — gradient components and the row
+    count), a 1-row collect, and a driver-side weight update. No
+    per-row Python, no shuffle beyond the aggregate's partial/final
+    pair — the ss04/ss07 Lloyd-loop discipline applied to a
+    classifier. Persist the feature relation before calling (each
+    iteration re-scans it).
+
+    Returns (weights [w0, w_1..w_K], n_rows).
+    """
+    y = F.col(label_col).cast("double")
+    xs = [F.col(c) for c in feature_cols]
+    w = [0.0] * (len(feature_cols) + 1)
+    n = None
+    for _ in range(iters):
+        z = F.lit(w[0])
+        for wi, x in zip(w[1:], xs):
+            z = z + F.lit(wi) * x
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - y
+        aggs = [F.sum(err).alias("g0")] + [
+            F.sum(err * x).alias(f"g{i+1}") for i, x in enumerate(xs)
+        ] + [F.count(F.lit(1)).alias("n")]
+        row = df.agg(*aggs).collect()[0]
+        n = row["n"]
+        w = [wi - lr * row[f"g{i}"] / n for i, wi in enumerate(w)]
+    return w, int(n or 0)
+
+
+def logreg_quality(docs: DataFrame, label_col: str = "is_en",
+                   feature_cols: list[str] | None = None,
+                   iters: int = 20, lr: float = 1.0) -> DataFrame:
+    """Train-and-evaluate wrapper: fits the classifier and returns a
+    single-row DataFrame of weights + training accuracy. The features
+    relation is persisted once; training is ``iters`` aggregate scans,
+    evaluation one more."""
+    feature_cols = feature_cols or [c for c in docs.columns if c not in (label_col,)]
+    feats = docs.persist()
+    try:
+        w, n = logistic_fit(feats, label_col, feature_cols, iters=iters, lr=lr)
+        z = F.lit(w[0])
+        for wi, c in zip(w[1:], feature_cols):
+            z = z + F.lit(wi) * F.col(c)
+        pred = (z > 0).cast("int")
+        acc_row = feats.agg(
+            F.avg((pred == F.col(label_col).cast("int")).cast("double")).alias("acc")
+        ).collect()[0]
+    finally:
+        feats.unpersist()
+    spark = docs.sparkSession
+    data = [tuple([float(round(x, 6)) for x in w] + [float(round(acc_row["acc"], 6)), n])]
+    cols = ["w0"] + [f"w_{c}" for c in feature_cols] + ["train_acc", "n"]
+    schema = ", ".join(
+        f"{c} double" if c != "n" else "n bigint" for c in cols
+    )
+    return spark.createDataFrame(data, schema)

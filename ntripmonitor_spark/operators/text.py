@@ -432,9 +432,12 @@ def bigram_nll(docs: DataFrame, vocab_size: int = 64, k: float = 0.5,
     def to_vocab(c):
         return F.when(c.isin(vocab), c).otherwise(F.lit("<unk>"))
 
+    # feeds both the model-count aggregate and the scoring join —
+    # persist once (the dd02/dc02 silver-relation discipline) so the
+    # pair explode doesn't run twice per action
     mapped = pairs.select(
         id_col, to_vocab(F.col("a")).alias("w1"), to_vocab(F.col("b")).alias("w2")
-    )
+    ).persist()
     bc = mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     cx = bc.groupBy("w1").agg(F.sum("c").alias("cw"))
     model = bc.join(cx, "w1").select(

@@ -155,3 +155,34 @@ def gap_fill(events: DataFrame, bucket_s: int = 3600, key_col: str = "user_id",
         prev_v.alias("v_locf"),
         interp.alias("v_interp"),
     )
+
+
+def seasonal_anomalies(events: DataFrame, z: float = 3.0, min_n: int = 12,
+                       key_col: str = "event_type", ts_col: str = "ts",
+                       value_col: str = "value") -> DataFrame:
+    """Seasonality-aware anomaly detection: score each event against
+    the (key, hour-of-day) baseline rather than a trailing window —
+    the complement of `rolling_zscore` for metrics with a daily cycle
+    (an 09:00 traffic spike is normal at 09:00, anomalous at 03:00).
+
+    Scale shape: the baseline is one map-side-combined aggregate to
+    |keys|×24 rows, broadcast back onto the stream — the corpus never
+    shuffles (contrast an01's keyed window sort). Baselines with
+    fewer than ``min_n`` observations or zero variance don't judge.
+    """
+    hod = F.hour(F.col(ts_col))
+    base = (
+        events.groupBy(key_col, hod.alias("hod"))
+        .agg(
+            F.avg(value_col).alias("mu"),
+            F.stddev_samp(value_col).alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    zcol = (F.col(value_col) - F.col("mu")) / F.col("sd")
+    return (
+        events.withColumn("hod", hod)
+        .join(F.broadcast(base), [key_col, "hod"])
+        .filter((F.col("n") >= min_n) & (F.col("sd") > 0) & (F.abs(zcol) > z))
+        .select("event_id", key_col, ts_col, value_col, F.round(zcol, 6).alias("zscore"))
+    )

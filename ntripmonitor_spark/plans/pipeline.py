@@ -1207,6 +1207,56 @@ def qa01_quantile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# lr02 — distributed logistic-regression classifier training
+# (iterative GD; non-SQL-expressible, so no DuckDB oracle — pinned by
+# tests/test_logreg.py against a NumPy reference to 1e-6).
+# ---------------------------------------------------------------------------
+
+
+def _lr02_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ntripmonitor_spark.operators.dedup import normalized_words
+    from ntripmonitor_spark.operators.text import LANG_STOPWORDS, stopword_count
+
+    docs = table(spark, sf_dir, "documents")
+    words = normalized_words(F.col("text"))
+    n_tok = F.size(words)
+    stop_ratio = F.when(
+        n_tok > 0, stopword_count(words, LANG_STOPWORDS["en"]).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    return docs.select(
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        stop_ratio.alias("stop_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+    )
+
+
+@register(
+    "lr02_logreg_quality",
+    tags=("stats",),
+    oracle=None,
+    doc="Distributed logistic-regression training (20 GD epochs)",
+)
+def lr02_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trains an English-document classifier (stopword + alpha ratio
+    features) with 20 full-batch GD epochs: weights live on the driver
+    as literals folded into the scoring expression, each epoch is ONE
+    aggregate (K+2 mergeable sums) + a 1-row collect — iterative ML as
+    repeated aggregates, the Lloyd-loop discipline (ss04/ss07) applied
+    to a classifier. Returns weights + training accuracy. Iterative →
+    no SQL oracle; NumPy-reference-pinned in tests/test_logreg.py."""
+    from ntripmonitor_spark.operators import stats
+
+    return stats.logreg_quality(
+        _lr02_features(spark, sf_dir), label_col="is_en",
+        feature_cols=["stop_ratio", "alpha_ratio"], iters=20, lr=1.0,
+    )
+
+
+# ---------------------------------------------------------------------------
 # tx10 — bigram-LM perplexity quality scoring (CCNet-style).
 # ---------------------------------------------------------------------------
 

@@ -82,6 +82,32 @@ def ts01_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "an02_seasonal_anomalies",
+    bench=True,
+    tags=("timeseries",),
+    oracle="""
+WITH b AS (
+    SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+           avg(value) AS mu, stddev_samp(value) AS sd,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type, e.ts, e.value,
+       round((e.value - b.mu) / b.sd, 6) AS zscore
+FROM events e
+JOIN b ON b.event_type = e.event_type AND b.hod = CAST(hour(e.ts) AS INT)
+WHERE b.n >= 12 AND b.sd > 0 AND abs((e.value - b.mu) / b.sd) > 3
+""",
+)
+def an02_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomalies: events more than 3σ from their
+    (event_type, hour-of-day) baseline — the daily-cycle complement of
+    an01's trailing window. The baseline aggregates to |types|×24 rows
+    and broadcasts back; the event stream never shuffles."""
+    return timeseries.seasonal_anomalies(table(spark, sf_dir, "events"), z=3.0, min_n=12)
+
+
+@register(
     "mk01_event_transitions",
     bench=True,
     tags=("timeseries",),

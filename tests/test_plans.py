@@ -583,3 +583,13 @@ def test_tx10_model_broadcasts_no_sortmerge(spark, sf_dir):
     plan = _explain(spark, "tx10_bigram_nll", sf_dir)
     assert "SortMergeJoin" not in plan, f"tx10 corpus shuffled for a join\n{plan[:2000]}"
     assert "BroadcastHashJoin" in plan
+
+
+def test_an02_baseline_broadcasts_stream_never_shuffles(spark, sf_dir):
+    """an02: the |types|x24 baseline must broadcast onto the event
+    stream — no sort-merge, no window sort of the stream itself."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "an02_seasonal_anomalies", sf_dir)
+    assert "SortMergeJoin" not in plan, f"an02 stream shuffled for baseline join\n{plan[:2000]}"
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan.split("\n\n")[0]
