@@ -495,44 +495,83 @@ def decontaminate_bloom(docs: DataFrame, benchmark_pred, n: int = 3,
     )
 
 
-def duplicate_spans(docs: DataFrame, window: int = 64, stride: int = 32,
+CDC_GRAM = 16       # boundary-test gram width
+CDC_AVG_CHUNK = 32  # expected chunk length (boundary prob = 1/this)
+CDC_MIN_CHUNK = 8   # drop sub-8-char chunks (pure noise)
+
+
+def _cdc_boundary_hash(gram: Column) -> Column:
+    """Portable boundary coin: first 7 hex digits of md5(gram) as an
+    integer (DuckDB: CAST('0x'||substr(md5(..),1,7) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(gram), 1, 7), 16, 10).cast("long")
+
+
+def duplicate_spans(docs: DataFrame, gram: int = CDC_GRAM,
+                    avg_chunk: int = CDC_AVG_CHUNK,
+                    min_chunk: int = CDC_MIN_CHUNK,
                     id_col: str = "doc_id", text_col: str = "text",
                     min_docs: int = 2) -> DataFrame:
-    """Cross-document duplicated character spans — the stride-sampled
-    form of exact substring deduplication (Lee et al. 2021, "Dedupli-
-    cating Training Data Makes Language Models Better", which builds a
-    suffix array to find verbatim repeats; a suffix array is inherently
-    sequential to construct, so the distributed form samples fixed
-    ``window``-char spans every ``stride`` chars and matches them by
-    hash — any verbatim repeat of length ≥ window+stride−1 is
-    guaranteed to contribute at least one aligned sampled span).
+    """Cross-document duplicated spans via content-defined chunking —
+    the distributed form of exact substring deduplication (Lee et al.
+    2021 find verbatim repeats with a suffix array, which is
+    inherently sequential to build; the scalable analog is the
+    LBFS/rsync CDC family). Chunk boundaries are the positions whose
+    ``gram``-char window hashes to 0 mod ``avg_chunk`` — a function of
+    LOCAL CONTENT ONLY, so a verbatim repeat produces the same
+    interior boundaries (hence identical chunks) in every document
+    that carries it, at ANY byte offset. Fixed-stride sampling cannot
+    do this: it only matches repeats that happen to share stride
+    alignment. Detection is guaranteed whenever the repeat contains
+    two interior boundaries ≥ ``min_chunk`` apart (expected every
+    ``avg_chunk`` chars; adversarial content can suppress boundaries,
+    the standard CDC caveat).
 
-    Output: one row per span content appearing in ≥ ``min_docs``
-    distinct documents, with its document frequency, total occurrence
-    count, and the lowest doc_id carrying it (the canonical keeper).
+    Output: one row per chunk content appearing in ≥ ``min_docs``
+    distinct documents: document frequency, occurrence count, chunk
+    length, and the lowest doc_id carrying it (the canonical keeper).
 
-    Scale shape: span generation is a per-row explode (rows ≈
-    chars/stride, each 32-byte hash + id — about 2× the text volume at
-    the defaults); the single exchange is the hash-keyed aggregate
-    with map-side combine, and only spans repeated within a task
-    survive combine un-reduced. No self-join, no corpus shuffle of the
-    text column itself.
+    Scale shape: boundary selection and chunk slicing are pure array
+    expressions inside the scan (one md5 per character — the same
+    work/byte a rolling-hash CDC does); only (doc_id, chunk_hash,
+    len) rows ever leave the scan, and the single exchange is the
+    chunk-hash-keyed aggregate with map-side combine. No self-join;
+    the text column never shuffles.
     """
     d = docs.select(id_col, F.lower(F.col(text_col)).alias("t")).filter(
-        F.length("t") >= window
+        F.length("t") >= gram
     )
-    spans = d.select(
-        id_col,
-        F.explode(
-            F.sequence(F.lit(1), F.length("t") - F.lit(window - 1), F.lit(stride))
-        ).alias("p"),
-        "t",
-    ).select(id_col, F.md5(F.expr(f"substring(t, p, {window})")).alias("span_h"))
+    n_grams = F.length("t") - F.lit(gram - 1)
+    bpos = F.filter(
+        F.sequence(F.lit(1), n_grams),
+        lambda p: F.pmod(
+            _cdc_boundary_hash(F.substr(F.col("t"), p, F.lit(gram))), F.lit(avg_chunk)
+        ) == 0,
+    )
+    bounds = F.array_sort(
+        F.array_distinct(
+            F.concat(F.array(F.lit(1)), bpos, F.array(F.length("t") + 1))
+        )
+    )
+    chunks = F.zip_with(
+        F.slice(bounds, 1, F.size(bounds) - 1),
+        F.slice(bounds, 2, F.size(bounds) - 1),
+        lambda s, e: F.struct(s.alias("s"), (e - s).alias("len")),
+    )
+    spans = (
+        d.select(id_col, "t", F.explode(chunks).alias("c"))
+        .filter(F.col("c.len") >= min_chunk)
+        .select(
+            id_col,
+            F.col("c.len").alias("chunk_len"),
+            F.md5(F.substr(F.col("t"), F.col("c.s"), F.col("c.len"))).alias("span_h"),
+        )
+    )
     return (
         spans.groupBy("span_h")
         .agg(
             F.count_distinct(F.col(id_col)).alias("n_docs"),
             F.count(F.lit(1)).alias("n_occ"),
+            F.max("chunk_len").alias("chunk_len"),
             F.min(id_col).alias("first_doc"),
         )
         .filter(F.col("n_docs") >= min_docs)

@@ -1504,27 +1504,42 @@ def ig01_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     oracle="""
 WITH d AS (
-    SELECT doc_id, lower(text) AS t FROM documents WHERE length(lower(text)) >= 64
+    SELECT doc_id, lower(text) AS t, length(lower(text)) AS L
+    FROM documents WHERE length(lower(text)) >= 16
 ),
-p AS (
-    SELECT doc_id, t, unnest(range(1, length(t) - 62, 32)) AS p FROM d
+b AS (
+    SELECT doc_id, t,
+           list_sort(list_distinct(
+               [CAST(1 AS BIGINT)] ||
+               [p FOR p IN range(1, L - 14) IF
+                   CAST(concat('0x', substr(md5(substr(t, CAST(p AS INT), 16)), 1, 7))
+                        AS BIGINT) % 32 = 0] ||
+               [CAST(L + 1 AS BIGINT)]
+           )) AS bs
+    FROM d
 ),
-s AS (
-    SELECT doc_id, md5(substr(t, CAST(p AS INT), 64)) AS span_h FROM p
+c AS (
+    SELECT doc_id,
+           CAST(bs[i + 1] - bs[i] AS BIGINT) AS chunk_len,
+           md5(substr(t, CAST(bs[i] AS INT), CAST(bs[i + 1] - bs[i] AS INT))) AS span_h
+    FROM b, unnest(range(1, len(bs))) AS u(i)
 )
 SELECT span_h,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_occ,
+       max(chunk_len) AS chunk_len,
        min(doc_id) AS first_doc
-FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+FROM c WHERE chunk_len >= 8
+GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
 """,
 )
 def sd01_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verbatim 64-char spans (sampled every 32 chars) shared by ≥2
-    documents: document frequency, occurrence count, canonical keeper.
-    The distributed stand-in for suffix-array exact substring dedup —
-    any repeat of length ≥ 95 chars is guaranteed a matching sampled
-    span. One hash-keyed aggregate; the text column itself never
+    """Verbatim spans shared by ≥2 documents via content-defined
+    chunking (boundary = 16-gram md5 ≡ 0 mod 32, expected chunk 32
+    chars): alignment-invariant by construction — a repeat produces
+    the same interior chunks at any byte offset, which fixed-stride
+    sampling cannot guarantee (property-pinned across 41 offsets in
+    tests). One chunk-hash-keyed aggregate; the text column never
     shuffles."""
     return dedup.duplicate_spans(table(spark, sf_dir, "documents"))
 
