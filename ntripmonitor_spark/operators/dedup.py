@@ -482,7 +482,11 @@ def decontaminate_bloom(docs: DataFrame, benchmark_pred, n: int = 3,
         id_col, F.xxhash64("shingle").alias("shingle_h")
     ).persist()
     bench_ids = docs.filter(benchmark_pred).select(id_col)
-    bench_sh = sh.join(F.broadcast(bench_ids), id_col).select("shingle_h").distinct()
+    # three consumers (size count, bloom build, exact confirm join) —
+    # persist so the distinct-reduce runs once, not per action
+    bench_sh = (
+        sh.join(F.broadcast(bench_ids), id_col).select("shingle_h").distinct().persist()
+    )
     n_bench = bench_sh.count()
     words, m = bloom_filter_build(bench_sh, "shingle_h", n_bench, bits_per_key)
 

@@ -530,3 +530,58 @@ def ann_recall(emb: DataFrame, k_centroids: int = IVF_K, n_queries: int = 10,
             F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
         )
     )
+
+
+def pq_adc_topk(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
+                n_queries: int = 10, topk: int = 5) -> DataFrame:
+    """PQ asymmetric-distance search — the serving half of the ss05
+    compression step (Jégou et al. 2011): rank the ENCODED corpus for
+    each query by ADC, the sum over subspaces of the distance from the
+    query's sub-vector to the codeword the corpus vector stored.
+
+    Scale shape: each query's m×k distance table is computed JVM-side
+    over the seed literals and collected (n_queries·m·k bounded rows),
+    then ships back as a broadcast column — scoring the corpus is ONE
+    scan over the m-byte codes doing m array lookups per row; the raw
+    vector column is never read, which is the entire point of PQ at
+    100 TB (codes are ~64× smaller than vectors). The per-query top-k
+    window partitions on qid; with few queries per batch that is the
+    standard serving shape (shard the corpus, merge per-shard top-k,
+    exactly as sp04 does for strata, if queries ever become many).
+    """
+    from pyspark.sql import Window
+
+    seeds = _collect_seed_vectors(emb, k)
+    dim = len(seeds[0][1])
+    d = dim // m
+    v = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+
+    dist_cols = []
+    for s in range(m):
+        sub = F.slice(F.col("v"), s * d + 1, d)
+        for cid, (_, vec) in enumerate(seeds):
+            lit = F.array(*[F.lit(x) for x in vec[s * d:(s + 1) * d]])
+            dist = F.round(
+                F.aggregate(
+                    F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, e: acc + e,
+                ), 6,
+            )
+            dist_cols.append(dist.alias(f"d_{s}_{cid}"))
+    qd = v.filter(F.col("vec_id") < n_queries).select("vec_id", *dist_cols).collect()
+    qrows = [
+        (int(r["vec_id"]), [float(r[f"d_{s}_{c}"]) for s in range(m) for c in range(k)])
+        for r in qd
+    ]
+    qdf = emb.sparkSession.createDataFrame(qrows, "qid bigint, dt array<double>")
+
+    codes = pq_encode(emb, m, k).select("vec_id", "pq_code")
+    joined = codes.crossJoin(F.broadcast(qdf))
+    adc = None
+    for s in range(m):
+        digit = F.substring("pq_code", s + 1, 1).cast("int")
+        term = F.get(F.col("dt"), F.lit(s * k) + digit)
+        adc = term if adc is None else adc + term
+    scored = joined.select("qid", "vec_id", F.round(adc, 6).alias("adc"))
+    w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= topk)

@@ -1119,6 +1119,62 @@ def ss05_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ss09 — PQ asymmetric-distance search (the serving half of ss05).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ss09_pq_adc_topk",
+    tags=("simsearch",),
+    bench=True,
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+seeds AS (SELECT vec_id AS cid, vec AS sv FROM v WHERE vec_id < 4),
+d AS (
+    SELECT v.vec_id, s.s, seeds.cid,
+           round(list_sum(list_transform(range(1, 9),
+               i -> (v.vec[s.s * 8 + i] - seeds.sv[s.s * 8 + i])
+                  * (v.vec[s.s * 8 + i] - seeds.sv[s.s * 8 + i]))), 6) AS dist
+    FROM v CROSS JOIN range(0, {_PQ_SUB}) s(s) CROSS JOIN seeds
+),
+best AS (
+    SELECT vec_id, s, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rk
+        FROM d
+    ) WHERE rk = 1
+),
+q AS (SELECT vec_id AS qid, vec AS qv FROM v WHERE vec_id < 10),
+qd AS (
+    SELECT q.qid, s.s, seeds.cid,
+           round(list_sum(list_transform(range(1, 9),
+               i -> (q.qv[s.s * 8 + i] - seeds.sv[s.s * 8 + i])
+                  * (q.qv[s.s * 8 + i] - seeds.sv[s.s * 8 + i]))), 6) AS dist
+    FROM q CROSS JOIN range(0, {_PQ_SUB}) s(s) CROSS JOIN seeds
+),
+adc AS (
+    SELECT qd.qid, best.vec_id, round(sum(qd.dist), 6) AS adc
+    FROM best JOIN qd ON qd.s = best.s AND qd.cid = best.cid
+    GROUP BY 1, 2
+)
+SELECT qid, vec_id, adc, rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rk
+    FROM adc
+) WHERE rk <= 5
+""",
+)
+def ss09_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search (Jégou et al. 2011): top-5 per
+    query over the ENCODED corpus — each query precomputes its 8×4
+    subspace-to-codeword distance table (bounded collect, broadcast
+    back); scoring is one scan over the m-byte codes doing m array
+    lookups per row, never touching the raw vector column — the whole
+    point of PQ at scale."""
+    return simsearch.pq_adc_topk(
+        table(spark, sf_dir, "embeddings"), m=_PQ_SUB, k=4, n_queries=10, topk=5
+    )
+
+
+# ---------------------------------------------------------------------------
 # ss06 — IVF probe (the serving path of the ss04-trained coarse quantizer).
 # ---------------------------------------------------------------------------
 

@@ -593,3 +593,15 @@ def test_an02_baseline_broadcasts_stream_never_shuffles(spark, sf_dir):
     assert "SortMergeJoin" not in plan, f"an02 stream shuffled for baseline join\n{plan[:2000]}"
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan.split("\n\n")[0]
+
+
+def test_ss09_codes_only_scoring(spark, sf_dir):
+    """ss09: the ADC scoring scan must read codes + the broadcast
+    distance tables — one intended nested-loop (tiny broadcast query
+    side), never a sort-merge, and no second read of the embedding
+    column on the scoring side."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "ss09_pq_adc_topk", sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree, f"ss09 corpus shuffled for query join\n{tree}"
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, f"ss09 extra nested loops\n{tree}"
