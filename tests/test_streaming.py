@@ -336,3 +336,55 @@ def test_streaming_kmv_matches_batch(spark, sf_dir, tmp_path):
         for r in sketch.kmv_merge_estimate(spark.read.parquet(state), k=16).collect()
     }
     assert got == expected, f"merged sketch diverged: {got} vs {expected}"
+
+
+def test_streaming_countmin_matches_batch(spark, sf_dir, tmp_path):
+    """The incrementally-maintained CMS (per-batch partials +
+    merge-on-read) must equal the batch sketch of the full stream —
+    counters AND the heavy-hitter estimates derived from them."""
+    from pyspark.sql import functions as F
+
+    from ntripmonitor_spark.operators import sketch
+    from ntripmonitor_spark.streaming import sketches
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id")
+    src = str(tmp_path / "cms_src")
+    # several files + one file per trigger → a genuinely multi-batch stream
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    sink = str(tmp_path / "cms_sink")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sketches.countmin_sink(sink, "user_id"))
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = {
+        (r.d, r.bkt): r.cnt for r in sketches.read_countmin(spark, sink).collect()
+    }
+    batch = {
+        (r.d, r.bkt): r.cnt for r in sketch.countmin_counters(ev, "user_id").collect()
+    }
+    assert merged == batch
+
+    members = ev.select("user_id").distinct().limit(20)
+    est = {
+        r.user_id: r.n_cms
+        for r in sketches.estimate(
+            sketches.read_countmin(spark, sink), members
+        ).collect()
+    }
+    exact = {
+        r.user_id: r.c
+        for r in ev.join(members, "user_id")
+        .groupBy("user_id").agg(F.count("*").alias("c")).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[u] >= exact[u] for u in exact)
