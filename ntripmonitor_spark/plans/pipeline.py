@@ -645,6 +645,67 @@ def dd06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# gr01 — dedup-savings report over the dd06 duplicate clusters.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gr01_cluster_sizes",
+    tags=("dedup",),
+    bench=True,
+    oracle=f"""
+WITH RECURSIVE {_SH_CTE},
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM p JOIN sz x ON x.doc_id = p.doc_a JOIN sz y ON y.doc_id = p.doc_b
+    WHERE CAST(p.n_inter AS DOUBLE) / (x.n_sh + y.n_sh - p.n_inter) >= 0.6
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+by_cluster AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+    FROM clusters GROUP BY 1
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * cluster_size AS BIGINT) AS n_docs,
+       CAST(count(*) * (cluster_size - 1) AS BIGINT) AS n_removable
+FROM by_cluster GROUP BY 1
+""",
+)
+def gr01_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup report a curation run ends with: duplicate-cluster
+    size distribution and how many documents deduplication removes at
+    each size (keep one canonical per cluster). Two bounded
+    aggregations over dd06's cluster assignment — the CC operator's
+    output, |docs| rows, collapses to |distinct sizes| rows; nothing
+    here adds input-scaled work beyond dd06 itself."""
+    clusters = dedup.duplicate_clusters(table(spark, sf_dir, "documents"))
+    by_cluster = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return by_cluster.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
+        (F.count(F.lit(1)) * (F.col("cluster_size") - 1)).alias("n_removable"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # tx06 — PII scrub (regex redaction with accounting)
 # ---------------------------------------------------------------------------
 
