@@ -499,61 +499,63 @@ def decontaminate_bloom(docs: DataFrame, benchmark_pred, n: int = 3,
     )
 
 
-CDC_GRAM = 16       # boundary-test gram width
-CDC_AVG_CHUNK = 32  # expected chunk length (boundary prob = 1/this)
-CDC_MIN_CHUNK = 8   # drop sub-8-char chunks (pure noise)
+CDC_AVG_WORDS = 8   # expected chunk length in words (boundary prob = 1/this)
+CDC_MIN_WORDS = 3   # drop chunks shorter than this many words (noise)
 
 
-def _cdc_boundary_hash(gram: Column) -> Column:
-    """Portable boundary coin: first 7 hex digits of md5(gram) as an
+def _cdc_boundary_hash(tok: Column) -> Column:
+    """Portable boundary coin: first 7 hex digits of md5(token) as an
     integer (DuckDB: CAST('0x'||substr(md5(..),1,7) AS BIGINT))."""
-    return F.conv(F.substring(F.md5(gram), 1, 7), 16, 10).cast("long")
+    return F.conv(F.substring(F.md5(tok), 1, 7), 16, 10).cast("long")
 
 
-def duplicate_spans(docs: DataFrame, gram: int = CDC_GRAM,
-                    avg_chunk: int = CDC_AVG_CHUNK,
-                    min_chunk: int = CDC_MIN_CHUNK,
+def duplicate_spans(docs: DataFrame, avg_words: int = CDC_AVG_WORDS,
+                    min_words: int = CDC_MIN_WORDS,
                     id_col: str = "doc_id", text_col: str = "text",
                     min_docs: int = 2) -> DataFrame:
     """Cross-document duplicated spans via content-defined chunking —
     the distributed form of exact substring deduplication (Lee et al.
     2021 find verbatim repeats with a suffix array, which is
     inherently sequential to build; the scalable analog is the
-    LBFS/rsync CDC family). Chunk boundaries are the positions whose
-    ``gram``-char window hashes to 0 mod ``avg_chunk`` — a function of
-    LOCAL CONTENT ONLY, so a verbatim repeat produces the same
-    interior boundaries (hence identical chunks) in every document
-    that carries it, at ANY byte offset. Fixed-stride sampling cannot
-    do this: it only matches repeats that happen to share stride
-    alignment. Detection is guaranteed whenever the repeat contains
-    two interior boundaries ≥ ``min_chunk`` apart (expected every
-    ``avg_chunk`` chars; adversarial content can suppress boundaries,
-    the standard CDC caveat).
+    LBFS/rsync CDC family, here at WORD granularity: a chunk boundary
+    sits before every word whose hash ≡ 0 mod ``avg_words``).
+    Boundaries are a function of LOCAL CONTENT ONLY, so a verbatim
+    repeat produces the same interior chunks in every document that
+    carries it, at ANY offset — fixed-stride sampling cannot do this
+    (it only matches repeats that share stride alignment; the property
+    test proved exactly that failure before this design replaced it).
+    Detection is guaranteed whenever the repeat contains two interior
+    boundary words ≥ ``min_words`` apart (expected every ``avg_words``
+    words; adversarial token streams can suppress boundaries — the
+    standard CDC caveat).
 
     Output: one row per chunk content appearing in ≥ ``min_docs``
     distinct documents: document frequency, occurrence count, chunk
-    length, and the lowest doc_id carrying it (the canonical keeper).
+    word length, and the lowest doc_id carrying it (the keeper).
 
     Scale shape: boundary selection and chunk slicing are pure array
-    expressions inside the scan (one md5 per character — the same
-    work/byte a rolling-hash CDC does); only (doc_id, chunk_hash,
-    len) rows ever leave the scan, and the single exchange is the
-    chunk-hash-keyed aggregate with map-side combine. No self-join;
-    the text column never shuffles.
+    expressions inside the scan — ONE hash per word plus one per
+    emitted chunk (the cost profile of a rolling-hash CDC; the first
+    cut hashed a 16-gram at every character and was 6× hotter for the
+    same semantics). Only (doc_id, chunk_hash, n_words) rows leave the
+    scan; the single exchange is the chunk-hash-keyed aggregate with
+    map-side combine. No self-join; the text column never shuffles.
     """
-    d = docs.select(id_col, F.lower(F.col(text_col)).alias("t")).filter(
-        F.length("t") >= gram
-    )
-    n_grams = F.length("t") - F.lit(gram - 1)
+    d = docs.select(
+        id_col,
+        F.filter(
+            F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
+        ).alias("ws"),
+    ).filter(F.size("ws") >= 1)
     bpos = F.filter(
-        F.sequence(F.lit(1), n_grams),
-        lambda p: F.pmod(
-            _cdc_boundary_hash(F.substr(F.col("t"), p, F.lit(gram))), F.lit(avg_chunk)
+        F.sequence(F.lit(1), F.size("ws")),
+        lambda i: F.pmod(
+            _cdc_boundary_hash(F.get(F.col("ws"), i - 1)), F.lit(avg_words)
         ) == 0,
     )
     bounds = F.array_sort(
         F.array_distinct(
-            F.concat(F.array(F.lit(1)), bpos, F.array(F.length("t") + 1))
+            F.concat(F.array(F.lit(1)), bpos, F.array(F.size("ws") + 1))
         )
     )
     chunks = F.zip_with(
@@ -562,12 +564,14 @@ def duplicate_spans(docs: DataFrame, gram: int = CDC_GRAM,
         lambda s, e: F.struct(s.alias("s"), (e - s).alias("len")),
     )
     spans = (
-        d.select(id_col, "t", F.explode(chunks).alias("c"))
-        .filter(F.col("c.len") >= min_chunk)
+        d.select(id_col, "ws", F.explode(chunks).alias("c"))
+        .filter(F.col("c.len") >= min_words)
         .select(
             id_col,
-            F.col("c.len").alias("chunk_len"),
-            F.md5(F.substr(F.col("t"), F.col("c.s"), F.col("c.len"))).alias("span_h"),
+            F.col("c.len").alias("n_words"),
+            F.md5(
+                F.array_join(F.slice(F.col("ws"), F.col("c.s"), F.col("c.len")), " ")
+            ).alias("span_h"),
         )
     )
     return (
@@ -575,7 +579,7 @@ def duplicate_spans(docs: DataFrame, gram: int = CDC_GRAM,
         .agg(
             F.count_distinct(F.col(id_col)).alias("n_docs"),
             F.count(F.lit(1)).alias("n_occ"),
-            F.max("chunk_len").alias("chunk_len"),
+            F.max("n_words").alias("n_words"),
             F.min(id_col).alias("first_doc"),
         )
         .filter(F.col("n_docs") >= min_docs)

@@ -1621,43 +1621,45 @@ def ig01_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     oracle="""
 WITH d AS (
-    SELECT doc_id, lower(text) AS t, length(lower(text)) AS L
-    FROM documents WHERE length(lower(text)) >= 16
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
 ),
+d2 AS (SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) >= 1),
 b AS (
-    SELECT doc_id, t,
+    SELECT doc_id, ws,
            list_sort(list_distinct(
                [CAST(1 AS BIGINT)] ||
-               [p FOR p IN range(1, L - 14) IF
-                   CAST(concat('0x', substr(md5(substr(t, CAST(p AS INT), 16)), 1, 7))
-                        AS BIGINT) % 32 = 0] ||
-               [CAST(L + 1 AS BIGINT)]
+               [i FOR i IN range(1, n + 1) IF
+                   CAST(concat('0x', substr(md5(ws[CAST(i AS INT)]), 1, 7))
+                        AS BIGINT) % 8 = 0] ||
+               [CAST(n + 1 AS BIGINT)]
            )) AS bs
-    FROM d
+    FROM d2
 ),
 c AS (
     SELECT doc_id,
-           CAST(bs[i + 1] - bs[i] AS BIGINT) AS chunk_len,
-           md5(substr(t, CAST(bs[i] AS INT), CAST(bs[i + 1] - bs[i] AS INT))) AS span_h
+           CAST(bs[i + 1] - bs[i] AS BIGINT) AS n_words,
+           md5(array_to_string(
+               ws[CAST(bs[i] AS INT):CAST(bs[i + 1] - 1 AS INT)], ' ')) AS span_h
     FROM b, unnest(range(1, len(bs))) AS u(i)
 )
 SELECT span_h,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_occ,
-       max(chunk_len) AS chunk_len,
+       max(n_words) AS n_words,
        min(doc_id) AS first_doc
-FROM c WHERE chunk_len >= 8
+FROM c WHERE n_words >= 3
 GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
 """,
 )
 def sd01_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verbatim spans shared by ≥2 documents via content-defined
-    chunking (boundary = 16-gram md5 ≡ 0 mod 32, expected chunk 32
-    chars): alignment-invariant by construction — a repeat produces
-    the same interior chunks at any byte offset, which fixed-stride
-    sampling cannot guarantee (property-pinned across 41 offsets in
-    tests). One chunk-hash-keyed aggregate; the text column never
-    shuffles."""
+    """Verbatim spans shared by ≥2 documents via word-granular
+    content-defined chunking (boundary before every word whose md5 ≡ 0
+    mod 8, expected chunk 8 words): alignment-invariant by
+    construction — a repeat produces the same interior chunks at any
+    offset, which fixed-stride sampling cannot guarantee
+    (property-pinned across 41 offsets in tests). One hash per word,
+    one chunk-hash-keyed aggregate; the text column never shuffles."""
     return dedup.duplicate_spans(table(spark, sf_dir, "documents"))
 
 

@@ -10,52 +10,59 @@ from ntripmonitor_spark.operators import dedup, sampling, stats, timeseries
 from ntripmonitor_spark.tables import table
 
 
-def _cdc_boundaries(t: str, gram: int = 16, mod: int = 32) -> list[int]:
-    """Pure-Python mirror of the operator's boundary rule (0-based)."""
+def _cdc_chunks(text: str, avg_words: int = 8, min_words: int = 3) -> set[str]:
+    """Pure-Python mirror of the operator: word-boundary CDC chunk
+    hashes of one document."""
     import hashlib
 
-    return [
-        p
-        for p in range(len(t) - gram + 1)
-        if int(hashlib.md5(t[p : p + gram].encode()).hexdigest()[:7], 16) % mod == 0
-    ]
+    ws = [w for w in text.lower().split(" ") if w]
+    bounds = sorted(
+        {0, len(ws)}
+        | {
+            i
+            for i in range(len(ws))
+            if int(hashlib.md5(ws[i].encode()).hexdigest()[:7], 16) % avg_words == 0
+        }
+    )
+    return {
+        hashlib.md5(" ".join(ws[s:e]).encode()).hexdigest()
+        for s, e in zip(bounds, bounds[1:])
+        if e - s >= min_words
+    }
 
 
 def test_sd01_detects_repeats_at_any_alignment(spark):
     """Content-defined chunking's whole point: boundaries depend on
     local content only, so a verbatim repeat yields the same interior
-    chunks in every carrier REGARDLESS of its byte offset — the
-    property fixed-stride sampling lacks. Place one repeat at 41
-    different offsets across 82 docs and require every doc flagged."""
-    repeat = ("the quick brown fox jumps over the lazy dog " * 6).lower()  # 264 chars
-    # sanity: the repeat must carry ≥2 interior boundaries ≥8 apart
-    # whose grams sit fully inside (relative pos ≤ len−16)
-    bs = [p for p in _cdc_boundaries(repeat) if p <= len(repeat) - 16]
-    assert len(bs) >= 2 and max(b2 - b1 for b1, b2 in zip(bs, bs[1:])) >= 8, bs
+    chunks in every carrier REGARDLESS of its word offset — the
+    property fixed-stride sampling lacks (the first-cut stride design
+    failed exactly this test). Place one repeat at 41 different word
+    offsets across 82 docs and require every doc flagged."""
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+             "kilo lima mike november oscar papa quebec romeo sierra tango "
+             "uniform victor whiskey xray yankee zulu one two three four").split()
+    repeat = " ".join(words * 2)  # 60 words
+    # sanity: the repeat's interior must carry ≥2 boundary words ≥3 apart
+    import hashlib
+
+    rws = repeat.split(" ")
+    bs = [
+        i for i in range(len(rws))
+        if int(hashlib.md5(rws[i].encode()).hexdigest()[:7], 16) % 8 == 0
+    ]
+    assert len(bs) >= 2 and max(b - a for a, b in zip(bs, bs[1:])) >= 3, bs
     rows = []
     for off in range(41):
-        filler_a = (f"a{off:02d}" * 20)[: off]
-        rows.append((2 * off, filler_a + repeat + f"tail-a-{off}-" + "p" * 40))
-        filler_b = (f"b{off:02d}" * 20)[: (off * 7) % 29]
-        rows.append((2 * off + 1, filler_b + repeat + f"tail-b-{off}-" + "q" * 40))
+        fa = " ".join(f"fa{off}w{j}" for j in range(off))
+        fb = " ".join(f"fb{off}w{j}" for j in range((off * 7) % 29))
+        rows.append((2 * off, (fa + " " + repeat + f" taila{off} " + "pp " * 10).strip()))
+        rows.append((2 * off + 1, (fb + " " + repeat + f" tailb{off} " + "qq " * 10).strip()))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     dup_hashes = {r.span_h for r in dedup.duplicate_spans(docs).collect()}
     assert dup_hashes, "no duplicated chunks found at all"
-    # recompute each doc's chunk hashes in pure Python and require
-    # every doc to own at least one flagged chunk
-    import hashlib
-
-    missed = []
-    for doc_id, text in rows:
-        t = text.lower()
-        bounds = sorted({0, len(t)} | {p for p in _cdc_boundaries(t)})
-        hashes = {
-            hashlib.md5(t[s:e].encode()).hexdigest()
-            for s, e in zip(bounds, bounds[1:])
-            if e - s >= 8
-        }
-        if not (hashes & dup_hashes):
-            missed.append(doc_id)
+    missed = [
+        doc_id for doc_id, text in rows if not (_cdc_chunks(text) & dup_hashes)
+    ]
     assert not missed, f"missed docs: {missed}"
 
 
