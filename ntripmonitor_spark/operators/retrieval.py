@@ -131,3 +131,48 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def hybrid_rrf(docs: DataFrame, emb: DataFrame,
+               queries: list[tuple[int, list[str]]],
+               k_leg: int = 20, k: int = 10, c: int = 60) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009): fuse the BM25 leg (literal term queries over documents)
+    with the dense leg (cosine kNN over the matching embedding ids)
+    by RRF(d) = Σ_legs 1/(c + rank_leg(d)) — the standard score-free
+    way to combine heterogeneous retrievers, and what a RAG-style
+    data-selection pipeline actually serves.
+
+    Scale shape: each leg already moves only k_leg rows per query past
+    its own (broadcast-query) plan; the fusion is a full-outer join of
+    two ≤|queries|·k_leg relations — driver-scale inputs, so the
+    fusion cost is nil and the legs' scans dominate, unchanged. The
+    ranked legs stay independently cacheable/serveable.
+    """
+    from pyspark.sql import Window
+
+    from ntripmonitor_spark.operators.simsearch import knn_bruteforce
+
+    qids = [qid for qid, _ in queries]
+    sparse = bm25_topk(docs, queries, k=k_leg).select(
+        "query_id", "doc_id", F.col("rank").alias("r_sparse")
+    )
+    dense = (
+        knn_bruteforce(emb, n_queries=max(qids) + 1, k=k_leg)
+        .filter(F.col("query_id").isin(qids))
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("r_dense"),
+        )
+    )
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer")
+    rrf = (
+        F.when(F.col("r_sparse").isNotNull(), 1.0 / (F.lit(c) + F.col("r_sparse"))).otherwise(0.0)
+        + F.when(F.col("r_dense").isNotNull(), 1.0 / (F.lit(c) + F.col("r_dense"))).otherwise(0.0)
+    )
+    scored = fused.select(
+        "query_id", "doc_id", "r_sparse", "r_dense", F.round(rrf, 6).alias("rrf")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

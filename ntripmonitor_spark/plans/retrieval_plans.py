@@ -97,3 +97,79 @@ def bm01_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_topk(
         table(spark, sf_dir, "documents"), BM25_QUERIES, k=10
     )
+
+
+@register(
+    "rc01_hybrid_rrf",
+    bench=True,
+    tags=("retrieval", "simsearch"),
+    oracle=f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t),
+dt AS (
+    SELECT doc_id, tok AS term, count(*) AS tf, min(len(toks)) AS doc_len
+    FROM t, unnest(toks) AS u(tok)
+    WHERE tok IN ({_Q_TERMS})
+    GROUP BY 1, 2
+),
+dfd AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+q(query_id, term) AS (VALUES {_Q_VALUES}),
+sc AS (
+    SELECT q.query_id, dt.doc_id,
+           round(sum(
+               ln(1 + (stats.n_docs - dfd.df + 0.5) / (dfd.df + 0.5))
+               * (dt.tf * (1.2 + 1))
+               / (dt.tf + 1.2 * (0.25 + 0.75 * dt.doc_len / stats.avgdl))
+           ), 6) AS score
+    FROM dt JOIN dfd USING (term) JOIN q USING (term) CROSS JOIN stats
+    GROUP BY 1, 2
+),
+sparse AS (
+    SELECT query_id, doc_id, rank AS r_sparse FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+        ) AS rank FROM sc
+    ) WHERE rank <= 20
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
+dq AS (SELECT vec_id AS query_id, vec AS qv, nrm AS qn FROM n WHERE vec_id IN (1, 2, 3)),
+dscored AS (
+    SELECT dq.query_id, n.vec_id AS doc_id,
+           round(list_dot_product(dq.qv, n.vec) / (dq.qn * n.nrm), 6) AS cos_sim
+    FROM dq CROSS JOIN n
+    WHERE n.vec_id <> dq.query_id
+),
+dense AS (
+    SELECT query_id, doc_id, rank AS r_dense FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, doc_id ASC
+        ) AS rank FROM dscored
+    ) WHERE rank <= 20
+),
+fused AS (
+    SELECT query_id, doc_id, r_sparse, r_dense,
+           round(
+               CASE WHEN r_sparse IS NOT NULL THEN 1.0 / (60 + r_sparse) ELSE 0.0 END
+             + CASE WHEN r_dense IS NOT NULL THEN 1.0 / (60 + r_dense) ELSE 0.0 END,
+           6) AS rrf
+    FROM sparse FULL JOIN dense USING (query_id, doc_id)
+)
+SELECT query_id, doc_id, r_sparse, r_dense, rrf, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC
+    ) AS rank FROM fused
+) WHERE rank <= 10
+""",
+)
+def rc01_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 leg and the dense cosine leg
+    (queries 1-3; RRF c=60, each leg contributes 1/(60+rank) for its
+    top-20): the standard score-free hybrid-retrieval combiner. Each
+    leg moves only k_leg rows per query past its broadcast-query plan;
+    the fusion join is driver-scale."""
+    return retrieval.hybrid_rrf(
+        table(spark, sf_dir, "documents"),
+        table(spark, sf_dir, "embeddings"),
+        BM25_QUERIES, k_leg=20, k=10,
+    )

@@ -605,3 +605,16 @@ def test_ss09_codes_only_scoring(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "SortMergeJoin" not in tree, f"ss09 corpus shuffled for query join\n{tree}"
     assert tree.count("BroadcastNestedLoopJoin") <= 1, f"ss09 extra nested loops\n{tree}"
+
+
+def test_rc01_legs_broadcast_fusion_tiny(spark, sf_dir):
+    """rc01: both legs keep their broadcast-query shape — the ONLY
+    sort-merge allowed is the full-outer fusion itself (Spark cannot
+    broadcast full-outer joins, and its inputs are ≤ queries·k_leg
+    rows, so the merge is driver-scale)."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "rc01_hybrid_rrf", sf_dir)
+    tree = plan.split("\n\n")[0]
+    smjs = [ln for ln in tree.splitlines() if "SortMergeJoin" in ln]
+    assert len(smjs) <= 1, f"rc01 corpus-side sort-merge crept in\n{tree[:2000]}"
+    assert all("FullOuter" in ln for ln in smjs), f"non-fusion sort-merge\n{smjs}"
