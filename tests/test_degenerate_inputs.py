@@ -1,0 +1,110 @@
+"""Degenerate-input robustness: every operator family must survive an
+EMPTY corpus and a single-row corpus without raising (no div-by-zero,
+no element_at on empty arrays, no collect()[0] on nothing) — the
+failure mode of a 100 TB pipeline is one empty partition or one
+filtered-to-nothing source, and that must not kill the job."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ntripmonitor_spark.operators import (
+    dedup,
+    retrieval,
+    sampling,
+    simsearch,
+    sketch,
+    stats,
+    text,
+    timeseries,
+)
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+@pytest.fixture(scope="module")
+def one_doc(spark):
+    return spark.createDataFrame(
+        [(1, "just one tiny document here", "en", "src0", 27)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+@pytest.fixture(scope="module")
+def empty_events(spark):
+    return spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+
+
+DOC_OPS = [
+    ("exact_dedup", lambda d: dedup.exact_duplicates(d)),
+    ("ngram_jaccard", lambda d: dedup.ngram_jaccard_pairs(d)),
+    ("minhash_lsh", lambda d: dedup.minhash_lsh_pairs(d)),
+    ("simhash", lambda d: dedup.simhash_pairs(d)),
+    ("duplicate_spans", lambda d: dedup.duplicate_spans(d)),
+    ("quality", lambda d: text.quality_features(d)),
+    ("repetition", lambda d: text.repetition_metrics(d)),
+    ("bigram_nll", lambda d: text.bigram_nll(d)),
+    ("stratified_ksample", lambda d: sampling.stratified_ksample(d)),
+    ("dsir", lambda d: sampling.dsir_logweights(d, F.col("lang") == "en")),
+    ("quantiles", lambda d: stats.quantile_thresholds(d)),
+    ("histogram", lambda d: stats.length_histogram(d)),
+    ("sequence_pack", lambda d: sampling.sequence_pack(d)),
+    ("bm25", lambda d: retrieval.bm25_topk(d, [(1, ["one", "tiny"])], k=5)),
+    ("inverted_index", lambda d: retrieval.inverted_index(d)),
+]
+
+
+@pytest.mark.parametrize("name,op", DOC_OPS, ids=[n for n, _ in DOC_OPS])
+def test_doc_ops_survive_empty_corpus(empty_docs, name, op):
+    assert op(empty_docs).count() == 0
+
+
+@pytest.mark.parametrize("name,op", DOC_OPS, ids=[n for n, _ in DOC_OPS])
+def test_doc_ops_survive_single_doc(one_doc, name, op):
+    op(one_doc).collect()  # must not raise; row counts vary by op
+
+
+def test_zipf_on_empty_corpus_is_one_null_summary_row(empty_docs, one_doc):
+    """Global aggregates answer with ONE row even over nothing — the
+    correct SQL semantics; the fit columns are null, n_top = 0."""
+    row = text.zipf_fit(empty_docs).collect()[0]
+    assert row["n_top"] == 0 and row["slope"] is None
+    text.zipf_fit(one_doc).collect()  # single doc: must not raise
+
+
+def test_event_ops_survive_empty_stream(empty_events):
+    assert timeseries.event_transitions(empty_events).count() == 0
+    assert timeseries.zscore_anomalies(empty_events).count() == 0
+    assert timeseries.seasonal_anomalies(empty_events).count() == 0
+    assert timeseries.gap_fill(empty_events).count() == 0
+    assert sketch.countmin_counters(empty_events, "user_id").count() == 0
+    assert sketch.kmv_distinct(empty_events).count() == 0
+
+
+def test_bpe_trainer_survives_tiny_and_empty(spark, empty_docs):
+    assert text.bpe_train(empty_docs, n_merges=3).count() == 0
+    one = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    rows = text.bpe_train(one, n_merges=5).collect()
+    # only one merge is possible ("a"+"b"), then pairs run dry
+    assert [(r["left"], r["right"]) for r in rows] == [("a", "b")]
+
+
+def test_logreg_survives_single_class(spark):
+    """All-one-label input: gradient descent must not NaN (sigmoid
+    saturates but stays finite at 20 epochs, lr=1)."""
+    import math
+
+    feats = spark.createDataFrame(
+        [(1, 0.5, 0.8), (1, 0.4, 0.7), (1, 0.6, 0.9)],
+        "is_en int, stop_ratio double, alpha_ratio double",
+    )
+    w, n = stats.logistic_fit(feats, "is_en", ["stop_ratio", "alpha_ratio"])
+    assert n == 3 and all(math.isfinite(x) for x in w)
