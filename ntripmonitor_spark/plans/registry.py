@@ -52,10 +52,11 @@ def bench_queries() -> dict[str, Query]:
 # TIMESTAMP_NTZ shift plus the array-output fix (aj01, rj01, sn01, sn02,
 # ss04), the r3-modified operators with only one post-change verification
 # (tp01, tp02, cu01, dd02, dd04), the once-verified r3 rotations (sp03, ss03,
-# tx07), and the new round-4 operators (qa01, ss05-ss08, aj02, dc02, cu02,
-# tp03, fn01, fn02, an01, ts01, bm01, in01, lo01, tx08-tx10, dd07, mk01,
-# lr01, cm01, sd01, ig01, sp04, hs01, tx09, bp01). With ~40 canonical
-# names exposed, the remaining ~10 window slots re-verify x_ aliases
+# tx07), and the new round-4 operators (qa01, ss05-ss09, aj02, dc02, cu02,
+# tp03, fn01, fn02, an01-an02, ts01, bm01, in01, rc01, lo01, tx08-tx10,
+# dd07, mk01, lr01-lr02, cm01, sd01, gr01, ig01, sp04, hs01, tx09, bp01).
+# With ~46 canonical names exposed, the remaining ~4 window slots re-verify
+# x_ aliases
 # alphabetically — nothing is hidden from the driver, only ordered. Every
 # query stays registered under its canonical name for tests/bench and remains
 # in the local DuckDB parity suite (tests/test_parity.py) at every SF.
