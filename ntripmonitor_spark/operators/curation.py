@@ -60,3 +60,86 @@ def curation_funnel(docs: DataFrame, quality_min: float = 0.5,
     staged = d.select("doc_id", "source", n_tok.alias("n_tokens"))
     return _pack_by_shard(staged, pack_tokens, n_shards=16,
                           order_cols=[F.col("doc_id").asc()])
+
+
+def full_pipeline(docs: DataFrame, benchmark_pred, quality_min: float = 0.5,
+                  coeff: float = 5.0, pack_tokens: int = 512,
+                  chunk_tokens: int = 128, n: int = 3) -> DataFrame:
+    """The COMPLETE curation pipeline as one declarative plan — every
+    cut a real training run makes, in order:
+
+    1. quality gate (weighted score ≥ ``quality_min``);
+    2. exact dedup (min-doc_id winner per md5(text));
+    3. eval-set decontamination (drop docs whose distinct 3-gram
+       overlap with the benchmark slice reaches 80% — dc01 semantics;
+       the benchmark slice itself never enters the corpus);
+    4. temperature-flattened source mixing over the CLEAN survivors;
+    5. long-document splitting into ≤ ``chunk_tokens`` chunks;
+    6. greedy packing of chunks into ~``pack_tokens`` packs per
+       (source, shard).
+
+    Output: (doc_id, chunk_idx, source, n_tokens, chunk_len, pack_id).
+
+    Scale shape: gate + mix stay scan predicates; dedup is one
+    content-hash window; decontamination broadcasts the benchmark
+    shingle set and joins its per-doc verdict back keyed by doc_id;
+    splitting is a per-row generate; packing shuffles only chunk
+    metadata keyed by (source, shard). Two corpus-keyed exchanges
+    total (dedup window, verdict join) before the packer.
+    """
+    from ntripmonitor_spark.operators.dedup import decontaminate, normalized_words
+    from ntripmonitor_spark.operators.sampling import PACK_SHARD_STRIDE, hash_bucket
+
+    corpus = docs.filter(~benchmark_pred)
+    d = corpus.withColumn("quality_score", quality_score_col(F.col("text"))).filter(
+        F.col("quality_score") >= quality_min
+    )
+    w_dup = Window.partitionBy(F.md5(F.col("text")))
+    d = d.withColumn("win", F.min("doc_id").over(w_dup)).filter(
+        F.col("doc_id") == F.col("win")
+    )
+
+    verdict = decontaminate(docs, benchmark_pred, n).select("doc_id", "is_contaminated")
+    d = d.join(verdict, "doc_id", "left").filter(
+        F.col("is_contaminated").isNull() | ~F.col("is_contaminated")
+    )
+
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    rate = F.floor(
+        F.lit(BUCKETS)
+        * F.least(F.lit(1.0), F.lit(coeff) / F.sqrt(F.col("n_src").cast("double")))
+    ).cast("int")
+    d = d.join(F.broadcast(counts.select("source", rate.alias("rate"))), "source").filter(
+        hash_bucket(F.col("doc_id")) < F.col("rate")
+    )
+
+    n_tok = F.size(normalized_words(F.col("text")))
+    staged = d.select("doc_id", "source", n_tok.alias("n_tokens"))
+    n_chunks = F.ceil(F.col("n_tokens") / F.lit(chunk_tokens)).cast("int")
+    chunks = staged.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1))
+    ).withColumn(
+        "chunk_len",
+        F.least(
+            F.lit(chunk_tokens),
+            F.col("n_tokens") - F.col("chunk_idx") * chunk_tokens,
+        ).cast("int"),
+    )
+
+    shard = hash_bucket(F.col("doc_id"), 16)
+    chunks = chunks.withColumn("_shard", shard)
+    w = (
+        Window.partitionBy("source", "_shard")
+        .orderBy(F.col("doc_id").asc(), F.col("chunk_idx").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum("chunk_len").over(w) - F.col("chunk_len")
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "source",
+        "n_tokens",
+        "chunk_len",
+        (F.col("_shard") * PACK_SHARD_STRIDE
+         + F.floor(running / pack_tokens)).cast("long").alias("pack_id"),
+    )

@@ -645,6 +645,97 @@ def dd06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cu03 — the complete curation pipeline (gate → dedup → decontaminate
+# → mix → split → pack) as one declarative plan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cu03_full_pipeline",
+    tags=("sampling", "text", "dedup"),
+    bench=True,
+    oracle="""
+WITH w AS (
+    SELECT doc_id, text, source,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+    FROM w
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+cont AS (
+    SELECT sh.doc_id,
+           CAST(sum(CASE WHEN bench.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS frac
+    FROM sh LEFT JOIN bench USING (shingle)
+    WHERE sh.doc_id >= 20
+    GROUP BY 1
+),
+scored AS (
+    SELECT w.*, round(
+        0.4 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text))
+      + 0.3 * (1 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+      + 0.2 * (CAST(len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE) / len(ws))
+      + 0.1 * (1 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)), 6
+    ) AS quality_score
+    FROM w WHERE doc_id >= 20
+),
+gated AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+dedup AS (
+    SELECT * FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS win FROM gated
+    ) WHERE doc_id = win
+),
+clean AS (
+    SELECT dedup.* FROM dedup LEFT JOIN cont USING (doc_id)
+    WHERE cont.frac IS NULL OR cont.frac < 0.8
+),
+rates AS (
+    SELECT source,
+           CAST(FLOOR(1000 * LEAST(1.0, 5.0 / sqrt(CAST(COUNT(*) AS DOUBLE)))) AS INT) AS rate
+    FROM clean GROUP BY source
+),
+mixed AS (
+    SELECT clean.* FROM clean JOIN rates USING (source)
+    WHERE ((doc_id * 2654435761) % 4294967296) % 1000 < rate
+),
+chunks AS (
+    SELECT doc_id, source, CAST(len(ws) AS INT) AS n_tokens,
+           CAST(u.ci AS INT) AS chunk_idx,
+           CAST(least(128, len(ws) - u.ci * 128) AS INT) AS chunk_len
+    FROM mixed,
+         unnest(range(0, greatest(CAST(ceil(len(ws) / 128.0) AS BIGINT), 1))) AS u(ci)
+)
+SELECT doc_id, chunk_idx, source, n_tokens, chunk_len,
+       CAST(((doc_id * 2654435761) % 4294967296) % 16 * 1048576
+            + FLOOR((SUM(chunk_len) OVER (
+                     PARTITION BY source, ((doc_id * 2654435761) % 4294967296) % 16
+                     ORDER BY doc_id, chunk_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - chunk_len) / 512.0)
+            AS BIGINT) AS pack_id
+FROM chunks
+""",
+)
+def cu03_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every cut a training run makes, in one declarative plan:
+    quality gate → exact dedup → eval-set decontamination (dc01
+    semantics, benchmark = doc_id < 20, which never enters the
+    corpus) → temperature mixing → 128-token splitting → shard-
+    parallel packing. Two corpus-keyed exchanges before the packer
+    (dedup window + decontamination verdict join); everything else is
+    scan predicates, broadcasts, and per-row generates."""
+    from ntripmonitor_spark.operators import curation
+
+    return curation.full_pipeline(
+        table(spark, sf_dir, "documents"), F.col("doc_id") < 20
+    )
+
+
+# ---------------------------------------------------------------------------
 # gr01 — dedup-savings report over the dd06 duplicate clusters.
 # ---------------------------------------------------------------------------
 

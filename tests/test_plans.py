@@ -618,3 +618,26 @@ def test_rc01_legs_broadcast_fusion_tiny(spark, sf_dir):
     smjs = [ln for ln in tree.splitlines() if "SortMergeJoin" in ln]
     assert len(smjs) <= 1, f"rc01 corpus-side sort-merge crept in\n{tree[:2000]}"
     assert all("FullOuter" in ln for ln in smjs), f"non-fusion sort-merge\n{smjs}"
+
+
+def test_cu03_two_corpus_exchanges_before_packer(spark, sf_dir):
+    """cu03: the full pipeline must stay gate/mix-as-predicates +
+    dedup window + verdict join + packer window — bound the total
+    exchange count and require the benchmark shingle set to broadcast
+    (the corpus never sort-merges against it)."""
+    spark.catalog.clearCache()
+    plan = _explain(spark, "cu03_full_pipeline", sf_dir)
+    tree = plan.split("\n\n")[0]
+    smjs = [ln for ln in tree.splitlines() if "SortMergeJoin" in ln]
+    # the only allowed sort-merge is the per-doc verdict LEFT join —
+    # it appears twice statically because the rates-agg subtree
+    # recomputes the survivor relation (AQE reuses the exchange at
+    # runtime); benchmark shingle joins must broadcast, nothing may
+    # degenerate to a cartesian, and the packer must shard-partition.
+    assert len(smjs) <= 2, f"cu03 extra sort-merges\n{tree[:2500]}"
+    assert all("LeftOuter" in ln for ln in smjs), f"non-verdict sort-merge\n{smjs}"
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("source" in p and "shard" in p for p in parts), (
+        f"cu03 pack window not sharded within source\n{plan[:2000]}"
+    )
