@@ -109,6 +109,34 @@ def range_join_intervals(events: DataFrame, interval_pred: Column,
     )
 
 
+def scd2_history(events: DataFrame, key_col: str = "user_id",
+                 attr_col: str = "event_type", ts_col: str = "ts") -> DataFrame:
+    """SCD Type-2 history build: collapse a change stream into validity
+    intervals — one row per (key, attribute-value run) with
+    [valid_from, valid_to) bounds and an ``is_current`` flag, the
+    standard warehouse upsert-with-history shape (kimball dimension
+    maintenance, here derived from the raw event log).
+
+    Shape: one keyed shuffle. Run detection (``lag``) and interval
+    close (``lead`` after the run filter) share the same partitioning
+    and sort order, so Catalyst plans both window passes on a single
+    exchange; the event log never joins against itself. Per-key work
+    is a linear scan, so a skewed key costs O(its rows), not O(rows²).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    runs = events.select("event_id", key_col, ts_col, attr_col).withColumn(
+        "_prev", F.lag(attr_col).over(w)
+    ).filter(F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev")))
+    out = runs.withColumn("valid_to", F.lead(ts_col).over(w))
+    return out.select(
+        key_col,
+        F.col(attr_col).alias("attr_value"),
+        F.col(ts_col).alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
 def event_funnel(events: DataFrame, stages: list[tuple[str, str]],
                  key_col: str = "user_id", ts_col: str = "ts",
                  type_col: str = "event_type") -> DataFrame:

@@ -288,3 +288,40 @@ def stratified_ksample(docs: DataFrame, k: int = 10,
         .filter(F.col("rk") <= k)
         .select(stratum_col, id_col, "coin", "rk")
     )
+
+
+# Deterministic corpus split fractions (train/val/test). Cumulative
+# thresholds in buckets-per-4294967296 of the portable Knuth hash, so
+# the assignment is reproducible across engines, runs, and cluster
+# sizes — membership is a pure function of doc_id, never of partition
+# layout or RNG state.
+SPLIT_FRACTIONS: tuple[tuple[str, float], ...] = (
+    ("train", 0.90), ("val", 0.05), ("test", 0.05),
+)
+# Integer hash cutoffs (h < cutoff), precomputed so the boundary is an
+# exact integer compare in every engine — never a float-accumulation
+# artifact (0.9 + 0.05 != 0.95 in IEEE doubles).
+_SPLIT_CUTOFFS: list[tuple[int, str]] = []
+_acc = 0.0
+for _name, _frac in SPLIT_FRACTIONS[:-1]:
+    _acc += _frac
+    _SPLIT_CUTOFFS.append((int(_acc * (1 << 32)), _name))
+
+
+def hash_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment by hashed id: the split
+    every training pipeline needs before packing/export, as a pure
+    column expression (zero exchanges, trivially pushed down as a scan
+    predicate when materializing one split).
+
+    A new document joining the corpus never moves any existing
+    document between splits (stable hashing), unlike randomSplit,
+    whose assignment depends on partition layout and seed plumbing.
+    """
+    h = F.pmod(F.col(id_col).cast("long") * F.lit(KNUTH), F.lit(1 << 32))
+    expr = F.lit(SPLIT_FRACTIONS[-1][0])
+    for cutoff, name in reversed(_SPLIT_CUTOFFS):
+        expr = F.when(h < F.lit(cutoff), F.lit(name)).otherwise(expr)
+    return docs.select(
+        F.col(id_col), "source", h.alias("h"), expr.alias("split")
+    )

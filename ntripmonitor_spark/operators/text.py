@@ -452,3 +452,112 @@ def bigram_nll(docs: DataFrame, vocab_size: int = 64, k: float = 0.5,
             F.round(F.avg(-F.col("logp")), 6).alias("avg_nll"),
         )
     )
+
+
+# Gopher-style rule gate (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1).
+# Thresholds re-centred for the synthetic corpus (10-99 words/doc,
+# mean word length 3.7-5.3) so every rule actually discriminates;
+# the production values (50-100k words, 3-10 chars, 0.1 symbol ratio,
+# 80% alpha words, >=2 stopword hits) are the documented defaults.
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def gopher_rules(docs: DataFrame,
+                 min_words: int = 20, max_words: int = 80,
+                 min_mean_len: float = 3.9, max_mean_len: float = 5.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_alpha_word_ratio: float = 0.8,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """Rule-based quality gate: per-document word count, mean word
+    length, symbol-to-word ratio, alpha-word fraction and stopword
+    presence, each as a boolean flag plus the conjunction (``keep``).
+    Pure column expressions over one scan — zero exchanges, and the
+    flags are reusable as scan predicates by any downstream funnel
+    (same discipline as cu01's gate).
+    """
+    text = F.lower(F.col("text"))
+    words = normalized_words(text)
+    n_words = F.size(words)
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / n_words,
+    )
+    n_symbols = F.length(F.regexp_replace(text, "[a-z0-9 ]", ""))
+    symbol_ratio = F.when(n_words > 0, n_symbols.cast("double") / n_words)
+    n_alpha_words = F.size(F.filter(words, lambda x: x.rlike("[a-z]")))
+    alpha_ratio = F.when(n_words > 0, n_alpha_words.cast("double") / n_words)
+    stop_hits = stopword_count(words, GOPHER_STOPWORDS)
+
+    wc_ok = (n_words >= min_words) & (n_words <= max_words)
+    ml_ok = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    sym_ok = symbol_ratio <= max_symbol_ratio
+    alpha_ok = alpha_ratio >= min_alpha_word_ratio
+    stop_ok = stop_hits >= min_stop_hits
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+        wc_ok.alias("wc_ok"),
+        ml_ok.alias("ml_ok"),
+        sym_ok.alias("sym_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (wc_ok & ml_ok & sym_ok & alpha_ok & stop_ok).alias("keep"),
+    )
+
+
+def pmi_collocations(docs: DataFrame, top_n: int = 50,
+                     min_count: int = 5) -> DataFrame:
+    """Top collocations by pointwise mutual information over adjacent
+    word pairs: pmi(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with bigram and
+    unigram probabilities estimated from corpus counts.
+
+    Shape: one explode scan feeds both the bigram and the unigram
+    aggregates (persisted once — the dd02 silver-relation discipline);
+    the unigram count relation is vocabulary-sized, so both
+    re-attachments are broadcast hash joins and the corpus-sized
+    bigram relation shuffles exactly once, keyed by the pair. The
+    final top-N is a sort of an already-aggregated vocabulary²-bounded
+    relation, not of corpus rows.
+    """
+    words = normalized_words(F.col("text"))
+    grams = docs.select(
+        F.explode(word_shingles(words, 2)).alias("bigram")
+    ).select(
+        F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
+        F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
+    ).persist()
+
+    bc = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = (
+        grams.select(F.col("w1").alias("tok"))
+        .unionAll(grams.select(F.col("w2").alias("tok")))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("c_tok"))
+    )
+    totals = grams.agg(F.count(F.lit(1)).alias("t_b")).select(
+        "t_b", (F.col("t_b") * 2).alias("t_u")
+    )
+    scored = (
+        bc.filter(F.col("c_xy") >= min_count)
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w1")
+                          .withColumnRenamed("c_tok", "c_x")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w2")
+                          .withColumnRenamed("c_tok", "c_y")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "c_xy",
+            F.round(
+                F.log((F.col("c_xy").cast("double") / F.col("t_b"))
+                      / ((F.col("c_x").cast("double") / F.col("t_u"))
+                         * (F.col("c_y").cast("double") / F.col("t_u")))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_n)

@@ -141,3 +141,32 @@ def fn02_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one count-distinct aggregate — the event log is never joined
     against itself."""
     return joins.cohort_retention(table(spark, sf_dir, "events"))
+
+
+@register(
+    "scd01_history",
+    bench=True,
+    tags=("joins", "warehouse"),
+    oracle="""
+WITH runs AS (
+    SELECT event_id, user_id, ts, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+changes AS (
+    SELECT * FROM runs WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type AS attr_value, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM changes
+""",
+)
+def scd01_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history from the raw event log: one
+    validity-interval row per (user, event_type run) with
+    [valid_from, valid_to) bounds and an is_current flag — the
+    warehouse upsert-with-history shape. Run detection and interval
+    close are two window passes sharing one keyed exchange; the log
+    never self-joins."""
+    return joins.scd2_history(table(spark, sf_dir, "events"))

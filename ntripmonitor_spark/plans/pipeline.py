@@ -2096,3 +2096,174 @@ def ss08_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.ann_recall(
         table(spark, sf_dir, "embeddings"), k_centroids=8, n_queries=10, nprobe=2, k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# tx11 — Gopher-style rule-based quality gate.
+# ---------------------------------------------------------------------------
+
+_GOPHER_SW = "['the', 'a', 'of', 'and', 'is', 'to', 'in']"
+
+
+@register(
+    "tx11_gopher_rules",
+    bench=True,
+    tags=("text",),
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, lower(text) AS lt,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(ws) AS n_words,
+           CASE WHEN len(ws) > 0 THEN
+               list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws) END AS mwl,
+           CASE WHEN len(ws) > 0 THEN
+               length(regexp_replace(lt, '[a-z0-9 ]', '', 'g'))::DOUBLE / len(ws) END AS sym,
+           CASE WHEN len(ws) > 0 THEN
+               len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(ws) END AS alp,
+           len(list_filter(ws, x -> list_contains({_GOPHER_SW}, x))) AS stop_hits
+    FROM w
+)
+SELECT doc_id, n_words,
+       round(mwl, 6) AS mean_word_len,
+       round(sym, 6) AS symbol_ratio,
+       round(alp, 6) AS alpha_word_ratio,
+       stop_hits,
+       n_words BETWEEN 20 AND 80 AS wc_ok,
+       mwl >= 3.9 AND mwl <= 5.0 AS ml_ok,
+       sym <= 0.1 AS sym_ok,
+       alp >= 0.8 AS alpha_ok,
+       stop_hits >= 2 AS stop_ok,
+       (n_words BETWEEN 20 AND 80) AND mwl >= 3.9 AND mwl <= 5.0
+           AND sym <= 0.1 AND alp >= 0.8 AND stop_hits >= 2 AS keep
+FROM m
+""",
+)
+def tx11_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021) rule gate: word-count bounds,
+    mean-word-length bounds, symbol ratio, alpha-word fraction,
+    stopword presence — five boolean flags plus the conjunction, as
+    pure column expressions over one scan (zero exchanges)."""
+    return text.gopher_rules(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# tx12 — PMI collocations (top bigrams by pointwise mutual information).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx12_pmi_collocations",
+    bench=True,
+    tags=("text",),
+    oracle="""
+WITH w AS (
+    SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+g AS (
+    SELECT unnest(list_transform(range(1, greatest(len(ws), 1)),
+                  i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+    FROM w
+),
+bg AS (
+    SELECT string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2
+    FROM g
+),
+bc AS (SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2),
+uni AS (
+    SELECT tok, count(*) AS c_tok FROM (
+        SELECT w1 AS tok FROM bg UNION ALL SELECT w2 AS tok FROM bg
+    ) GROUP BY 1
+),
+tot AS (SELECT count(*)::DOUBLE AS t_b, count(*) * 2.0 AS t_u FROM bg)
+SELECT b.w1, b.w2, b.c_xy,
+       round(ln((b.c_xy / t_b) / ((u1.c_tok / t_u) * (u2.c_tok / t_u))), 6) AS pmi
+FROM bc b
+JOIN uni u1 ON b.w1 = u1.tok
+JOIN uni u2 ON b.w2 = u2.tok, tot
+WHERE b.c_xy >= 5
+ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC
+LIMIT 50
+""",
+)
+def tx12_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-word collocations by PMI: one explode scan
+    feeds bigram + unigram counts (persisted once); unigram counts are
+    vocabulary-sized and broadcast back, so the corpus-sized bigram
+    relation shuffles exactly once, and the top-N sorts an aggregated
+    vocabulary-bounded relation — never corpus rows."""
+    return text.pmi_collocations(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# sp05 — deterministic hash-based train/val/test split.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sp05_hash_split",
+    tags=("sampling",),
+    oracle="""
+SELECT doc_id, source,
+       (doc_id * 2654435761) % 4294967296 AS h,
+       CASE WHEN (doc_id * 2654435761) % 4294967296 < 3865470566 THEN 'train'
+            WHEN (doc_id * 2654435761) % 4294967296 < 4080218931 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def sp05_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train-val-test split by portable hashed
+    doc_id (integer cutoff compares — no float-boundary ambiguity,
+    no RNG/partition-layout dependence): zero exchanges, and a split's
+    materialization pushes down as a scan predicate."""
+    from ntripmonitor_spark.operators.sampling import hash_split
+
+    return hash_split(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ss10 — int8 scalar quantization of the embedding column.
+# ---------------------------------------------------------------------------
+
+_SQ_DIM = 64
+_SQ_MINS = ", ".join(f"min(vec[{i + 1}])" for i in range(_SQ_DIM))
+_SQ_MAXS = ", ".join(f"max(vec[{i + 1}])" for i in range(_SQ_DIM))
+
+
+@register(
+    "ss10_sq8_quantize",
+    bench=True,
+    tags=("simsearch",),
+    oracle=f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+st AS (SELECT [{_SQ_MINS}] AS mins, [{_SQ_MAXS}] AS maxs FROM v),
+q AS (
+    SELECT vec_id, label,
+           list_transform(range(1, {_SQ_DIM + 1}), i ->
+               CASE WHEN maxs[i] - mins[i] = 0 THEN 0.0
+                    ELSE floor((vec[i] - mins[i]) / (maxs[i] - mins[i]) * 255.0 + 0.5)
+               END) AS codes,
+           list_transform(range(1, {_SQ_DIM + 1}), i -> maxs[i] - mins[i]) AS spans,
+           list_transform(range(1, {_SQ_DIM + 1}), i -> vec[i] - mins[i]) AS shifted
+    FROM v, st
+)
+SELECT vec_id, label,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       round(list_sum(list_transform(range(1, {_SQ_DIM + 1}), i ->
+           (codes[i] / 255.0 * spans[i] - shifted[i])
+           * (codes[i] / 255.0 * spans[i] - shifted[i]))) / {_SQ_DIM} * 1e6, 4) AS micro_mse
+FROM q
+""",
+)
+def ss10_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of embeddings: pass 1 reduces the
+    corpus to one row of per-dimension [min,max] (mergeable partials),
+    pass 2 broadcasts it and encodes elementwise — the 4x storage-
+    compression path that precedes PQ (ss05) in an IVF index build.
+    Codes use floor(x+0.5), bit-reproducible across engines."""
+    return simsearch.sq8_quantize(table(spark, sf_dir, "embeddings"))

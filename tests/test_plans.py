@@ -641,3 +641,41 @@ def test_cu03_two_corpus_exchanges_before_packer(spark, sf_dir):
     assert any("source" in p and "shard" in p for p in parts), (
         f"cu03 pack window not sharded within source\n{plan[:2000]}"
     )
+
+
+def test_tx11_sp05_pure_column_zero_exchanges(spark, sf_dir):
+    # the rule gate and the hash split are scan predicates in waiting:
+    # any exchange here means a 100 TB corpus pays a shuffle for a
+    # per-row pure function
+    for name in ("tx11_gopher_rules", "sp05_hash_split"):
+        plan = _explain(spark, name, sf_dir)
+        assert _exchanges(plan) == 0, f"{name}: unexpected shuffle\n{plan[:2000]}"
+
+
+def test_scd01_single_keyed_exchange(spark, sf_dir):
+    # run detection (lag) and interval close (lead) must share the one
+    # user_id exchange; a second exchange means the window specs
+    # diverged and the log shuffles twice
+    plan = _explain(spark, "scd01_history", sf_dir)
+    assert _exchanges(plan) == 1, f"scd01: expected one keyed shuffle\n{plan[:2000]}"
+    assert "Join" not in plan, "scd01 must not self-join the event log"
+
+
+def test_ss10_stats_broadcast_corpus_never_shuffled(spark, sf_dir):
+    # pass 1 reduces to ONE row (partial_min/max -> single merge);
+    # pass 2 must attach it by broadcast — the corpus-side relation
+    # never moves
+    plan = _explain(spark, "ss10_sq8_quantize", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "ss10: stats join must broadcast"
+    # corpus side: no Exchange other than the single-row aggregate's
+    assert _exchanges(plan) <= 1, f"ss10: corpus-side shuffle crept in\n{plan[:2000]}"
+
+
+def test_tx12_unigrams_broadcast_bigrams_shuffle_once(spark, sf_dir):
+    # the corpus-sized bigram relation may shuffle once (its groupBy);
+    # unigram counts and totals re-attach as broadcasts, and the final
+    # top-N must be a bounded TakeOrdered, not a global sort
+    plan = _explain(spark, "tx12_pmi_collocations", sf_dir)
+    assert "SortMergeJoin" not in plan, "tx12: PMI joins must broadcast"
+    assert "TakeOrderedAndProject" in plan, "tx12: top-N should be TakeOrdered"
