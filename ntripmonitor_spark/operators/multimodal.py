@@ -184,3 +184,50 @@ def sample_frames(docs: DataFrame) -> DataFrame:
 
 def resize(docs: DataFrame) -> DataFrame:
     return binary_payloads(docs).mapInPandas(resize_batch, schema=RESIZE_SCHEMA)
+
+
+ENERGY_SCHEMA = "doc_id bigint, win_idx int, ssq bigint, rms double"
+
+WIN_SAMPLES = 32  # stub "audio" analysis window (samples)
+HOP_SAMPLES = 16  # 50% overlap, the standard STFT hop
+
+
+def audio_energy_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """'Audio energy' stub: treat the payload as 8-bit PCM samples and
+    emit per-window RMS over sliding WIN_SAMPLES windows with
+    HOP_SAMPLES hop (only full windows — no padding). The
+    sum-of-squares stays integer so the one float op (sqrt of an
+    exact rational) is bit-identical in every engine; a real build
+    swaps the frombuffer for an audio decode on the same batch shape.
+    """
+    import math
+
+    import numpy as np
+
+    for pdf in batches:
+        ids, wi, ssqs, rmss = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            n_wins = max(0, (len(arr) - WIN_SAMPLES) // HOP_SAMPLES + 1)
+            if n_wins:
+                sq = arr * arr
+                starts = np.arange(n_wins) * HOP_SAMPLES
+                windows = np.lib.stride_tricks.sliding_window_view(sq, WIN_SAMPLES)[starts]
+                sums = windows.sum(axis=1)
+                for w, s in enumerate(sums):
+                    ids.append(doc_id)
+                    wi.append(w)
+                    ssqs.append(int(s))
+                    rmss.append(round(math.sqrt(int(s) / float(WIN_SAMPLES)), 6))
+        yield pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"),
+             "win_idx": pd.Series(wi, dtype="int32"),
+             "ssq": pd.Series(ssqs, dtype="int64"),
+             "rms": pd.Series(rmss, dtype="float64")}
+        )
+
+
+def audio_energy(docs: DataFrame) -> DataFrame:
+    """Windowed audio-energy extraction over the binary payload
+    (Arrow-batched mapInPandas; deterministic fake PCM decode)."""
+    return binary_payloads(docs).mapInPandas(audio_energy_batch, schema=ENERGY_SCHEMA)

@@ -305,6 +305,22 @@ def zipf_fit(docs: DataFrame, top_v: int = 1000, text_col: str = "text",
     )
 
 
+def _merge_fold(syms: Column, left: str, right: str, merged: str) -> Column:
+    """Apply one BPE merge to a symbol array as a pure column fold:
+    leftmost-first, non-overlapping (the fold consumes its own output,
+    so 'a a a' with merge (a,a) yields ['aa','a'] — standard BPE)."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
 def bpe_train(docs: DataFrame, n_merges: int = 8,
               text_col: str = "text") -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016): the
@@ -365,19 +381,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         left, right = pair.split(" ", 1)
         merged = left + right
         merges.append((rank, left, right, merged, n))
-        new_syms = F.aggregate(
-            F.col("syms"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(left))
-                & (x == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        nxt = state.select("cnt", new_syms.alias("syms")).persist()
+        nxt = state.select("cnt", _merge_fold(F.col("syms"), left, right, merged).alias("syms")).persist()
         nxt.count()  # materialize before dropping the parent
         state.unpersist()
         state = nxt
@@ -561,3 +565,41 @@ def pmi_collocations(docs: DataFrame, top_n: int = 50,
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(top_n)
+
+
+def bpe_encode(docs: DataFrame, n_merges: int = 8,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Apply a trained BPE tokenizer to the corpus: train the merge
+    table (bpe_train — bounded driver loop), fold the ranked merges
+    into every word as chained pure column expressions, and emit
+    per-document tokenization stats — the encode half a tokenizer
+    ships, run at corpus scale.
+
+    The merge table is ≤ n_merges rows and folds in as literals, so
+    encoding is ONE scan with zero joins and zero shuffles: each word
+    goes chars → n_merges chained folds (leftmost-first
+    non-overlapping, identical semantics to the training fold — both
+    call _merge_fold). Output: (doc_id, n_chars, n_words, n_tokens,
+    tokens_md5) where tokens_md5 hashes the full token stream, so a
+    single mis-merged symbol anywhere in the corpus changes the
+    output.
+    """
+    merge_rows = bpe_train(docs, n_merges=n_merges, text_col=text_col).collect()
+    merges = [(r["left"], r["right"], r["merged"]) for r in merge_rows]
+
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+
+    def encode_word(w: Column) -> Column:
+        syms = F.filter(F.split(w, ""), lambda x: x != "")
+        for left, right, merged in merges:
+            syms = _merge_fold(syms, left, right, merged)
+        return syms
+
+    toks = F.flatten(F.transform(words, encode_word))
+    return docs.select(
+        F.col(id_col),
+        F.length(F.lower(F.col(text_col))).alias("n_chars"),
+        F.size(words).alias("n_words"),
+        F.size(toks).alias("n_tokens"),
+        F.md5(F.to_binary(F.array_join(toks, "|"), F.lit("utf-8"))).alias("tokens_md5"),
+    )

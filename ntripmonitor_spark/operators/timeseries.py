@@ -186,3 +186,43 @@ def seasonal_anomalies(events: DataFrame, z: float = 3.0, min_n: int = 12,
         .filter((F.col("n") >= min_n) & (F.col("sd") > 0) & (F.abs(zcol) > z))
         .select("event_id", key_col, ts_col, value_col, F.round(zcol, 6).alias("zscore"))
     )
+
+
+def mean_shift_changepoints(events: DataFrame, n: int = 10,
+                            threshold: float = 40.0,
+                            key_col: str = "user_id", ts_col: str = "ts",
+                            value_col: str = "value") -> DataFrame:
+    """Changepoint detection by windowed mean shift: for every event,
+    the mean of the trailing ``n`` values (current row excluded) vs
+    the mean of the leading ``n`` values (current row included); rows
+    where the level moved by more than ``threshold`` are flagged.
+
+    The CUSUM recursion is inherently sequential (S_i depends on
+    S_{i-1} through a max), so the distributed-friendly formulation is
+    this two-sided window contrast — the standard e-divisive/sliding
+    window changepoint family. Both frames are ROWS-bounded on the
+    SAME key partitioning and sort, so Catalyst plans one exchange and
+    per-row state is O(n) at any scale. Warm-up/cool-down rows with
+    short windows are not judged.
+    """
+    order = (F.col(ts_col).asc(), F.col("event_id").asc())
+    wt = Window.partitionBy(key_col).orderBy(*order).rowsBetween(-n, -1)
+    wl = Window.partitionBy(key_col).orderBy(*order).rowsBetween(0, n - 1)
+    staged = events.select(
+        "event_id", key_col, ts_col,
+        F.avg(value_col).over(wt).alias("trail_mean"),
+        F.avg(value_col).over(wl).alias("lead_mean"),
+        F.count(value_col).over(wt).alias("n_trail"),
+        F.count(value_col).over(wl).alias("n_lead"),
+    )
+    shift = F.col("lead_mean") - F.col("trail_mean")
+    return (
+        staged.filter((F.col("n_trail") == n) & (F.col("n_lead") == n))
+        .filter(F.abs(shift) > threshold)
+        .select(
+            "event_id", key_col, ts_col,
+            F.round("trail_mean", 6).alias("trail_mean"),
+            F.round("lead_mean", 6).alias("lead_mean"),
+            F.round(shift, 6).alias("shift"),
+        )
+    )

@@ -2267,3 +2267,62 @@ def ss10_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression path that precedes PQ (ss05) in an IVF index build.
     Codes use floor(x+0.5), bit-reproducible across engines."""
     return simsearch.sq8_quantize(table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# mm05 — windowed audio-energy extraction (sliding RMS over fake PCM).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm05_audio_energy",
+    tags=("multimodal",),
+    oracle=f"""
+WITH {_BYTES_CTE},
+wins AS (
+    SELECT doc_id,
+           unnest(list_transform(range(0, greatest((n - 32) // 16 + 1, 0)), w -> {{
+               'win_idx': CAST(w AS INT),
+               'ssq': CAST(list_sum(list_transform(range(16 * CAST(w AS INT) + 1,
+                                                         16 * CAST(w AS INT) + 33),
+                       i -> CAST(list_extract(bts, CAST(i AS INT)) AS BIGINT)
+                          * list_extract(bts, CAST(i AS INT)))) AS BIGINT)
+           }})) AS s
+    FROM by
+)
+SELECT doc_id, s.win_idx AS win_idx, s.ssq AS ssq,
+       round(sqrt(s.ssq / 32.0), 6) AS rms
+FROM wins
+""",
+)
+def mm05_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Audio' energy extraction: payload as 8-bit PCM, sliding
+    32-sample windows at 16-sample hop, per-window RMS — the STFT-
+    frame batch shape over Arrow-batched mapInPandas. The
+    sum-of-squares stays integer, so the single sqrt is bit-identical
+    across engines."""
+    return multimodal.audio_energy(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# tk01 — BPE encode (apply the bp01-trained merge table at corpus scale).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tk01_bpe_encode",
+    tags=("text",),
+    # No SQL oracle: the 8 merges are data-derived by the bp01 training
+    # loop (driver-bounded argmax per round) — reproducing them needs 8
+    # chained aggregate+argmax CTEs. Correctness is pinned instead by
+    # tests/test_bpe.py against a pure-Python reference tokenizer
+    # (exact per-doc token stream match), and the driver records the
+    # rows-only check.
+)
+def tk01_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BPE encode: the ≤8-row trained merge table folds
+    in as literals, so encoding is one scan, zero joins, zero
+    shuffles — chars → chained merge folds per word (identical fold
+    to training). Emits per-doc token stats + an md5 of the full
+    token stream."""
+    return text.bpe_encode(table(spark, sf_dir, "documents"))

@@ -51,20 +51,22 @@ def bench_queries() -> dict[str, Query]:
 # Kept in-window this round: the five queries broken by the r3 testdata's
 # TIMESTAMP_NTZ shift plus the array-output fix (aj01, rj01, sn01, sn02,
 # ss04), the r3-modified operators with only one post-change verification
-# (tp01, tp02, cu01, dd02, dd04, tx07), and every never-driver-checked
-# round-3/4 operator (qa01, ss05-ss10, aj02, dc02, cu02-cu03, tp03, fn01,
-# fn02, an01-an02, ts01, bm01, in01, rc01, lo01, tx08-tx12, dd07, mk01,
-# lr01-lr02, cm01, sd01, scd01, gr01, ig01, sp04-sp05, hs01, bp01). sp03 and
-# ss03 rotate out this round (once-verified in r3, unchanged since) to hold
-# the canonical count at exactly 50 — nothing is hidden from the driver,
-# only ordered. Every
+# (cu01, tx07), and every never-driver-checked round-3/4 operator (qa01,
+# ss05-ss10, aj02, dc02, cu02-cu03, tp03, fn01, fn02, an01-an03, ts01, bm01,
+# in01, rc01, lo01, tx08-tx12, dd07, mk01, lr01-lr02, cm01, sd01, scd01,
+# gr01, ig01, sp04-sp05, hs01, bp01, q22, mm05, tk01). sp03, ss03, tp01,
+# tp02, dd02 and dd04 rotate out this round (each driver-verified in r3
+# post-change, unchanged since) to hold the canonical count at exactly 50 —
+# nothing is hidden from the driver, only ordered. Every
 # query stays registered under its canonical name for tests/bench and remains
 # in the local DuckDB parity suite (tests/test_parity.py) at every SF.
 DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
     {
         "dc01_decontamination",
         "dd01_exact_dedup",
+        "dd02_ngram_jaccard",
         "dd03_minhash_lsh",
+        "dd04_simhash",
         "dd05_embedding_neardup",
         "dd06_dup_clusters",
         "mm01_decode_metadata",
@@ -97,6 +99,8 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "ss02_ann_bucketed",
         "ss03_ann_lsh_multitable",
         "st01_sourcetable",
+        "tp01_sequence_pack",
+        "tp02_sorted_pack",
         "tx01_language_id",
         "tx02_quality_score",
         "tx03_token_count",

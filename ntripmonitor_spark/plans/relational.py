@@ -753,3 +753,56 @@ def q21_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (event_type)
         )
     """)
+
+
+# ---------------------------------------------------------------------------
+# Q22 — anti join + scalar threshold subquery (TPC-H Q22 shape)
+# ref: "customers who never connected" dashboard family —
+# initgrafana/dashboards/RTCM monitor.json panels join gnss.packages
+# against configured mountpoints to find silent ones
+# ---------------------------------------------------------------------------
+@register(
+    "q22_no_order_customers",
+    bench=True,
+    tags=("relational",),
+    oracle="""
+WITH pos AS (
+    SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s, count(*) AS n
+    FROM customer WHERE c_acctbal > 0
+),
+rich AS (
+    SELECT c.* FROM customer c, pos
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM rich r
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey)
+GROUP BY c_nationkey
+""",
+)
+def q22_no_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no orders, per nation
+    (TPC-H Q22 shape: scalar threshold subquery + anti join + agg).
+    The threshold compare is integer cross-multiplied cents
+    (cents·n > sum_cents) — exact at any parallelism, no
+    float-average boundary ambiguity. The 1-row threshold relation
+    broadcasts onto the scan; the anti join keys both sides on
+    custkey (orders pre-shrunk to distinct keys map-side)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    rich = cust.crossJoin(F.broadcast(pos)).filter(cents * F.col("n") > F.col("s"))
+    custkeys = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return (
+        rich.join(custkeys, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            _dsum(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )

@@ -135,3 +135,39 @@ def mk01_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types|² matrix only. Sequence twin of the reference's per-type
     frequency panel (RTCM monitor.json:118, SURVEY.md Q5)."""
     return timeseries.event_transitions(table(spark, sf_dir, "events"))
+
+
+@register(
+    "an03_mean_shift",
+    bench=True,
+    tags=("timeseries",),
+    oracle="""
+WITH s AS (
+    SELECT event_id, user_id, ts,
+           avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS trail_mean,
+           avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS lead_mean,
+           count(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS n_trail,
+           count(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS n_lead
+    FROM events
+)
+SELECT event_id, user_id, ts,
+       round(trail_mean, 6) AS trail_mean,
+       round(lead_mean, 6) AS lead_mean,
+       round(lead_mean - trail_mean, 6) AS shift
+FROM s
+WHERE n_trail = 10 AND n_lead = 10 AND abs(lead_mean - trail_mean) > 40.0
+""",
+)
+def an03_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection by two-sided windowed mean contrast (the
+    distributed-friendly CUSUM replacement): trailing vs leading
+    10-row mean per user, flag level moves > 40. Both ROWS-bounded
+    frames share one key partitioning and sort — a single exchange,
+    O(n) per-row state at any scale."""
+    from ntripmonitor_spark.operators.timeseries import mean_shift_changepoints
+
+    return mean_shift_changepoints(table(spark, sf_dir, "events"), n=10, threshold=40.0)

@@ -70,3 +70,55 @@ def test_bpe_on_real_docs_is_deterministic(spark, sf_dir):
     # counts must be non-increasing across ranks (greedy argmax)
     ns = [r["n"] for r in a]
     assert ns == sorted(ns, reverse=True)
+
+
+def _ref_encode(texts: list[str], merges: list[tuple[str, str, str]]) -> list[list[str]]:
+    out = []
+    for t in texts:
+        toks: list[str] = []
+        for w in t.lower().split(" "):
+            if not w:
+                continue
+            syms = list(w)
+            for a, b, m in merges:
+                nxt, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        nxt.append(m)
+                        i += 2
+                    else:
+                        nxt.append(syms[i])
+                        i += 1
+                syms = nxt
+            toks.extend(syms)
+        out.append(toks)
+    return out
+
+
+def test_bpe_encode_matches_reference_tokenizer(spark):
+    """tk01: the chained column-fold encode must emit, per document,
+    exactly the token stream of the reference tokenizer applying the
+    same trained merges (checked via count + md5 of the joined
+    stream)."""
+    import hashlib
+
+    from ntripmonitor_spark.operators.text import bpe_encode
+
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the cat chat",
+        "that hat is flat",
+        "matter chatter the the the",
+        "aaaa aaa aa a",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bpe_encode(docs, n_merges=6).collect()}
+    merges = [(m[1], m[2], m[3]) for m in _ref_bpe(texts, 6)]
+    want = _ref_encode(texts, merges)
+    for i, t in enumerate(texts):
+        toks = want[i]
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["n_words"] == len([w for w in t.split(" ") if w])
+        assert got[i]["tokens_md5"] == hashlib.md5("|".join(toks).encode()).hexdigest()

@@ -679,3 +679,35 @@ def test_tx12_unigrams_broadcast_bigrams_shuffle_once(spark, sf_dir):
     plan = _explain(spark, "tx12_pmi_collocations", sf_dir)
     assert "SortMergeJoin" not in plan, "tx12: PMI joins must broadcast"
     assert "TakeOrderedAndProject" in plan, "tx12: top-N should be TakeOrdered"
+
+
+def test_q22_threshold_broadcast_anti_join(spark, sf_dir):
+    # the 1-row cents threshold must broadcast onto the customer scan;
+    # the no-orders test must plan as a real anti join, never a
+    # correlated nested loop
+    plan = _explain(spark, "q22_no_order_customers", sf_dir)
+    assert "LeftAnti" in plan, "q22: anti join missing"
+    assert "BroadcastNestedLoopJoin BuildRight, Inner" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin LeftAnti" not in plan or "Exchange" in plan  # keyed SMJ acceptable at scale
+
+
+def test_an03_two_sided_windows_single_exchange(spark, sf_dir):
+    # trailing and leading frames share one (user_id, ts) partitioning:
+    # exactly one exchange, or the event log shuffles twice per scan
+    plan = _explain(spark, "an03_mean_shift", sf_dir)
+    assert _exchanges(plan) == 1, f"an03: expected one keyed shuffle\n{plan[:2000]}"
+
+
+def test_tk01_encode_is_scan_only(spark, sf_dir):
+    # after training, the merge table folds in as literals — encoding
+    # must be one scan with zero joins and zero exchanges
+    plan = _explain(spark, "tk01_bpe_encode", sf_dir)
+    assert _exchanges(plan) == 0, f"tk01: encode should not shuffle\n{plan[:2000]}"
+    assert "Join" not in plan, "tk01: merge table must fold in as literals, not join"
+
+
+def test_mm05_mapinpandas_no_shuffle(spark, sf_dir):
+    # the audio-energy kernel is a per-partition Arrow stage: payload
+    # bytes must never cross an exchange
+    plan = _explain(spark, "mm05_audio_energy", sf_dir)
+    assert _exchanges(plan) == 0, f"mm05: unexpected shuffle\n{plan[:2000]}"
