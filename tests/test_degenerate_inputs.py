@@ -108,3 +108,45 @@ def test_logreg_survives_single_class(spark):
     )
     w, n = stats.logistic_fit(feats, "is_en", ["stop_ratio", "alpha_ratio"])
     assert n == 3 and all(math.isfinite(x) for x in w)
+
+
+def test_round4_doc_ops_survive_empty_and_single(empty_docs, one_doc):
+    from ntripmonitor_spark.operators import multimodal
+
+    for op in (
+        text.gopher_rules,
+        text.pmi_collocations,
+        sampling.hash_split,
+        lambda d: text.bpe_encode(d, n_merges=3),
+        multimodal.audio_energy,
+    ):
+        assert op(empty_docs).count() == 0
+        op(one_doc).collect()  # must not raise
+
+
+def test_round4_event_ops_survive_empty_stream(empty_events):
+    from ntripmonitor_spark.operators import joins
+
+    assert joins.scd2_history(empty_events).count() == 0
+    assert timeseries.mean_shift_changepoints(empty_events).count() == 0
+
+
+def test_sq8_survives_single_vector(spark):
+    # one vector: every dim has span 0 → all codes 0, mse 0 (no NaN/Inf)
+    emb = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    row = simsearch.sq8_quantize(emb).collect()[0]
+    assert row["code_sum"] == 0 and row["micro_mse"] == 0.0
+
+
+def test_scd2_single_user_single_event(spark):
+    ev = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2026, 1, 1), 7, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    from ntripmonitor_spark.operators import joins
+
+    rows = joins.scd2_history(ev).collect()
+    assert len(rows) == 1 and rows[0]["is_current"] and rows[0]["valid_to"] is None
