@@ -50,11 +50,15 @@ def main() -> None:
             names.remove(name)
 
     # Trials interleave round-robin across queries so a co-tenant load
-    # burst degrades one SAMPLE of many queries, not all five samples
-    # of one query (best-of would then still see a clean run).
+    # burst degrades one SAMPLE of many queries, not all samples of one
+    # query (best-of would then still see a clean run). Best-of-5 for
+    # small sets; best-of-3 once the set is large enough that the
+    # round-robin itself amortizes burst exposure (and total wall time
+    # matters: 50+ queries x 5 trials at sf0.1 is ~10 min).
+    n_trials = 5 if len(names) <= 20 else 3
     best: dict[str, float] = {name: float("inf") for name in names}
     rows: dict[str, int] = {}
-    for _ in range(5):
+    for _ in range(n_trials):
         for name in names:
             t0 = time.perf_counter()
             rows[name] = REGISTRY[name].fn(spark, sf_dir).count()
