@@ -388,3 +388,48 @@ def test_streaming_countmin_matches_batch(spark, sf_dir, tmp_path):
     }
     assert set(est) == set(exact)
     assert all(est[u] >= exact[u] for u in exact)
+
+
+def test_streaming_scd2_matches_batch_closed_intervals(spark, sf_dir, tmp_path):
+    """Incremental SCD2 over a multi-trigger time-ordered replay must
+    emit exactly the batch plan's CLOSED intervals (open runs stay in
+    state — the batch is_current rows). Three time-range batch files
+    force genuine cross-trigger state carry."""
+    from pyspark.sql import functions as F
+
+    from ntripmonitor_spark.operators.joins import scd2_history
+    from ntripmonitor_spark.streaming import scd
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    staged = str(tmp_path / "scd_staged")
+    span = (hi - lo) / 3
+    for i in range(3):
+        part = ev.filter(
+            (F.col("ts") >= F.lit(lo + i * span))
+            & (F.col("ts") < F.lit(lo + (i + 1) * span) if i < 2 else F.lit(True))
+        )
+        part.coalesce(1).write.mode("append").parquet(staged)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    out = scd.scd2_stream(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("scd_out")
+        .option("checkpointLocation", str(tmp_path / "scd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM scd_out")
+    want = (
+        scd2_history(table(spark, sf_dir, "events"))
+        .filter(~F.col("is_current"))
+        .select("user_id", "attr_value", "valid_from", "valid_to")
+    )
+    assert _canon(got) == _canon(want)
