@@ -111,3 +111,116 @@ def test_ig01_target_docs_score_higher_on_average(spark, sf_dir):
         .collect()
     }
     assert means[True] > means[False], means
+
+
+def test_scd01_intervals_tile_each_keys_timeline(spark, sf_dir):
+    """SCD2 conservation: per key, intervals are contiguous
+    (valid_from of run i+1 == valid_to of run i), exactly one open
+    (is_current) run exists, and it is the last one."""
+    from ntripmonitor_spark.operators.joins import scd2_history
+
+    hist = scd2_history(table(spark, sf_dir, "events"))
+    w = F.lead("valid_from").over(
+        __import__("pyspark.sql", fromlist=["Window"]).Window
+        .partitionBy("user_id").orderBy("valid_from")
+    )
+    bad = (
+        hist.withColumn("_next_from", w)
+        .filter(F.col("valid_to").isNotNull() & (F.col("valid_to") != F.col("_next_from")))
+        .count()
+    )
+    assert bad == 0, "gap or overlap between consecutive validity intervals"
+    per_key = hist.groupBy("user_id").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_open"),
+        F.max(F.col("valid_to").isNull().cast("int")).alias("has_null_to"),
+    )
+    assert per_key.filter(F.col("n_open") != 1).count() == 0
+    assert hist.filter(F.col("is_current") != F.col("valid_to").isNull()).count() == 0
+
+
+def test_ss10_reconstruction_error_bounded_by_half_step(spark, sf_dir):
+    """SQ8 bound: per-dim |reconstruction error| <= span/255/2, so
+    micro_mse <= (max_span/510)^2 * 1e6 for every vector."""
+    from ntripmonitor_spark.operators.simsearch import as_double_vec, sq8_quantize
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(as_double_vec(F.col("embedding")).alias("v"))
+    spans = v.agg(
+        *[(F.max(F.col("v")[i]) - F.min(F.col("v")[i])).alias(f"s{i}") for i in range(64)]
+    ).first()
+    max_span = max(spans)
+    bound = (max_span / 510.0) ** 2 * 1e6 + 1e-9
+    worst = sq8_quantize(emb).agg(F.max("micro_mse")).first()[0]
+    assert worst <= bound, f"micro_mse {worst} exceeds half-step bound {bound}"
+
+
+def test_sp05_assignment_stable_under_corpus_growth(spark, sf_dir):
+    """Hash-split membership is a pure function of doc_id: computing
+    the split on a half corpus and on the full corpus must agree on
+    every shared doc (randomSplit fails exactly this)."""
+    from ntripmonitor_spark.operators.sampling import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    a = {r["doc_id"]: r["split"] for r in hash_split(half).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_an03_locates_a_constructed_step(spark):
+    """A flat-10 -> flat-100 step per user must be flagged exactly at
+    the step (the only row with 10 trailing lows and 10 leading
+    highs), and nowhere outside the transition zone."""
+    import datetime
+
+    rows = []
+    for uid in (1, 2):
+        for i in range(40):
+            rows.append(
+                (uid * 1000 + i, datetime.datetime(2026, 1, 1) + datetime.timedelta(minutes=i),
+                 uid, "view", 10.0 if i < 20 else 100.0, "{}")
+            )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    from ntripmonitor_spark.operators.timeseries import mean_shift_changepoints
+
+    got = mean_shift_changepoints(ev, n=10, threshold=40.0).collect()
+    # full 90-unit contrast occurs only where the trailing 10 are all
+    # low and the leading 10 all high: exactly row i=20 per user
+    flagged = {(r["user_id"], r["event_id"]) for r in got}
+    assert (1, 1020) in flagged and (2, 2020) in flagged
+    # transition zone rows (partial windows straddling the step) may
+    # exceed 40 too, but nothing before i=11 or after i=29
+    for uid, eid in flagged:
+        assert 11 <= eid % 1000 <= 29
+
+
+def test_tk01_token_count_conservation(spark, sf_dir):
+    """BPE encode conservation: n_words <= n_tokens <= chars-per-word
+    sum (merges only ever shrink, never below one token per word)."""
+    from ntripmonitor_spark.operators.text import bpe_encode
+
+    out = bpe_encode(table(spark, sf_dir, "documents"), n_merges=4)
+    bad = out.filter(
+        (F.col("n_tokens") < F.col("n_words"))
+        | (F.col("n_tokens") > F.col("n_chars"))
+    ).count()
+    assert bad == 0
+
+
+def test_mm05_window_count_and_range(spark, sf_dir):
+    """Every payload yields exactly (n-32)//16+1 windows; 8-bit RMS
+    stays inside [0, 255]."""
+    from ntripmonitor_spark.operators.multimodal import audio_energy
+
+    docs = table(spark, sf_dir, "documents")
+    wins = audio_energy(docs).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_wins"), F.max("rms").alias("max_rms")
+    )
+    joined = wins.join(docs.select("doc_id", F.length("text").alias("n")), "doc_id")
+    bad = joined.filter(
+        (F.col("n_wins") != F.greatest((F.col("n") - 32) / 16 + 1, F.lit(0)).cast("int"))
+        | (F.col("max_rms") < 0) | (F.col("max_rms") > 255)
+    ).count()
+    assert bad == 0
