@@ -2326,3 +2326,90 @@ def tk01_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     to training). Emits per-doc token stats + an md5 of the full
     token stream."""
     return text.bpe_encode(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ss11 — the complete IVF-PQ serving stack (probe → ADC shortlist → rerank).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ss11_ivfpq_search",
+    bench=True,
+    tags=("simsearch",),
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+seeds8 AS (SELECT vec_id AS cid, vec AS sv FROM v WHERE vec_id < 8),
+seeds4 AS (SELECT vec_id AS cid, vec AS sv FROM v WHERE vec_id < 4),
+celld AS (
+    SELECT v.vec_id, seeds8.cid,
+           round(list_sum(list_transform(range(1, 65),
+               i -> (v.vec[i] - seeds8.sv[i]) * (v.vec[i] - seeds8.sv[i]))), 6) AS dist
+    FROM v CROSS JOIN seeds8
+),
+cells AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+        FROM celld
+    ) WHERE rk = 1
+),
+subd AS (
+    SELECT v.vec_id, s.s, seeds4.cid,
+           round(list_sum(list_transform(range(1, 9),
+               i -> (v.vec[s.s * 8 + i] - seeds4.sv[s.s * 8 + i])
+                  * (v.vec[s.s * 8 + i] - seeds4.sv[s.s * 8 + i]))), 6) AS dist
+    FROM v CROSS JOIN range(0, 8) s(s) CROSS JOIN seeds4
+),
+codes AS (
+    SELECT vec_id, s, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, cid ASC) AS rk
+        FROM subd
+    ) WHERE rk = 1
+),
+probes AS (
+    SELECT vec_id AS qid, cid AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS pr
+        FROM celld WHERE vec_id < 10
+    ) WHERE pr <= 2
+),
+adc AS (
+    SELECT p.qid, c.vec_id, round(sum(qd.dist), 6) AS adc
+    FROM probes p
+    JOIN cells cl ON cl.cell = p.cell
+    JOIN codes c ON c.vec_id = cl.vec_id
+    JOIN subd qd ON qd.vec_id = p.qid AND qd.s = c.s AND qd.cid = c.cid
+    WHERE c.vec_id <> p.qid
+    GROUP BY 1, 2
+),
+short AS (
+    SELECT qid, vec_id, adc FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rk
+        FROM adc
+    ) WHERE rk <= 20
+),
+rer AS (
+    SELECT s.qid AS query_id, s.vec_id AS neighbor_id, s.adc,
+           round(list_sum(list_transform(range(1, 65),
+               i -> (cv.vec[i] - qv.vec[i]) * (cv.vec[i] - qv.vec[i]))), 6) AS l2
+    FROM short s
+    JOIN v cv ON cv.vec_id = s.vec_id
+    JOIN v qv ON qv.vec_id = s.qid
+)
+SELECT query_id, neighbor_id, adc, l2, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY l2 ASC, neighbor_id ASC) AS rank
+    FROM rer
+) WHERE rank <= 5
+""",
+)
+def ss11_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete IVF-PQ ANN serving pipeline in one declarative
+    plan: coarse cell probe (nprobe=2 of 8) → ADC scoring over m-digit
+    PQ codes only (the vector column never rides the candidate path) →
+    top-20 shortlist → exact L2 rerank that re-reads true vectors for
+    queries×20 rows total → top-5. Candidate join and rerank fetch
+    are both broadcast hash joins; the corpus shuffles zero times."""
+    return simsearch.ivfpq_search(
+        table(spark, sf_dir, "embeddings"),
+        k_centroids=8, m=8, k_codes=4, n_queries=10,
+        nprobe=2, shortlist=20, topk=5,
+    )

@@ -711,3 +711,18 @@ def test_mm05_mapinpandas_no_shuffle(spark, sf_dir):
     # bytes must never cross an exchange
     plan = _explain(spark, "mm05_audio_energy", sf_dir)
     assert _exchanges(plan) == 0, f"mm05: unexpected shuffle\n{plan[:2000]}"
+
+
+def test_ss11_codes_ride_candidates_vectors_only_rerank(spark, sf_dir):
+    # the serving invariant: candidate scoring and the rerank fetch are
+    # broadcast joins (query-bounded sides); the corpus never sort-merges
+    # and only the qid-keyed top-k windows may exchange
+    plan = _explain(spark, "ss11_ivfpq_search", sf_dir)
+    assert "SortMergeJoin" not in plan, "ss11: corpus-scale join crept in"
+    assert plan.count("BroadcastHashJoin") >= 2, "ss11: candidate/rerank joins must broadcast"
+    # the only key-partitioned exchanges allowed are the two qid-keyed
+    # top-k windows (shortlist + final rank) — query-bounded relations.
+    # ensure_parallelism's round-robin scan repartitions (single-file
+    # local fixtures) are not data-bearing shuffles and don't count.
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash <= 2, f"ss11: corpus-keyed shuffle crept in ({n_hash})\n{plan[:2000]}"
