@@ -13,7 +13,7 @@ DuckDB oracle computes the identical signatures).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -583,4 +583,76 @@ def duplicate_spans(docs: DataFrame, avg_words: int = CDC_AVG_WORDS,
             F.min(id_col).alias("first_doc"),
         )
         .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+BLOCK_WORDS = 10  # C4-style global dedup granularity (word block)
+
+
+def block_dedup_rebuild(docs: DataFrame, block_words: int = BLOCK_WORDS,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """C4-style global block deduplication WITH document
+    reconstruction (Raffel et al. 2020 drop repeated three-sentence
+    spans corpus-wide, keeping the first occurrence; here the unit is
+    a fixed ``block_words``-word block — the corpus has no sentence
+    punctuation). Unlike sd01, which reports duplicated spans, this
+    operator applies the removal and emits the cleaned document.
+
+    First-occurrence semantics: a block's keeper is the minimum
+    (doc_id, position) over every occurrence of identical content;
+    all other occurrences are dropped, and each survivor document is
+    re-assembled from its kept blocks in position order.
+
+    Scale shape: blocks are sliced as pure array expressions inside
+    the scan; only (block_hash, doc_id, pos) rows — never text —
+    cross the ONE block-hash-keyed exchange, where a min-struct
+    aggregate + broadcast-back... no: the keeper decision is a window
+    over the same exchange (first row per hash), so keep/drop is
+    decided in place. Reconstruction is one doc-keyed aggregate
+    (sort within group by position). Two exchanges total, both
+    8-byte-keyed; the text column stays in the scan until the final
+    per-doc concat of kept blocks.
+    """
+    words = normalized_words(F.col(text_col))
+    # guard the sequence: Spark's sequence(0, -1) infers step -1 and
+    # yields [0, -1], so a sub-block document must be filtered BEFORE
+    # the index array is built, not after
+    staged = docs.select(
+        id_col,
+        words.alias("_ws"),
+        F.floor(F.size(words) / block_words).cast("int").alias("_nb"),
+    ).filter(F.col("_nb") >= 1).select(
+        id_col, "_ws", F.sequence(F.lit(0), F.col("_nb") - 1).alias("_idx")
+    )
+    blocks = staged.select(
+        id_col,
+        F.explode("_idx").alias("pos"),
+        F.col("_ws").alias("_ws"),
+    ).select(
+        id_col,
+        "pos",
+        F.concat_ws(
+            " ", F.slice(F.col("_ws"), F.col("pos") * block_words + 1, block_words)
+        ).alias("block"),
+    )
+    hashed = blocks.select(
+        id_col, "pos", "block", F.xxhash64("block").alias("bh")
+    )
+    w = Window.partitionBy("bh").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    kept = hashed.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.md5(
+                F.to_binary(
+                    F.concat_ws(" ", F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "block"))),
+                        lambda s: s["block"],
+                    )),
+                    F.lit("utf-8"),
+                )
+            ).alias("kept_md5"),
+        )
     )

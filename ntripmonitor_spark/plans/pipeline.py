@@ -2413,3 +2413,52 @@ def ss11_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_centroids=8, m=8, k_codes=4, n_queries=10,
         nprobe=2, shortlist=20, topk=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# dd09 — C4-style global block dedup with document reconstruction.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd09_block_dedup_rebuild",
+    bench=True,
+    tags=("dedup",),
+    oracle="""
+WITH w AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+d AS (
+    SELECT doc_id, ws, CAST(floor(len(ws) / 10) AS INT) AS nb
+    FROM w WHERE len(ws) >= 10
+),
+b AS (
+    SELECT doc_id,
+           unnest(list_transform(range(0, nb), p -> {
+               'pos': CAST(p AS INT),
+               'block': array_to_string(ws[CAST(p * 10 + 1 AS INT) : CAST(p * 10 + 10 AS INT)], ' ')
+           })) AS s
+    FROM d
+),
+bb AS (SELECT doc_id, s.pos AS pos, s.block AS block FROM b),
+kept AS (
+    SELECT doc_id, pos, block FROM (
+        SELECT *, row_number() OVER (PARTITION BY block ORDER BY doc_id ASC, pos ASC) AS rk
+        FROM bb
+    ) WHERE rk = 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       md5(string_agg(block, ' ' ORDER BY pos)) AS kept_md5
+FROM kept GROUP BY doc_id
+""",
+)
+def dd09_block_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global block dedup APPLIED (Raffel et al. 2020:
+    corpus-wide first-occurrence-wins removal of repeated spans),
+    with each surviving document re-assembled from its kept blocks —
+    the step that actually produces the cleaned corpus, not just the
+    dedup report (sd01). Two 8-byte-keyed exchanges: block-hash
+    window for the keeper decision, doc-keyed aggregate for
+    reconstruction; text never shuffles."""
+    return dedup.block_dedup_rebuild(table(spark, sf_dir, "documents"))

@@ -51,11 +51,11 @@ def bench_queries() -> dict[str, Query]:
 # Kept in-window this round: the five queries broken by the r3 testdata's
 # TIMESTAMP_NTZ shift plus the array-output fix (aj01, rj01, sn01, sn02,
 # ss04), the r3-modified operators with only one post-change verification
-# (tx07), and every never-driver-checked round-3/4 operator (qa01,
+# and every never-driver-checked round-3/4 operator (qa01,
 # ss05-ss10, aj02, dc02, cu02-cu03, tp03, fn01, fn02, an01-an03, ts01, bm01,
 # in01, rc01, lo01, tx08-tx12, dd07, mk01, lr01-lr02, cm01, sd01, scd01,
-# gr01, ig01, sp04-sp05, hs01, bp01, q22, mm05, tk01, ss11). sp03, ss03,
-# tp01, tp02, dd02, dd04 and cu01 rotate out this round (each
+# gr01, ig01, sp04-sp05, hs01, bp01, q22, mm05, tk01, ss11, dd09). sp03,
+# ss03, tp01, tp02, dd02, dd04, cu01 and tx07 rotate out this round (each
 # driver-verified in r3 post-change, unchanged since) to hold the canonical count at exactly 50 —
 # nothing is hidden from the driver, only ordered. Every
 # query stays registered under its canonical name for tests/bench and remains
@@ -103,6 +103,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tp01_sequence_pack",
         "tp02_sorted_pack",
         "tx01_language_id",
+        "tx07_unigram_surprisal",
         "tx02_quality_score",
         "tx03_token_count",
         "tx04_fingerprint",

@@ -726,3 +726,12 @@ def test_ss11_codes_ride_candidates_vectors_only_rerank(spark, sf_dir):
     # local fixtures) are not data-bearing shuffles and don't count.
     n_hash = plan.count("Exchange hashpartitioning")
     assert n_hash <= 2, f"ss11: corpus-keyed shuffle crept in ({n_hash})\n{plan[:2000]}"
+
+
+def test_dd09_two_hash_keyed_exchanges_text_never_shuffles(spark, sf_dir):
+    # keeper decision (block-hash window) + reconstruction (doc agg):
+    # two key-partitioned exchanges, no join anywhere
+    plan = _explain(spark, "dd09_block_dedup_rebuild", sf_dir)
+    assert "Join" not in plan, "dd09 must not join"
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash <= 2, f"dd09: expected <=2 keyed exchanges, got {n_hash}"
