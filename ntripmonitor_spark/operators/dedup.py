@@ -313,14 +313,30 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     plan tree every round) and lets the ContextCleaner release
     superseded round data — no cache accumulation in long-lived
     sessions.
+
+    The loop runs over EDGE-TOUCHED nodes only: a node with no edge is
+    trivially its own cluster and is appended once at the end
+    (anti-join), never iterated. In a dedup graph the edge-touched set
+    is a small fraction of the corpus (most documents have no
+    near-duplicate), so every round's shuffles move the duplicate
+    subgraph, not the corpus — at 100 TB this is the difference
+    between iterating over gigabytes and iterating over everything.
     """
+    # repartition by the join key BEFORE persisting (the dd02 silver-
+    # relation discipline): every round's message join then probes a
+    # co-located cached layout instead of re-exchanging the edges
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    ).repartition("doc_a").persist()
+    # eager checkpoint: the singleton anti-join below must not re-derive
+    # the (expensive) edge relation after sym is unpersisted
+    touched = sym.select(F.col("doc_a").alias("doc_id")).distinct().localCheckpoint()
+    labels = touched.select("doc_id", F.col("doc_id").alias("cluster_id"))
     prev_sum, rounds = None, 0
     for _ in range(max_iter):
-        labels = labels.localCheckpoint()
+        # touched (round 0) and each round's output are already
+        # checkpoint-materialized, so the convergence probe is a cheap
+        # agg over cached rows — no extra per-round checkpoint job
         cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if cur_sum == prev_sum:
             break
@@ -342,9 +358,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             F.least(
                 prop.cluster_id, F.coalesce(F.col("p_cluster"), prop.cluster_id)
             ).alias("cluster_id"),
-        )
+        ).localCheckpoint()
+    singles = nodes.join(touched, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    out = labels.unionByName(singles)
     sym.unpersist()
-    return labels, rounds
+    return out, rounds
 
 
 def duplicate_clusters(docs: DataFrame, n: int = 3, threshold: float = 0.6,
