@@ -308,6 +308,21 @@ for _name, _frac in SPLIT_FRACTIONS[:-1]:
     _SPLIT_CUTOFFS.append((int(_acc * (1 << 32)), _name))
 
 
+def split_hash_col(id_col: Column) -> Column:
+    """The portable split hash (Knuth multiplicative mod 2^32)."""
+    return F.pmod(id_col.cast("long") * F.lit(KNUTH), F.lit(1 << 32))
+
+
+def split_col(id_col: Column) -> Column:
+    """Split assignment as a pure column expression — shared by the
+    sp05 query and the export writer so placement can never drift."""
+    h = split_hash_col(id_col)
+    expr = F.lit(SPLIT_FRACTIONS[-1][0])
+    for cutoff, name in reversed(_SPLIT_CUTOFFS):
+        expr = F.when(h < F.lit(cutoff), F.lit(name)).otherwise(expr)
+    return expr
+
+
 def hash_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic train/val/test assignment by hashed id: the split
     every training pipeline needs before packing/export, as a pure
@@ -318,10 +333,8 @@ def hash_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     document between splits (stable hashing), unlike randomSplit,
     whose assignment depends on partition layout and seed plumbing.
     """
-    h = F.pmod(F.col(id_col).cast("long") * F.lit(KNUTH), F.lit(1 << 32))
-    expr = F.lit(SPLIT_FRACTIONS[-1][0])
-    for cutoff, name in reversed(_SPLIT_CUTOFFS):
-        expr = F.when(h < F.lit(cutoff), F.lit(name)).otherwise(expr)
     return docs.select(
-        F.col(id_col), "source", h.alias("h"), expr.alias("split")
+        F.col(id_col), "source",
+        split_hash_col(F.col(id_col)).alias("h"),
+        split_col(F.col(id_col)).alias("split"),
     )
