@@ -155,16 +155,8 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
-    """MinHash-LSH candidate duplicate pairs with estimated Jaccard.
-
-    Banding: hash each band of 3 signature slots; docs colliding in ANY
-    band become candidates (union of per-band self-joins — executed as
-    one explode + equi-join on (band_id, band_hash), which shuffles the
-    small signature table, never the corpus). Estimated Jaccard =
-    fraction of matching signature slots.
-    """
-    sig = minhash_signatures(docs, n).persist()  # reused by bands + both score sides
+def _lsh_bands(sig: DataFrame) -> DataFrame:
+    """Explode a signature relation into (doc_id, band_id, band_hash)."""
     rows = MINHASH_PERMS // MINHASH_BANDS
     bands = F.array(
         *[
@@ -175,9 +167,37 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    banded = sig.select("doc_id", F.explode(bands).alias("band")).select(
+    return sig.select("doc_id", F.explode(bands).alias("band")).select(
         "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
     )
+
+
+def _score_pairs(cand: DataFrame, sig: DataFrame) -> DataFrame:
+    """Attach estimated Jaccard (matching signature-slot fraction) to
+    (doc_a, doc_b) candidate pairs."""
+    siga = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(MINHASH_PERMS)])
+    sigb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MINHASH_PERMS)])
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(MINHASH_PERMS)
+    )
+    return (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select("doc_a", "doc_b", (matches / float(MINHASH_PERMS)).alias("est_jaccard"))
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
+    """MinHash-LSH candidate duplicate pairs with estimated Jaccard.
+
+    Banding: hash each band of 3 signature slots; docs colliding in ANY
+    band become candidates (union of per-band self-joins — executed as
+    one explode + equi-join on (band_id, band_hash), which shuffles the
+    small signature table, never the corpus). Estimated Jaccard =
+    fraction of matching signature slots.
+    """
+    sig = minhash_signatures(docs, n).persist()  # reused by bands + both score sides
+    banded = _lsh_bands(sig)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -190,16 +210,55 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    siga = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(MINHASH_PERMS)])
-    sigb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MINHASH_PERMS)])
-    matches = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(MINHASH_PERMS)
+    return _score_pairs(cand, sig)
+
+
+def minhash_lsh_delta(existing_sigs: DataFrame, new_docs: DataFrame,
+                      n: int = 3) -> tuple[DataFrame, DataFrame]:
+    """INCREMENTAL MinHash-LSH — the production arrival path: dedup a
+    new batch against an already-signed corpus without touching any
+    old document's text.
+
+    The silver signature table (one row per corpus doc, K×32 B) is the
+    only state; per batch the work is: sign the new docs (one scan of
+    the batch), band them, and join those bands against (a) the corpus
+    band relation and (b) themselves. Both joins key on
+    (band_id, band_hash), so only colliding band rows move — the
+    corpus signature table streams past the join once and its text is
+    never re-read. Candidate volume scales with the batch, not the
+    corpus.
+
+    Returns (pairs, new_sigs): pairs = every candidate involving ≥1
+    new doc (new-vs-old and new-vs-new, doc_a < doc_b) with estimated
+    Jaccard; new_sigs = the batch's signature rows, which the caller
+    appends to the silver table — after which processing batches
+    one-by-one yields exactly the pairs of a full-corpus run
+    (equivalence test-pinned).
+    """
+    new_sigs = minhash_signatures(new_docs, n).persist()
+    new_banded = _lsh_bands(new_sigs)
+    old_banded = _lsh_bands(existing_sigs)
+    join_on = lambda a, b: (  # noqa: E731
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
     )
-    return (
-        cand.join(siga, "doc_a")
-        .join(sigb, "doc_b")
-        .select("doc_a", "doc_b", (matches / float(MINHASH_PERMS)).alias("est_jaccard"))
+    nv_old = (
+        new_banded.alias("a").join(old_banded.alias("b"), join_on("a", "b"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
     )
+    nv_new = (
+        new_banded.alias("a").join(
+            new_banded.alias("b"),
+            join_on("a", "b") & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    cand = nv_old.unionByName(nv_new).distinct()
+    all_sigs = existing_sigs.unionByName(new_sigs)
+    return _score_pairs(cand, all_sigs), new_sigs
 
 
 SIMHASH_BITS = 64

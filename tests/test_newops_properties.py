@@ -224,3 +224,30 @@ def test_mm05_window_count_and_range(spark, sf_dir):
         | (F.col("max_rms") < 0) | (F.col("max_rms") > 255)
     ).count()
     assert bad == 0
+
+
+def test_incremental_lsh_matches_full_recompute(spark, sf_dir):
+    """Production arrival path: signing batches one at a time and
+    delta-deduping each against the accumulated signature table must
+    yield EXACTLY the full-corpus LSH pairs — same pair set, same
+    estimated Jaccard."""
+    docs = table(spark, sf_dir, "documents")
+    full = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    sigs = dedup.minhash_signatures(b0)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(b0).collect()
+    }
+    for batch in (b1, b2):
+        pairs, new_sigs = dedup.minhash_lsh_delta(sigs, batch)
+        for r in pairs.collect():
+            got[(r["doc_a"], r["doc_b"])] = r["est_jaccard"]
+        sigs = sigs.unionByName(new_sigs)
+    assert got == full
