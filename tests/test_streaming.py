@@ -433,3 +433,43 @@ def test_streaming_scd2_matches_batch_closed_intervals(spark, sf_dir, tmp_path):
         .select("user_id", "attr_value", "valid_from", "valid_to")
     )
     assert _canon(got) == _canon(want)
+
+
+def test_streaming_incremental_dedup_matches_full_lsh(spark, sf_dir, tmp_path):
+    """Documents streamed across three triggers through the
+    foreachBatch delta-dedup must accumulate EXACTLY the full-corpus
+    MinHash-LSH pair set (same est_jaccard), with the signature silver
+    table holding one row per document."""
+    from pyspark.sql import functions as F
+
+    from ntripmonitor_spark.operators.dedup import minhash_lsh_pairs
+    from ntripmonitor_spark.streaming.dedup_stream import start_incremental_dedup
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_incremental_dedup(
+        stream,
+        sig_path=str(tmp_path / "sigs"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert got == want and len(want) > 0
+    assert spark.read.parquet(str(tmp_path / "sigs")).count() == docs.count()
