@@ -735,3 +735,38 @@ def block_dedup_rebuild(docs: DataFrame, block_words: int = BLOCK_WORDS,
             ).alias("kept_md5"),
         )
     )
+
+
+def blocked_name_matches(df: DataFrame, id_col: str, name_col: str,
+                         block_len_off: int = 2,
+                         max_dist: int = 1) -> DataFrame:
+    """Entity resolution by blocking + edit distance: candidate pairs
+    share a block key (here: the name minus its last ``block_len_off``
+    characters — the discriminative suffix of this synthetic
+    namespace; real deployments pick domain keys like phonetic codes
+    or sorted-token prefixes), and only candidates pay the Levenshtein
+    scorer. The standard record-linkage shape: the O(n²) comparison
+    space never materializes — blocks bound it, exactly like the
+    shingle/band/chunk blocking of the dd* family, and the scorer is a
+    per-candidate column expression (JVM levenshtein, no UDF).
+    """
+    blk = F.expr(f"substring({name_col}, 1, length({name_col}) - {block_len_off})")
+    staged = df.select(
+        F.col(id_col).alias("rec_id"), F.col(name_col).alias("nm"), blk.alias("blk")
+    )
+    a = staged.alias("a")
+    b = staged.alias("b")
+    lev = F.levenshtein(F.col("a.nm"), F.col("b.nm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.rec_id") < F.col("b.rec_id")),
+        )
+        .select(
+            F.col("a.rec_id").alias("rec_a"),
+            F.col("b.rec_id").alias("rec_b"),
+            lev.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

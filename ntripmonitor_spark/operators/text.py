@@ -609,3 +609,34 @@ def bpe_encode(docs: DataFrame, n_merges: int = 8,
         F.size(toks).alias("n_tokens"),
         F.md5(F.to_binary(F.array_join(toks, "|"), F.lit("utf-8"))).alias("tokens_md5"),
     )
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the classic per-doc
+    salient-term extraction (the per-document complement of bm01's
+    query-side BM25).
+
+    Shape: one explode feeds the (doc, term) tf aggregate; document
+    frequencies reduce to a vocabulary-sized relation that broadcasts
+    back (never a corpus sort-merge); the top-k is a window over the
+    per-doc term relation keyed by doc_id. ln() on an integer ratio,
+    rounded to 6 — identical in every engine.
+    """
+    n_docs = docs.count()  # one bounded scalar, folded as a literal
+    toks = docs.select(
+        "doc_id", F.explode(normalized_words(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_rel), "tok").select(
+        "doc_id", "tok",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", F.col("rk").cast("int").alias("rk"), "tok", "tfidf")
+    )

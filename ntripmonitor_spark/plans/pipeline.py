@@ -2462,3 +2462,74 @@ def dd09_block_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     window for the keeper decision, doc-keyed aggregate for
     reconstruction; text never shuffles."""
     return dedup.block_dedup_rebuild(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# er01 — entity resolution (blocking + edit distance). Registered
+# PRE-ROTATED (see registry.DRIVER_ROTATED_OUT): added after round 4's
+# 50-slot verification window filled; enters the window in round 5.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "er01_name_matching",
+    bench=True,
+    tags=("dedup", "linkage"),
+    oracle="""
+WITH s AS (
+    SELECT c_custkey AS rec_id, c_name AS nm,
+           substring(c_name, 1, length(c_name) - 2) AS blk
+    FROM customer
+)
+SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+       CAST(levenshtein(a.nm, b.nm) AS INT) AS edit_dist
+FROM s a JOIN s b ON a.blk = b.blk AND a.rec_id < b.rec_id
+WHERE levenshtein(a.nm, b.nm) <= 1
+""",
+)
+def er01_name_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: blocked candidate generation (shared name
+    prefix) + Levenshtein scoring on candidates only — the O(n²)
+    comparison space never materializes, same blocking discipline as
+    the dd* family, JVM edit distance (no UDF)."""
+    from ntripmonitor_spark.operators.dedup import blocked_name_matches
+
+    out = blocked_name_matches(
+        table(spark, sf_dir, "customer"), "c_custkey", "c_name"
+    )
+    return out.withColumn("edit_dist", F.col("edit_dist").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# tx13 — per-document TF-IDF keywords (pre-rotated, window round 5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx13_tfidf_keywords",
+    bench=True,
+    tags=("text",),
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+    FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.tok, round(tf.tf * ln(n.n_docs / dfr.df), 6) AS tfidf
+    FROM tf JOIN dfr ON tf.tok = dfr.tok, n
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, tok, tfidf FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rk
+    FROM scored
+) WHERE rk <= 3
+""",
+)
+def tx13_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document: one explode feeds the tf
+    aggregate, vocabulary-sized document frequencies broadcast back,
+    per-doc top-k is a window on the doc key — the per-document
+    complement of bm01's query-side BM25."""
+    return text.tfidf_keywords(table(spark, sf_dir, "documents"), k=3)

@@ -64,6 +64,10 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
     {
         "cu01_curation_funnel",
         "dc01_decontamination",
+        # pre-rotated: registered after round 4's window filled with
+        # never-checked queries; rotate IN (drop from this set) in r5
+        "er01_name_matching",
+        "tx13_tfidf_keywords",
         "dd01_exact_dedup",
         "dd02_ngram_jaccard",
         "dd03_minhash_lsh",
