@@ -17,6 +17,12 @@ from pyspark.sql import functions as F
 
 
 def epoch_us(col: Column | str) -> Column:
-    """Microseconds since the epoch, accepting TIMESTAMP or TIMESTAMP_NTZ."""
+    """Microseconds since the epoch, accepting TIMESTAMP or TIMESTAMP_NTZ.
+
+    Cast target is the explicit ``timestamp_ltz``, NOT the ``timestamp``
+    alias: under a session with ``spark.sql.timestampType=TIMESTAMP_NTZ``
+    the alias resolves to NTZ, turning the guard cast into the very
+    NTZ-izing no-op it exists to prevent (unix_micros then rejects it).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.unix_micros(c.cast("timestamp"))
+    return F.unix_micros(c.cast("timestamp_ltz"))

@@ -52,8 +52,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif ts_type == "timestamp_ntz":
             # Inference conf not honored (e.g. cached scan): fall back to a
             # session-tz cast — the harness pins UTC, where NTZ wall time
-            # and epoch coincide exactly as in the DuckDB oracle.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # and epoch coincide exactly as in the DuckDB oracle. Explicit
+            # LTZ target: under spark.sql.timestampType=TIMESTAMP_NTZ the
+            # "timestamp" alias is NTZ and the cast would be a no-op.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
         return df
     return spark.read.parquet(path)
 
