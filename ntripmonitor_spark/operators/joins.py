@@ -70,6 +70,52 @@ def asof_join_latest(events: DataFrame, right_pred: Column,
     return out
 
 
+def asof_join_nearest(events: DataFrame, right_pred: Column,
+                      key_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """As-of join, ``direction='nearest'`` (pandas merge_asof family;
+    aj01 is ``backward``): for every left row, the right-side
+    timestamp with the smallest absolute gap — before OR after — per
+    key; ties break to the earlier (backward) match.
+
+    Same distributed merge formulation as aj01, still ONE keyed
+    shuffle: the backward candidate is ``last(ignorenulls)`` over the
+    preceding frame and the forward candidate ``first(ignorenulls)``
+    over the following frame — both windows share the identical
+    partitioning and sort order, so Catalyst plans them on a single
+    exchange. Right rows sort before left rows at equal timestamps
+    (tag asc in the backward frame, tag desc in the forward frame's
+    mirrored sort would break sharing — instead the forward frame
+    starts at ``currentRow``, which is correct because an equal-ts
+    right row already matched backward with gap 0 and wins every tie).
+    """
+    tagged = events.select(
+        "event_id", key_col, ts_col,
+        F.when(right_pred, 0).otherwise(1).alias("tag"),
+    ).withColumn("m_ts", F.when(F.col("tag") == 0, F.col(ts_col)))
+    order = [F.col(ts_col).asc(), F.col("tag").asc(), F.col("event_id").asc()]
+    base = Window.partitionBy(key_col).orderBy(*order)
+    back = F.last("m_ts", ignorenulls=True).over(
+        base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = F.first("m_ts", ignorenulls=True).over(
+        base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = tagged.withColumn("b_ts", back).withColumn("f_ts", fwd)
+    ts_us = epoch_us(ts_col)
+    b_gap = ts_us - epoch_us("b_ts")
+    f_gap = epoch_us("f_ts") - ts_us
+    pick_back = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (b_gap <= f_gap)
+    )
+    return filled.filter(F.col("tag") == 1).select(
+        "event_id",
+        key_col,
+        ts_col,
+        F.when(pick_back, F.col("b_ts")).otherwise(F.col("f_ts")).alias("asof_ts"),
+        F.when(pick_back, b_gap).otherwise(f_gap).alias("gap_us"),
+    )
+
+
 def range_join_intervals(events: DataFrame, interval_pred: Column,
                          length_s: int = 300, key_col: str = "user_id",
                          ts_col: str = "ts") -> DataFrame:

@@ -157,3 +157,57 @@ def logreg_quality(docs: DataFrame, label_col: str = "is_en",
         f"{c} double" if c != "n" else "n bigint" for c in cols
     )
     return spark.createDataFrame(data, schema)
+
+
+def ks_drift(df: DataFrame, value_col: str = "n_chars",
+             group_col: str = "source") -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov drift: for every group,
+    the KS statistic between the group's distribution of ``value_col``
+    and the rest of the corpus — the distribution-shift monitor a
+    curation pipeline runs when a new crawl/source lands (large KS =
+    this source's length/quality profile diverges from the corpus).
+
+    Scale shape: the raw relation collapses FIRST to per-(group, value)
+    counts via one map-side-combined aggregate — the only input-scaled
+    exchange. Everything after runs on the bounded (groups × distinct
+    values) grid: global per-value counts derive from the same
+    aggregate, the grid is grouped-cumsum'd per group (window keyed by
+    group over |distinct values| rows), and KS is the max abs ECDF gap.
+    Exact when ``value_col`` has bounded cardinality (lengths, scores
+    rounded to fixed precision); for unbounded continuous values,
+    pre-bucketize (hs01's binning) and the same plan yields the
+    histogram-KS approximation with error ≤ 1/bins.
+    """
+    counts = (
+        df.groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).persist()
+    # bounded: |distinct values| rows; every group must see every global
+    # value point (the ECDF gap can peak at a value the group lacks)
+    values = counts.groupBy(value_col).agg(F.sum("c").alias("c_all"))
+    groups = counts.groupBy(group_col).agg(F.sum("c").alias("n_g"))
+    total = groups.agg(F.sum("n_g").alias("n_total"))  # 1 row, broadcast
+    grid = (
+        groups.crossJoin(F.broadcast(total))
+        .crossJoin(values)  # groups × values: both sides bounded
+        .join(counts, [group_col, value_col], "left")
+        .fillna(0, subset=["c"])
+    )
+    n_total = F.col("n_total")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_g = F.sum("c").over(w)
+    cum_all = F.sum("c_all").over(w)
+    cdf_g = cum_g.cast("double") / F.col("n_g")
+    cdf_rest = (cum_all - cum_g).cast("double") / (n_total - F.col("n_g"))
+    gap = F.abs(cdf_g - cdf_rest)
+    out = (
+        grid.select(group_col, F.col("n_g"), gap.alias("gap"))
+        .groupBy(group_col, "n_g")
+        .agg(F.round(F.max("gap"), 6).alias("ks_stat"))
+        .select(group_col, F.col("n_g").alias("n_rows"), "ks_stat")
+    )
+    return out

@@ -640,3 +640,69 @@ def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rk") <= k)
         .select("doc_id", F.col("rk").cast("int").alias("rk"), "tok", "tfidf")
     )
+
+
+def source_divergence(docs: DataFrame, vocab_size: int = 256, k: float = 0.5,
+                      text_col: str = "text",
+                      group_col: str = "source") -> DataFrame:
+    """Per-source unigram KL divergence against the corpus-wide token
+    distribution, plus OOV rate — the corpus-shift diagnostic run when
+    deciding whether a new source needs its own mixing weight or a
+    deeper quality pass (a source whose token distribution diverges
+    hard from the corpus is boilerplate, another language, or another
+    register; DSIR/ig01 turns the same ratio into per-document
+    weights, this reports the per-source aggregate).
+
+    Model: closed vocabulary of the ``vocab_size`` globally most
+    frequent tokens + <oov>; corpus and per-source distributions are
+    add-k smoothed over V+1 symbols; KL(source ‖ corpus) in bits.
+
+    Scale shape (the tx07/tx10 "fit tiny, broadcast" pattern): the
+    corpus collapses to (source, symbol) counts in ONE map-side-
+    combined aggregate — the only input-scaled exchange; the vocab is
+    a bounded TakeOrdered folded back as literals; the divergence sum
+    runs on the (sources × V+1) grid, with the corpus marginal
+    (V+1 rows) broadcast.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    staged = docs.select(F.col(group_col), toks.alias("_toks"))
+    exploded = staged.select(group_col, F.explode(F.col("_toks")).alias("tok"))
+
+    vocab_rows = (
+        exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab = [r["tok"] for r in vocab_rows]
+    v_plus = float(len(vocab) + 1)  # + <oov>
+
+    sym = F.when(F.col("tok").isin(vocab), F.col("tok")).otherwise(F.lit("<oov>"))
+    # the only input-scaled aggregate: (source, symbol) partial counts
+    sc = exploded.select(group_col, sym.alias("sym")).groupBy(group_col, "sym").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()
+    totals = sc.groupBy(group_col).agg(F.sum("c").alias("n_s"))
+    corpus = sc.groupBy("sym").agg(F.sum("c").alias("c_all"))
+    n_all = sc.agg(F.sum("c").alias("n_all"))  # 1 row
+
+    # (sources × V+1) grid: a symbol absent from a source still carries
+    # smoothed mass, so the grid — not the sparse counts — is summed
+    grid = (
+        totals.crossJoin(F.broadcast(n_all))
+        .crossJoin(F.broadcast(corpus))
+        .join(sc, [group_col, "sym"], "left")
+        .fillna(0, subset=["c"])
+    )
+    p_s = (F.col("c") + k) / (F.col("n_s") + k * v_plus)
+    p_c = (F.col("c_all") + k) / (F.col("n_all") + k * v_plus)
+    kl_term = p_s * F.log2(p_s / p_c)
+    oov = F.when(F.col("sym") == "<oov>", F.col("c")).otherwise(F.lit(0))
+    return (
+        grid.groupBy(group_col, "n_s")
+        .agg(
+            F.round(F.sum(kl_term), 6).alias("kl_bits"),
+            F.round(F.sum(oov).cast("double") / F.col("n_s").cast("double"), 6).alias("oov_rate"),
+        )
+        .select(group_col, F.col("n_s").alias("n_tokens"), "kl_bits", "oov_rate")
+    )

@@ -170,3 +170,41 @@ def scd01_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     close are two window passes sharing one keyed exchange; the log
     never self-joins."""
     return joins.scd2_history(table(spark, sf_dir, "events"))
+
+
+@register(
+    "aj03_asof_nearest",
+    bench=True,
+    tags=("joins",),
+    oracle="""
+WITH r AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'error'),
+m AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+bk AS (
+    SELECT r.event_id, r.user_id, r.ts, m.ts AS b_ts
+    FROM r ASOF LEFT JOIN m ON r.user_id = m.user_id AND r.ts >= m.ts
+),
+fw AS (
+    SELECT r.event_id, m.ts AS f_ts
+    FROM r ASOF LEFT JOIN m ON r.user_id = m.user_id AND r.ts < m.ts
+)
+SELECT bk.event_id, bk.user_id, bk.ts,
+       CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                 OR epoch_us(bk.ts) - epoch_us(b_ts)
+                    <= epoch_us(f_ts) - epoch_us(bk.ts))
+            THEN b_ts ELSE f_ts END AS asof_ts,
+       CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                 OR epoch_us(bk.ts) - epoch_us(b_ts)
+                    <= epoch_us(f_ts) - epoch_us(bk.ts))
+            THEN epoch_us(bk.ts) - epoch_us(b_ts)
+            ELSE epoch_us(f_ts) - epoch_us(bk.ts) END AS gap_us
+FROM bk JOIN fw USING (event_id)
+""",
+)
+def aj03_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, nearest direction (pandas merge_asof family; aj01
+    is backward): smallest absolute gap before OR after, ties to the
+    backward match. Backward and forward candidates are two window
+    frames sharing ONE keyed sort — still a single exchange. Oracle is
+    two DuckDB ASOF joins (>= and <) merged by the same tie rule."""
+    ev = table(spark, sf_dir, "events")
+    return joins.asof_join_nearest(ev, F.col("event_type") == "error")

@@ -2533,3 +2533,107 @@ def tx13_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc top-k is a window on the doc key — the per-document
     complement of bm01's query-side BM25."""
     return text.tfidf_keywords(table(spark, sf_dir, "documents"), k=3)
+
+
+# ---------------------------------------------------------------------------
+# ks01 — per-source Kolmogorov-Smirnov drift (pre-rotated, window round 5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ks01_source_drift",
+    bench=True,
+    tags=("stats", "monitoring"),
+    oracle="""
+WITH counts AS (
+    SELECT source, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2
+),
+vals AS (SELECT v, sum(c) AS c_all FROM counts GROUP BY 1),
+grps AS (SELECT source, sum(c) AS n_g FROM counts GROUP BY 1),
+tot AS (SELECT sum(c) AS n_total FROM counts),
+grid AS (
+    SELECT g.source, g.n_g, t.n_total, va.v, va.c_all, coalesce(ct.c, 0) AS c
+    FROM grps g CROSS JOIN tot t CROSS JOIN vals va
+    LEFT JOIN counts ct ON ct.source = g.source AND ct.v = va.v
+),
+cum AS (
+    SELECT source, n_g, n_total,
+           sum(c) OVER (PARTITION BY source ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum_g,
+           sum(c_all) OVER (PARTITION BY source ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum_all
+    FROM grid
+)
+SELECT source, CAST(n_g AS BIGINT) AS n_rows,
+       round(max(abs(cum_g / n_g - (cum_all - cum_g) / (n_total - n_g))), 6)
+           AS ks_stat
+FROM cum GROUP BY source, n_g
+""",
+)
+def ks01_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-sample KS statistic (source vs rest of corpus)
+    over document length — the drift monitor for a landing crawl. The
+    raw relation collapses to per-(source, value) counts in one
+    map-side-combined aggregate; ECDFs and the max-gap run on the
+    bounded sources × distinct-values grid."""
+    from ntripmonitor_spark.operators import stats
+
+    return stats.ks_drift(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# kl01 — per-source unigram KL divergence (pre-rotated, window round 5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kl01_source_divergence",
+    bench=True,
+    tags=("text", "monitoring"),
+    oracle="""
+WITH toks AS (
+    SELECT source,
+           unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+    FROM documents
+),
+tc AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+vocab AS (
+    SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS rk FROM tc
+    ) WHERE rk <= 24
+),
+symed AS (
+    SELECT source,
+           CASE WHEN tok IN (SELECT tok FROM vocab) THEN tok
+                ELSE '<oov>' END AS sym
+    FROM toks
+),
+sc AS (SELECT source, sym, count(*) AS c FROM symed GROUP BY 1, 2),
+totals AS (SELECT source, sum(c) AS n_s FROM sc GROUP BY 1),
+corpus AS (SELECT sym, sum(c) AS c_all FROM sc GROUP BY 1),
+nall AS (SELECT sum(c) AS n_all FROM sc),
+vp AS (SELECT count(*) + 1.0 AS v_plus FROM vocab),
+grid AS (
+    SELECT t.source, t.n_s, n.n_all, v.v_plus, co.sym, co.c_all,
+           coalesce(s.c, 0) AS c
+    FROM totals t CROSS JOIN nall n CROSS JOIN vp v CROSS JOIN corpus co
+    LEFT JOIN sc s ON s.source = t.source AND s.sym = co.sym
+)
+SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+       round(sum(((c + 0.5) / (n_s + 0.5 * v_plus))
+                 * log2(((c + 0.5) / (n_s + 0.5 * v_plus))
+                        / ((c_all + 0.5) / (n_all + 0.5 * v_plus)))), 6)
+           AS kl_bits,
+       round(sum(CASE WHEN sym = '<oov>' THEN c ELSE 0 END)::DOUBLE / n_s, 6)
+           AS oov_rate
+FROM grid GROUP BY source, n_s
+""",
+)
+def kl01_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence vs the corpus distribution
+    (+ OOV rate) over a closed top-24 vocabulary with add-half
+    smoothing — the corpus-shift report before assigning a new source
+    its mixing weight. Fit-tiny-broadcast: one (source, symbol)
+    aggregate is the only input-scaled exchange."""
+    out = text.source_divergence(table(spark, sf_dir, "documents"), vocab_size=24)
+    return out

@@ -68,6 +68,9 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         # never-checked queries; rotate IN (drop from this set) in r5
         "er01_name_matching",
         "tx13_tfidf_keywords",
+        "aj03_asof_nearest",
+        "ks01_source_drift",
+        "kl01_source_divergence",
         "dd01_exact_dedup",
         "dd02_ngram_jaccard",
         "dd03_minhash_lsh",

@@ -251,3 +251,40 @@ def test_incremental_lsh_matches_full_recompute(spark, sf_dir):
             got[(r["doc_a"], r["doc_b"])] = r["est_jaccard"]
         sigs = sigs.unionByName(new_sigs)
     assert got == full
+
+
+def test_ks01_zero_for_identical_distributions(spark):
+    """Two sources carrying the same value multiset: both ECDFs
+    coincide everywhere, KS must be exactly 0; and KS is always in
+    [0, 1]."""
+    rows = [(i, "a" if i < 40 else "b", v)
+            for i, v in enumerate(list(range(10, 50)) * 2)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r["source"]: r["ks_stat"] for r in stats.ks_drift(docs).collect()}
+    assert out == {"a": 0.0, "b": 0.0}
+
+
+def test_ks01_one_for_disjoint_distributions(spark, sf_dir):
+    """Disjoint supports → KS = 1 (max gap where one ECDF is already 1
+    and the other still 0); corpus table values stay in [0, 1]."""
+    rows = [(i, "lo", i) for i in range(20)] + [(i + 20, "hi", 1000 + i) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r["source"]: r["ks_stat"] for r in stats.ks_drift(docs).collect()}
+    assert out == {"lo": 1.0, "hi": 1.0}
+    corpus = stats.ks_drift(table(spark, sf_dir, "documents")).collect()
+    assert all(0.0 <= r["ks_stat"] <= 1.0 for r in corpus)
+
+
+def test_kl01_zero_against_self_and_nonnegative(spark, sf_dir):
+    """A single-source corpus IS the corpus distribution → KL = 0 and
+    OOV consistent; on the real table KL ≥ 0 everywhere (Gibbs)."""
+    from ntripmonitor_spark.operators import text as text_ops
+
+    rows = [(i, "only", "the quick brown fox " * (i + 1)) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    one = text_ops.source_divergence(docs, vocab_size=3).collect()
+    assert len(one) == 1 and one[0]["kl_bits"] == 0.0 and one[0]["oov_rate"] > 0.0
+    corpus = text_ops.source_divergence(
+        table(spark, sf_dir, "documents"), vocab_size=24
+    ).collect()
+    assert all(r["kl_bits"] >= 0.0 for r in corpus)

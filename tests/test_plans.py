@@ -735,3 +735,30 @@ def test_dd09_two_hash_keyed_exchanges_text_never_shuffles(spark, sf_dir):
     assert "Join" not in plan, "dd09 must not join"
     n_hash = plan.count("Exchange hashpartitioning")
     assert n_hash <= 2, f"dd09: expected <=2 keyed exchanges, got {n_hash}"
+
+
+def test_aj03_nearest_single_exchange_no_join(spark, sf_dir):
+    """aj03: both as-of directions are window frames over ONE keyed
+    sort — a single exchange, no join of any kind (the two-direction
+    formulation must not degrade to two plans merged by a join)."""
+    plan = _explain(spark, "aj03_asof_nearest", sf_dir)
+    assert "Join" not in plan, f"aj03 grew a join\n{plan[:1500]}"
+    assert _exchanges(plan) == 1, f"aj03: expected exactly one keyed exchange\n{plan[:1500]}"
+    assert "Window" in plan, "aj03 lost its window formulation"
+
+
+def test_ks01_grid_joins_broadcast(spark, sf_dir):
+    """ks01: after the one input-scaled counts aggregate, everything
+    runs on the bounded sources × values grid — the grid joins must
+    broadcast (never sort-merge) and no cartesian over input-scaled
+    relations may appear (the crossJoins are 1-row / bounded sides)."""
+    plan = _explain(spark, "ks01_source_drift", sf_dir)
+    assert "SortMergeJoin" not in plan, f"ks01 grid join sort-merged\n{plan[:2000]}"
+
+
+def test_kl01_model_joins_broadcast(spark, sf_dir):
+    """kl01: the (source, symbol) aggregate is the only input-scaled
+    exchange; the corpus marginal and totals are bounded and must
+    broadcast back — no sort-merge anywhere."""
+    plan = _explain(spark, "kl01_source_divergence", sf_dir)
+    assert "SortMergeJoin" not in plan, f"kl01 model join sort-merged\n{plan[:2000]}"

@@ -116,3 +116,34 @@ def test_funnel_matches_bruteforce(spark, rows):
         for u, pair in got.items()
     }
     assert got_naive == want_ts
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=EVENTS)
+def test_asof_nearest_matches_bruteforce(spark, rows):
+    """direction='nearest' semantics: smallest absolute gap before or
+    after, ties to the backward match (an equal-ts right row is a
+    backward gap-0 match and always wins)."""
+    import pyspark.sql.functions as F
+
+    got = {
+        r["event_id"]: r["gap_us"]
+        for r in joins.asof_join_nearest(
+            _df(spark, rows), F.col("event_type") == "error"
+        ).collect()
+    }
+    want = {}
+    for i, (u, s, flag) in enumerate(rows):
+        if flag:
+            continue
+        prior = [ps for (pu, ps, pflag) in rows if pflag and pu == u and ps <= s]
+        later = [ps for (pu, ps, pflag) in rows if pflag and pu == u and ps > s]
+        b = (s - max(prior)) * 1_000_000 if prior else None
+        f = (min(later) - s) * 1_000_000 if later else None
+        if b is not None and (f is None or b <= f):
+            want[i] = b
+        else:
+            want[i] = f
+    assert got == want
