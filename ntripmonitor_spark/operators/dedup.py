@@ -63,6 +63,52 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def _capped_shingles(docs: DataFrame, n: int = 3, max_df_frac: float = 0.01,
+                     min_df_cap: int = 5) -> DataFrame:
+    """DF-capped hashed shingle relation shared by the exact pairwise
+    dedups (Jaccard dd02, containment dd10).
+
+    The shingle relation feeds four plan branches (both join sides +
+    both size lookups); without materialization Spark recomputes the
+    explode+distinct per branch (4x the dominant cost). At corpus
+    scale this is the persisted silver table. The join/shuffle key is
+    xxhash64(shingle) — an 8-byte long instead of a ~25-byte string,
+    so the self-join shuffles ~3x less and compares longs, not
+    strings (collision odds ~2^-64 per candidate pair: immaterial).
+    The DF cap is a HEAVY-HITTERS anti-join, not a window count: the
+    per-shingle count aggregates with map-side partial combine (tiny
+    partials — distinct shingles, not raw rows), only shingles ABOVE
+    the cap survive the filter (bounded by rows/cap ≈ 100·avg
+    shingles/doc however large the corpus), and that small set is
+    broadcast anti-joined away — so the full (doc, shingle) relation
+    is never window-sorted just to learn its frequencies. n_docs is
+    one bounded scalar folded as a literal (the same pattern as the
+    ANN anchor folds) — not a data-bearing collect. The capped output
+    is repartitioned by the join key BEFORE persisting: the cache is
+    then join-ready on both sides of the self-join (zero exchanges at
+    join time) — the in-memory analog of bucketing the silver shingle
+    table by shingle_h.
+    """
+    raw = (
+        doc_shingles(docs, n)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
+        .persist()
+    )
+    n_docs = raw.agg(F.countDistinct("doc_id")).first()[0]
+    cap = max(min_df_cap, int(max_df_frac * n_docs))
+    hot = (
+        raw.groupBy("shingle_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > F.lit(cap))
+        .select("shingle_h")
+    )
+    return (
+        raw.join(F.broadcast(hot), "shingle_h", "left_anti")
+        .repartition("shingle_h")
+        .persist()
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
                         max_df_frac: float = 0.01, min_df_cap: int = 5) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs over the DF-capped shingle
@@ -80,44 +126,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
     production near-dup pipelines compute), all integer counts so the
     division is bit-identical across engines.
     """
-    # The shingle relation feeds four plan branches (both join sides +
-    # both size lookups); without materialization Spark recomputes the
-    # explode+distinct per branch (4x the dominant cost). At corpus
-    # scale this is the persisted silver table. The join/shuffle key is
-    # xxhash64(shingle) — an 8-byte long instead of a ~25-byte string,
-    # so the self-join shuffles ~3x less and compares longs, not
-    # strings (collision odds ~2^-64 per candidate pair: immaterial).
-    # The DF cap is a HEAVY-HITTERS anti-join, not a window count: the
-    # per-shingle count aggregates with map-side partial combine (tiny
-    # partials — distinct shingles, not raw rows), only shingles ABOVE
-    # the cap survive the filter (bounded by rows/cap ≈ 100·avg
-    # shingles/doc however large the corpus), and that small set is
-    # broadcast anti-joined away — so the full (doc, shingle) relation
-    # is never window-sorted just to learn its frequencies. n_docs is
-    # one bounded scalar folded as a literal (the same pattern as the
-    # ANN anchor folds) — not a data-bearing collect.
-    raw = (
-        doc_shingles(docs, n)
-        .select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
-        .persist()
-    )
-    n_docs = raw.agg(F.countDistinct("doc_id")).first()[0]
-    cap = max(min_df_cap, int(max_df_frac * n_docs))
-    hot = (
-        raw.groupBy("shingle_h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > F.lit(cap))
-        .select("shingle_h")
-    )
-    # Repartition by the join key BEFORE persisting: the cached capped
-    # relation is then join-ready on both sides of the self-join (zero
-    # exchanges at join time) — the in-memory analog of bucketing the
-    # silver shingle table by shingle_h.
-    sh = (
-        raw.join(F.broadcast(hot), "shingle_h", "left_anti")
-        .repartition("shingle_h")
-        .persist()
-    )
+    sh = _capped_shingles(docs, n, max_df_frac, min_df_cap)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -134,6 +143,53 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
         .join(F.broadcast(sb), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
+                      max_df_frac: float = 0.01, min_df_cap: int = 5) -> DataFrame:
+    """Asymmetric containment dedup ("quote detection"): for a pair
+    (A, B), containment(A→B) = |shingles(A) ∩ shingles(B)| /
+    |shingles(A)| — a short document pasted inside a longer one scores
+    ~1 even though its symmetric Jaccard (dd02) is tiny, which is why
+    production pipelines (C4/Dolma-style) run containment ALONGSIDE
+    Jaccard: Jaccard finds near-copies, containment finds subsumed
+    quotes/excerpts whose survivor is the container.
+
+    Output one row per directed hit ≥ threshold: (doc_id = the
+    contained doc, container_id, n_sh = |shingles(doc)|, n_inter,
+    containment).
+
+    Scale shape: identical to dd02 — same DF-capped hashed shingle
+    relation (shared helper, persisted once, join-ready layout), same
+    blocked self-join producing each unordered pair once; only the
+    post-join arithmetic differs (two directed ratios per pair instead
+    of one symmetric one). Candidate volume and shuffle keys are
+    byte-for-byte dd02's; the containment definition is exact w.r.t.
+    the capped shingle universe, same as dd02's Jaccard.
+    """
+    sh = _capped_shingles(docs, n, max_df_frac, min_df_cap)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle_h") == F.col("b.shingle_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    directed = inter.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("container_id"), "n_inter"
+    ).unionByName(
+        inter.select(
+            F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("container_id"), "n_inter"
+        )
+    )
+    sz = sizes.select(F.col("doc_id"), F.col("n_sh"))
+    ratio = F.col("n_inter").cast("double") / F.col("n_sh")
+    return (
+        directed.join(F.broadcast(sz), "doc_id")
+        .select("doc_id", "container_id", "n_sh", "n_inter", ratio.alias("containment"))
+        .filter(F.col("containment") >= threshold)
     )
 
 

@@ -181,7 +181,18 @@ def ks_drift(df: DataFrame, value_col: str = "n_chars",
     counts = (
         df.groupBy(group_col, value_col)
         .agg(F.count(F.lit(1)).alias("c"))
-    ).persist()
+    )
+    return ks_from_counts(counts, value_col=value_col, group_col=group_col)
+
+
+def ks_from_counts(counts: DataFrame, value_col: str = "n_chars",
+                   group_col: str = "source") -> DataFrame:
+    """KS drift from a pre-aggregated (group, value, c) count relation
+    — the mergeable-state half of :func:`ks_drift`: per-(group, value)
+    counts sum across batches/shards, so a streaming monitor appends
+    per-batch partials and computes KS merge-on-read with the exact
+    batch result (the cm01/sk01 partials discipline)."""
+    counts = counts.groupBy(group_col, value_col).agg(F.sum("c").alias("c")).persist()
     # bounded: |distinct values| rows; every group must see every global
     # value point (the ECDF gap can peak at a value the group lacks)
     values = counts.groupBy(value_col).agg(F.sum("c").alias("c_all"))
@@ -211,3 +222,25 @@ def ks_drift(df: DataFrame, value_col: str = "n_chars",
         .select(group_col, F.col("n_g").alias("n_rows"), "ks_stat")
     )
     return out
+
+
+def percentile_normalize(docs: DataFrame, value_col: str = "n_chars",
+                         group_col: str = "source",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Per-group percentile (quantile-matching) normalization of a
+    quality metric: each document's score becomes its percent rank
+    WITHIN its source — the calibration step before cross-source
+    quality gating, because raw classifier/heuristic scores are not
+    comparable across domains (a 0.7 on arXiv ≠ a 0.7 on webcrawl;
+    their per-domain ranks are). Downstream, "keep the top 30%
+    per source" is then a single global ``pct >= 0.7`` predicate.
+
+    One keyed exchange (the per-group sort); ties share a rank (SQL
+    percent_rank), so the result is deterministic without an id
+    tiebreaker and identical across engines.
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    return docs.select(
+        id_col, group_col, value_col,
+        F.round(F.percent_rank().over(w), 6).alias("pct_in_group"),
+    )

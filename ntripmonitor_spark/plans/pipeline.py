@@ -2637,3 +2637,72 @@ def kl01_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is the only input-scaled exchange."""
     out = text.source_divergence(table(spark, sf_dir, "documents"), vocab_size=24)
     return out
+
+
+# ---------------------------------------------------------------------------
+# dd10 — asymmetric containment dedup (pre-rotated, window round 5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd10_containment",
+    bench=True,
+    tags=("dedup",),
+    oracle=f"""
+WITH {_SH_CTE},
+shc AS (
+    SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh
+    ) WHERE df <= greatest(5, CAST(floor(0.01 * (SELECT count(DISTINCT doc_id) FROM sh)) AS BIGINT))
+),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+directed AS (
+    SELECT doc_a AS doc_id, doc_b AS container_id, n_inter FROM p
+    UNION ALL
+    SELECT doc_b AS doc_id, doc_a AS container_id, n_inter FROM p
+)
+SELECT d.doc_id, d.container_id, s.n_sh, d.n_inter,
+       CAST(d.n_inter AS DOUBLE) / s.n_sh AS containment
+FROM directed d JOIN sz s ON s.doc_id = d.doc_id
+WHERE CAST(d.n_inter AS DOUBLE) / s.n_sh >= 0.8
+""",
+)
+def dd10_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment hits ≥ 0.8 over the DF-capped shingle
+    universe — the quote/excerpt detector that catches a short doc
+    pasted inside a longer one, which symmetric Jaccard (dd02) misses.
+    Same blocked self-join, candidate volume and shuffle keys as dd02;
+    only the post-join ratio differs."""
+    return dedup.containment_pairs(table(spark, sf_dir, "documents"), n=3, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# qa02 — per-source percentile normalization (pre-rotated, window round 5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qa02_percentile_normalize",
+    bench=True,
+    tags=("stats",),
+    oracle="""
+SELECT doc_id, source, n_chars,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+           AS pct_in_group
+FROM documents
+""",
+)
+def qa02_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-matching calibration: each document's quality metric
+    becomes its percent rank within its source, making thresholds
+    comparable across domains ("top 30% per source" = one global
+    predicate). One keyed exchange; tie-stable without an id
+    tiebreaker."""
+    from ntripmonitor_spark.operators import stats
+
+    return stats.percentile_normalize(table(spark, sf_dir, "documents"))

@@ -71,6 +71,8 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "aj03_asof_nearest",
         "ks01_source_drift",
         "kl01_source_divergence",
+        "dd10_containment",
+        "qa02_percentile_normalize",
         "dd01_exact_dedup",
         "dd02_ngram_jaccard",
         "dd03_minhash_lsh",

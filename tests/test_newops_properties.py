@@ -288,3 +288,32 @@ def test_kl01_zero_against_self_and_nonnegative(spark, sf_dir):
         table(spark, sf_dir, "documents"), vocab_size=24
     ).collect()
     assert all(r["kl_bits"] >= 0.0 for r in corpus)
+
+
+def test_dd10_finds_quote_jaccard_misses(spark):
+    """The containment raison d'être: a short doc pasted verbatim into
+    a much longer one has containment 1.0 (short → long) but a
+    symmetric Jaccard far below dd02's 0.6 threshold — dd10 must flag
+    the pair, dd02 must not."""
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}a w{i}b w{i}c" for i in range(12))
+    rows = [(1, quote), (2, f"{filler} {quote}"), (3, "totally unrelated text body here now")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hits = dedup.containment_pairs(docs, threshold=0.8).collect()
+    assert [(r["doc_id"], r["container_id"], r["containment"]) for r in hits] == [(1, 2, 1.0)]
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    assert jac == []
+
+
+def test_qa02_rank_uniformity_and_tie_stability(spark):
+    """percent_rank normalization: within a group the max rank is 1 and
+    the min 0; equal values share one rank (no id-dependent ordering)."""
+    rows = [(i, "s", v) for i, v in enumerate([5, 5, 7, 9, 9, 9, 11, 13])]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = stats.percentile_normalize(docs).collect()
+    by_val = {}
+    for r in out:
+        by_val.setdefault(r["n_chars"], set()).add(r["pct_in_group"])
+    assert all(len(s) == 1 for s in by_val.values()), "ties split ranks"
+    ranks = sorted(r["pct_in_group"] for r in out)
+    assert ranks[0] == 0.0 and ranks[-1] == 1.0

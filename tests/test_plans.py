@@ -762,3 +762,19 @@ def test_kl01_model_joins_broadcast(spark, sf_dir):
     broadcast back — no sort-merge anywhere."""
     plan = _explain(spark, "kl01_source_divergence", sf_dir)
     assert "SortMergeJoin" not in plan, f"kl01 model join sort-merged\n{plan[:2000]}"
+
+
+def test_dd10_blocked_join_no_cartesian(spark, sf_dir):
+    """dd10 shares dd02's blocked self-join: candidates meet only on
+    the hashed shingle key — no cartesian/nested-loop anywhere, and the
+    hot-shingle DF cap applies (same capped relation)."""
+    plan = _explain(spark, "dd10_containment", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_qa02_single_exchange(spark, sf_dir):
+    """qa02 is one keyed window sort — exactly one exchange, no join."""
+    plan = _explain(spark, "qa02_percentile_normalize", sf_dir)
+    assert "Join" not in plan
+    assert _exchanges(plan) == 1, f"qa02: expected one exchange\n{plan[:1200]}"

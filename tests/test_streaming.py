@@ -473,3 +473,40 @@ def test_streaming_incremental_dedup_matches_full_lsh(spark, sf_dir, tmp_path):
     }
     assert got == want and len(want) > 0
     assert spark.read.parquet(str(tmp_path / "sigs")).count() == docs.count()
+
+
+def test_streaming_drift_matches_batch(spark, sf_dir, tmp_path):
+    """The incrementally-maintained KS monitor (per-batch count
+    partials + merge-on-read) must equal the batch ks_drift of the
+    full stream exactly — counts are mergeable state, so no
+    approximation is involved."""
+    from ntripmonitor_spark.operators import stats
+    from ntripmonitor_spark.streaming import drift
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    src = str(tmp_path / "drift_src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    sink = str(tmp_path / "drift_sink")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(drift.drift_sink(sink))
+        .option("checkpointLocation", str(tmp_path / "drift_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = {
+        r.source: (r.n_rows, r.ks_stat)
+        for r in drift.read_drift(spark, sink).collect()
+    }
+    batch = {
+        r.source: (r.n_rows, r.ks_stat)
+        for r in stats.ks_drift(docs).collect()
+    }
+    assert merged == batch
