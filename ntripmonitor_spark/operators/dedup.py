@@ -833,3 +833,36 @@ def blocked_name_matches(df: DataFrame, id_col: str, name_col: str,
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+def entity_clusters(df: DataFrame, id_col: str, name_col: str,
+                    block_len_off: int = 2, max_dist: int = 1,
+                    max_iter: int = 20) -> DataFrame:
+    """Record linkage completed: transitive closure over the blocked
+    Levenshtein match graph (er01's edges) → one entity per connected
+    component, with survivorship — the "golden record" is the member
+    with the smallest id (= the entity id), its name carried out as
+    the canonical one. This is the step that turns pairwise match
+    scores into a deduplicated master table (same pairwise→clusters
+    promotion dd06 performs for documents).
+
+    Scale shape: edge generation is er01's (blocked candidates, JVM
+    scorer, O(n²) never materializes); the closure is the shared
+    pointer-doubling CC operator — O(log diameter) rounds shuffling
+    only the matched subgraph; survivorship is one aggregate plus an
+    id-keyed join of the (smaller) entity table back to the records.
+    """
+    edges = blocked_name_matches(
+        df, id_col, name_col, block_len_off=block_len_off, max_dist=max_dist
+    ).select(F.col("rec_a").alias("doc_a"), F.col("rec_b").alias("doc_b"))
+    nodes = df.select(F.col(id_col).alias("doc_id"))
+    labels, _ = connected_components(nodes, edges, max_iter=max_iter)
+    names = df.select(
+        F.col(id_col).alias("entity_id"), F.col(name_col).alias("canonical_name")
+    )
+    return (
+        labels.groupBy(F.col("cluster_id").alias("entity_id"))
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .join(names, "entity_id")
+        .select("entity_id", "n_records", "canonical_name")
+    )

@@ -2706,3 +2706,44 @@ def qa02_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntripmonitor_spark.operators import stats
 
     return stats.percentile_normalize(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# er02 — entity clusters + golden record (pre-rotated, window round 5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "er02_entity_clusters",
+    bench=True,
+    tags=("dedup", "linkage"),
+    oracle="""
+WITH RECURSIVE s AS (
+    SELECT c_custkey AS rec_id, c_name AS nm,
+           substring(c_name, 1, length(c_name) - 2) AS blk
+    FROM customer
+),
+e AS (
+    SELECT a.rec_id AS ra, b.rec_id AS rb
+    FROM s a JOIN s b ON a.blk = b.blk AND a.rec_id < b.rec_id
+    WHERE levenshtein(a.nm, b.nm) <= 1
+),
+edges AS (SELECT ra AS a, rb AS b FROM e UNION ALL SELECT rb, ra FROM e),
+reach(id, r) AS (
+    SELECT rec_id, rec_id FROM s
+    UNION
+    SELECT reach.id, ed.b FROM reach JOIN edges ed ON reach.r = ed.a
+),
+cl AS (SELECT id AS rec_id, min(r) AS entity_id FROM reach GROUP BY 1)
+SELECT cl.entity_id, CAST(count(*) AS BIGINT) AS n_records,
+       max(CASE WHEN cl.rec_id = cl.entity_id THEN s.nm END) AS canonical_name
+FROM cl JOIN s ON s.rec_id = cl.rec_id
+GROUP BY 1
+""",
+)
+def er02_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution completed: transitive closure over er01's
+    blocked-Levenshtein match graph (shared pointer-doubling CC
+    operator, matched-subgraph-only rounds) with min-id survivorship —
+    the master-table/golden-record step after pairwise linkage."""
+    return dedup.entity_clusters(table(spark, sf_dir, "customer"), "c_custkey", "c_name")

@@ -73,6 +73,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "kl01_source_divergence",
         "dd10_containment",
         "qa02_percentile_normalize",
+        "er02_entity_clusters",
         "dd01_exact_dedup",
         "dd02_ngram_jaccard",
         "dd03_minhash_lsh",

@@ -317,3 +317,15 @@ def test_qa02_rank_uniformity_and_tie_stability(spark):
     assert all(len(s) == 1 for s in by_val.values()), "ties split ranks"
     ranks = sorted(r["pct_in_group"] for r in out)
     assert ranks[0] == 0.0 and ranks[-1] == 1.0
+
+
+def test_er02_entities_partition_the_records(spark, sf_dir):
+    """Entity clusters must PARTITION the record set (n_records sums
+    to the table size), every canonical_name is present, and each
+    entity id is a real record id (min-id survivorship)."""
+    cust = table(spark, sf_dir, "customer")
+    out = dedup.entity_clusters(cust, "c_custkey", "c_name").collect()
+    assert sum(r["n_records"] for r in out) == cust.count()
+    assert all(r["canonical_name"] is not None for r in out)
+    ids = {r["c_custkey"] for r in cust.select("c_custkey").collect()}
+    assert all(r["entity_id"] in ids for r in out)
