@@ -753,3 +753,21 @@ def ivfpq_search(emb: DataFrame, k_centroids: int = IVF_K, m: int = PQ_M,
         .filter(F.col("rank") <= topk)
         .select(F.col("qid").alias("query_id"), "neighbor_id", "adc", "l2", "rank")
     )
+
+
+def cell_assignments(emb: DataFrame, seeds: list[tuple[int, list[float]]]) -> DataFrame:
+    """Nearest-centroid cell assignment against a FROZEN coarse
+    quantizer (seeds folded as literals): (vec_id, cell). Pure column
+    expressions over one scan — the assignment half of `ivf_probe`'s
+    corpus side, exposed separately so the streaming index maintainer
+    (`streaming/ann.py`) and the batch server share one definition."""
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    v = ensure_parallelism(emb).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    dists = _seed_dists(F.col("v"), seeds)
+    return v.select(
+        "vec_id",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell"),
+    )

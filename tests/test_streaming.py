@@ -510,3 +510,46 @@ def test_streaming_drift_matches_batch(spark, sf_dir, tmp_path):
         for r in stats.ks_drift(docs).collect()
     }
     assert merged == batch
+
+
+def test_streaming_ann_index_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming IVF maintenance: batch-by-batch cell assignment
+    against a frozen quantizer must equal the batch assignment of the
+    full table (assignment is a pure function of the vector), the
+    on-disk layout must be cell-partitioned (serving prunes to probed
+    cells), and the merged cell stats must sum to the corpus."""
+    from ntripmonitor_spark.operators import simsearch
+    from ntripmonitor_spark.streaming import ann
+
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = simsearch._collect_seed_vectors(emb, simsearch.IVF_K)
+
+    src = str(tmp_path / "ann_src")
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+    sink = str(tmp_path / "ann_sink")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ann.cell_assign_sink(sink, seeds))
+        .option("checkpointLocation", str(tmp_path / "ann_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = {r.vec_id: r.cell for r in ann.read_assignments(spark, sink).collect()}
+    batch = {r.vec_id: r.cell for r in simsearch.cell_assignments(emb, seeds).collect()}
+    assert merged == batch
+
+    import glob
+    import os
+
+    cell_dirs = glob.glob(os.path.join(sink, "batch_id=*", "cell=*"))
+    assert cell_dirs, "index not cell-partitioned on disk"
+
+    stats = ann.cell_stats(spark, sink).collect()
+    assert sum(r.n_vecs for r in stats) == emb.count()
+    assert abs(sum(r.share for r in stats) - 1.0) < 1e-4
