@@ -138,9 +138,13 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    # No broadcast HINT on the size lookups: per-doc sizes are a
+    # corpus-scale relation (forcing a broadcast would OOM at 10^10
+    # docs). Locally AQE still picks a broadcast join from the runtime
+    # size; at scale both sides hash-join on the doc key.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -186,8 +190,10 @@ def containment_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     )
     sz = sizes.select(F.col("doc_id"), F.col("n_sh"))
     ratio = F.col("n_inter").cast("double") / F.col("n_sh")
+    # size lookup unhinted for the same reason as dd02's: per-doc
+    # sizes are corpus-scale — AQE broadcasts locally, hash-joins at scale
     return (
-        directed.join(F.broadcast(sz), "doc_id")
+        directed.join(sz, "doc_id")
         .select("doc_id", "container_id", "n_sh", "n_inter", ratio.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )

@@ -238,3 +238,63 @@ def cohort_retention(events: DataFrame, key_col: str = "user_id",
         )
         .agg(F.countDistinct(key_col).alias("n_users"))
     )
+
+
+def interval_overlap_join(events: DataFrame, a_pred: Column, b_pred: Column,
+                          a_len_s: int = 300, b_len_s: int = 600,
+                          key_col: str = "user_id", ts_col: str = "ts",
+                          grain_s: int | None = None) -> DataFrame:
+    """Interval-OVERLAP join (the third temporal join Spark lacks,
+    after as-of and point-in-interval): bounded intervals opened by
+    ``a_pred`` rows ([t, t+a_len_s)) against intervals opened by
+    ``b_pred`` rows ([t, t+b_len_s)), same key, one output row per
+    overlapping pair with the overlap length.
+
+    NOT ``ON a0 < b1 AND b0 < a1`` (Catalyst plans that inequality
+    join as a nested loop): both sides explode to the fixed-grain
+    buckets they cover (≤ len/grain + 1 each), the join is an
+    equi-join on (key, bucket) + the exact overlap predicate, and each
+    pair is credited EXACTLY ONCE by keeping only the bucket holding
+    the later interval's start — a time point both intervals cover, so
+    the pair is guaranteed to meet there and nowhere else is counted.
+    One keyed shuffle; candidate fan-out is bounded by the
+    length-to-grain ratios, independent of corpus size.
+    """
+    g_us = (grain_s or min(a_len_s, b_len_s)) * 1_000_000
+    a_us, b_us = a_len_s * 1_000_000, b_len_s * 1_000_000
+
+    def staged(pred: Column, pre: str, length_us: int) -> DataFrame:
+        start = epoch_us(ts_col)
+        return events.filter(pred).select(
+            F.col("event_id").alias(f"{pre}_id"),
+            F.col(key_col),
+            F.col(ts_col).alias(f"{pre}_start"),
+            start.alias(f"{pre}0"),
+            (start + length_us).alias(f"{pre}1"),
+        ).withColumn(
+            "bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{pre}0") / g_us),
+                    F.floor((F.col(f"{pre}1") - 1) / g_us),
+                )
+            ),
+        )
+
+    a = staged(a_pred, "a", a_us)
+    b = staged(b_pred, "b", b_us).withColumnRenamed(key_col, "_bkey")
+    joined = a.join(
+        b, (a[key_col] == b["_bkey"]) & (a["bkt"] == b["bkt"])
+    )
+    credit = F.floor(F.greatest(F.col("a0"), F.col("b0")) / g_us)
+    overlap = (F.col("a0") < F.col("b1")) & (F.col("b0") < F.col("a1"))
+    return (
+        joined.filter(overlap & (a["bkt"] == credit))
+        .select(
+            "a_id", "b_id", key_col, "a_start", "b_start",
+            F.floor(
+                (F.least(F.col("a1"), F.col("b1"))
+                 - F.greatest(F.col("a0"), F.col("b0"))) / F.lit(1_000_000)
+            ).alias("overlap_s"),
+        )
+    )

@@ -208,3 +208,35 @@ def aj03_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     two DuckDB ASOF joins (>= and <) merged by the same tie rule."""
     ev = table(spark, sf_dir, "events")
     return joins.asof_join_nearest(ev, F.col("event_type") == "error")
+
+
+@register(
+    "rj02_interval_overlap",
+    bench=True,
+    tags=("joins",),
+    oracle="""
+WITH a AS (
+    SELECT event_id AS a_id, user_id, ts AS a_start,
+           epoch_us(ts) AS a0, epoch_us(ts) + 300000000 AS a1
+    FROM events WHERE event_type = 'error'
+),
+b AS (
+    SELECT event_id AS b_id, user_id, ts AS b_start,
+           epoch_us(ts) AS b0, epoch_us(ts) + 600000000 AS b1
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT a.a_id, b.b_id, a.user_id, a.a_start, b.b_start,
+       (least(a.a1, b.b1) - greatest(a.a0, b.b0)) // 1000000 AS overlap_s
+FROM a JOIN b ON a.user_id = b.user_id AND a.a0 < b.b1 AND b.b0 < a.a1
+""",
+)
+def rj02_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: 5-minute error windows × 10-minute
+    purchase windows per user — both sides explode to fixed-grain
+    buckets, equi-join on (user, bucket), exact overlap filter, and
+    exactly-once crediting in the bucket holding the later start. The
+    oracle is the plain inequality join the bucketed plan replaces."""
+    ev = table(spark, sf_dir, "events")
+    return joins.interval_overlap_join(
+        ev, F.col("event_type") == "error", F.col("event_type") == "purchase"
+    )

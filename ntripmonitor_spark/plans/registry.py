@@ -74,6 +74,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "dd10_containment",
         "qa02_percentile_normalize",
         "er02_entity_clusters",
+        "rj02_interval_overlap",
         "dd01_exact_dedup",
         "dd02_ngram_jaccard",
         "dd03_minhash_lsh",

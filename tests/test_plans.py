@@ -117,7 +117,7 @@ def test_temporal_joins_never_nested_loop(spark, sf_dir):
     neither plan may contain a BroadcastNestedLoopJoin or
     CartesianProduct — as-of compiles to one window pass, range join
     to an equi hash join on (key, bucket)."""
-    for name in ("aj01_asof_join", "rj01_range_join"):
+    for name in ("aj01_asof_join", "rj01_range_join", "rj02_interval_overlap"):
         plan = _explain(spark, name, sf_dir)
         assert "BroadcastNestedLoopJoin" not in plan, f"{name} degenerated\n{plan[:1500]}"
         assert "CartesianProduct" not in plan, f"{name} degenerated\n{plan[:1500]}"

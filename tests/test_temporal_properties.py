@@ -147,3 +147,37 @@ def test_asof_nearest_matches_bruteforce(spark, rows):
         else:
             want[i] = f
     assert got == want
+
+
+@pytest.mark.filterwarnings("ignore")
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=EVENTS)
+def test_interval_overlap_matches_bruteforce(spark, rows):
+    """Overlap pairs and lengths vs the O(n²) definition — hunting the
+    bucket-crediting bugs (double-counted pairs at bucket boundaries,
+    pairs whose shared bucket isn't the later start's)."""
+    import pyspark.sql.functions as F
+
+    a_len, b_len = 7, 13  # seconds; co-prime with the grain-min rule
+    got = {
+        (r["a_id"], r["b_id"]): r["overlap_s"]
+        for r in joins.interval_overlap_join(
+            _df(spark, rows),
+            F.col("event_type") == "error",
+            F.col("event_type") == "view",
+            a_len_s=a_len, b_len_s=b_len,
+        ).collect()
+    }
+    want = {}
+    for i, (u, s, flag) in enumerate(rows):
+        if not flag:
+            continue
+        a0, a1 = s, s + a_len
+        for j, (u2, s2, flag2) in enumerate(rows):
+            if flag2 or u2 != u:
+                continue
+            b0, b1 = s2, s2 + b_len
+            if a0 < b1 and b0 < a1:
+                want[(i, j)] = min(a1, b1) - max(a0, b0)
+    assert got == want
