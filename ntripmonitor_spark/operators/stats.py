@@ -213,7 +213,12 @@ def ks_from_counts(counts: DataFrame, value_col: str = "n_chars",
     cum_g = F.sum("c").over(w)
     cum_all = F.sum("c_all").over(w)
     cdf_g = cum_g.cast("double") / F.col("n_g")
-    cdf_rest = (cum_all - cum_g).cast("double") / (n_total - F.col("n_g"))
+    # A lone group has no comparison sample: n_total == n_g would divide
+    # by zero (an ANSI-mode job killer); its KS is NULL — undefined, not 0.
+    cdf_rest = F.when(
+        n_total != F.col("n_g"),
+        (cum_all - cum_g).cast("double") / (n_total - F.col("n_g")),
+    )
     gap = F.abs(cdf_g - cdf_rest)
     out = (
         grid.select(group_col, F.col("n_g"), gap.alias("gap"))

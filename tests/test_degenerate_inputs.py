@@ -150,3 +150,46 @@ def test_scd2_single_user_single_event(spark):
 
     rows = joins.scd2_history(ev).collect()
     assert len(rows) == 1 and rows[0]["is_current"] and rows[0]["valid_to"] is None
+
+
+def test_round4c_doc_ops_survive_empty_and_single(empty_docs, one_doc):
+    for op in (
+        stats.ks_drift,
+        stats.percentile_normalize,
+        dedup.containment_pairs,
+        lambda d: text.source_divergence(d, vocab_size=4),
+    ):
+        assert op(empty_docs).count() == 0
+        op(one_doc).collect()  # must not raise
+
+
+def test_ks_single_group_is_null_not_divide_by_zero(spark):
+    """One lone source has no comparison sample: KS must come back
+    NULL (undefined), not raise ANSI DIVIDE_BY_ZERO — the failure mode
+    of a monitor pointed at a single-source corpus."""
+    docs = spark.createDataFrame(
+        [(1, "s", 10), (2, "s", 20)], "doc_id long, source string, n_chars long"
+    )
+    rows = stats.ks_drift(docs).collect()
+    assert len(rows) == 1 and rows[0]["ks_stat"] is None and rows[0]["n_rows"] == 2
+
+
+def test_round4c_event_ops_survive_empty_stream(empty_events):
+    from ntripmonitor_spark.operators import joins
+
+    assert joins.asof_join_nearest(
+        empty_events, F.col("event_type") == "error"
+    ).count() == 0
+    assert joins.interval_overlap_join(
+        empty_events, F.col("event_type") == "error", F.col("event_type") == "view"
+    ).count() == 0
+
+
+def test_er02_survives_no_matches(spark):
+    """Records with wildly different names: zero edges → every record
+    its own entity, all canonical."""
+    c = spark.createDataFrame(
+        [(1, "alpha"), (2, "zebra-corp"), (3, "qq")], "c_custkey long, c_name string"
+    )
+    out = dedup.entity_clusters(c, "c_custkey", "c_name").collect()
+    assert sorted((r["entity_id"], r["n_records"]) for r in out) == [(1, 1), (2, 1), (3, 1)]
