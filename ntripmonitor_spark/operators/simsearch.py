@@ -771,3 +771,50 @@ def cell_assignments(emb: DataFrame, seeds: list[tuple[int, list[float]]]) -> Da
         "vec_id",
         (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell"),
     )
+
+
+def mips_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Maximum inner-product search (MIPS) with the norm-augmentation
+    reduction: recommendation/reranking scores are DOT products, not
+    cosines, and dot has no triangle inequality — no metric index
+    serves it directly. The classic fix (Bachrach et al. 2014): append
+    one dimension sqrt(M² − |x|²) to every corpus vector (M = max
+    corpus norm) and 0 to queries; all augmented corpus vectors then
+    share norm M, so augmented-cosine order == inner-product order and
+    ANY cosine ANN structure (ss02/ss03/ss06's buckets) serves MIPS
+    unchanged. The returned frame carries both scores; the order
+    equivalence is test-pinned.
+
+    Scale shape: M is ONE scalar (map-side-combined max, bounded
+    collect, folded as a literal); queries broadcast; one corpus scan;
+    per-query top-k via the qid-keyed window. Exactly ss01's plan plus
+    one literal.
+    """
+    from pyspark.sql.window import Window
+
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    v = ensure_parallelism(emb).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    m_norm = float(v.agg(F.max("nrm")).first()[0])
+
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    ip = F.round(dot(F.col("qv"), F.col("v")), 6)
+    # augmented cosine: dot([q,0],[x,aug]) / (|q| · |[x,aug]|) with
+    # |[x,aug]| = M by construction — same order as ip, kept as proof
+    aug_cos = F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.lit(m_norm)), 6)
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            ip.alias("inner_product"), aug_cos.alias("aug_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("inner_product").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

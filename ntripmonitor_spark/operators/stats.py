@@ -249,3 +249,44 @@ def percentile_normalize(docs: DataFrame, value_col: str = "n_chars",
         id_col, group_col, value_col,
         F.round(F.percent_rank().over(w), 6).alias("pct_in_group"),
     )
+
+
+def welch_t_drift(df: DataFrame, value_col: str = "n_chars",
+                  group_col: str = "source") -> DataFrame:
+    """Per-group Welch's t statistic for the mean of ``value_col``
+    against the rest of the corpus — the parametric complement of the
+    KS monitor (`ks_drift`): KS sees any distributional change, the t
+    statistic quantifies specifically a MEAN shift with its direction
+    (positive = this group runs longer/higher than the corpus).
+
+    Pure sufficient statistics: one map-side-combined aggregate
+    produces per-group (n, Σx, Σx²); the complement's moments derive
+    by subtracting from the broadcast 1-row corpus totals — the
+    corpus is scanned once and never joined against itself. Sample
+    variance uses the n−1 denominator; groups (or complements) with
+    fewer than two rows report NULL, not a division error.
+    """
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(F.col(value_col).cast("double")).alias("s1"),
+        F.sum(F.pow(F.col(value_col).cast("double"), 2)).alias("s2"),
+    )
+    tot = per.agg(
+        F.sum("n_g").alias("n_t"), F.sum("s1").alias("t1"), F.sum("s2").alias("t2")
+    )
+    g = per.crossJoin(F.broadcast(tot))
+    n1 = F.col("n_g").cast("double")
+    n2 = (F.col("n_t") - F.col("n_g")).cast("double")
+    m1 = F.col("s1") / n1
+    m2 = (F.col("t1") - F.col("s1")) / F.when(n2 > 0, n2)
+    var1 = (F.col("s2") - n1 * m1 * m1) / F.when(n1 > 1, n1 - 1)
+    var2 = ((F.col("t2") - F.col("s2")) - n2 * m2 * m2) / F.when(n2 > 1, n2 - 1)
+    se = F.sqrt(var1 / n1 + var2 / n2)
+    t = F.when(se > 0, (m1 - m2) / se)
+    return g.select(
+        group_col,
+        F.col("n_g").cast("long").alias("n_rows"),
+        F.round(m1, 6).alias("mean_group"),
+        F.round(m2, 6).alias("mean_rest"),
+        F.round(t, 6).alias("t_stat"),
+    )

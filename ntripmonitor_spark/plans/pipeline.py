@@ -2747,3 +2747,82 @@ def er02_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator, matched-subgraph-only rounds) with min-id survivorship —
     the master-table/golden-record step after pairwise linkage."""
     return dedup.entity_clusters(table(spark, sf_dir, "customer"), "c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# dp01 — per-source Welch mean-shift drift (pre-rotated, window round 5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dp01_mean_drift",
+    bench=True,
+    tags=("stats", "monitoring"),
+    oracle="""
+WITH per AS (
+    SELECT source, count(*) AS n_g,
+           sum(CAST(n_chars AS DOUBLE)) AS s1,
+           sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS s2
+    FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n_g) AS n_t, sum(s1) AS t1, sum(s2) AS t2 FROM per),
+g AS (
+    SELECT per.source, per.n_g, per.s1, per.s2, tot.n_t, tot.t1, tot.t2,
+           per.s1 / per.n_g AS m1,
+           (tot.t1 - per.s1) / (tot.n_t - per.n_g) AS m2
+    FROM per CROSS JOIN tot
+)
+SELECT source, CAST(n_g AS BIGINT) AS n_rows,
+       round(m1, 6) AS mean_group,
+       round(m2, 6) AS mean_rest,
+       round((m1 - m2) / sqrt(
+           ((s2 - n_g * m1 * m1) / (n_g - 1)) / n_g
+           + (((t2 - s2) - (n_t - n_g) * m2 * m2) / (n_t - n_g - 1)) / (n_t - n_g)
+       ), 6) AS t_stat
+FROM g
+""",
+)
+def dp01_mean_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t statistic per source vs the rest of the corpus — the
+    parametric (mean-shift, directional) complement of ks01. Pure
+    sufficient statistics: one map-side-combined aggregate + a 1-row
+    broadcast of corpus totals; the corpus never self-joins."""
+    from ntripmonitor_spark.operators import stats
+
+    return stats.welch_t_drift(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ss12 — maximum inner-product search (pre-rotated, window round 5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ss12_mips_topk",
+    bench=True,
+    tags=("simsearch",),
+    oracle=f"""
+WITH {_VEC_CTE},
+m AS (SELECT max(nrm) AS mx FROM n),
+q AS (SELECT vec_id AS query_id, vec AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+scored AS (
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+           round(list_dot_product(q.qv, n.vec), 6) AS inner_product,
+           round(list_dot_product(q.qv, n.vec) / (q.qn * m.mx), 6) AS aug_cos
+    FROM q CROSS JOIN n CROSS JOIN m
+    WHERE n.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, inner_product, aug_cos, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY inner_product DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+WHERE rank <= 5
+""",
+)
+def ss12_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 by INNER PRODUCT (not cosine) per query via the
+    norm-augmentation reduction — the transform that lets the cosine
+    ANN stack serve recommendation-style dot-product scores. One
+    corpus scan; M folded as a literal."""
+    return simsearch.mips_topk(table(spark, sf_dir, "embeddings"), n_queries=10, k=5)

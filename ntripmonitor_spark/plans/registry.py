@@ -75,6 +75,8 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "qa02_percentile_normalize",
         "er02_entity_clusters",
         "rj02_interval_overlap",
+        "dp01_mean_drift",
+        "ss12_mips_topk",
         "dd01_exact_dedup",
         "dd02_ngram_jaccard",
         "dd03_minhash_lsh",

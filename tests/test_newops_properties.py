@@ -329,3 +329,35 @@ def test_er02_entities_partition_the_records(spark, sf_dir):
     assert all(r["canonical_name"] is not None for r in out)
     ids = {r["c_custkey"] for r in cust.select("c_custkey").collect()}
     assert all(r["entity_id"] in ids for r in out)
+
+
+def test_ss12_mips_order_equals_augmented_cosine_order(spark, sf_dir):
+    """The point of the norm-augmentation reduction: per query, ranking
+    by inner product must equal ranking by augmented cosine (all
+    augmented corpus norms are M), so a cosine ANN index serves MIPS."""
+    from ntripmonitor_spark.operators import simsearch
+
+    out = simsearch.mips_topk(table(spark, sf_dir, "embeddings"), n_queries=5, k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        by_ip = sorted(rows, key=lambda r: (-r["inner_product"], r["neighbor_id"]))
+        by_ac = sorted(rows, key=lambda r: (-r["aug_cos"], r["neighbor_id"]))
+        assert [r["neighbor_id"] for r in by_ip] == [r["neighbor_id"] for r in by_ac]
+
+
+def test_dp01_t_sign_tracks_constructed_mean_shift(spark):
+    """A source built 100 longer than the rest must get a large
+    positive t; a matching source sits near 0."""
+    rows = ([(i, "hi", 200 + (i % 5)) for i in range(40)]
+            + [(100 + i, "base", 100 + (i % 5)) for i in range(80)])
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r["source"]: r["t_stat"] for r in stats.welch_t_drift(docs).collect()}
+    assert out["hi"] > 10 and out["base"] < -10  # vs-rest is antisymmetric in sign
+    # two sources drawn from the SAME distribution → |t| small
+    rows2 = ([(i, "a", 100 + (i % 5)) for i in range(60)]
+             + [(100 + i, "b", 100 + ((i + 2) % 5)) for i in range(60)])
+    docs2 = spark.createDataFrame(rows2, "doc_id long, source string, n_chars long")
+    out2 = {r["source"]: r["t_stat"] for r in stats.welch_t_drift(docs2).collect()}
+    assert all(abs(t) < 3 for t in out2.values())

@@ -778,3 +778,11 @@ def test_qa02_single_exchange(spark, sf_dir):
     plan = _explain(spark, "qa02_percentile_normalize", sf_dir)
     assert "Join" not in plan
     assert _exchanges(plan) == 1, f"qa02: expected one exchange\n{plan[:1200]}"
+
+
+def test_dp01_one_aggregate_no_self_join(spark, sf_dir):
+    """dp01: sufficient statistics only — one input-scaled aggregate,
+    the totals come back as a broadcast 1-row relation, and the corpus
+    never joins against itself (no sort-merge)."""
+    plan = _explain(spark, "dp01_mean_drift", sf_dir)
+    assert "SortMergeJoin" not in plan, f"dp01 self-joined the corpus\n{plan[:1500]}"
