@@ -231,3 +231,92 @@ def audio_energy(docs: DataFrame) -> DataFrame:
     """Windowed audio-energy extraction over the binary payload
     (Arrow-batched mapInPandas; deterministic fake PCM decode)."""
     return binary_payloads(docs).mapInPandas(audio_energy_batch, schema=ENERGY_SCHEMA)
+
+
+AHASH_BITS = 64
+AHASH_CHUNKS = 8  # 8-bit chunks; pigeonhole covers hamming <= 7
+
+
+def ahash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Average-hash perceptual signature per payload: 64 evenly spaced
+    samples of the decoded byte stream, bit i = sample_i > mean — the
+    aHash family image near-dup signature, computed at the stub-codec
+    boundary (a real deployment swaps the sampler for decoded 8×8
+    grayscale pixels; everything downstream is unchanged). The mean is
+    an exact multiple of 1/64 (integer sum over a power-of-two count),
+    so the bit pattern is bit-identical across engines."""
+    import numpy as np
+
+    for pdf in batches:
+        sigs = []
+        for b in pdf["payload"]:
+            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            n = len(arr)
+            if n == 0:
+                sigs.append("0" * AHASH_BITS)
+                continue
+            idx = (np.arange(AHASH_BITS) * n) // AHASH_BITS
+            s = arr[idx].astype(np.int64)
+            mean = s.sum() / float(AHASH_BITS)
+            sigs.append("".join("1" if x > mean else "0" for x in s))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": sigs})
+
+
+def phash_neardup(docs: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over binary payloads — the
+    multimodal analog of dd04: signature via the Arrow-batched aHash
+    kernel, candidate generation by identical 8-bit chunk (pigeonhole:
+    hamming ≤ 7 over 8 chunks forces ≥ 1 equal chunk, so blocking is
+    LOSSLESS for this threshold), exact hamming only on candidates.
+
+    Scale shape: the corpus's payload bytes never shuffle — only the
+    (doc_id, 64-bit signature) relation rides the chunk self-join,
+    exactly dd04's candidate volume."""
+    sig = (
+        binary_payloads(docs)
+        .mapInPandas(ahash_batch, "doc_id long, ahash string")
+        .persist()
+    )
+    chunk_w = AHASH_BITS // AHASH_CHUNKS
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.substring("ahash", c * chunk_w + 1, chunk_w).alias("chunk"),
+            )
+            for c in range(AHASH_CHUNKS)
+        ]
+    )
+    ch = sig.select("doc_id", "ahash", F.explode(chunks).alias("ck")).select(
+        "doc_id", "ahash",
+        F.col("ck.chunk_id").alias("chunk_id"), F.col("ck.chunk").alias("chunk"),
+    )
+    a = ch.alias("a")
+    b = ch.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash").alias("sig_a"),
+            F.col("b.ahash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.sequence(F.lit(1), F.lit(AHASH_BITS)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.col("sig_a").substr(i, F.lit(1)) != F.col("sig_b").substr(i, F.lit(1)), 1
+        ).otherwise(0),
+    )
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

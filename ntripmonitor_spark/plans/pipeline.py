@@ -2826,3 +2826,46 @@ def ss12_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN stack serve recommendation-style dot-product scores. One
     corpus scan; M folded as a literal."""
     return simsearch.mips_topk(table(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+
+# ---------------------------------------------------------------------------
+# mm06 — perceptual-hash image near-dup (pre-rotated, window round 5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm06_phash_neardup",
+    bench=True,
+    tags=("multimodal", "dedup"),
+    oracle=f"""
+WITH {_BYTES_CTE},
+smp AS (
+    SELECT doc_id,
+           list_transform(range(0, 64), i -> bts[CAST((i * n) // 64 AS INT) + 1]) AS s
+    FROM by
+),
+sig AS (
+    SELECT doc_id,
+           array_to_string(
+               list_transform(s, x -> CASE WHEN x > list_sum(s) / 64.0
+                                           THEN '1' ELSE '0' END), '') AS ahash
+    FROM smp
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN substr(a.ahash, CAST(i AS INT), 1)
+                         <> substr(b.ahash, CAST(i AS INT), 1)
+                    THEN 1 ELSE 0 END)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 7
+""",
+)
+def mm06_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) near-dup pairs over binary payloads —
+    multimodal dedup: Arrow-batched signature kernel at the stub-codec
+    boundary, dd04-style lossless chunk blocking (hamming ≤ 7 over 8
+    chunks forces a shared chunk), exact hamming on candidates only.
+    The oracle recomputes the signature byte-for-byte from hex pairs."""
+    return multimodal.phash_neardup(table(spark, sf_dir, "documents"), max_hamming=7)

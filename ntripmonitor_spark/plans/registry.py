@@ -77,6 +77,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "rj02_interval_overlap",
         "dp01_mean_drift",
         "ss12_mips_topk",
+        "mm06_phash_neardup",
         "dd01_exact_dedup",
         "dd02_ngram_jaccard",
         "dd03_minhash_lsh",

@@ -361,3 +361,31 @@ def test_dp01_t_sign_tracks_constructed_mean_shift(spark):
     docs2 = spark.createDataFrame(rows2, "doc_id long, source string, n_chars long")
     out2 = {r["source"]: r["t_stat"] for r in stats.welch_t_drift(docs2).collect()}
     assert all(abs(t) < 3 for t in out2.values())
+
+
+def test_mm06_blocking_is_lossless_and_finds_planted_neardup(spark):
+    """A payload with a handful of flipped sample bytes must pair with
+    its original (hamming ≤ 7 over 8 chunks always shares a chunk —
+    blocking lossless), and the blocked result must equal the
+    unblocked O(n²) definition on a random fixture."""
+    import itertools
+
+    from ntripmonitor_spark.operators import multimodal
+
+    base = "abcdefgh" * 40
+    variant = "zz" + base[2:]  # perturb the head: few sampled bytes differ
+    rows = [(1, base), (2, variant), (3, "totally different payload text " * 11)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in multimodal.phash_neardup(docs, max_hamming=7).collect()}
+    # brute force from the same signatures
+    sigs = {r["doc_id"]: r["ahash"]
+            for r in multimodal.binary_payloads(docs)
+            .mapInPandas(multimodal.ahash_batch, "doc_id long, ahash string").collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+        if h <= 7:
+            want[(a, b)] = h
+    assert got == want
+    assert (1, 2) in got, "planted perceptual near-dup not found"
