@@ -13,8 +13,8 @@ twice since their last code change are exposed under an ``x_`` alias
 (see ``plans.registry.DRIVER_ROTATED_OUT``) so the fixed, modified, new,
 and once-verified queries sit inside the checked window; the remaining
 window slots re-verify ``x_`` aliases. All queries stay registered
-under canonical names and locally DuckDB-parity-checked (117 registered
-as of round 4; 113 with full value oracles, 4 iterative ops rows-only).
+under canonical names and locally DuckDB-parity-checked (122 registered
+as of round 4; 118 with full value oracles, 4 iterative ops rows-only).
 """
 
 from __future__ import annotations

@@ -249,17 +249,25 @@ def ahash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     for pdf in batches:
         sigs = []
+        chunk_cols: list[list[int]] = [[] for _ in range(AHASH_CHUNKS)]
+        chunk_w = AHASH_BITS // AHASH_CHUNKS
         for b in pdf["payload"]:
             arr = np.frombuffer(bytes(b), dtype=np.uint8)
             n = len(arr)
             if n == 0:
-                sigs.append("0" * AHASH_BITS)
-                continue
-            idx = (np.arange(AHASH_BITS) * n) // AHASH_BITS
-            s = arr[idx].astype(np.int64)
-            mean = s.sum() / float(AHASH_BITS)
-            sigs.append("".join("1" if x > mean else "0" for x in s))
-        yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": sigs})
+                bits = "0" * AHASH_BITS
+            else:
+                idx = (np.arange(AHASH_BITS) * n) // AHASH_BITS
+                s = arr[idx].astype(np.int64)
+                mean = s.sum() / float(AHASH_BITS)
+                bits = "".join("1" if x > mean else "0" for x in s)
+            sigs.append(bits)
+            for j in range(AHASH_CHUNKS):
+                chunk_cols[j].append(int(bits[j * chunk_w:(j + 1) * chunk_w], 2))
+        out = {"doc_id": pdf["doc_id"], "ahash": sigs}
+        for j in range(AHASH_CHUNKS):
+            out[f"c{j}"] = pd.Series(chunk_cols[j], dtype="int32")
+        yield pd.DataFrame(out)
 
 
 def phash_neardup(docs: DataFrame, max_hamming: int = 7) -> DataFrame:
@@ -270,30 +278,39 @@ def phash_neardup(docs: DataFrame, max_hamming: int = 7) -> DataFrame:
     LOSSLESS for this threshold), exact hamming only on candidates.
 
     Scale shape: the corpus's payload bytes never shuffle — only the
-    (doc_id, 64-bit signature) relation rides the chunk self-join,
-    exactly dd04's candidate volume."""
+    (doc_id, signature-chunk ints) relation rides the chunk self-join.
+    Hamming is Σ bit_count(aᵢ ⊕ bᵢ) over the integer chunks — whole-
+    stage-codegen'd integer ops, NOT a per-bit string fold (the
+    first-cut 64×substr higher-order fold ran interpreted and, with
+    correlated real-data signatures making blocking buckets hot, blew
+    a minute-scale hole in the bench at sf0.1) — and the ≤ threshold
+    filter runs BEFORE the pair-dedup exchange, so only qualifying
+    pairs (not every blocked candidate) ever shuffle."""
+    chunk_fields = ", ".join(f"c{j} int" for j in range(AHASH_CHUNKS))
     sig = (
         binary_payloads(docs)
-        .mapInPandas(ahash_batch, "doc_id long, ahash string")
+        .mapInPandas(ahash_batch, f"doc_id long, ahash string, {chunk_fields}")
+        .drop("ahash")
         .persist()
     )
-    chunk_w = AHASH_BITS // AHASH_CHUNKS
     chunks = F.array(
         *[
-            F.struct(
-                F.lit(c).alias("chunk_id"),
-                F.substring("ahash", c * chunk_w + 1, chunk_w).alias("chunk"),
-            )
+            F.struct(F.lit(c).alias("chunk_id"), F.col(f"c{c}").alias("chunk"))
             for c in range(AHASH_CHUNKS)
         ]
     )
-    ch = sig.select("doc_id", "ahash", F.explode(chunks).alias("ck")).select(
-        "doc_id", "ahash",
+    ch = sig.select("doc_id", *[f"c{j}" for j in range(AHASH_CHUNKS)],
+                    F.explode(chunks).alias("ck")).select(
+        "doc_id", *[f"c{j}" for j in range(AHASH_CHUNKS)],
         F.col("ck.chunk_id").alias("chunk_id"), F.col("ck.chunk").alias("chunk"),
     )
     a = ch.alias("a")
     b = ch.alias("b")
-    cand = (
+    hamming = None
+    for j in range(AHASH_CHUNKS):
+        term = F.bit_count(F.col(f"a.c{j}").bitwiseXOR(F.col(f"b.c{j}")))
+        hamming = term if hamming is None else hamming + term
+    return (
         a.join(
             b,
             (F.col("a.chunk_id") == F.col("b.chunk_id"))
@@ -303,20 +320,8 @@ def phash_neardup(docs: DataFrame, max_hamming: int = 7) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.ahash").alias("sig_a"),
-            F.col("b.ahash").alias("sig_b"),
+            hamming.cast("int").alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.aggregate(
-        F.sequence(F.lit(1), F.lit(AHASH_BITS)),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.when(
-            F.col("sig_a").substr(i, F.lit(1)) != F.col("sig_b").substr(i, F.lit(1)), 1
-        ).otherwise(0),
-    )
-    return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -379,9 +379,11 @@ def test_mm06_blocking_is_lossless_and_finds_planted_neardup(spark):
     got = {(r["doc_a"], r["doc_b"]): r["hamming"]
            for r in multimodal.phash_neardup(docs, max_hamming=7).collect()}
     # brute force from the same signatures
+    chunk_fields = ", ".join(f"c{j} int" for j in range(multimodal.AHASH_CHUNKS))
     sigs = {r["doc_id"]: r["ahash"]
             for r in multimodal.binary_payloads(docs)
-            .mapInPandas(multimodal.ahash_batch, "doc_id long, ahash string").collect()}
+            .mapInPandas(multimodal.ahash_batch, f"doc_id long, ahash string, {chunk_fields}")
+            .collect()}
     want = {}
     for a, b in itertools.combinations(sorted(sigs), 2):
         h = sum(x != y for x, y in zip(sigs[a], sigs[b]))
