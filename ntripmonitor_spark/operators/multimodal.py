@@ -270,7 +270,8 @@ def ahash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def phash_neardup(docs: DataFrame, max_hamming: int = 7) -> DataFrame:
+def phash_neardup(docs: DataFrame, max_hamming: int = 7,
+                  chunk_bits: int = 8) -> DataFrame:
     """Perceptual-hash near-duplicate pairs over binary payloads — the
     multimodal analog of dd04: signature via the Arrow-batched aHash
     kernel, candidate generation by identical 8-bit chunk (pigeonhole:
@@ -286,6 +287,13 @@ def phash_neardup(docs: DataFrame, max_hamming: int = 7) -> DataFrame:
     a minute-scale hole in the bench at sf0.1) — and the ≤ threshold
     filter runs BEFORE the pair-dedup exchange, so only qualifying
     pairs (not every blocked candidate) ever shuffle."""
+    per_block = chunk_bits // (AHASH_BITS // AHASH_CHUNKS)  # 8-bit base chunks per block
+    n_blocks = AHASH_CHUNKS // per_block
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"pigeonhole broken: radius {max_hamming} needs > {max_hamming} "
+            f"blocks, got {n_blocks} ({chunk_bits}-bit blocks)"
+        )
     chunk_fields = ", ".join(f"c{j} int" for j in range(AHASH_CHUNKS))
     sig = (
         binary_payloads(docs)
@@ -293,10 +301,17 @@ def phash_neardup(docs: DataFrame, max_hamming: int = 7) -> DataFrame:
         .drop("ahash")
         .persist()
     )
+
+    def block_val(b: int):
+        v = F.col(f"c{b * per_block}")
+        for k in range(1, per_block):
+            v = v * 256 + F.col(f"c{b * per_block + k}")
+        return v
+
     chunks = F.array(
         *[
-            F.struct(F.lit(c).alias("chunk_id"), F.col(f"c{c}").alias("chunk"))
-            for c in range(AHASH_CHUNKS)
+            F.struct(F.lit(b).alias("chunk_id"), block_val(b).alias("chunk"))
+            for b in range(n_blocks)
         ]
     )
     ch = sig.select("doc_id", *[f"c{j}" for j in range(AHASH_CHUNKS)],

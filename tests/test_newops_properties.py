@@ -391,3 +391,17 @@ def test_mm06_blocking_is_lossless_and_finds_planted_neardup(spark):
             want[(a, b)] = h
     assert got == want
     assert (1, 2) in got, "planted perceptual near-dup not found"
+
+
+def test_mm06_16bit_blocking_equals_8bit_at_radius_3(spark, sf_dir):
+    """Both blocking widths are lossless at radius 3, so they must
+    return the identical pair set — the 16-bit mode is the corpus-scale
+    setting (65k buckets instead of 256)."""
+    from ntripmonitor_spark.operators import multimodal
+
+    docs = table(spark, sf_dir, "documents")
+    a = {(r["doc_a"], r["doc_b"], r["hamming"])
+         for r in multimodal.phash_neardup(docs, max_hamming=3, chunk_bits=8).collect()}
+    b = {(r["doc_a"], r["doc_b"], r["hamming"])
+         for r in multimodal.phash_neardup(docs, max_hamming=3, chunk_bits=16).collect()}
+    assert a == b
