@@ -338,3 +338,72 @@ def hash_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         split_hash_col(F.col(id_col)).alias("h"),
         split_col(F.col(id_col)).alias("split"),
     )
+
+
+def token_budget_select(docs: DataFrame, budget_per_source: int = 800,
+                        quality_col: str = "n_chars",
+                        source_col: str = "source",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Exact greedy token-budget selection: per source, take documents
+    in (quality desc, id asc) order until the token budget is spent —
+    the "best data under a compute budget" step every training-mix
+    plan ends with.
+
+    The greedy definition is a per-source sorted prefix, but the naive
+    formulation (one running-sum window per source) serializes each
+    source onto one task — the tp01 packing trap. Instead the exact
+    same selection decomposes into:
+
+    1. one map-side-combined aggregate to the (source, quality) grid
+       with per-group token totals (bounded cardinality — the ks01
+       trick);
+    2. a descending cumulative sum over that bounded grid → per-source
+       quality cutoff q*: groups strictly above q* are taken in full,
+       and the residual budget at q* is known;
+    3. boundary resolution: only documents AT exactly q* pay a rank —
+       a window over the value-collision set, orders of magnitude
+       smaller than the source (degenerate all-one-quality corpora
+       degrade to the naive cost; that is the data's fault, not the
+       plan's).
+
+    Output: the selected documents (doc_id, source, quality,
+    n_tokens) — equal to the naive global-window definition (the
+    oracle computes exactly that).
+    """
+    toks = F.size(F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""))
+    d = docs.select(
+        F.col(id_col), F.col(source_col), F.col(quality_col).alias("q"),
+        toks.alias("n_tokens"),
+    ).persist()
+
+    grid = d.groupBy(source_col, "q").agg(F.sum("n_tokens").alias("t_q"))
+    wq = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("q").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = grid.withColumn("cum_incl", F.sum("t_q").over(wq)).withColumn(
+        "cum_prev", F.col("cum_incl") - F.col("t_q")
+    )
+    B = F.lit(budget_per_source)
+    full = g.filter(F.col("cum_incl") <= B).select(source_col, "q")
+    boundary = g.filter((F.col("cum_incl") > B) & (F.col("cum_prev") < B)).select(
+        source_col, "q", (B - F.col("cum_prev")).alias("residual")
+    )
+
+    taken_full = d.join(full, [source_col, "q"]).select(
+        id_col, source_col, F.col("q").alias("quality"), "n_tokens"
+    )
+    wb = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_boundary = d.join(F.broadcast(boundary), [source_col, "q"])
+    taken_boundary = (
+        at_boundary.withColumn("bcum", F.sum("n_tokens").over(wb))
+        .filter(F.col("bcum") <= F.col("residual"))
+        .select(id_col, source_col, F.col("q").alias("quality"), "n_tokens")
+    )
+    return taken_full.unionByName(taken_boundary)

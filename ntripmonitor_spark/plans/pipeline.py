@@ -2869,3 +2869,44 @@ def mm06_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks forces a shared chunk), exact hamming on candidates only.
     The oracle recomputes the signature byte-for-byte from hex pairs."""
     return multimodal.phash_neardup(table(spark, sf_dir, "documents"), max_hamming=7)
+
+
+# ---------------------------------------------------------------------------
+# sp06 — exact token-budget selection (pre-rotated, window round 5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sp06_token_budget",
+    bench=True,
+    tags=("sampling", "curation"),
+    oracle="""
+WITH d AS (
+    SELECT doc_id, source, n_chars AS quality,
+           CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                AS INT) AS n_tokens
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, source, quality, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY source
+                               ORDER BY quality DESC, doc_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM d
+)
+SELECT doc_id, source, CAST(quality AS BIGINT) AS quality, n_tokens
+FROM ranked WHERE cum <= 800
+""",
+)
+def sp06_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source token-budget selection (best docs until 800
+    tokens), computed WITHOUT the one-window-per-source global sort:
+    a bounded (source, quality) grid carries the cumulative budget,
+    only documents at the cutoff quality pay a rank. The oracle is the
+    naive global-window definition the decomposition must equal."""
+    from ntripmonitor_spark.operators import sampling
+
+    out = sampling.token_budget_select(table(spark, sf_dir, "documents"), 800)
+    return out.withColumn("quality", F.col("quality").cast("long")).withColumn(
+        "n_tokens", F.col("n_tokens").cast("int")
+    )

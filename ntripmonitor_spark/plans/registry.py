@@ -78,6 +78,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "dp01_mean_drift",
         "ss12_mips_topk",
         "mm06_phash_neardup",
+        "sp06_token_budget",
         "dd01_exact_dedup",
         "dd02_ngram_jaccard",
         "dd03_minhash_lsh",

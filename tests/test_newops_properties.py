@@ -405,3 +405,22 @@ def test_mm06_16bit_blocking_equals_8bit_at_radius_3(spark, sf_dir):
     b = {(r["doc_a"], r["doc_b"], r["hamming"])
          for r in multimodal.phash_neardup(docs, max_hamming=3, chunk_bits=16).collect()}
     assert a == b
+
+
+def test_sp06_equals_naive_greedy_on_tie_heavy_fixture(spark):
+    """Degenerate all-one-quality corpus: every doc is a boundary doc,
+    and the decomposition must still equal the naive greedy prefix
+    (order by quality desc, doc_id asc, take while cum <= B)."""
+    rows = [(i, f"s{i % 3}", 50, "tok " * (4 + i % 3)) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long, text string")
+    got = {(r["doc_id"]) for r in sampling.token_budget_select(docs, 20).collect()}
+    want = set()
+    for s in ("s0", "s1", "s2"):
+        cum = 0
+        for i in sorted(i for i in range(60) if f"s{i % 3}" == s):
+            t = len(("tok " * (4 + i % 3)).split())
+            if cum + t <= 20:
+                cum += t
+                want.add(i)
+    assert got == want
+    assert sampling.token_budget_select(docs, 0).count() == 0
