@@ -786,3 +786,35 @@ def test_dp01_one_aggregate_no_self_join(spark, sf_dir):
     never joins against itself (no sort-merge)."""
     plan = _explain(spark, "dp01_mean_drift", sf_dir)
     assert "SortMergeJoin" not in plan, f"dp01 self-joined the corpus\n{plan[:1500]}"
+
+
+def test_sj01_salt_widens_distinct_state(spark, sf_dir):
+    """sj01: the dedup aggregate must be keyed by (event_type, salt,
+    user_id) — the Knuth-hash salt expression rides the partitioning so
+    no cell ever holds a hot type's full distinct state — and the merge
+    phases reduce to bounded relations (3 exchanges total: dedup,
+    per-cell count, final sum)."""
+    plan = _explain(spark, "sj01_salted_distinct", sf_dir)
+    m = re.search(r"hashpartitioning\(event_type[^)]*pmod[^)]*user_id|"
+                  r"hashpartitioning\(event_type[^)]*user_id[^)]*pmod|"
+                  r"hashpartitioning\(event_type[^)]*_groupingexpression[^)]*user_id", plan)
+    assert m or "pmod" in plan, f"sj01: salt not in dedup partitioning\n{plan[:2000]}"
+    assert _exchanges(plan) <= 3
+
+
+def test_sj02_join_key_carries_salt(spark, sf_dir):
+    """sj02 with broadcast disabled: the fact-side join must key on
+    (event_type, _salt) — 32-way spread of the hot type — and never
+    fall back to a nested loop."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _explain(spark, "sj02_salted_join", sf_dir)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "_salt" in plan, f"sj02: salt column missing from plan\n{plan[:1500]}"
+    assert re.search(r"hashpartitioning\(event_type[^)]*_salt", plan), (
+        f"sj02: join exchange not keyed by (event_type, _salt)\n{plan[:2000]}"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
