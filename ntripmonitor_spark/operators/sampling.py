@@ -407,3 +407,41 @@ def token_budget_select(docs: DataFrame, budget_per_source: int = 800,
         .select(id_col, source_col, F.col("q").alias("quality"), "n_tokens")
     )
     return taken_full.unionByName(taken_boundary)
+
+
+# Weighted sampling without replacement (Efraimidis–Spirakis 2006): a
+# doc's priority is u^(1/w) — equivalently ln(u)/w, monotone — with u a
+# uniform coin; the top-k priorities ARE a weight-proportional sample
+# without replacement. The coin is the same Knuth-hash bucket as every
+# other sampler in this module (at 2^20 resolution), so the draw is a
+# pure column expression: reproducible across retries, engines, and
+# batch/streaming, with no RNG state and no shuffle before the top-k.
+ES_RESOLUTION = 1 << 20
+
+
+def weighted_sample_topk(docs: DataFrame, k: int = 200,
+                         weight_col: str = "n_chars",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Exact-k weighted sample without replacement: keep the k docs with
+    the highest ln(u)/w priority (u = hashed-id uniform in (0,1), w ≥ 1
+    the document weight — here length, the standard token-budget bias).
+
+    Scale shape: priorities are a pure projection over the scan; the
+    global top-k plans as TakeOrderedAndProject (per-partition partial
+    top-k, then a k-row merge on the driver) — NO range-partitioned
+    global sort, no window, no shuffle of the corpus. At any corpus
+    size the cross-machine traffic is k rows per partition.
+
+    Ties broken by id for bit-stable output. ln is the one
+    transcendental in the pipeline; adjacent priorities in a real
+    corpus are separated by far more than the ≤1-ulp engine difference,
+    and the oracle recomputes the identical expression.
+    """
+    u = (hash_bucket(F.col(id_col), ES_RESOLUTION) + F.lit(0.5)) / F.lit(float(ES_RESOLUTION))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    pri = (F.log(u) / w).alias("priority")
+    return (
+        docs.select(id_col, "source", weight_col, pri)
+        .orderBy(F.col("priority").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -2910,3 +2910,84 @@ def sp06_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("quality", F.col("quality").cast("long")).withColumn(
         "n_tokens", F.col("n_tokens").cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# ws01 — weighted sampling without replacement (Efraimidis–Spirakis).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ws01_weighted_sample",
+    bench=True,
+    tags=("sampling",),
+    doc="Exact-k weighted sample without replacement (A-ES priorities).",
+    oracle="""
+SELECT doc_id, source, n_chars,
+       ln(((doc_id * 2654435761) % 4294967296 % 1048576 + 0.5) / 1048576.0)
+           / greatest(CAST(n_chars AS DOUBLE), 1.0) AS priority
+FROM documents
+ORDER BY priority DESC, doc_id ASC
+LIMIT 200
+""",
+)
+def ws01_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted exact-k corpus sample: priority = ln(u)/w with a
+    hashed-id uniform u and w = n_chars, top-200 by priority — the
+    Efraimidis–Spirakis weighted draw as a pure column expression plus
+    a distributed TakeOrdered top-k. No shuffle of the corpus, no RNG
+    state; the oracle recomputes the identical priorities in SQL."""
+    from ntripmonitor_spark.operators import sampling
+
+    return sampling.weighted_sample_topk(table(spark, sf_dir, "documents"), k=200)
+
+
+# ---------------------------------------------------------------------------
+# dq01 — one-pass table profile (ingest data-quality report).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq01_table_profile",
+    bench=True,
+    tags=("quality",),
+    doc="One-pass per-column profile of the events table.",
+    oracle="""
+SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(min(event_id) AS DOUBLE) AS min_num, CAST(max(event_id) AS DOUBLE) AS max_num
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT), CAST(count(*) - count(user_id) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT),
+       CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'event_type', CAST(count(*) AS BIGINT), CAST(count(*) - count(event_type) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT), NULL, NULL
+FROM events
+UNION ALL
+SELECT 'value', CAST(count(*) AS BIGINT), CAST(count(*) - count(value) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT),
+       CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'props', CAST(count(*) AS BIGINT), CAST(count(*) - count(props) AS BIGINT),
+       CAST(count(DISTINCT props) AS BIGINT), NULL, NULL
+FROM events
+""",
+)
+def dq01_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time data-quality report over events: row count, null
+    count, exact distinct cardinality, and numeric range for every
+    column, in ONE aggregation job (Expand(xN) + value-keyed dedup —
+    the oracle's five separate scans collapse into one). The approx
+    twin (profile_table(approx=True), HLL state, no Expand) is the
+    100 TB default; equivalence-within-error is test-pinned."""
+    from ntripmonitor_spark.operators import profile
+
+    ev = table(spark, sf_dir, "events")
+    return profile.profile_table(
+        ev, ["event_id", "user_id", "event_type", "value", "props"]
+    )

@@ -818,3 +818,42 @@ def test_sj02_join_key_carries_salt(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ws01_distributed_topk_no_global_sort(spark, sf_dir):
+    """ws01: the weighted draw must plan as TakeOrderedAndProject
+    (per-partition top-k + k-row merge), never a range-partitioned
+    global sort, and the priority is a pure projection (0 exchanges)."""
+    plan = _explain(spark, "ws01_weighted_sample", sf_dir)
+    assert "TakeOrderedAndProject" in plan, f"ws01: no TakeOrdered\n{plan[:1500]}"
+    assert "rangepartitioning" not in plan, "ws01: global sort crept in"
+    assert _exchanges(plan) == 0
+
+
+def test_dq01_single_scan_single_aggregate(spark, sf_dir):
+    """dq01: the whole profile must come from ONE scan of events (the
+    oracle's five scans collapse) through one Expand-backed aggregate."""
+    plan = _explain(spark, "dq01_table_profile", sf_dir)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, (
+        f"dq01: expected exactly one events scan\n{plan[:1500]}"
+    )
+    assert "Expand" in plan
+
+
+def test_profiler_approx_tracks_exact(spark, sf_dir):
+    """The HLL profile (100 TB mode) must match the exact profile on
+    nulls/ranges and be within 5% on every cardinality."""
+    from ntripmonitor_spark.operators.profile import profile_table
+    from ntripmonitor_spark.tables import table as load
+
+    ev = load(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    exact = {r["column"]: r for r in profile_table(ev, cols).collect()}
+    approx = {r["column"]: r for r in profile_table(ev, cols, approx=True).collect()}
+    for c in cols:
+        e, a = exact[c], approx[c]
+        assert a["n_null"] == e["n_null"] and a["n_rows"] == e["n_rows"]
+        assert a["min_num"] == e["min_num"] and a["max_num"] == e["max_num"]
+        if e["n_distinct"]:
+            rel = abs(a["n_distinct"] - e["n_distinct"]) / e["n_distinct"]
+            assert rel < 0.05, f"{c}: approx distinct off by {rel:.1%}"
