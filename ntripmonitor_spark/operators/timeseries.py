@@ -226,3 +226,50 @@ def mean_shift_changepoints(events: DataFrame, n: int = 10,
             F.round(shift, 6).alias("shift"),
         )
     )
+
+
+def ewma_daily(events: DataFrame, alpha: float = 0.3,
+               key_col: str = "event_type", ts_col: str = "ts",
+               value_col: str = "value") -> DataFrame:
+    """Per-key exponentially-weighted moving average of the daily mean
+    — the classic control-chart smoother — WITHOUT a sequential
+    recursion: ewma_t = a·x_t + (1-a)·ewma_{t-1} unrolls to the closed
+    form (1-a)^t · Σ_i c_i·x_i·(1-a)^(-i)  (c_0 = 1, else a), which is
+    one window running sum over the daily aggregate. Recursions that
+    unroll to a weighted prefix sum belong in a window, not a loop.
+
+    Scale shape: the per-(key, day) mean is a map-side-combined
+    aggregate to |keys|×|days| rows; the EWMA pass is a window over
+    that BOUNDED relation — the raw corpus is aggregated once and
+    never window-sorted. The daily mean aggregates in exact decimal so
+    the value is independent of float summation order.
+
+    Numeric bound: (1-a)^(-i) grows geometrically — fine to ~10^4
+    points per key in IEEE double (alpha 0.3 → overflow near t≈2000);
+    longer series need segment-wise restarts of the same plan. Daily
+    grains never get there (10^4 days ≈ 27 years).
+    """
+    # to_date, not date_trunc: the day grain is a calendar DATE (and
+    # DuckDB's date_trunc('day') yields DATE — keeping the types aligned
+    # keeps the cross-engine value canon aligned too)
+    day = F.to_date(F.col(ts_col).cast("timestamp_ltz"))
+    daily = events.groupBy(F.col(key_col), day.alias("day")).agg(
+        (F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("x")
+    )
+    w = Window.partitionBy(key_col).orderBy("day")
+    i = F.row_number().over(w) - 1
+    staged = daily.withColumn("i", i)
+    decay = F.lit(1.0 - alpha)
+    coeff = F.when(F.col("i") == 0, F.lit(1.0)).otherwise(F.lit(alpha))
+    term = F.col("x") * coeff * F.pow(F.lit(1.0) / decay, F.col("i"))
+    acc = F.sum(term).over(
+        Window.partitionBy(key_col).orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return staged.select(
+        key_col,
+        "day",
+        F.round("x", 6).alias("day_mean"),
+        F.round(F.pow(decay, F.col("i")) * acc, 6).alias("ewma"),
+    )

@@ -2991,3 +2991,51 @@ def dq01_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.profile_table(
         ev, ["event_id", "user_id", "event_type", "value", "props"]
     )
+
+
+# ---------------------------------------------------------------------------
+# dd11 — 1-bit minhash similarity estimation (compressed-signature path).
+# ---------------------------------------------------------------------------
+
+_MH_BIT_AGREE = " + ".join(
+    f"(CASE WHEN CAST(concat('0x', substr(x.mh{i}, 32, 1)) AS INT) % 2 = "
+    f"CAST(concat('0x', substr(y.mh{i}, 32, 1)) AS INT) % 2 THEN 1 ELSE 0 END)"
+    for i in range(dedup.MINHASH_PERMS)
+)
+
+
+@register(
+    "dd11_bbit_minhash",
+    bench=True,
+    tags=("dedup",),
+    doc="Jaccard estimation from 1-bit minhash signatures (Li-Koenig).",
+    oracle=f"""
+WITH {_SH_CTE},
+mh AS (
+    SELECT doc_id,
+           {_MH_MINS}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+    {_MH_BANDS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT cand.doc_a, cand.doc_b,
+       CAST(({_MH_BIT_AGREE}) AS INT) AS bits_agree,
+       round(greatest(2.0 * ({_MH_BIT_AGREE}) / 9.0 - 1.0, 0.0), 6) AS est_jaccard_1bit
+FROM cand
+JOIN mh x ON x.doc_id = cand.doc_a
+JOIN mh y ON y.doc_id = cand.doc_b
+""",
+)
+def dd11_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd03's candidate pairs scored from 1-bit signatures: the
+    similarity state shrinks 128x (9 bits vs 9 x 16-byte hashes per
+    doc) for a quantified variance increase — the storage shape that
+    lets a 100 TB dedup keep its signature silver table in memory.
+    Estimator J = max(0, 2A - 1) with A the agreeing-bit fraction."""
+    return dedup.bbit_minhash_pairs(table(spark, sf_dir, "documents"))

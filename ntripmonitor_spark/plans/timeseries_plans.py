@@ -171,3 +171,37 @@ def an03_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntripmonitor_spark.operators.timeseries import mean_shift_changepoints
 
     return mean_shift_changepoints(table(spark, sf_dir, "events"), n=10, threshold=40.0)
+
+
+@register(
+    "an04_ewma_drift",
+    bench=True,
+    tags=("timeseries",),
+    doc="Per-type EWMA control line over daily means (closed-form window).",
+    oracle="""
+WITH d AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS x
+    FROM events GROUP BY 1, 2
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i
+    FROM d
+),
+s AS (
+    SELECT *,
+           sum(x * (CASE WHEN i = 0 THEN 1.0 ELSE 0.3 END) * pow(1.0 / 0.7, i))
+               OVER (PARTITION BY event_type ORDER BY i
+                     ROWS UNBOUNDED PRECEDING) AS acc
+    FROM r
+)
+SELECT event_type, day, round(x, 6) AS day_mean, round(pow(0.7, i) * acc, 6) AS ewma
+FROM s
+""",
+)
+def an04_ewma_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (alpha 0.3) of each event type's daily mean — the control
+    line a drift monitor alarms against. The recursion unrolls to one
+    window prefix sum over the bounded (type, day) aggregate; the raw
+    corpus aggregates once (exact decimal) and is never window-sorted."""
+    return timeseries.ewma_daily(table(spark, sf_dir, "events"), alpha=0.3)

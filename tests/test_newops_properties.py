@@ -424,3 +424,53 @@ def test_sp06_equals_naive_greedy_on_tie_heavy_fixture(spark):
                 want.add(i)
     assert got == want
     assert sampling.token_budget_select(docs, 0).count() == 0
+
+
+def test_an04_closed_form_equals_recursion(spark):
+    """The windowed closed form must equal the textbook sequential
+    recursion ewma_t = a*x_t + (1-a)*ewma_{t-1} (pandas adjust=False)
+    to float tolerance on a constructed multi-key series."""
+    import datetime as dt
+
+    rows = []
+    for k, base in (("a", 10.0), ("b", 100.0)):
+        for i in range(40):
+            rows.append((i, dt.datetime(2024, 1, 1 + i % 28, 12, 0), k, base + (i * 7 % 13)))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    out = {
+        (r["event_type"], str(r["day"])): r["ewma"]
+        for r in timeseries.ewma_daily(ev, alpha=0.3).collect()
+    }
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type", "value"])
+    pdf["day"] = pdf.ts.dt.floor("D")
+    daily = pdf.groupby(["event_type", "day"], as_index=False).value.mean()
+    for k, g in daily.groupby("event_type"):
+        expect = g.sort_values("day").value.ewm(alpha=0.3, adjust=False).mean()
+        for (_, day), e in zip(g.sort_values("day")[["event_type", "day"]].itertuples(index=False), expect):
+            got = out[(k, str(day.date()))]
+            assert abs(got - e) < 1e-4, f"{k} {day}: {got} vs {e}"
+
+
+def test_dd11_one_bit_estimate_tracks_full_signature(spark, sf_dir):
+    """On every LSH candidate pair the 1-bit estimate must be within
+    the b-bit estimator's variance envelope of the full-signature
+    estimate (9 perms -> sd ~ 0.33), and identical docs must score
+    est = 1.0 with all 9 bits agreeing."""
+    docs = table(spark, sf_dir, "documents")
+    full = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    onebit = dedup.bbit_minhash_pairs(docs).collect()
+    assert onebit, "no candidate pairs at this SF"
+    for r in onebit:
+        f = full[(r["doc_a"], r["doc_b"])]
+        assert abs(r["est_jaccard_1bit"] - f) <= 1.0, "estimator unbounded"
+        if f == 1.0:
+            assert r["bits_agree"] == 9 and r["est_jaccard_1bit"] == 1.0
+    # aggregate tracking: mean absolute gap bounded by ~2 sd of the
+    # 9-bit agreement estimator
+    gaps = [abs(r["est_jaccard_1bit"] - full[(r["doc_a"], r["doc_b"])]) for r in onebit]
+    assert sum(gaps) / len(gaps) < 0.67, f"1-bit estimate not tracking: {gaps}"
