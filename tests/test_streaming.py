@@ -553,3 +553,51 @@ def test_streaming_ann_index_matches_batch(spark, sf_dir, tmp_path):
     stats = ann.cell_stats(spark, sink).collect()
     assert sum(r.n_vecs for r in stats) == emb.count()
     assert abs(sum(r.share for r in stats) - 1.0) < 1e-4
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream watermarked interval join across MULTIPLE
+    micro-batches (3 files, one per trigger: error anchors buffered in
+    join state must meet probe rows arriving in later batches) must
+    equal the batch inner interval join on the same data."""
+    from ntripmonitor_spark.streaming import joins as sj
+
+    import time as _time
+
+    ev = table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_src")
+    # 3 files -> 3 micro-batches with maxFilesPerTrigger=1, appended in
+    # ascending event-time order with distinct mtimes: the file source
+    # replays them oldest-first, so each batch advances the watermark
+    # instead of starting at the stream's max and dropping everything
+    sliced = ev.orderBy("ts", "event_id").limit(3000).collect()
+    for i in range(3):
+        chunk = spark.createDataFrame(sliced[i * 1000:(i + 1) * 1000], ev.schema)
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    anchors = stream.filter("event_type = 'error'")
+    probes = stream
+    joined = sj.stream_interval_join(anchors, probes, horizon_s=600)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    static = spark.read.parquet(src)
+    want = sj.batch_interval_join(
+        static.filter("event_type = 'error'"), static, horizon_s=600
+    )
+    got = spark.sql("SELECT * FROM ssj_out")
+    assert _canon(got) == _canon(want)
+    assert got.count() > 0, "join produced no rows — fixture too sparse"
