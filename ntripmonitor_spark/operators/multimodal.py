@@ -340,3 +340,53 @@ def phash_neardup(docs: DataFrame, max_hamming: int = 7,
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+PATCH = 8  # ViT-style square patch edge (stub scale)
+
+PATCH_SCHEMA = (
+    "doc_id bigint, img_w int, img_h int, patch_row int, patch_col int, patch_sum bigint"
+)
+
+
+def patchify_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """ViT-style patch grid over the stub-decoded 'image': the first
+    w*h payload bytes form an h x w byte raster (zero-padded if the
+    payload is short), tiled into 8x8 patches (both dims zero-padded up
+    to a multiple of 8); each patch emits its byte sum — the stand-in
+    for a patch embedding. Vectorized as one numpy block-sum reshape
+    per payload; a real vision build swaps the raster for decoded
+    pixels and the sum for a linear projection, batch shape unchanged.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        ids, iws, ihs, prs, pcs, sums = [], [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h = _decode_stub(payload)
+            if w == 0 or h == 0:
+                continue
+            arr = np.frombuffer(payload[: w * h], dtype=np.uint8).astype(np.int64)
+            arr = np.pad(arr, (0, w * h - len(arr)))
+            img = arr.reshape(h, w)
+            ph = (h + PATCH - 1) // PATCH * PATCH
+            pw = (w + PATCH - 1) // PATCH * PATCH
+            img = np.pad(img, ((0, ph - h), (0, pw - w)))
+            grid = img.reshape(ph // PATCH, PATCH, pw // PATCH, PATCH).sum(axis=(1, 3))
+            nr, nc = grid.shape
+            for pr in range(nr):
+                for pc in range(nc):
+                    ids.append(doc_id)
+                    iws.append(w)
+                    ihs.append(h)
+                    prs.append(pr)
+                    pcs.append(pc)
+                    sums.append(int(grid[pr, pc]))
+        yield pd.DataFrame(
+            {"doc_id": ids, "img_w": iws, "img_h": ihs,
+             "patch_row": prs, "patch_col": pcs, "patch_sum": sums}
+        )
+
+
+def patchify(docs: DataFrame) -> DataFrame:
+    return binary_payloads(docs).mapInPandas(patchify_batch, schema=PATCH_SCHEMA)

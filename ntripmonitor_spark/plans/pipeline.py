@@ -3039,3 +3039,54 @@ def dd11_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     lets a 100 TB dedup keep its signature silver table in memory.
     Estimator J = max(0, 2A - 1) with A the agreeing-bit fraction."""
     return dedup.bbit_minhash_pairs(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# mm07 — ViT-style patch grid (vision-preprocessing batch shape).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm07_patch_grid",
+    tags=("multimodal",),
+    doc="8x8 patch-grid extraction over stub-decoded binary images.",
+    oracle=f"""
+WITH {_BYTES_CTE},
+dims AS (
+    SELECT doc_id, bts, n,
+           CASE WHEN n = 0 THEN 0 ELSE list_extract(bts, 1) % 64 + 1 END AS w,
+           CASE WHEN n = 0 THEN 0
+                WHEN n > 1 THEN list_extract(bts, 2) % 64 + 1 ELSE 1 END AS h
+    FROM by
+),
+grid AS (
+    SELECT doc_id, w, h,
+           unnest(list_transform(range(0, ((h + 7) // 8) * ((w + 7) // 8)), p -> {{
+               'pr': CAST(p // ((w + 7) // 8) AS INT),
+               'pc': CAST(p % ((w + 7) // 8) AS INT),
+               'ps': CAST(list_sum(list_transform(range(0, 64), k ->
+                   CASE WHEN (p // ((w + 7) // 8)) * 8 + k // 8 < h
+                         AND (p % ((w + 7) // 8)) * 8 + k % 8 < w
+                         AND ((p // ((w + 7) // 8)) * 8 + k // 8) * w
+                             + (p % ((w + 7) // 8)) * 8 + k % 8 < n
+                        THEN CAST(list_extract(bts,
+                             CAST(((p // ((w + 7) // 8)) * 8 + k // 8) * w
+                                  + (p % ((w + 7) // 8)) * 8 + k % 8 + 1 AS INT)) AS BIGINT)
+                        ELSE 0 END)) AS BIGINT)
+           }})) AS s
+    FROM dims
+    WHERE w > 0 AND h > 0
+)
+SELECT doc_id, CAST(w AS INT) AS img_w, CAST(h AS INT) AS img_h,
+       s.pr AS patch_row, s.pc AS patch_col, s.ps AS patch_sum
+FROM grid
+""",
+)
+def mm07_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-preprocessing plumbing: stub-decode (w, h) from the
+    payload header bytes, raster the first w*h bytes, tile into 8x8
+    zero-padded patches, emit per-patch byte sums — one Arrow-batched
+    mapInPandas stage whose batch shape (and partition behavior) is
+    exactly what a real patch-embed stage uses. Zero shuffles; the
+    payload column never leaves the scan stage."""
+    return multimodal.patchify(table(spark, sf_dir, "documents"))

@@ -45,3 +45,27 @@ def test_real_codec_parity(spark):
                           schema=multimodal.DECODE_SCHEMA)
     got = {r["doc_id"]: (r["width"], r["height"]) for r in out.collect()}
     assert got == {i: s for i, s in enumerate(sizes)}
+
+
+def test_patchify_conserves_bytes_and_tiles_grid(spark, sf_dir):
+    """Per doc: the patch sums must total exactly the raster's byte sum
+    (zero padding adds nothing), and the grid must be the full
+    ceil(h/8) x ceil(w/8) rectangle with every patch present once."""
+    from ntripmonitor_spark.tables import table as load
+
+    docs = load(spark, sf_dir, "documents").limit(50)
+    rows = multimodal.patchify(docs).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, prs in by_doc.items():
+        payload = texts[doc_id].encode()
+        w, h = multimodal._decode_stub(payload)
+        nr, nc = (h + 7) // 8, (w + 7) // 8
+        assert {(r["patch_row"], r["patch_col"]) for r in prs} == {
+            (i, j) for i in range(nr) for j in range(nc)
+        }
+        assert sum(r["patch_sum"] for r in prs) == sum(payload[: w * h])
+        assert all(r["img_w"] == w and r["img_h"] == h for r in prs)
