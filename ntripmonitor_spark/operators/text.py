@@ -706,3 +706,97 @@ def source_divergence(docs: DataFrame, vocab_size: int = 256, k: float = 0.5,
         )
         .select(group_col, F.col("n_s").alias("n_tokens"), "kl_bits", "oov_rate")
     )
+
+
+def stupid_backoff_nll(docs: DataFrame, vocab_size: int = 64,
+                       backoff: float = 0.4, k: float = 0.5,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document trigram stupid-backoff score (Brants et al. 2007,
+    "Large Language Models in Machine Translation") — the web-scale LM
+    quality signal one order above tx10's bigram NLL. The model is fit
+    on the EVEN-doc_id half of the corpus and scores every document:
+    held-out docs genuinely exercise the backoff chain (a model fit on
+    the full corpus would always find its own trigrams).
+
+        S(w3|w1,w2) = c3/c2            if the trigram was seen
+                    = 0.4 · c2'/c1     else if the (w2,w3) bigram was
+                    = 0.4² · unigram   else (add-k smoothed, so unseen
+                                        unigrams score finitely)
+
+    Scale shape (the tx10 "fit tiny, broadcast" pattern, one order up):
+    every model table is bounded by the closed vocab — ≤ (V+1)³ trigram
+    rows (65³ ≈ 275 k, a few MB) — and broadcast; the corpus-scale
+    trigram relation left-joins them without shuffling, and the only
+    input-scaled exchange is the final per-doc aggregate.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    staged = docs.select(F.col(id_col), toks.alias("_toks"))
+
+    fit = staged.filter(F.col(id_col) % 2 == 0)
+    vocab_rows = (
+        fit.select(F.explode(F.col("_toks")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab = [r["tok"] for r in vocab_rows]
+    v_plus = float(len(vocab) + 1)
+
+    def to_vocab(c):
+        return F.when(c.isin(vocab), c).otherwise(F.lit("<unk>"))
+
+    def ngrams(df: DataFrame, n: int) -> DataFrame:
+        grams = F.expr(
+            f"CASE WHEN size(_toks) >= {n} THEN "
+            f"transform(sequence(0, size(_toks) - {n}), i -> "
+            + "concat_ws(' ', " + ", ".join(f"_toks[i+{j}]" for j in range(n)) + ")) "
+            "ELSE array() END"
+        )
+        out = df.select(id_col, F.explode(grams).alias("g"))
+        return out.select(
+            id_col,
+            *[
+                to_vocab(F.split_part(F.col("g"), F.lit(" "), F.lit(j + 1))).alias(f"w{j+1}")
+                for j in range(n)
+            ],
+        )
+
+    tri_fit = ngrams(fit, 3)
+    bi_fit = ngrams(fit, 2)
+    uni_fit = ngrams(fit, 1)
+    c3 = tri_fit.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    c2 = bi_fit.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = uni_fit.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    n_total = float(uni_fit.count())
+
+    scored = ngrams(staged, 3)
+    j = (
+        scored.join(F.broadcast(c3), ["w1", "w2", "w3"], "left")
+        .join(
+            F.broadcast(c2.select(F.col("w1").alias("w1"), F.col("w2").alias("w2"), F.col("c2").alias("c2_den"))),
+            ["w1", "w2"], "left",
+        )
+        .join(
+            F.broadcast(c2.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c2").alias("c2_num"))),
+            ["w2", "w3"], "left",
+        )
+        .join(F.broadcast(c1.select(F.col("w1").alias("w2"), F.col("c1").alias("c1_den"))), ["w2"], "left")
+        .join(F.broadcast(c1.select(F.col("w1").alias("w3"), F.col("c1").alias("c1_uni"))), ["w3"], "left")
+    )
+    b = F.lit(backoff)
+    uni = (F.coalesce(F.col("c1_uni"), F.lit(0)) + F.lit(k)) / F.lit(n_total + k * v_plus)
+    s = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("c2_den"))
+        .when(F.col("c2_num").isNotNull(), b * F.col("c2_num") / F.col("c1_den"))
+        .otherwise(b * b * uni)
+    )
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(F.when(F.col("c3").isNotNull(), 0).otherwise(1)).cast("int").alias("n_backoff"),
+            F.round(F.avg(-F.log(s)), 6).alias("avg_nll"),
+        )
+    )

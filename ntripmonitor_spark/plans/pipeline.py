@@ -3090,3 +3090,88 @@ def mm07_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what a real patch-embed stage uses. Zero shuffles; the
     payload column never leaves the scan stage."""
     return multimodal.patchify(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# tx14 — trigram stupid-backoff LM scoring (fit half, score all).
+# ---------------------------------------------------------------------------
+
+_SB_MAP = "CASE WHEN {c} IN (SELECT tok FROM v) THEN {c} ELSE '<unk>' END"
+
+
+@register(
+    "tx14_stupid_backoff",
+    bench=True,
+    tags=("text",),
+    doc="Trigram stupid-backoff NLL, model fit on even docs, scoring all.",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+fitw AS (SELECT * FROM w WHERE doc_id % 2 = 0),
+t AS (SELECT unnest(ws) AS tok FROM fitw),
+v AS (
+    SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM t GROUP BY 1 ORDER BY c DESC, tok ASC LIMIT 64
+    )
+),
+nv AS (SELECT count(*) + 1.0 AS v_plus FROM v),
+ntot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+tri_fit AS (
+    SELECT {_SB_MAP.format(c="string_split(g, ' ')[1]")} AS w1,
+           {_SB_MAP.format(c="string_split(g, ' ')[2]")} AS w2,
+           {_SB_MAP.format(c="string_split(g, ' ')[3]")} AS w3
+    FROM (SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                         FOR i IN range(1, len(ws) - 1)]) AS g FROM fitw)
+),
+bi_fit AS (
+    SELECT {_SB_MAP.format(c="string_split(g, ' ')[1]")} AS w1,
+           {_SB_MAP.format(c="string_split(g, ' ')[2]")} AS w2
+    FROM (SELECT unnest([ws[i] || ' ' || ws[i+1]
+                         FOR i IN range(1, len(ws))]) AS g FROM fitw)
+),
+uni_fit AS (SELECT {_SB_MAP.format(c="tok")} AS w1 FROM t),
+c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3 FROM tri_fit GROUP BY 1, 2, 3),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bi_fit GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM uni_fit GROUP BY 1),
+scored AS (
+    SELECT doc_id,
+           {_SB_MAP.format(c="string_split(g, ' ')[1]")} AS w1,
+           {_SB_MAP.format(c="string_split(g, ' ')[2]")} AS w2,
+           {_SB_MAP.format(c="string_split(g, ' ')[3]")} AS w3
+    FROM (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                 FOR i IN range(1, len(ws) - 1)]) AS g FROM w)
+),
+j AS (
+    SELECT s.doc_id, c3.c3, c2d.c2 AS c2_den, c2n.c2 AS c2_num,
+           c1d.c1 AS c1_den, c1u.c1 AS c1_uni
+    FROM scored s
+    LEFT JOIN c3 ON s.w1 = c3.w1 AND s.w2 = c3.w2 AND s.w3 = c3.w3
+    LEFT JOIN c2 c2d ON s.w1 = c2d.w1 AND s.w2 = c2d.w2
+    LEFT JOIN c2 c2n ON s.w2 = c2n.w1 AND s.w3 = c2n.w2
+    LEFT JOIN c1 c1d ON s.w2 = c1d.w1
+    LEFT JOIN c1 c1u ON s.w3 = c1u.w1
+),
+sc AS (
+    SELECT doc_id, c3,
+           CASE WHEN c3 IS NOT NULL THEN c3 / c2_den
+                WHEN c2_num IS NOT NULL THEN 0.4 * c2_num / c1_den
+                ELSE 0.4 * 0.4 * (coalesce(c1_uni, 0) + 0.5)
+                     / (ntot.n + 0.5 * nv.v_plus)
+           END AS s
+    FROM j, ntot, nv
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(CASE WHEN c3 IS NULL THEN 1 ELSE 0 END) AS INT) AS n_backoff,
+       round(avg(-ln(s)), 6) AS avg_nll
+FROM sc GROUP BY doc_id
+""",
+)
+def tx14_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-scale LM quality signal: trigram stupid backoff (0.4 factor,
+    add-half unknown unigrams) fit on the even-doc_id half and scoring
+    every document, so held-out docs exercise the full backoff chain.
+    All model tables are vocab-bounded broadcasts; the corpus-scale
+    trigram relation never shuffles before the final per-doc agg."""
+    return text.stupid_backoff_nll(table(spark, sf_dir, "documents"))

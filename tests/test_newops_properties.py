@@ -474,3 +474,20 @@ def test_dd11_one_bit_estimate_tracks_full_signature(spark, sf_dir):
     # 9-bit agreement estimator
     gaps = [abs(r["est_jaccard_1bit"] - full[(r["doc_a"], r["doc_b"])]) for r in onebit]
     assert sum(gaps) / len(gaps) < 0.67, f"1-bit estimate not tracking: {gaps}"
+
+
+def test_tx14_backoff_fires_only_off_fit_half(spark, sf_dir):
+    """Every trigram of an even (fit-half) doc is in the model by
+    construction -> n_backoff = 0; held-out odd docs must include at
+    least one doc that actually backs off (else the fit/score split
+    is not doing its job)."""
+    from ntripmonitor_spark.operators.text import stupid_backoff_nll
+    from ntripmonitor_spark.tables import table as load
+
+    rows = stupid_backoff_nll(load(spark, sf_dir, "documents")).collect()
+    even = [r for r in rows if r["doc_id"] % 2 == 0]
+    odd = [r for r in rows if r["doc_id"] % 2 == 1]
+    assert even and odd
+    assert all(r["n_backoff"] == 0 for r in even)
+    assert any(r["n_backoff"] > 0 for r in odd)
+    assert all(r["avg_nll"] > 0 for r in rows)

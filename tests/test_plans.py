@@ -857,3 +857,12 @@ def test_profiler_approx_tracks_exact(spark, sf_dir):
         if e["n_distinct"]:
             rel = abs(a["n_distinct"] - e["n_distinct"]) / e["n_distinct"]
             assert rel < 0.05, f"{c}: approx distinct off by {rel:.1%}"
+
+
+def test_tx14_models_broadcast_no_sortmerge(spark, sf_dir):
+    """tx14: trigram/bigram/unigram model tables are vocab-bounded and
+    must ride in as broadcasts — the corpus-scale trigram relation
+    never sort-merges."""
+    plan = _explain(spark, "tx14_stupid_backoff", sf_dir)
+    assert "SortMergeJoin" not in plan, f"tx14 model join sort-merged\n{plan[:2000]}"
+    assert "BroadcastHashJoin" in plan
