@@ -143,3 +143,49 @@ def full_pipeline(docs: DataFrame, benchmark_pred, quality_min: float = 0.5,
         (F.col("_shard") * PACK_SHARD_STRIDE
          + F.floor(running / pack_tokens)).cast("long").alias("pack_id"),
     )
+
+
+def drop_reasons(docs: DataFrame, quality_min: float = 0.5,
+                 coeff: float = 5.0) -> DataFrame:
+    """Provenance ledger for the curation funnel: for EVERY input
+    document, the first stage that dropped it — 'gate' (quality),
+    'duplicate' (lost the min-doc_id race; ``winner_id`` says to
+    whom), 'mix' (temperature coin) — or 'kept'. The answer to "why
+    is my document not in the training set", which a production
+    curation run must be able to produce without re-running the
+    funnel N times.
+
+    One plan, same cuts as :func:`curation_funnel` (equality of the
+    'kept' slice with the funnel's survivor set is test-pinned): the
+    gate is a column predicate, the duplicate race is the same md5
+    window with the winner restricted to gate-passers, the mix rates
+    aggregate over survivors and broadcast back LEFT (dropped rows
+    keep their verdict; no input row is ever filtered out — this is
+    an audit, not a filter).
+    """
+    d = docs.withColumn("quality_score", quality_score_col(F.col("text")))
+    q = F.col("quality_score") >= quality_min
+    w_dup = Window.partitionBy(F.md5(F.col("text")))
+    d = d.withColumn("win", F.min(F.when(q, F.col("doc_id"))).over(w_dup))
+    surv = q & (F.col("doc_id") == F.col("win"))
+
+    counts = d.filter(surv).groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    rate = F.floor(
+        F.lit(BUCKETS)
+        * F.least(F.lit(1.0), F.lit(coeff) / F.sqrt(F.col("n_src").cast("double")))
+    ).cast("int")
+    d = d.join(F.broadcast(counts.select("source", rate.alias("rate"))), "source", "left")
+
+    stage = (
+        F.when(~q, F.lit("gate"))
+        .when(F.col("doc_id") != F.col("win"), F.lit("duplicate"))
+        .when(hash_bucket(F.col("doc_id")) >= F.coalesce(F.col("rate"), F.lit(0)), F.lit("mix"))
+        .otherwise(F.lit("kept"))
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        stage.alias("stage"),
+        F.when(q & (F.col("doc_id") != F.col("win")), F.col("win")).alias("winner_id"),
+    )

@@ -3175,3 +3175,58 @@ def tx14_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     All model tables are vocab-bounded broadcasts; the corpus-scale
     trigram relation never shuffles before the final per-doc agg."""
     return text.stupid_backoff_nll(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# cu04 — funnel provenance: why each document was (not) kept.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cu04_drop_reasons",
+    bench=True,
+    tags=("sampling", "text"),
+    doc="Per-document first-drop-stage audit of the curation funnel.",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, text, lang, source,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+scored AS (
+    SELECT *, round(
+        0.4 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text))
+      + 0.3 * (1 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+      + 0.2 * (CAST(len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE) / len(ws))
+      + 0.1 * (1 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)), 6
+    ) AS quality_score
+    FROM w
+),
+raced AS (
+    SELECT *, min(CASE WHEN quality_score >= 0.5 THEN doc_id END)
+                  OVER (PARTITION BY md5(text)) AS win
+    FROM scored
+),
+rates AS (
+    SELECT source,
+           CAST(FLOOR(1000 * LEAST(1.0, 5.0 / sqrt(CAST(COUNT(*) AS DOUBLE)))) AS INT) AS rate
+    FROM raced WHERE quality_score >= 0.5 AND doc_id = win GROUP BY source
+),
+j AS (SELECT raced.*, rates.rate FROM raced LEFT JOIN rates USING (source))
+SELECT doc_id, source, quality_score,
+       CASE WHEN quality_score < 0.5 THEN 'gate'
+            WHEN doc_id <> win THEN 'duplicate'
+            WHEN ((doc_id * 2654435761) % 4294967296) % 1000 >= coalesce(rate, 0) THEN 'mix'
+            ELSE 'kept' END AS stage,
+       CASE WHEN quality_score >= 0.5 AND doc_id <> win THEN win END AS winner_id
+FROM j
+""",
+)
+def cu04_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel audit: every input document with the first stage that
+    dropped it (gate / duplicate+winner / mix) or 'kept' — produced by
+    ONE pass of the same cuts cu01 applies, with no row ever filtered.
+    The 'kept' slice equals cu01's survivor set (test-pinned)."""
+    from ntripmonitor_spark.operators import curation
+
+    return curation.drop_reasons(table(spark, sf_dir, "documents"))

@@ -491,3 +491,23 @@ def test_tx14_backoff_fires_only_off_fit_half(spark, sf_dir):
     assert all(r["n_backoff"] == 0 for r in even)
     assert any(r["n_backoff"] > 0 for r in odd)
     assert all(r["avg_nll"] > 0 for r in rows)
+
+
+def test_cu04_kept_slice_equals_funnel_survivors(spark, sf_dir):
+    """The audit must agree with the funnel it explains: stage='kept'
+    doc_ids == cu01's packed survivor ids, every input doc appears
+    exactly once, and every 'duplicate' points at a kept-or-mix-dropped
+    winner with a smaller id and identical text hash."""
+    from ntripmonitor_spark.operators import curation
+    from ntripmonitor_spark.tables import table as load
+
+    docs = load(spark, sf_dir, "documents")
+    audit = curation.drop_reasons(docs).collect()
+    packed = {r["doc_id"] for r in curation.curation_funnel(docs).collect()}
+    assert {r["doc_id"] for r in audit} == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert {r["doc_id"] for r in audit if r["stage"] == "kept"} == packed
+    by_id = {r["doc_id"]: r for r in audit}
+    for r in audit:
+        if r["stage"] == "duplicate":
+            assert r["winner_id"] < r["doc_id"]
+            assert by_id[r["winner_id"]]["stage"] in ("kept", "mix")
