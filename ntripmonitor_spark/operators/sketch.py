@@ -186,3 +186,85 @@ def kmv_merge_estimate(partials: DataFrame, group_col: str = "event_type",
         F.col("n_state") < k, F.col("n_state").cast("double")
     ).otherwise(F.round(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("hk"), 4) + 0.0)
     return agg.select(group_col, est.alias("kmv_estimate"))
+
+
+def kmv_set_algebra(df: DataFrame, group_col: str = "event_type",
+                    member_col: str = "user_id", k: int = 64) -> DataFrame:
+    """Theta-sketch-style set algebra over per-group KMV sketches:
+    estimated distinct UNION and INTERSECTION of every group pair's
+    member sets, computed entirely from the k-hash sketches — the
+    reason sketches beat exact distinct at 100 TB is exactly this:
+    once per-slice sketches exist (mergeable partial-agg state, k
+    8-byte values per group), any cross-slice overlap question is
+    sketch-vs-sketch arithmetic on k·|groups| rows, never a second
+    corpus pass.
+
+      union     = KMV merge: k smallest of the two sketches' hash
+                  union (dedup — a shared member hashes identically),
+                  then the standard (k−1)/h_k estimator;
+      intersect = theta rule: common hashes below θ = min(θ_A, θ_B),
+                  scaled by 2³²/θ.
+
+    Exact counts per group ride along only as the <k fallback (the
+    standard KMV small-set rule). Everything is the portable Knuth
+    hash — the oracle replays the identical sketches in SQL.
+    """
+    d = (
+        df.select(group_col, member_col)
+        .distinct()
+        .withColumn("h", F.pmod(F.col(member_col).cast("long") * F.lit(KNUTH), F.lit(1 << 32)))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("h").asc(), F.col(member_col).asc())
+    sk = (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(F.col(group_col).alias("g"), "h", "rk")
+    )
+    theta = sk.groupBy("g").agg(F.max("h").alias("theta"), F.count(F.lit(1)).alias("n_sk"))
+
+    pairs = (
+        theta.select(F.col("g").alias("ga"), F.col("theta").alias("th_a"), F.col("n_sk").alias("na"))
+        .crossJoin(theta.select(F.col("g").alias("gb"), F.col("theta").alias("th_b"), F.col("n_sk").alias("nb")))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+
+    ha = sk.select(F.col("g").alias("ga"), "h")
+    hb = sk.select(F.col("g").alias("gb"), "h")
+    merged = (
+        pairs.select("ga", "gb").join(ha, "ga").select("ga", "gb", "h")
+        .unionByName(pairs.select("ga", "gb").join(hb, "gb").select("ga", "gb", "h"))
+        .distinct()
+    )
+    wp = Window.partitionBy("ga", "gb").orderBy(F.col("h").asc())
+    msk = merged.withColumn("rk", F.row_number().over(wp)).filter(F.col("rk") <= k)
+    mstats = msk.groupBy("ga", "gb").agg(
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("hk_u"),
+        F.count(F.lit(1)).alias("n_u"),
+    )
+
+    common = (
+        ha.join(hb, "h")
+        .join(F.broadcast(pairs.select("ga", "gb", F.least("th_a", "th_b").alias("th_min"))), ["ga", "gb"])
+        .filter(F.col("h") < F.col("th_min"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+    out = (
+        pairs.join(mstats, ["ga", "gb"], "left")
+        .join(common, ["ga", "gb"], "left")
+    )
+    union_est = F.when(
+        F.col("n_u") < k, F.col("n_u").cast("double")
+    ).otherwise(F.round(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("hk_u"), 4) + 0.0)
+    inter_est = F.round(
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+        * F.lit(HASH_SPACE) / F.least("th_a", "th_b").cast("double"),
+        4,
+    ) + 0.0
+    return out.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        union_est.alias("union_est"),
+        inter_est.alias("inter_est"),
+    )

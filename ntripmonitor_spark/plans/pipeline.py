@@ -3230,3 +3230,78 @@ def cu04_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntripmonitor_spark.operators import curation
 
     return curation.drop_reasons(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# sk02 — sketch set algebra: union/intersection from KMV state alone.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sk02_kmv_set_algebra",
+    bench=True,
+    tags=("sketch",),
+    doc="Pairwise distinct union/intersection estimates from KMV sketches.",
+    oracle="""
+WITH d AS (
+    SELECT DISTINCT event_type AS g, user_id,
+           (user_id * 2654435761) % 4294967296 AS h
+    FROM events
+),
+sk AS (
+    SELECT g, h, rk FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h ASC, user_id ASC) AS rk
+        FROM d
+    ) WHERE rk <= 64
+),
+theta AS (SELECT g, max(h) AS th FROM sk GROUP BY g),
+pairs AS (
+    SELECT a.g AS ga, b.g AS gb, a.th AS th_a, b.th AS th_b
+    FROM theta a, theta b WHERE a.g < b.g
+),
+merged AS (
+    SELECT DISTINCT ga, gb, h FROM (
+        SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.g = p.ga
+        UNION ALL
+        SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON s.g = p.gb
+    )
+),
+msk AS (
+    SELECT * FROM (
+        SELECT ga, gb, h, row_number() OVER (PARTITION BY ga, gb ORDER BY h ASC) AS rk
+        FROM merged
+    ) WHERE rk <= 64
+),
+mstats AS (
+    SELECT ga, gb, max(CASE WHEN rk = 64 THEN h END) AS hk_u,
+           CAST(count(*) AS BIGINT) AS n_u
+    FROM msk GROUP BY 1, 2
+),
+common AS (
+    SELECT p.ga, p.gb, CAST(count(*) AS BIGINT) AS n_common
+    FROM pairs p
+    JOIN sk a ON a.g = p.ga
+    JOIN sk b ON b.g = p.gb AND b.h = a.h
+    WHERE a.h < least(p.th_a, p.th_b)
+    GROUP BY 1, 2
+)
+SELECT p.ga AS group_a, p.gb AS group_b,
+       CASE WHEN m.n_u < 64 THEN CAST(m.n_u AS DOUBLE)
+            ELSE round(63.0 * 4294967296.0 / m.hk_u, 4) END AS union_est,
+       round(coalesce(c.n_common, 0) * 4294967296.0
+             / CAST(least(p.th_a, p.th_b) AS DOUBLE), 4) AS inter_est
+FROM pairs p
+LEFT JOIN mstats m ON m.ga = p.ga AND m.gb = p.gb
+LEFT JOIN common c ON c.ga = p.ga AND c.gb = p.gb
+""",
+)
+def sk02_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event-type pair's estimated distinct-user union and
+    intersection, computed purely from per-type KMV sketches (KMV
+    merge for union; theta rule — common hashes below min(theta),
+    scaled by 2^32/theta — for intersection). One corpus
+    distinct-reduce builds the sketches; every cross-slice question
+    after that touches k x |groups| rows only."""
+    from ntripmonitor_spark.operators import sketch
+
+    return sketch.kmv_set_algebra(table(spark, sf_dir, "events"))

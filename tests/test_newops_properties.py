@@ -511,3 +511,25 @@ def test_cu04_kept_slice_equals_funnel_survivors(spark, sf_dir):
         if r["stage"] == "duplicate":
             assert r["winner_id"] < r["doc_id"]
             assert by_id[r["winner_id"]]["stage"] in ("kept", "mix")
+
+
+def test_sk02_estimates_track_exact_set_algebra(spark, sf_dir):
+    """Sketch union/intersection estimates must land within the KMV
+    error envelope (~1/sqrt(k) ~ 12.5%, allow 3x) of the EXACT distinct
+    union/intersection, and obey the lattice bounds
+    inter <= min(|A|,|B|) * (1+err), union >= max(|A|,|B|) * (1-err)."""
+    from ntripmonitor_spark.operators.sketch import kmv_set_algebra
+    from ntripmonitor_spark.tables import table as load
+
+    ev = load(spark, sf_dir, "events")
+    est = {(r["group_a"], r["group_b"]): r for r in kmv_set_algebra(ev).collect()}
+    members = {}
+    for r in ev.select("event_type", "user_id").distinct().collect():
+        members.setdefault(r["event_type"], set()).add(r["user_id"])
+    assert est, "no group pairs"
+    for (a, b), r in est.items():
+        exact_u = len(members[a] | members[b])
+        exact_i = len(members[a] & members[b])
+        assert abs(r["union_est"] - exact_u) / exact_u < 0.375, (a, b, r["union_est"], exact_u)
+        if exact_i:
+            assert abs(r["inter_est"] - exact_i) / exact_i < 0.5, (a, b, r["inter_est"], exact_i)
