@@ -930,3 +930,41 @@ def bbit_minhash_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
             F.round(F.greatest(est, F.lit(0.0)), 6).alias("est_jaccard_1bit"),
         )
     )
+
+
+def blocking_profile(records: DataFrame, block_col: Column,
+                     id_col: str = "rec_id") -> DataFrame:
+    """Blocking-scheme quality report: before running ANY blocked
+    pairwise operator (er01, dd02, dd05...) at corpus scale, this is
+    the question to answer — how many candidate pairs does the
+    blocking admit, and how skewed are the blocks? One row:
+
+      n_records / n_blocks / max_block — skew check (one giant block
+          = one melted task; max_block² bounds the worst task);
+      n_candidates = Σ b·(b−1)/2 — the actual comparison workload;
+      reduction_ratio = 1 − candidates / C(n,2) — the fraction of the
+          naive all-pairs space the blocking eliminated (the standard
+          record-linkage RR metric).
+
+    Cost: one count-by-block aggregate + a scalar reduce — free
+    compared to the pairwise join it de-risks, and cheap enough to
+    gate every production run on (alert when RR drops or max_block
+    explodes: the blocking key has drifted).
+    """
+    sizes = records.select(block_col.alias("_blk"), F.col(id_col)).groupBy("_blk").agg(
+        F.count(F.lit(1)).alias("b")
+    )
+    return sizes.agg(
+        F.sum("b").alias("n_records"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.max("b").alias("max_block"),
+        F.sum(F.col("b") * (F.col("b") - 1) / 2).cast("bigint").alias("n_candidates"),
+    ).select(
+        "n_records", "n_blocks", "max_block", "n_candidates",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_candidates")
+            / (F.col("n_records") * (F.col("n_records") - 1) / 2.0),
+            6,
+        ).alias("reduction_ratio"),
+    )

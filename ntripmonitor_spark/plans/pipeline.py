@@ -3305,3 +3305,40 @@ def sk02_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntripmonitor_spark.operators import sketch
 
     return sketch.kmv_set_algebra(table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# er03 — blocking-quality profile (the pre-flight check for er01/dd*).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "er03_blocking_profile",
+    bench=True,
+    tags=("dedup", "linkage"),
+    doc="Candidate-volume / skew / reduction-ratio report for er01's blocking.",
+    oracle="""
+WITH s AS (
+    SELECT c_custkey, substring(c_name, 1, length(c_name) - 2) AS blk
+    FROM customer
+),
+sz AS (SELECT blk, CAST(count(*) AS BIGINT) AS b FROM s GROUP BY blk)
+SELECT CAST(sum(b) AS BIGINT) AS n_records,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(max(b) AS BIGINT) AS max_block,
+       CAST(sum(b * (b - 1) / 2) AS BIGINT) AS n_candidates,
+       round(1.0 - sum(b * (b - 1) / 2) / (sum(b) * (sum(b) - 1) / 2.0), 6) AS reduction_ratio
+FROM sz
+""",
+)
+def er03_blocking_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-flight check every blocked pairwise operator should run
+    at scale: candidate-pair volume, block skew (max_block squared
+    bounds the worst task), and the record-linkage reduction ratio for
+    er01's name-prefix blocking. One count-by-block aggregate plus a
+    scalar reduce — gate your production run on it."""
+    from ntripmonitor_spark.operators import dedup as dd
+
+    cust = table(spark, sf_dir, "customer")
+    blk = F.expr("substring(c_name, 1, length(c_name) - 2)")
+    return dd.blocking_profile(cust, blk, id_col="c_custkey")
