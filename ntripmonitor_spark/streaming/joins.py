@@ -25,8 +25,9 @@ from pyspark.sql import functions as F
 def stream_interval_join(anchors: DataFrame, probes: DataFrame,
                          key: str = "user_id",
                          horizon_s: int = 600,
-                         watermark: str = "10 minutes") -> DataFrame:
-    """Inner join of two event-time streams: every probe row that
+                         watermark: str = "10 minutes",
+                         how: str = "inner") -> DataFrame:
+    """Join of two event-time streams: every probe row that
     falls within ``[anchor.ts, anchor.ts + horizon_s]`` of an anchor
     row with the same key — "activity within 10 minutes of an error".
 
@@ -40,6 +41,16 @@ def stream_interval_join(anchors: DataFrame, probes: DataFrame,
     harness ships naive parquet micros — TIMESTAMP_NTZ under Spark 4 —
     and interval arithmetic/watermarks want one zone story; the engine
     pins UTC).
+
+    ``how='left_outer'`` adds the no-match verdicts: an anchor with NO
+    probe in its horizon emits once — with NULL probe fields — when the
+    watermark passes (a_ts + horizon), i.e. when the negative is
+    PROVEN, not merely unobserved yet. That is the streaming version of
+    "error with no recovery inside 10 minutes", and it falls straight
+    out of the state-eviction machinery: the null row is emitted at
+    eviction time. Rows still buffered when the stream simply stops are
+    not emitted — absence of evidence only becomes evidence at the
+    watermark.
     """
     a = anchors.select(
         F.col(key).alias("a_key"),
@@ -58,7 +69,7 @@ def stream_interval_join(anchors: DataFrame, probes: DataFrame,
         & (F.col("p_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {horizon_s} SECONDS"))
         & (F.col("anchor_id") != F.col("probe_id"))
     )
-    return a.join(p, cond).select(
+    return a.join(p, cond, how).select(
         F.col("a_key").alias("user_id"),
         "anchor_id",
         "probe_id",

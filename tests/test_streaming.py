@@ -601,3 +601,61 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT * FROM ssj_out")
     assert _canon(got) == _canon(want)
     assert got.count() > 0, "join produced no rows — fixture too sparse"
+
+
+def test_stream_stream_left_outer_emits_proven_negatives(spark, tmp_path):
+    """left_outer: an anchor with no probe in its horizon must emit a
+    NULL-probe row — but only once the watermark PROVES the negative
+    (advanced past a_ts + horizon by later batches). user 1's error has
+    recovery activity inside 10 min (match row); user 2's has none
+    (null row, emitted when batch 2/3 push the watermark past it)."""
+    import datetime as dt
+
+    from ntripmonitor_spark.streaming import joins as sj
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def ev(eid, minutes, uid, etype):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, etype, 0.0, "{}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # The global watermark is the MIN across both sides' watermarks
+    # (multipleWatermarkPolicy=min), so later batches must carry BOTH
+    # late errors (anchor side) and late non-errors (probe side) or the
+    # lagging side pins the watermark and nothing is ever evicted.
+    batches = [
+        [ev(1, 0, 1, "error"), ev(2, 0, 2, "error")],
+        [ev(3, 1, 1, "click"), ev(4, 120, 4, "view"), ev(5, 120, 5, "error")],
+        [ev(6, 240, 4, "view"), ev(7, 240, 5, "error")],
+    ]
+    src = str(tmp_path / "ev_src")
+    import time as _time
+
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    joined = sj.stream_interval_join(
+        stream.filter("event_type = 'error'"), stream.filter("event_type <> 'error'"),
+        horizon_s=600, how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["anchor_id"]: r for r in spark.sql("SELECT * FROM ssj_outer").collect()}
+    assert rows[1]["probe_id"] == 3 and rows[1]["gap_us"] == 60_000_000
+    assert rows[2]["probe_id"] is None and rows[2]["gap_us"] is None
+    # u1's matched anchor must NOT also emit a null row
+    assert sum(1 for r in spark.sql("SELECT * FROM ssj_outer").collect()
+               if r["anchor_id"] == 1) == 1
