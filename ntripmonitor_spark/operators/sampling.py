@@ -445,3 +445,32 @@ def weighted_sample_topk(docs: DataFrame, k: int = 200,
         .orderBy(F.col("priority").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pack_utilization(docs: DataFrame, pack_tokens: int = 512) -> DataFrame:
+    """Packing-quality report over :func:`sequence_pack`'s output — the
+    number a training run actually cares about (padding waste is paid
+    in GPU-hours): per source, pack count, mean/min fill fraction and
+    the share of under-half-full packs.
+
+    A pack's fill = its token sum / capacity; greedy packing overflows
+    a pack's LAST doc past the boundary, so fill can exceed 1 — the
+    report clamps nothing and measures what the packer really did.
+    One bounded aggregation over the packer's output (per-pack rows =
+    output-scale, then |sources| rows); adds no corpus-scaled work.
+    """
+    packed = sequence_pack(docs, pack_tokens)
+    per_pack = packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tok"),
+    )
+    fill = F.col("tok").cast("double") / pack_tokens
+    return per_pack.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.round(F.avg(fill), 6).alias("avg_fill"),
+        F.round(F.min(fill), 6).alias("min_fill"),
+        F.round(
+            F.avg(F.when(fill < 0.5, 1.0).otherwise(0.0)), 6
+        ).alias("frac_underhalf"),
+        F.round(F.avg("n_docs"), 6).alias("avg_docs_per_pack"),
+    )

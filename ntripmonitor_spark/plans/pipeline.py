@@ -3342,3 +3342,51 @@ def er03_blocking_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
     blk = F.expr("substring(c_name, 1, length(c_name) - 2)")
     return dd.blocking_profile(cust, blk, id_col="c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# tp04 — pack-utilization report (padding waste = GPU-hours).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tp04_pack_utilization",
+    bench=True,
+    tags=("sampling",),
+    doc="Per-source fill-fraction report over tp01's greedy packing.",
+    oracle="""
+WITH packed AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(shard * 1048576
+                + FLOOR((SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0)
+                AS BIGINT) AS pack_id
+    FROM (
+        SELECT doc_id, source,
+               len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+               ((doc_id * 2654435761) % 4294967296) % 16 AS shard
+        FROM documents
+    )
+),
+per_pack AS (
+    SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tok
+    FROM packed GROUP BY 1, 2
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_packs,
+       round(avg(tok / 512.0), 6) AS avg_fill,
+       round(min(tok / 512.0), 6) AS min_fill,
+       round(avg(CASE WHEN tok / 512.0 < 0.5 THEN 1.0 ELSE 0.0 END), 6) AS frac_underhalf,
+       round(avg(CAST(n_docs AS DOUBLE)), 6) AS avg_docs_per_pack
+FROM per_pack GROUP BY source
+""",
+)
+def tp04_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report a training run budgets GPU-hours with: per
+    source, pack count and fill-fraction stats (mean/min/under-half
+    share) over tp01's greedy packs. Fill values are exact multiples of
+    2^-9, so every aggregate is order-independent and engine-exact.
+    Bounded post-packing aggregation — no corpus-scaled work added."""
+    from ntripmonitor_spark.operators import sampling
+
+    return sampling.pack_utilization(table(spark, sf_dir, "documents"))

@@ -806,3 +806,41 @@ def q22_no_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("c_acctbal")).alias("total_bal"),
         )
     )
+
+
+@register(
+    "q23_value_deciles",
+    bench=True,
+    tags=("relational",),
+    doc="Per-type decile buckets of event value (ntile window + rollup).",
+    oracle="""
+WITH d AS (
+    SELECT event_type, value,
+           ntile(10) OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS decile
+    FROM events
+)
+SELECT event_type, CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 6) AS lo,
+       round(max(value), 6) AS hi
+FROM d GROUP BY 1, 2
+""",
+)
+def q23_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank surface (ntile): per event type, the 10-way
+    equal-count value bucketing with each decile's row count and value
+    bounds — the exact-rank cousin of qa01's percentile thresholds.
+    One keyed window sort feeding a bounded aggregate on the SAME
+    partitioning (single exchange); at corpus scale the approx
+    twin is qa01 (no per-key sort)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return (
+        ev.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
