@@ -215,10 +215,17 @@ def kmv_set_algebra(df: DataFrame, group_col: str = "event_type",
         .withColumn("h", F.pmod(F.col(member_col).cast("long") * F.lit(KNUTH), F.lit(1 << 32)))
     )
     w = Window.partitionBy(group_col).orderBy(F.col("h").asc(), F.col(member_col).asc())
+    # The sketch relation (k x |groups| rows) feeds FIVE plan branches
+    # (theta, both merge legs, both intersection sides); without
+    # materialization each branch re-runs the corpus distinct-reduce —
+    # the one input-scaled job this operator has. Persisting the
+    # bounded sketch makes everything downstream sketch-vs-sketch
+    # arithmetic, which is the operator's entire premise.
     sk = (
         d.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(F.col(group_col).alias("g"), "h", "rk")
+        .persist()
     )
     theta = sk.groupBy("g").agg(F.max("h").alias("theta"), F.count(F.lit(1)).alias("n_sk"))
 
