@@ -176,3 +176,39 @@ def hybrid_rrf(docs: DataFrame, emb: DataFrame,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def phrase_search(docs: DataFrame, phrase: str,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact phrase search over POSITIONAL postings — the query class
+    bag-of-words retrieval (in01/bm01) cannot answer: the phrase's
+    terms must appear at CONSECUTIVE positions.
+
+    Shape: the corpus explodes once to (doc, term, pos) — the
+    positional posting relation a real index stores — then the phrase
+    is matched by self-equi-joins on (doc, pos + i): term_i's postings
+    join term_0's shifted by i. Each join is keyed by (doc_id,
+    position) — fully hash-partitionable, no window, no regex scan of
+    the raw text. At index time the posting relation is the silver
+    table, so the per-query cost is |postings(term_0)| + ... joins,
+    not a corpus scan; rare-term-first ordering (the standard IR trick)
+    drops the probe volume further.
+
+    Output: (doc_id, n_matches) per document containing the phrase at
+    least once — with match positions countable since postings are
+    positional.
+    """
+    words = [w for w in phrase.lower().split(" ") if w]
+    if not words:
+        raise ValueError("empty phrase")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    post = (
+        docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "term"))
+    )
+    base = post.filter(F.col("term") == words[0]).select(id_col, "pos")
+    for i, wd in enumerate(words[1:], start=1):
+        nxt = post.filter(F.col("term") == wd).select(
+            F.col(id_col), (F.col("pos") - i).alias("pos")
+        )
+        base = base.join(nxt, [id_col, "pos"])
+    return base.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))

@@ -273,3 +273,39 @@ def ewma_daily(events: DataFrame, alpha: float = 0.3,
         F.round("x", 6).alias("day_mean"),
         F.round(F.pow(decay, F.col("i")) * acc, 6).alias("ewma"),
     )
+
+
+def ohlc_downsample(events: DataFrame, bucket_s: int = 3600,
+                    key_col: str = "event_type", ts_col: str = "ts",
+                    value_col: str = "value") -> DataFrame:
+    """OHLC downsampling — the render-side reduction every dashboard
+    applies before plotting a dense series: per (key, time bucket) the
+    opening / high / low / closing value plus the event count.
+
+    Open/close need ORDER within the bucket: two row_number windows
+    (asc, desc) on the SAME (key, bucket) partitioning — Catalyst
+    plans one exchange, two sorts — then a conditional aggregate picks
+    the rank-1 rows. Ties broken by event_id, so the result is
+    deterministic and engine-reproducible (min_by/arg_min with
+    composite keys are not portable across engines' tie rules).
+    Per-bucket state is O(1); bucket grain controls output size, not
+    shuffle count.
+    """
+    bkt = F.floor(epoch_us(ts_col) / (bucket_s * 1_000_000)).cast("long")
+    staged = events.select(
+        F.col(key_col), bkt.alias("bkt"), F.col(ts_col), "event_id", F.col(value_col)
+    )
+    asc = Window.partitionBy(key_col, "bkt").orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    desc = Window.partitionBy(key_col, "bkt").orderBy(F.col(ts_col).desc(), F.col("event_id").desc())
+    ranked = staged.select(
+        key_col, "bkt", value_col,
+        F.row_number().over(asc).alias("rf"),
+        F.row_number().over(desc).alias("rl"),
+    )
+    return ranked.groupBy(key_col, "bkt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max(F.when(F.col("rf") == 1, F.col(value_col))), 6).alias("open"),
+        F.round(F.max(value_col), 6).alias("high"),
+        F.round(F.min(value_col), 6).alias("low"),
+        F.round(F.max(F.when(F.col("rl") == 1, F.col(value_col))), 6).alias("close"),
+    )

@@ -173,3 +173,36 @@ def rc01_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings"),
         BM25_QUERIES, k_leg=20, k=10,
     )
+
+
+@register(
+    "in02_phrase_search",
+    bench=True,
+    tags=("retrieval",),
+    doc="Exact phrase search via positional-posting self-joins.",
+    oracle="""
+WITH p AS (
+    SELECT doc_id, i - 1 AS pos, ws[i] AS term
+    FROM (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        FROM documents
+    ), LATERAL unnest(range(1, len(ws) + 1)) AS t(i)
+)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM p a
+JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = 'table'
+JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.term = 'hash'
+WHERE a.term = 'stream'
+GROUP BY a.doc_id
+""",
+)
+def in02_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query class bag-of-words retrieval cannot answer: exact
+    phrase containment ('stream table hash') via positional postings —
+    term_i's postings equi-join term_0's shifted by i, keyed by
+    (doc_id, position). No window, no regex corpus scan; with the
+    posting relation as a silver table the per-query cost is the
+    postings of the phrase terms, not the corpus."""
+    from ntripmonitor_spark.operators import retrieval
+
+    return retrieval.phrase_search(table(spark, sf_dir, "documents"), "stream table hash")

@@ -64,3 +64,39 @@ def sn02_reconnect_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Disconnect→reconnect pairing (K5): reconnect = next event of
     the same key; open outages have NULL reconnect."""
     return sessions.reconnect_pairs(table(spark, sf_dir, "events"))
+
+
+@register(
+    "sn03_native_sessions",
+    bench=True,
+    tags=("sessions",),
+    doc="Gap sessions via Spark's native session_window aggregate.",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+),
+sess AS (
+    SELECT user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS INT) AS n_events,
+       CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000) AS BIGINT) AS duration_s
+FROM sess GROUP BY user_id, sid
+""",
+)
+def sn03_native_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sn01's sessions through the engine-native session_window
+    aggregate (one keyed exchange, merge-on-aggregate): the exact
+    operator a streaming sessionization reuses with a watermark. The
+    oracle pins the native gap rule (close at gap >= 30 min, where
+    sn01's flag formulation closes only at gap > 30 min)."""
+    from ntripmonitor_spark.streaming import sessions
+
+    return sessions.sessionize_native(table(spark, sf_dir, "events"))

@@ -205,3 +205,35 @@ def an04_ewma_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     window prefix sum over the bounded (type, day) aggregate; the raw
     corpus aggregates once (exact decimal) and is never window-sorted."""
     return timeseries.ewma_daily(table(spark, sf_dir, "events"), alpha=0.3)
+
+
+@register(
+    "ts02_ohlc_downsample",
+    bench=True,
+    tags=("timeseries",),
+    doc="Per-type hourly OHLC render-side downsampling.",
+    oracle="""
+WITH r AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bkt,
+           value,
+           row_number() OVER (PARTITION BY event_type, floor(epoch_us(ts) / 3600000000)
+                              ORDER BY ts ASC, event_id ASC) AS rf,
+           row_number() OVER (PARTITION BY event_type, floor(epoch_us(ts) / 3600000000)
+                              ORDER BY ts DESC, event_id DESC) AS rl
+    FROM events
+)
+SELECT event_type, bkt, CAST(count(*) AS BIGINT) AS n,
+       round(max(CASE WHEN rf = 1 THEN value END), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(max(CASE WHEN rl = 1 THEN value END), 6) AS close
+FROM r GROUP BY 1, 2
+""",
+)
+def ts02_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard-grade series reduction: per (event type, hour) the
+    open/high/low/close values and count — two rank windows on one
+    (key, bucket) exchange feeding a conditional aggregate; ties
+    broken by event_id so both engines pick identical open/close."""
+    return timeseries.ohlc_downsample(table(spark, sf_dir, "events"))

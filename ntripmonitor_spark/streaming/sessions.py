@@ -155,3 +155,34 @@ def reconnect_pairs(events: DataFrame, down_type: str = "error") -> DataFrame:
             ).alias("outage_s"),
         )
     )
+
+
+def sessionize_native(events: DataFrame, gap_s: int = DEFAULT_GAP_S,
+                      key: str = "user_id", ts: str = "ts") -> DataFrame:
+    """Gap sessions via Spark's NATIVE ``session_window`` aggregate —
+    the engine-builtin twin of :func:`sessionize_batch`'s window-sum
+    formulation, and the one that runs UNCHANGED as a streaming
+    aggregation (watermark + session_window + merge-on-trigger, with
+    state eviction for free) where the window-sum plan needs the
+    applyInPandasWithState operator.
+
+    Semantics note pinned by the oracle: session_window closes at gap
+    >= gap_s (an event exactly gap_s after the previous one starts a
+    NEW session), whereas sessionize_batch's ``gap > gap_s`` flag
+    keeps it — off-by-one-microsecond family differences that real
+    migrations must pin down, which is why both are exposed.
+    """
+    sw = F.session_window(F.col(ts).cast("timestamp_ltz"), f"{gap_s} seconds")
+    return (
+        events.groupBy(F.col(key).alias("user_id"), sw)
+        .agg(
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+        )
+        .withColumn(
+            "duration_s",
+            F.floor((epoch_us("session_end") - epoch_us("session_start")) / F.lit(1_000_000)),
+        )
+        .drop("session_window")
+    )
