@@ -172,7 +172,13 @@ def sessionize_native(events: DataFrame, gap_s: int = DEFAULT_GAP_S,
     keeps it — off-by-one-microsecond family differences that real
     migrations must pin down, which is why both are exposed.
     """
-    sw = F.session_window(F.col(ts).cast("timestamp_ltz"), f"{gap_s} seconds")
+    # Cast NTZ input to the session-zoned type — but ONLY when needed:
+    # wrapping an already-watermarked TIMESTAMP column in a (no-op)
+    # cast strips the eventTime watermark metadata, and the streaming
+    # aggregation then rejects append mode as "without watermark".
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in events.schema.fields)[ts]
+    ts_col = F.col(ts) if ts_type == "timestamp" else F.col(ts).cast("timestamp_ltz")
+    sw = F.session_window(ts_col, f"{gap_s} seconds")
     return (
         events.groupBy(F.col(key).alias("user_id"), sw)
         .agg(

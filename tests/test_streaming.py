@@ -659,3 +659,58 @@ def test_stream_stream_left_outer_emits_proven_negatives(spark, tmp_path):
     # u1's matched anchor must NOT also emit a null row
     assert sum(1 for r in spark.sql("SELECT * FROM ssj_outer").collect()
                if r["anchor_id"] == 1) == 1
+
+
+def test_native_session_window_streams_closed_sessions(spark, sf_dir, tmp_path):
+    """sessionize_native run AS A STREAM (watermark + session_window,
+    append mode): every emitted session must be exactly a session the
+    batch plan produces (same start/end/count), and all sessions that
+    closed well inside the final watermark must have been emitted."""
+    import time as _time
+
+    from ntripmonitor_spark.streaming import sessions
+
+    ev = table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_src")
+    sliced = ev.orderBy("ts", "event_id").limit(3000).collect()
+    for i in range(3):
+        spark.createDataFrame(sliced[i * 1000:(i + 1) * 1000], ev.schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    wm = stream.withColumn("ts", stream["ts"].cast("timestamp_ltz")).withWatermark("ts", "30 minutes")
+    out = sessions.sessionize_native(wm)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("native_sess")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM native_sess").collect()
+    }
+    static = spark.createDataFrame(sliced, ev.schema)
+    batch = sessions.sessionize_native(static)
+    want_all = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in batch.collect()
+    }
+    assert got, "stream emitted no closed sessions"
+    assert got <= want_all, f"stream emitted sessions batch doesn't have: {sorted(got - want_all)[:3]}"
+    # sessions that closed >1 watermark before the stream's end must all be out
+    import datetime as dt
+
+    max_ts = max(r["ts"] for r in sliced)
+    horizon = max_ts - dt.timedelta(minutes=90)  # watermark + gap + slack
+    must_emit = {s for s in want_all if dt.datetime.fromisoformat(s[2]) < horizon}
+    assert must_emit <= got, f"missing closed sessions: {sorted(must_emit - got)[:3]}"
