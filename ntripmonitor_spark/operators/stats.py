@@ -290,3 +290,41 @@ def welch_t_drift(df: DataFrame, value_col: str = "n_chars",
         F.round(m2, 6).alias("mean_rest"),
         F.round(t, 6).alias("t_stat"),
     )
+
+
+def robust_outlier_screen(docs: DataFrame, value_col: str = "n_chars",
+                          group_col: str = "source",
+                          z_cut: float = 3.5) -> DataFrame:
+    """Median/MAD outlier screen (the robust alternative to mean/std,
+    which an outlier can drag far enough to hide itself): per group,
+    the median, the median absolute deviation, and how many rows the
+    modified z-score 0.6745*(x - med)/MAD flags beyond ``z_cut``
+    (Iglewicz-Hoaglin's standard cutoff).
+
+    Two-pass by necessity (MAD is a median OF deviations from the
+    median): each pass is one exact per-group percentile aggregate —
+    a single keyed exchange — with the |groups|-row median relation
+    broadcast back between passes. At 100 TB swap both passes to
+    approx_percentile (same shape as qa01's scale twin).
+    """
+    med = docs.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    with_dev = docs.join(F.broadcast(med), group_col).withColumn(
+        "_dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = with_dev.groupBy(group_col).agg(F.expr("percentile(_dev, 0.5)").alias("mad"))
+    scored = with_dev.join(F.broadcast(mad), group_col)
+    rz = F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad")
+    return (
+        scored.groupBy(group_col)
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.round(F.max("med"), 6).alias("median"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("mad") > 0, F.when(F.abs(rz) > z_cut, 1).otherwise(0))
+            ).alias("n_outliers"),
+        )
+    )

@@ -5,7 +5,7 @@ BroadcastNestedLoopJoin (plan-pinned in tests/test_plans.py)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ntripmonitor_spark.operators import joins
@@ -240,3 +240,46 @@ def rj02_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.interval_overlap_join(
         ev, F.col("event_type") == "error", F.col("event_type") == "purchase"
     )
+
+
+@register(
+    "fn03_user_growth",
+    bench=True,
+    tags=("funnel",),
+    doc="Daily active / new / cumulative users in two bounded aggregates.",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+),
+dau AS (
+    SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS n_active
+    FROM events GROUP BY 1
+),
+news AS (
+    SELECT first_day AS day, count(*) AS n_new FROM firsts GROUP BY 1
+)
+SELECT dau.day, CAST(dau.n_active AS BIGINT) AS n_active,
+       CAST(coalesce(news.n_new, 0) AS BIGINT) AS n_new,
+       CAST(sum(coalesce(news.n_new, 0)) OVER (ORDER BY dau.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cumulative
+FROM dau LEFT JOIN news ON news.day = dau.day
+""",
+)
+def fn03_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth dashboard every telemetry deployment ships: per day,
+    active users (exact distinct), first-seen ("new") users, and the
+    cumulative user count. Two corpus aggregates — per-user first-day
+    and per-day distinct — both map-side combined; the join + running
+    sum operate on the |days|-row relation (the global running-sum
+    window is over that bounded relation only, same rationale as
+    tx09's top-V rank)."""
+    ev = table(spark, sf_dir, "events")
+    day = F.col("ts").cast("timestamp_ltz").cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    dau = ev.groupBy(day.alias("day")).agg(F.count_distinct("user_id").alias("n_active"))
+    news = firsts.groupBy(F.col("first_day").alias("day")).agg(F.count(F.lit(1)).alias("n_new"))
+    j = dau.join(news, "day", "left").select(
+        "day", "n_active", F.coalesce("n_new", F.lit(0)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return j.select("day", "n_active", "n_new", F.sum("n_new").over(w).alias("n_cumulative"))

@@ -3390,3 +3390,101 @@ def tp04_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntripmonitor_spark.operators import sampling
 
     return sampling.pack_utilization(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# gr02 — near-dup graph degree distribution (boilerplate-hub detector).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gr02_dup_degree",
+    bench=True,
+    tags=("dedup",),
+    doc="Degree distribution of the MinHash-LSH near-dup graph.",
+    oracle=f"""
+WITH {_SH_CTE},
+mh AS (
+    SELECT doc_id,
+           {_MH_MINS}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+    {_MH_BANDS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+deg AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT doc_a AS doc_id FROM cand UNION ALL SELECT doc_b FROM cand
+    ) GROUP BY doc_id
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY degree
+""",
+)
+def gr02_dup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is the near-duplicate graph? Per-doc degree
+    over dd03's LSH candidate pairs, collapsed to a (degree, n_docs)
+    distribution — the shape that separates organic duplication (a
+    thin tail of pairs/triples) from boilerplate hubs (one template
+    near-dupping thousands of pages, which both melts the pairwise
+    join AND signals content to drop wholesale). Two bounded
+    aggregates over the pair list; input-scaled work is dd03's."""
+    pairs = dedup.minhash_lsh_pairs(table(spark, sf_dir, "documents")).select("doc_a", "doc_b")
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# qa03 — median/MAD robust outlier screen.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qa03_robust_outliers",
+    bench=True,
+    tags=("quality",),
+    doc="Per-source median/MAD modified-z outlier screen on doc length.",
+    oracle="""
+WITH med AS (
+    SELECT source, quantile_cont(n_chars, 0.5) AS med,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM documents GROUP BY source
+),
+dev AS (
+    SELECT d.source, d.n_chars, m.med, m.n_rows,
+           abs(d.n_chars - m.med) AS adev
+    FROM documents d JOIN med m USING (source)
+),
+mad AS (
+    SELECT source, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY source
+)
+SELECT dev.source, max(dev.n_rows) AS n_rows,
+       round(max(dev.med), 6) AS median,
+       round(max(mad.mad), 6) AS mad,
+       CAST(sum(CASE WHEN mad.mad > 0
+                     AND abs(0.6745 * (dev.n_chars - dev.med) / mad.mad) > 3.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (source)
+GROUP BY dev.source
+""",
+)
+def qa03_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length screening: median + MAD + count of
+    modified-z outliers beyond 3.5 (Iglewicz-Hoaglin) — the screen a
+    mean/std version fails exactly when it matters, because the
+    outlier drags the mean toward itself. Two exact percentile passes
+    with the bounded median relation broadcast between them; the
+    100 TB dial is approx_percentile in both passes."""
+    from ntripmonitor_spark.operators import stats
+
+    return stats.robust_outlier_screen(table(spark, sf_dir, "documents"))

@@ -153,6 +153,12 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tx10_bigram_nll",
         "tx11_gopher_rules",
         "tx12_pmi_collocations",
+        # deferred from the stale-reverification batch to round 6 when
+        # fn03/gr02/qa03 landed (window stays exactly 50): r1-green,
+        # unchanged pure-column ops — lowest regression risk
+        "tx04_fingerprint",
+        "tx05_repetition",
+        "tx06_pii_scrub",
     }
 )
 
