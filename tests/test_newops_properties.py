@@ -533,3 +533,69 @@ def test_sk02_estimates_track_exact_set_algebra(spark, sf_dir):
         assert abs(r["union_est"] - exact_u) / exact_u < 0.375, (a, b, r["union_est"], exact_u)
         if exact_i:
             assert abs(r["inter_est"] - exact_i) / exact_i < 0.5, (a, b, r["inter_est"], exact_i)
+
+
+def test_ws01_sample_is_length_biased(spark, sf_dir):
+    """The weighted draw must actually bias: mean n_chars of the
+    selected 200 docs exceeds the corpus mean (A-ES with w = length),
+    and the selection is reproducible run-to-run."""
+    from ntripmonitor_spark.operators.sampling import weighted_sample_topk
+    from ntripmonitor_spark.tables import table as load
+
+    docs = load(spark, sf_dir, "documents")
+    s1 = weighted_sample_topk(docs, k=200).collect()
+    s2 = weighted_sample_topk(docs, k=200).collect()
+    assert [r["doc_id"] for r in s1] == [r["doc_id"] for r in s2]
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r["n_chars"] for r in s1) / len(s1)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_in02_finds_planted_phrase_at_any_offset(spark):
+    """Positional phrase match must hit regardless of where the phrase
+    sits in the doc, count repeats, and never fire on the scrambled
+    or gapped variants bag-of-words retrieval would match."""
+    from ntripmonitor_spark.operators.retrieval import phrase_search
+
+    phrase = "red green blue"
+    rows = [
+        (1, "red green blue starts here"),
+        (2, "pad pad red green blue"),
+        (3, "a red green blue b red green blue c"),   # twice
+        (4, "red blue green"),                         # scrambled
+        (5, "red green pad blue"),                     # gapped
+        (6, "nothing relevant"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_matches"] for r in phrase_search(docs, phrase).collect()}
+    assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_qa03_flags_planted_outlier_mean_std_would_mask(spark):
+    """A single huge doc in an otherwise tight group: MAD flags it
+    (and only it); the same doc dragging the MEAN demonstrates why the
+    robust screen exists."""
+    from ntripmonitor_spark.operators.stats import robust_outlier_screen
+
+    rows = [(i, "x", "webA", 100 + (i % 7)) for i in range(40)]
+    rows.append((99, "x", "webA", 100_000))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
+    r = robust_outlier_screen(docs).collect()[0]
+    assert r["n_outliers"] == 1
+    assert abs(r["median"] - 103) <= 3
+
+
+def test_fn03_growth_conserves_users(spark, sf_dir):
+    """Cumulative count on the last day must equal the total distinct
+    user population, and n_new must sum to it too."""
+    from ntripmonitor_spark.plans import REGISTRY
+    from ntripmonitor_spark.tables import table as load
+
+    rows = sorted(
+        REGISTRY["fn03_user_growth"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    total = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert rows[-1]["n_cumulative"] == total
+    assert sum(r["n_new"] for r in rows) == total
+    assert all(r["n_active"] <= total for r in rows)
