@@ -374,17 +374,18 @@ def patchify_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             img = np.pad(img, ((0, ph - h), (0, pw - w)))
             grid = img.reshape(ph // PATCH, PATCH, pw // PATCH, PATCH).sum(axis=(1, 3))
             nr, nc = grid.shape
-            for pr in range(nr):
-                for pc in range(nc):
-                    ids.append(doc_id)
-                    iws.append(w)
-                    ihs.append(h)
-                    prs.append(pr)
-                    pcs.append(pc)
-                    sums.append(int(grid[pr, pc]))
+            # vectorized emission — a Python loop per PATCH (not per
+            # doc) dominated the kernel at 10x scale
+            ids.append(np.full(nr * nc, doc_id, dtype=np.int64))
+            iws.append(np.full(nr * nc, w, dtype=np.int32))
+            ihs.append(np.full(nr * nc, h, dtype=np.int32))
+            prs.append(np.repeat(np.arange(nr, dtype=np.int32), nc))
+            pcs.append(np.tile(np.arange(nc, dtype=np.int32), nr))
+            sums.append(grid.ravel())
+        cat = (lambda xs: np.concatenate(xs) if xs else np.array([], dtype=np.int64))
         yield pd.DataFrame(
-            {"doc_id": ids, "img_w": iws, "img_h": ihs,
-             "patch_row": prs, "patch_col": pcs, "patch_sum": sums}
+            {"doc_id": cat(ids), "img_w": cat(iws), "img_h": cat(ihs),
+             "patch_row": cat(prs), "patch_col": cat(pcs), "patch_sum": cat(sums)}
         )
 
 
