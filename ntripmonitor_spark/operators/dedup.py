@@ -961,10 +961,16 @@ def blocking_profile(records: DataFrame, block_col: Column,
         F.sum(F.col("b") * (F.col("b") - 1) / 2).cast("bigint").alias("n_candidates"),
     ).select(
         "n_records", "n_blocks", "max_block", "n_candidates",
-        F.round(
-            F.lit(1.0)
-            - F.col("n_candidates")
-            / (F.col("n_records") * (F.col("n_records") - 1) / 2.0),
-            6,
+        # <2 records: C(n,2) = 0, RR undefined (null), not a crash —
+        # ANSI division would otherwise kill the job on a near-empty
+        # partition of a 100 TB run
+        F.when(
+            F.col("n_records") > 1,
+            F.round(
+                F.lit(1.0)
+                - F.col("n_candidates")
+                / (F.col("n_records") * (F.col("n_records") - 1) / 2.0),
+                6,
+            ),
         ).alias("reduction_ratio"),
     )

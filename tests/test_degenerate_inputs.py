@@ -193,3 +193,44 @@ def test_er02_survives_no_matches(spark):
     )
     out = dedup.entity_clusters(c, "c_custkey", "c_name").collect()
     assert sorted((r["entity_id"], r["n_records"]) for r in out) == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_round5_doc_ops_survive_empty_and_single(empty_docs, one_doc):
+    from ntripmonitor_spark.operators import curation, multimodal
+    from pyspark.sql import functions as F2
+
+    ops = [
+        lambda d: sampling.weighted_sample_topk(d, k=5),
+        lambda d: sampling.pack_utilization(d),
+        lambda d: text.stupid_backoff_nll(d),
+        lambda d: dedup.bbit_minhash_pairs(d),
+        lambda d: dedup.blocking_profile(d, F2.substring("text", 1, 3), id_col="doc_id"),
+        lambda d: curation.drop_reasons(d),
+        lambda d: stats.robust_outlier_screen(d),
+        lambda d: multimodal.patchify(d),
+        lambda d: retrieval.phrase_search(d, "just one tiny"),
+    ]
+    for op in ops:
+        op(empty_docs).collect()   # must not raise
+        op(one_doc).collect()      # must not raise
+
+
+def test_round5_event_ops_survive_empty_and_single(spark, empty_events):
+    from ntripmonitor_spark.operators import profile, skew
+    from ntripmonitor_spark.streaming import sessions as ssn
+
+    one = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1), 7, "click", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    for ev in (empty_events, one):
+        skew.salted_distinct_count(ev, "event_type", "user_id").collect()
+        skew.salted_join(
+            ev, ev.groupBy("event_type").agg(F.avg("value").alias("m")),
+            "event_type", "event_id",
+        ).collect()
+        profile.profile_table(ev, ["event_id", "user_id", "value"]).collect()
+        timeseries.ewma_daily(ev).collect()
+        timeseries.ohlc_downsample(ev).collect()
+        sketch.kmv_set_algebra(ev).collect()
+        ssn.sessionize_native(ev).collect()
