@@ -391,3 +391,46 @@ def patchify_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def patchify(docs: DataFrame) -> DataFrame:
     return binary_payloads(docs).mapInPandas(patchify_batch, schema=PATCH_SCHEMA)
+
+
+# Magic-byte prefixes (hex, as `hex()` renders them in both engines).
+MAGIC_PREFIXES: tuple[tuple[str, str], ...] = (
+    ("89504E47", "png"),
+    ("FFD8FF", "jpeg"),
+    ("52494646", "riff"),
+    ("25504446", "pdf"),
+    ("474946", "gif"),
+)
+
+
+def sniff_modality(payload_col) -> "F.Column":
+    """Content-sniffed modality from magic bytes — the router in front
+    of every mm* kernel: metadata lies (wrong extensions, vendor drops
+    with no extension at all), the first bytes don't. Pure column
+    expression over hex(prefix) — zero-shuffle, pushes into the scan
+    projection, and at 100 TB reads only the column chunk header
+    bytes it needs."""
+    hexpfx = F.hex(payload_col)
+    expr = F.lit("unknown")
+    for magic, name in reversed(MAGIC_PREFIXES):
+        expr = F.when(F.substring(hexpfx, 1, len(magic)) == magic, name).otherwise(expr)
+    return expr
+
+
+def modality_census(docs: DataFrame) -> DataFrame:
+    """Per-modality census over a mixed binary drop: synthesizes a
+    deterministic mixed-modality payload column (magic prefix by
+    doc_id — the harness stand-in for a real mixed drop), sniffs, and
+    reports (modality, n_docs, total_bytes). One scan, one bounded
+    aggregate."""
+    magic = F.lit("")
+    for i, (m, _) in enumerate(MAGIC_PREFIXES[:4]):
+        magic = F.when(F.col("doc_id") % 5 == i, F.lit(m)).otherwise(magic)
+    payload = F.unhex(F.concat(magic, F.hex(F.col("text").cast("binary"))))
+    staged = docs.select("doc_id", payload.alias("payload"))
+    return (
+        staged.select(sniff_modality(F.col("payload")).alias("modality"),
+                      F.length("payload").alias("nb"))
+        .groupBy("modality")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nb").alias("total_bytes"))
+    )

@@ -3488,3 +3488,46 @@ def qa03_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntripmonitor_spark.operators import stats
 
     return stats.robust_outlier_screen(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# mm09 — magic-byte modality router / census.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm09_modality_census",
+    bench=True,
+    tags=("multimodal",),
+    doc="Magic-byte sniffed modality census over a mixed binary drop.",
+    oracle="""
+WITH staged AS (
+    SELECT doc_id,
+           unhex(CASE doc_id % 5
+                 WHEN 0 THEN '89504E47' WHEN 1 THEN 'FFD8FF'
+                 WHEN 2 THEN '52494646' WHEN 3 THEN '25504446'
+                 ELSE '' END || hex(encode(text))) AS payload
+    FROM documents
+),
+sniffed AS (
+    SELECT CASE
+             WHEN substr(hex(payload), 1, 8) = '89504E47' THEN 'png'
+             WHEN substr(hex(payload), 1, 6) = 'FFD8FF' THEN 'jpeg'
+             WHEN substr(hex(payload), 1, 8) = '52494646' THEN 'riff'
+             WHEN substr(hex(payload), 1, 8) = '25504446' THEN 'pdf'
+             WHEN substr(hex(payload), 1, 6) = '474946' THEN 'gif'
+             ELSE 'unknown' END AS modality,
+           octet_length(payload) AS nb
+    FROM staged
+)
+SELECT modality, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nb) AS BIGINT) AS total_bytes
+FROM sniffed GROUP BY modality
+""",
+)
+def mm09_modality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-sniffing router census: magic-byte modality detection
+    (metadata lies; first bytes don't) over a deterministic mixed
+    binary drop — the dispatch stage in front of every mm* kernel.
+    Pure column sniff + one bounded aggregate; zero joins."""
+    return multimodal.modality_census(table(spark, sf_dir, "documents"))

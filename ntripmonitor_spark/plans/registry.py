@@ -159,6 +159,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tx04_fingerprint",
         "tx05_repetition",
         "tx06_pii_scrub",
+        "q20_topk_per_group",
     }
 )
 
