@@ -474,3 +474,44 @@ def pack_utilization(docs: DataFrame, pack_tokens: int = 512) -> DataFrame:
         ).alias("frac_underhalf"),
         F.round(F.avg("n_docs"), 6).alias("avg_docs_per_pack"),
     )
+
+
+def loss_aware_mix(docs: DataFrame, eta: float = 1.0,
+                   vocab_size: int = 64) -> DataFrame:
+    """Loss-aware source reweighting (the DoReMi/Group-DRO shape at
+    its simplest): score every source by its mean LM surprisal under
+    the corpus unigram model (tx07's proxy for "how hard is this
+    domain"), then exponentially upweight above-average-loss sources
+    — exp(eta * excess), normalized. The reweighting loop a mixture-
+    optimization run iterates, as one declarative plan per step.
+
+    All per-doc scores are rounded to 6 decimals and aggregated in
+    exact DECIMAL, so the per-source means are independent of float
+    summation order; the softmax runs over the |sources|-row relation.
+    Output: (source, n_docs, mean_nll, excess, weight), weights
+    summing to 1.
+    """
+    from ntripmonitor_spark.operators.text import unigram_surprisal
+
+    scored = unigram_surprisal(docs, vocab_size=vocab_size).filter(
+        F.col("mean_surprisal").isNotNull()
+    )
+    per_src = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("mean_surprisal").cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("mean_nll"),
+    )
+    glob = scored.agg(
+        (F.sum(F.col("mean_surprisal").cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("g")
+    )
+    j = per_src.crossJoin(F.broadcast(glob))
+    ex = F.col("mean_nll") - F.col("g")
+    w = Window.partitionBy()
+    weight = F.exp(F.lit(eta) * ex) / F.sum(F.exp(F.lit(eta) * ex)).over(w)
+    return j.select(
+        "source", "n_docs",
+        F.round("mean_nll", 6).alias("mean_nll"),
+        F.round(ex, 6).alias("excess"),
+        F.round(weight, 6).alias("weight"),
+    )

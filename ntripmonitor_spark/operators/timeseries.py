@@ -309,3 +309,47 @@ def ohlc_downsample(events: DataFrame, bucket_s: int = 3600,
         F.round(F.min(value_col), 6).alias("low"),
         F.round(F.max(F.when(F.col("rl") == 1, F.col(value_col))), 6).alias("close"),
     )
+
+
+def seasonal_decompose(events: DataFrame, period_days: int = 7,
+                       key_col: str = "event_type", ts_col: str = "ts",
+                       value_col: str = "value") -> DataFrame:
+    """Classical additive decomposition of each key's daily series:
+    trend (centered moving average over one full period), weekday
+    seasonal index (mean detrended value per (key, weekday)), residual
+    — what's left for the anomaly detectors after the level and the
+    weekly cycle are explained. an02 judges against an hour-of-day
+    baseline; this is its day-grain trend-aware sibling.
+
+    Shapes: daily means aggregate the corpus once (exact decimal);
+    the centered-MA window runs on the bounded (key, day) relation;
+    the seasonal index is a |keys|x7 aggregate broadcast back. Edge
+    days without a full centered window get null trend/residual
+    (never a partial-window average, which would bias the ends).
+    """
+    day = F.to_date(F.col(ts_col).cast("timestamp_ltz"))
+    daily = events.groupBy(F.col(key_col), day.alias("day")).agg(
+        (F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("x")
+    )
+    half = period_days // 2
+    w = Window.partitionBy(key_col).orderBy("day").rowsBetween(-half, half)
+    staged = daily.select(
+        key_col, "day", "x",
+        F.avg("x").over(w).alias("_ma"),
+        F.count("x").over(w).alias("_mn"),
+    ).withColumn("trend", F.when(F.col("_mn") == period_days, F.col("_ma")))
+    det = staged.withColumn("detr", F.col("x") - F.col("trend"))
+    seas = det.groupBy(key_col, F.weekday("day").alias("wd")).agg(
+        F.avg("detr").alias("seasonal")
+    )
+    out = det.withColumn("wd", F.weekday("day")).join(
+        F.broadcast(seas), [key_col, "wd"]
+    )
+    return out.select(
+        key_col, "day",
+        F.round("x", 6).alias("day_mean"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("detr") - F.col("seasonal"), 6).alias("residual"),
+    )

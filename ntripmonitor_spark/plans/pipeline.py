@@ -3531,3 +3531,69 @@ def mm09_modality_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary drop — the dispatch stage in front of every mm* kernel.
     Pure column sniff + one bounded aggregate; zero joins."""
     return multimodal.modality_census(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ig02 — loss-aware source reweighting (DoReMi-shape mixture step).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ig02_loss_aware_mix",
+    bench=True,
+    tags=("sampling", "text"),
+    doc="Exponential source reweighting by mean LM-surprisal excess.",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, source, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+tok AS (SELECT unnest(ws) AS tok FROM w),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+vocab AS (
+    SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c
+    FROM tok GROUP BY tok
+    ORDER BY COUNT(*) DESC, tok ASC LIMIT 64
+),
+toks AS (
+    SELECT doc_id, i, ws[i] AS tok
+    FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w)
+),
+vals AS (
+    SELECT toks.doc_id, toks.i,
+           -log2(coalesce(v.c, 0.5) / (SELECT total FROM tot)) AS s
+    FROM toks LEFT JOIN vocab v ON v.tok = toks.tok
+),
+agg AS (
+    SELECT doc_id, list_sum(list(s ORDER BY i)) AS tot_s
+    FROM vals GROUP BY doc_id
+),
+per_doc AS (
+    SELECT w.doc_id, w.source,
+           round(CASE WHEN len(w.ws) > 0 THEN agg.tot_s / len(w.ws) END, 6) AS ms
+    FROM w LEFT JOIN agg ON agg.doc_id = w.doc_id
+),
+sc AS (SELECT * FROM per_doc WHERE ms IS NOT NULL),
+src AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(ms AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_nll
+    FROM sc GROUP BY source
+),
+g AS (SELECT CAST(sum(CAST(ms AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS g FROM sc)
+SELECT source, n_docs, round(mean_nll, 6) AS mean_nll,
+       round(mean_nll - g.g, 6) AS excess,
+       round(exp(1.0 * (mean_nll - g.g))
+             / sum(exp(1.0 * (mean_nll - g.g))) OVER (), 6) AS weight
+FROM src, g
+""",
+)
+def ig02_loss_aware_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One step of loss-aware mixture optimization: per-source mean
+    unigram surprisal (the domain-difficulty proxy), exponential
+    upweighting of above-average sources, softmax-normalized — the
+    DoReMi-family reweighting loop as a declarative plan. Per-doc
+    scores aggregate in exact decimal; the softmax runs over the
+    bounded |sources| relation."""
+    from ntripmonitor_spark.operators import sampling
+
+    return sampling.loss_aware_mix(table(spark, sf_dir, "documents"))

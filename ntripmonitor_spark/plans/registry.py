@@ -160,6 +160,8 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tx05_repetition",
         "tx06_pii_scrub",
         "q20_topk_per_group",
+        "dd05_embedding_neardup",
+        "sp02_quota_per_source",
     }
 )
 

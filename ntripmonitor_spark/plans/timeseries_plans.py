@@ -237,3 +237,48 @@ def ts02_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key, bucket) exchange feeding a conditional aggregate; ties
     broken by event_id so both engines pick identical open/close."""
     return timeseries.ohlc_downsample(table(spark, sf_dir, "events"))
+
+
+@register(
+    "an05_seasonal_decompose",
+    bench=True,
+    tags=("timeseries",),
+    doc="Additive trend/weekday-seasonal/residual decomposition per type.",
+    oracle="""
+WITH d AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS x
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT *,
+           avg(x) OVER w AS ma, count(x) OVER w AS mn
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+t AS (
+    SELECT event_type, day, x,
+           CASE WHEN mn = 7 THEN ma END AS trend,
+           x - CASE WHEN mn = 7 THEN ma END AS detr
+    FROM m
+),
+s AS (
+    SELECT event_type, isodow(day) - 1 AS wd, avg(detr) AS seasonal
+    FROM t GROUP BY 1, 2
+)
+SELECT t.event_type, t.day,
+       round(t.x, 6) AS day_mean,
+       round(t.trend, 6) AS trend,
+       round(s.seasonal, 6) AS seasonal,
+       round(t.detr - s.seasonal, 6) AS residual
+FROM t JOIN s ON s.event_type = t.event_type AND s.wd = isodow(t.day) - 1
+""",
+)
+def an05_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition per event type: centered 7-day
+    MA trend, weekday seasonal index, residual — the day-grain
+    trend-aware sibling of an02's hour-of-day baseline. Daily means in
+    exact decimal; all post-aggregate windows run on the bounded
+    (type, day) relation."""
+    return timeseries.seasonal_decompose(table(spark, sf_dir, "events"))
