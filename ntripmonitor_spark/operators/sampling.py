@@ -515,3 +515,31 @@ def loss_aware_mix(docs: DataFrame, eta: float = 1.0,
         F.round(ex, 6).alias("excess"),
         F.round(weight, 6).alias("weight"),
     )
+
+
+EPOCH_PRIME = 15485863
+
+
+def epoch_order(docs: DataFrame, epoch: int, n_shards: int = PACK_SHARDS) -> DataFrame:
+    """Deterministic per-epoch training order: every epoch must see the
+    corpus in a DIFFERENT order (optimizer health) that is nonetheless
+    exactly reproducible on retry/resume (a preempted trainer must
+    restart mid-epoch at the same position). Order key = Knuth hash of
+    (doc_id + epoch·PRIME): changing the epoch permutes everything,
+    fixing it freezes the order — no RNG state anywhere.
+
+    Scale shape: order is assigned WITHIN hash shards (row_number per
+    shard over the hash key), never by a global sort — the trainer
+    reads shards in fixed shard order, shuffled within; cross-shard
+    order is already randomized by the shard hash itself. Position =
+    shard·2^40 + within-shard rank gives a single sortable int64.
+    """
+    key = hash_bucket(F.col("doc_id") + F.lit(epoch * EPOCH_PRIME), 1 << 20)
+    shard = hash_bucket(F.col("doc_id"), n_shards)
+    w = Window.partitionBy("shard").orderBy(F.col("okey").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", shard.alias("shard"), key.alias("okey"))
+        .withColumn("pos", F.col("shard").cast("long") * F.lit(1 << 40)
+                    + F.row_number().over(w) - 1)
+        .select("doc_id", "shard", "pos")
+    )

@@ -800,3 +800,39 @@ def stupid_backoff_nll(docs: DataFrame, vocab_size: int = 64,
             F.round(F.avg(-F.log(s)), 6).alias("avg_nll"),
         )
     )
+
+
+def novelty_score(docs: DataFrame, n: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word
+    n-grams that appear in NO other document — the memorization/
+    boilerplate axis (novelty ~1: unique prose; ~0: the doc is
+    assembled from corpus-common fragments). The per-doc complement
+    of dd09's corpus-level block dedup, and the metric that tells a
+    curation run what dedup will do to a source BEFORE running it.
+
+    Shape: the distinct (doc, shingle) relation aggregates once to
+    per-shingle document frequency (map-side combined, 8-byte hashed
+    key), joins back keyed by the same hash — two input-scaled
+    exchanges total, text never rides either.
+    """
+    from ntripmonitor_spark.operators.dedup import doc_shingles
+
+    sh = (
+        doc_shingles(docs, n, id_col=id_col, text_col=text_col)
+        .select(id_col, F.xxhash64("shingle").alias("h"))
+        .persist()
+    )
+    df_counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df_counts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    return per_doc.select(
+        id_col, "n_shingles",
+        F.round(F.col("n_unique") / F.col("n_shingles"), 6).alias("novelty"),
+    )

@@ -3597,3 +3597,64 @@ def ig02_loss_aware_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntripmonitor_spark.operators import sampling
 
     return sampling.loss_aware_mix(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# tx15 — per-document novelty (unique-shingle fraction).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx15_novelty_score",
+    bench=True,
+    tags=("text", "dedup"),
+    doc="Fraction of each doc's 3-gram shingles unique to it.",
+    oracle=f"""
+WITH {_SH_CTE},
+hf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       round(sum(CASE WHEN hf.df = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM sh JOIN hf ON hf.shingle = sh.shingle
+GROUP BY sh.doc_id
+""",
+)
+def tx15_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What will dedup do to this source BEFORE running it: per doc,
+    the fraction of its distinct 3-gram shingles appearing in no other
+    document. One DF aggregate + one hash-keyed join-back; the text
+    column never shuffles."""
+    return text.novelty_score(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# sp07 — deterministic per-epoch shuffle order.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sp07_epoch_order",
+    bench=True,
+    tags=("sampling",),
+    doc="Reproducible epoch-2 training order (sharded hash permutation).",
+    oracle="""
+WITH s AS (
+    SELECT doc_id,
+           ((doc_id * 2654435761) % 4294967296) % 16 AS shard,
+           (((doc_id + 2 * 15485863) * 2654435761) % 4294967296) % 1048576 AS okey
+    FROM documents
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(shard * 1099511627776
+            + row_number() OVER (PARTITION BY shard ORDER BY okey ASC, doc_id ASC)
+            - 1 AS BIGINT) AS pos
+FROM s
+""",
+)
+def sp07_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-2 training order: Knuth hash of (doc_id + 2*PRIME) ranks
+    docs within hash shards — a different, exactly reproducible
+    permutation per epoch with no RNG state and no global sort (the
+    property a preempted trainer needs to resume mid-epoch)."""
+    from ntripmonitor_spark.operators import sampling
+
+    return sampling.epoch_order(table(spark, sf_dir, "documents"), epoch=2)

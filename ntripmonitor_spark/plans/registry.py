@@ -162,6 +162,8 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "q20_topk_per_group",
         "dd05_embedding_neardup",
         "sp02_quota_per_source",
+        "ss01_knn_bruteforce",
+        "ss02_ann_bucketed",
     }
 )
 

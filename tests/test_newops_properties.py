@@ -599,3 +599,20 @@ def test_fn03_growth_conserves_users(spark, sf_dir):
     assert rows[-1]["n_cumulative"] == total
     assert sum(r["n_new"] for r in rows) == total
     assert all(r["n_active"] <= total for r in rows)
+
+
+def test_sp07_epochs_permute_but_reproduce(spark, sf_dir):
+    """Different epochs must order the corpus differently; the same
+    epoch must reproduce exactly; every doc appears once per epoch
+    with distinct positions."""
+    from ntripmonitor_spark.operators.sampling import epoch_order
+    from ntripmonitor_spark.tables import table as load
+
+    docs = load(spark, sf_dir, "documents")
+    e1 = {r["doc_id"]: r["pos"] for r in epoch_order(docs, epoch=1).collect()}
+    e1b = {r["doc_id"]: r["pos"] for r in epoch_order(docs, epoch=1).collect()}
+    e2 = {r["doc_id"]: r["pos"] for r in epoch_order(docs, epoch=2).collect()}
+    assert e1 == e1b
+    assert set(e1) == set(e2) and len(set(e1.values())) == len(e1)
+    n_moved = sum(1 for d in e1 if e1[d] != e2[d])
+    assert n_moved > len(e1) * 0.9, "epoch change barely permuted the order"
