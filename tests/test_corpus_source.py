@@ -77,3 +77,36 @@ def test_csv_reader_same_contract(spark, tmp_path):
     assert clean.count() == 2
     assert quarantine.count() == 1
     assert "oops" in quarantine.collect()[0]["raw_line"]
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """The corpus layer is format-agnostic where Spark is: ORC
+    round-trips the documents table losslessly (same rows), giving
+    drops in ORC a first-class path without new code."""
+    from ntripmonitor_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").limit(100)
+    p = str(tmp_path / "docs_orc")
+    docs.write.orc(p)
+    back = spark.read.orc(p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """A v2 drop adds a column: mergeSchema reads must surface the new
+    column with NULLs for v1 files — the forward-compatible contract
+    an append-only silver table needs (and why the readers declare
+    schemas instead of inferring: evolution is explicit, not
+    accidental)."""
+    from pyspark.sql import functions as F2
+
+    from ntripmonitor_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").limit(50)
+    p = str(tmp_path / "silver")
+    docs.write.parquet(p)
+    docs.withColumn("quality_score", F2.lit(0.5)).write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert "quality_score" in merged.columns
+    assert merged.count() == 100
+    assert merged.filter(F2.col("quality_score").isNull()).count() == 50
