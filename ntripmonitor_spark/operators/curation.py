@@ -189,3 +189,46 @@ def drop_reasons(docs: DataFrame, quality_min: float = 0.5,
         stage.alias("stage"),
         F.when(q & (F.col("doc_id") != F.col("win")), F.col("win")).alias("winner_id"),
     )
+
+
+def ccnet_buckets(docs: DataFrame, mid_rate: int = 500) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus-fit bigram-LM NLL (tx10's proxy for
+    KenLM perplexity), split the corpus at the NLL terciles into
+    head / middle / tail, and apply the standard kept-rate policy —
+    head kept, middle coin-sampled, tail dropped. The audit-style
+    output keeps EVERY scored doc with its bucket and verdict, so the
+    downstream filter is a pushed-down `kept` predicate.
+
+    Scale shape: the NLL scorer is tx10's (models broadcast, one
+    per-doc aggregate); the tercile cuts are ONE bounded aggregate
+    (exact percentile locally; approx_percentile at 100 TB) broadcast
+    back as two scalars; bucketing and the coin are pure column
+    expressions. Docs too short to score (no bigrams) are excluded —
+    they are the gate's problem, not the perplexity filter's.
+    """
+    from ntripmonitor_spark.operators.text import bigram_nll
+
+    scored = bigram_nll(docs)
+    cuts = scored.agg(
+        F.expr("percentile(avg_nll, 0.3333333333333333)").alias("t1"),
+        F.expr("percentile(avg_nll, 0.6666666666666666)").alias("t2"),
+    )
+    j = scored.crossJoin(F.broadcast(cuts))
+    bucket = (
+        F.when(F.col("avg_nll") <= F.col("t1"), "head")
+        .when(F.col("avg_nll") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    coin = hash_bucket(F.col("doc_id")) < mid_rate
+    kept = (
+        F.when(bucket == "head", F.lit(True))
+        .when(bucket == "middle", coin)
+        .otherwise(F.lit(False))
+    )
+    return j.select(
+        "doc_id",
+        F.round("avg_nll", 6).alias("avg_nll"),
+        bucket.alias("bucket"),
+        kept.alias("kept"),
+    )

@@ -3658,3 +3658,81 @@ def sp07_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntripmonitor_spark.operators import sampling
 
     return sampling.epoch_order(table(spark, sf_dir, "documents"), epoch=2)
+
+
+# ---------------------------------------------------------------------------
+# cu05 — CCNet perplexity-bucket sampling.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cu05_ccnet_buckets",
+    bench=True,
+    tags=("sampling", "text"),
+    doc="Perplexity head/middle/tail bucketing with kept-rate policy.",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+t AS (SELECT unnest(ws) AS tok FROM w),
+v AS (
+    SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM t GROUP BY 1 ORDER BY c DESC, tok ASC LIMIT 64
+    )
+),
+nv AS (SELECT count(*) + 1.0 AS v_plus FROM v),
+p AS (
+    SELECT doc_id,
+           string_split(pair, ' ')[1] AS a,
+           string_split(pair, ' ')[2] AS b
+    FROM (
+        SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS pair
+        FROM w
+    )
+),
+mp AS (
+    SELECT doc_id,
+           CASE WHEN a IN (SELECT tok FROM v) THEN a ELSE '<unk>' END AS w1,
+           CASE WHEN b IN (SELECT tok FROM v) THEN b ELSE '<unk>' END AS w2
+    FROM p
+),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM mp GROUP BY 1, 2),
+cx AS (SELECT w1, sum(c) AS cw FROM bc GROUP BY 1),
+model AS (
+    SELECT bc.w1, bc.w2, ln((bc.c + 0.5) / (cx.cw + 0.5 * nv.v_plus)) AS logp
+    FROM bc JOIN cx USING (w1), nv
+),
+-- rounded to 6 BEFORE the cuts, matching the Spark side (which buckets
+-- tx10's rounded output): cuts and comparisons then see identical
+-- values on both engines instead of 1-ulp-different raw averages
+scored AS (
+    SELECT mp.doc_id, round(avg(-model.logp), 6) AS avg_nll
+    FROM mp JOIN model ON mp.w1 = model.w1 AND mp.w2 = model.w2
+    GROUP BY mp.doc_id
+),
+cuts AS (
+    SELECT quantile_cont(avg_nll, 0.3333333333333333) AS t1,
+           quantile_cont(avg_nll, 0.6666666666666666) AS t2
+    FROM scored
+)
+SELECT doc_id, avg_nll,
+       CASE WHEN avg_nll <= t1 THEN 'head'
+            WHEN avg_nll <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CASE WHEN avg_nll <= t1 THEN TRUE
+            WHEN avg_nll <= t2 THEN ((doc_id * 2654435761) % 4294967296) % 1000 < 500
+            ELSE FALSE END AS kept
+FROM scored, cuts
+""",
+)
+def cu05_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's famous head/middle/tail split: bigram-LM NLL per doc,
+    tercile cuts broadcast as two scalars, head kept / middle
+    coin-sampled / tail dropped — audit-style output so the filter is
+    a pushed-down `kept` predicate downstream. Scale dial: swap the
+    exact tercile for approx_percentile."""
+    from ntripmonitor_spark.operators import curation
+
+    return curation.ccnet_buckets(table(spark, sf_dir, "documents"))

@@ -164,6 +164,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "sp02_quota_per_source",
         "ss01_knn_bruteforce",
         "ss02_ann_bucketed",
+        "ss03_ann_lsh_multitable",
     }
 )
 
