@@ -30,6 +30,13 @@ def main() -> None:
     spark = get_spark("ntripmonitor_spark_bench")
 
     names = sorted(bench_queries()) or sorted(REGISTRY)
+    # Dev/test subsetting: SPARK_GRAFT_BENCH_ONLY=q01_...,rt02_... runs just
+    # those queries (the driver never sets it, so the recorded bench is
+    # always the full set).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = {w.strip() for w in only.split(",") if w.strip()}
+        names = [n for n in names if n in wanted]
     # Warm-up: run every bench query once at the TARGET SF to pay the
     # one-time JVM/codegen, Python-worker-pool spawn (32 workers
     # importing pandas/pyarrow) and OS page-cache costs — steady-state

@@ -1,0 +1,61 @@
+"""The driver-facing surface is a CONTRACT: __spark_entry__ exposes
+entry()/queries()/oracle_sql() with exact shapes, and bench.py prints
+one JSON line with fixed keys. These tests pin that surface so a
+refactor cannot silently break what the harness consumes."""
+
+from __future__ import annotations
+
+import sys
+
+
+def test_entry_contract(spark):
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    rows = df.limit(2001).collect()
+    assert len(rows) > 0
+    assert df.columns, "entry() returned an empty schema"
+
+
+def test_queries_and_oracles_contract(spark):
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    osql = E.oracle_sql()
+    assert len(qs) >= 140
+    # every oracle key maps to a registered query
+    assert set(osql) <= set(qs)
+    # the driver's 50-row window is exactly the canonical names
+    names = sorted(qs)
+    canon = [n for n in names if not n.startswith("x_")]
+    assert len(canon) == 50, f"canonical window is {len(canon)}, not 50"
+    assert set(names[:50]) == set(canon)
+    # callables take (spark, sf_dir) and return a DataFrame lazily
+    df = qs[canon[0]](spark, "/root/testdata/sf0.001")
+    assert df.columns
+
+
+def test_bench_emits_one_json_line():
+    """bench.py at sf0.001 with a clipped set: exit 0, exactly one
+    stdout line, parseable JSON with the driver's keys."""
+    import json
+    import os
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_CPUS="8",
+               SPARK_GRAFT_BENCH_ONLY="q01_pricing_summary,sn01_user_sessions,ws01_weighted_sample")
+    out = subprocess.run(
+        [sys.executable, "/root/repo/bench.py"],
+        capture_output=True, text=True, timeout=900, env=env, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [line for line in out.stdout.splitlines() if line.strip()]
+    assert len(lines) == 1, f"expected one JSON line, got {len(lines)}"
+    d = json.loads(lines[0])
+    assert {"metric", "value", "unit", "queries", "excluded", "sf"} <= set(d)
+    assert d["unit"] == "sec" and d["value"] > 0
+    assert d["excluded"] == []
+    assert abs(d["value"] - round(sum(d["queries"].values()), 4)) < 0.01
