@@ -866,3 +866,42 @@ def test_tx14_models_broadcast_no_sortmerge(spark, sf_dir):
     plan = _explain(spark, "tx14_stupid_backoff", sf_dir)
     assert "SortMergeJoin" not in plan, f"tx14 model join sort-merged\n{plan[:2000]}"
     assert "BroadcastHashJoin" in plan
+
+
+def test_aqe_splits_runtime_skew_join(spark):
+    """The runtime half of the skew story (sj01/sj02 are the
+    logical-plan half): a constructed hot key (95% of the build of one
+    partition) joined without broadcast must trigger AQE's skew-join
+    split — final plan shows SortMergeJoin(skew=true) over a skewed
+    AQEShuffleRead — while producing exactly the plain join's rows."""
+    from pyspark.sql import functions as F2
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(200_000).select(
+            F2.lit(0).alias("k"), F2.col("id").alias("v")
+        ).union(
+            spark.range(10_000).select((F2.col("id") % 100 + 1).alias("k"), F2.col("id").alias("v"))
+        )
+        small = spark.range(101).select(F2.col("id").alias("k"), (F2.col("id") * 10).alias("w"))
+        j = big.join(small, "k")
+        n = len(j.collect())
+        assert n == 210_000
+        plan = j._sc._jvm.PythonSQLUtils.explainString(j._jdf.queryExecution(), "simple")
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, f"AQE did not split the skew\n{plan[:1500]}"
+        assert "skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
