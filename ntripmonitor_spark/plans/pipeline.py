@@ -3736,3 +3736,52 @@ def cu05_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntripmonitor_spark.operators import curation
 
     return curation.ccnet_buckets(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dc03 — 13-gram exact-collision decontamination (GPT-3 appendix C).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dc03_thirteen_gram",
+    bench=True,
+    tags=("dedup", "text"),
+    doc="Flag corpus docs sharing ANY 13-gram with the benchmark slice.",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest([array_to_string(ws[CAST(i AS INT):CAST(i + 12 AS INT)], ' ')
+                   FOR i IN range(1, greatest(len(ws) - 11, 1))]) AS shingle
+    FROM w
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20),
+scored AS (
+    SELECT corpus.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN bench.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+    FROM corpus LEFT JOIN bench ON corpus.shingle = bench.shingle
+    GROUP BY corpus.doc_id
+)
+SELECT doc_id, n_shingles, n_hits FROM scored WHERE n_hits > 0
+""",
+)
+def dc03_thirteen_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published decontamination rule (GPT-3 appendix C / common
+    practice since): a corpus document sharing ANY exact 13-gram with
+    the eval slice is flagged — no overlap fraction, one collision is
+    enough. Same broadcast-benchmark shape as dc01 (benchmark shingles
+    dedup to 8-byte hashes and broadcast; the corpus never self-joins);
+    docs shorter than 13 words have no 13-grams and cannot collide."""
+    out = dedup.decontaminate(table(spark, sf_dir, "documents"),
+                              F.col("doc_id") < 20, n=13)
+    return (
+        out.filter(F.col("n_contaminated") > 0)
+        .select("doc_id", "n_shingles",
+                F.col("n_contaminated").cast("long").alias("n_hits"))
+    )

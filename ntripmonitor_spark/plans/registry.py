@@ -165,6 +165,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "ss01_knn_bruteforce",
         "ss02_ann_bucketed",
         "ss03_ann_lsh_multitable",
+        "tx03_token_count",
     }
 )
 
