@@ -3785,3 +3785,74 @@ def dc03_thirteen_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_shingles",
                 F.col("n_contaminated").cast("long").alias("n_hits"))
     )
+
+
+# ---------------------------------------------------------------------------
+# er04 — blocking-scheme shoot-out (pick the key by measurement).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "er04_blocking_compare",
+    bench=True,
+    tags=("dedup", "linkage"),
+    doc="Three candidate blocking keys profiled side by side.",
+    oracle="""
+WITH s AS (
+    SELECT c_custkey,
+           substring(c_name, 1, length(c_name) - 2) AS b_prefix,
+           substring(c_name, length(c_name) - 2, 3) AS b_suffix,
+           CAST(length(c_name) AS VARCHAR) AS b_len
+    FROM customer
+),
+u AS (
+    SELECT 'name_prefix' AS scheme, b_prefix AS blk FROM s
+    UNION ALL SELECT 'name_suffix', b_suffix FROM s
+    UNION ALL SELECT 'name_length', b_len FROM s
+),
+sz AS (SELECT scheme, blk, CAST(count(*) AS BIGINT) AS b FROM u GROUP BY 1, 2)
+SELECT scheme,
+       CAST(sum(b) AS BIGINT) AS n_records,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(max(b) AS BIGINT) AS max_block,
+       CAST(sum(b * (b - 1) / 2) AS BIGINT) AS n_candidates,
+       round(1.0 - sum(b * (b - 1) / 2) / (sum(b) * (sum(b) - 1) / 2.0), 6) AS reduction_ratio
+FROM sz GROUP BY scheme
+""",
+)
+def er04_blocking_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key selection by measurement, not vibes: profile three
+    candidate schemes (name prefix — er01's choice; name suffix; name
+    length — a deliberately awful low-cardinality key) side by side in
+    ONE job: union the keyed projections under a scheme tag, one
+    count-by-(scheme, block) aggregate, one bounded rollup. The
+    worst scheme shows up as max_block ~ n_records and RR near 0
+    BEFORE anyone runs its quadratic join."""
+    cust = table(spark, sf_dir, "customer")
+    schemes = [
+        ("name_prefix", F.expr("substring(c_name, 1, length(c_name) - 2)")),
+        ("name_suffix", F.expr("substring(c_name, length(c_name) - 2, 3)")),
+        ("name_length", F.length("c_name").cast("string")),
+    ]
+    u = None
+    for name, col in schemes:
+        part = cust.select(F.lit(name).alias("scheme"), col.alias("blk"))
+        u = part if u is None else u.unionByName(part)
+    sz = u.groupBy("scheme", "blk").agg(F.count(F.lit(1)).alias("b"))
+    return sz.groupBy("scheme").agg(
+        F.sum("b").alias("n_records"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.max("b").alias("max_block"),
+        F.sum(F.col("b") * (F.col("b") - 1) / 2).cast("bigint").alias("n_candidates"),
+    ).select(
+        "scheme", "n_records", "n_blocks", "max_block", "n_candidates",
+        F.when(
+            F.col("n_records") > 1,
+            F.round(
+                F.lit(1.0)
+                - F.col("n_candidates")
+                / (F.col("n_records") * (F.col("n_records") - 1) / 2.0),
+                6,
+            ),
+        ).alias("reduction_ratio"),
+    )

@@ -48,15 +48,16 @@ def bench_queries() -> dict[str, Query]:
 # the code as of the ROUND START, i.e. the previous round's end state — so a
 # round's verification applies to any query whose code is unchanged since.
 # This round's window (the 50 canonical, non-``x_`` names) is therefore:
-#   * the 16 operators added this round (never driver-checked);
+#   * the 26 operators added this round (never driver-checked);
 #   * the 13 round-3 additions that were pre-rotated past round 4's full
 #     window (er01, tx13, aj03, ks01, kl01, dd10, qa02, er02, rj02, dp01,
 #     ss12, mm06, sp06 — never checked);
 #   * the 6 operators whose code changed in round 3 AFTER the snapshot the
 #     r3/r4 driver runs verified (dd02 DF cap, dd04 conv rewrite, tp01/tp02
 #     shard packing, cu01/dc01 funnel) — their CURRENT code has no row yet;
-#   * 15 stalest-verification queries (r1-era rows, unchanged code: st01,
-#     tx01-tx07, ss01-ss03, sp01, sp02, q20, dd05).
+#   * the 5 stalest-verification queries that still fit (r1-era rows,
+#     unchanged code: st01, tx01, tx07, sp01, and the rest of that batch
+#     deferred to round 6 — see the trailing entries below).
 # Everything else is exposed under an ``x_`` alias (sorts past the 50
 # canonical names, all < 'x'): the round-4 window itself (verified by the
 # r4 run on identical code) and the r2/r3-green unchanged queries. Nothing
@@ -166,6 +167,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "ss02_ann_bucketed",
         "ss03_ann_lsh_multitable",
         "tx03_token_count",
+        "tx02_quality_score",
     }
 )
 

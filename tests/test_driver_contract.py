@@ -59,3 +59,20 @@ def test_bench_emits_one_json_line():
     assert d["unit"] == "sec" and d["value"] > 0
     assert d["excluded"] == []
     assert abs(d["value"] - round(sum(d["queries"].values()), 4)) < 0.01
+
+
+def test_operator_index_is_current():
+    """docs/OPERATORS.md must match the live registry (regenerate with
+    tools/gen_operator_index.py after adding operators)."""
+    import io
+    import contextlib
+
+    sys.path.insert(0, "/root/repo/tools")
+    import gen_operator_index
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        gen_operator_index.main()
+    want = buf.getvalue()
+    got = open("/root/repo/docs/OPERATORS.md").read()
+    assert got == want, "docs/OPERATORS.md is stale — regenerate it"
