@@ -3856,3 +3856,59 @@ def er04_blocking_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("reduction_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dd08 — incremental LSH delta dedup (the production arrival path),
+# value-oracled: split the corpus into an "existing" signed half and a
+# "new" batch, return every candidate pair involving a new doc.
+# ---------------------------------------------------------------------------
+
+_DD08_SPLIT = 250  # doc_id < SPLIT = already-signed corpus; rest = new batch
+
+
+@register(
+    "dd08_lsh_delta",
+    bench=True,
+    tags=("dedup",),
+    doc="Delta-batch MinHash-LSH against the persisted signature table.",
+    oracle=f"""
+WITH {_SH_CTE},
+mh AS (
+    SELECT doc_id,
+           {_MH_MINS}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+    {_MH_BANDS}
+),
+cand AS (
+    SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                    greatest(a.doc_id, b.doc_id) AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id
+    WHERE a.doc_id >= {_DD08_SPLIT} OR b.doc_id >= {_DD08_SPLIT}
+)
+SELECT cand.doc_a, cand.doc_b,
+       ({_MH_MATCHES}) / 9.0 AS est_jaccard
+FROM cand
+JOIN mh x ON x.doc_id = cand.doc_a
+JOIN mh y ON y.doc_id = cand.doc_b
+""",
+)
+def dd08_lsh_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup arrival path, value-oracled: docs with
+    doc_id >= 250 arrive as a batch against the already-signed corpus
+    (its text is never re-read — only its K x 16 B signature table
+    joins). Candidates = new-vs-old plus new-vs-new band collisions;
+    the oracle computes the same pairs from a full-corpus banding
+    restricted to pairs touching the batch, which the incremental
+    topology provably equals (also pinned batch-by-batch in
+    tests/test_newops_properties.py)."""
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < _DD08_SPLIT)
+    new = docs.filter(F.col("doc_id") >= _DD08_SPLIT)
+    old_sigs = dedup.minhash_signatures(old)
+    pairs, _ = dedup.minhash_lsh_delta(old_sigs, new)
+    return pairs

@@ -168,6 +168,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "ss03_ann_lsh_multitable",
         "tx03_token_count",
         "tx02_quality_score",
+        "tx01_language_id",
     }
 )
 
