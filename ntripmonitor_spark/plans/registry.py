@@ -55,8 +55,8 @@ def bench_queries() -> dict[str, Query]:
 #   * the 6 operators whose code changed in round 3 AFTER the snapshot the
 #     r3/r4 driver runs verified (dd02 DF cap, dd04 conv rewrite, tp01/tp02
 #     shard packing, cu01/dc01 funnel) — their CURRENT code has no row yet;
-#   * the 5 stalest-verification queries that still fit (r1-era rows,
-#     unchanged code: st01, tx01, tx07, sp01, and the rest of that batch
+#   * the stalest-verification queries that still fit (r1-era rows,
+#     unchanged code: st01, tx07, sp01; the rest of that batch is
 #     deferred to round 6 — see the trailing entries below).
 # Everything else is exposed under an ``x_`` alias (sorts past the 50
 # canonical names, all < 'x'): the round-4 window itself (verified by the
