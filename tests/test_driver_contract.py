@@ -76,3 +76,30 @@ def test_operator_index_is_current():
     want = buf.getvalue()
     got = open("/root/repo/docs/OPERATORS.md").read()
     assert got == want, "docs/OPERATORS.md is stale — regenerate it"
+
+
+def test_concurrent_queries_one_session(spark):
+    """Serving reality: one long-lived session answers many queries at
+    once. Eight different registered queries submitted from eight
+    threads must all return their single-threaded answers — pinning
+    session/plan thread-safety (broadcasts, literal folds, persisted
+    relations included)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ntripmonitor_spark.plans import REGISTRY
+
+    names = [
+        "q01_pricing_summary", "q09_three_way_join", "sn01_user_sessions",
+        "dd03_minhash_lsh", "tx02_quality_score", "sj01_salted_distinct",
+        "ws01_weighted_sample", "an04_ewma_drift",
+    ]
+    sf = "/root/testdata/sf0.001"
+
+    def run(name):
+        rows = REGISTRY[name].fn(spark, sf).collect()
+        return name, sorted(tuple(str(v) for v in r) for r in rows)
+
+    serial = dict(run(n) for n in names)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        concurrent = dict(pool.map(run, names))
+    assert concurrent == serial
