@@ -159,3 +159,90 @@ def update_reconnect(db_path: str, connection_id: int, reconnect_time) -> None:
         )
     finally:
         con.close()
+
+
+OBS_DDL = """
+CREATE TABLE IF NOT EXISTS {table} (
+    mountpoint VARCHAR,
+    obs_epoch TIMESTAMP,
+    msg_type INTEGER,
+    sat_id VARCHAR,
+    sat_signal VARCHAR,
+    code DOUBLE,
+    phase DOUBLE,
+    doppler DOUBLE,
+    snr DOUBLE,
+    lock DOUBLE
+);
+"""
+
+SOURCETABLE_DDL = """
+CREATE TABLE IF NOT EXISTS sourcetable_constants (
+    mountpoint VARCHAR, identifier VARCHAR, format VARCHAR,
+    countrycode VARCHAR, latitude DOUBLE, longitude DOUBLE,
+    generator VARCHAR, casterprovider VARCHAR,
+    PRIMARY KEY (mountpoint, countrycode, casterprovider)
+);
+"""
+
+_OBS_COLS = ("mountpoint, obs_epoch, msg_type, sat_id, sat_signal, "
+             "code, phase, doppler, snr, lock")
+
+
+def append_observations(db_path: str):
+    """K2/D9 foreachBatch body: ONE decoded observation micro-batch
+    routed into the six constellation tables (the reference's
+    per-constellation stored procedures, src/databasehandling.py:60-129)
+    inside a single ledger transaction — all six appends and the
+    batch_id commit or roll back together."""
+    from ntripmonitor_spark.sinks import OBS_TABLES
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        pdf = batch.toPandas()
+        con = connect(db_path)
+        try:
+            for t in OBS_TABLES.values():
+                con.execute(OBS_DDL.format(table=t))
+            if _already_committed(con, "observations", batch_id):
+                return
+            con.register("batch_df", pdf)
+            con.execute("BEGIN")
+            for const, t in OBS_TABLES.items():
+                con.execute(
+                    f"INSERT INTO {t} SELECT {_OBS_COLS} "
+                    f"FROM batch_df WHERE constellation = ?",
+                    [const],
+                )
+            con.execute(
+                "INSERT INTO _ingest_ledger VALUES ('observations', ?, ?)",
+                [batch_id, len(pdf)],
+            )
+            con.execute("COMMIT")
+        finally:
+            con.close()
+
+    return write
+
+
+def upsert_sourcetable(db_path: str, rows: list[dict]) -> None:
+    """K4 one-shot startup upsert (initdb/99-stored_procedures.sql:
+    154-178): metadata refresh keyed by (mountpoint, countrycode,
+    casterprovider) against a real composite PRIMARY KEY."""
+    con = connect(db_path)
+    try:
+        con.execute(SOURCETABLE_DDL)
+        con.executemany(
+            "INSERT INTO sourcetable_constants VALUES (?, ?, ?, ?, ?, ?, ?, ?) "
+            "ON CONFLICT (mountpoint, countrycode, casterprovider) DO UPDATE SET "
+            "identifier = EXCLUDED.identifier, format = EXCLUDED.format, "
+            "latitude = EXCLUDED.latitude, longitude = EXCLUDED.longitude, "
+            "generator = EXCLUDED.generator",
+            [
+                [r.get("mountpoint"), r.get("identifier"), r.get("format"),
+                 r.get("countrycode"), r.get("latitude"), r.get("longitude"),
+                 r.get("generator"), r.get("casterprovider")]
+                for r in rows
+            ],
+        )
+    finally:
+        con.close()

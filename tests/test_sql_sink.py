@@ -124,3 +124,40 @@ def test_reconnect_point_update(tmp_path):
     assert row[0] == "MP1"
     assert (row[2] - row[1]).total_seconds() == 75
     con.close()
+
+
+def test_observation_routing_into_six_tables(spark, sf_dir, tmp_path):
+    """K2/D9 live: one decoded observation batch lands routed across
+    the six constellation tables atomically; per-table counts match
+    the batch's constellation histogram; replay is a no-op."""
+    db = str(tmp_path / "obs.duckdb")
+    obs = rtcm.observations(decoded_events(spark, sf_dir))
+    sink = sinks_sql.append_observations(db)
+    sink(obs, 7)
+    sink(obs, 7)  # replay
+    want = {r["constellation"]: r["count"] for r in obs.groupBy("constellation").count().collect()}
+    from ntripmonitor_spark.sinks import OBS_TABLES
+
+    con = duckdb.connect(db)
+    total = 0
+    for const, t in OBS_TABLES.items():
+        n = con.execute(f"SELECT count(*) FROM {t}").fetchone()[0]
+        assert n == want.get(const, 0), (const, n, want.get(const, 0))
+        total += n
+    assert total == obs.count()
+    con.close()
+
+
+def test_sourcetable_startup_upsert(tmp_path):
+    """K4 live: the composite-key metadata upsert refreshes changed
+    rows and keeps the key space unique."""
+    db = str(tmp_path / "st.duckdb")
+    row = dict(mountpoint="MP1", identifier="Old", format="RTCM3",
+               countrycode="DK", latitude=55.7, longitude=12.5,
+               generator="g", casterprovider="casterA")
+    sinks_sql.upsert_sourcetable(db, [row])
+    sinks_sql.upsert_sourcetable(db, [dict(row, identifier="New", latitude=56.0)])
+    con = duckdb.connect(db)
+    rows = con.execute("SELECT mountpoint, identifier, latitude FROM sourcetable_constants").fetchall()
+    assert rows == [("MP1", "New", 56.0)]
+    con.close()
