@@ -1,0 +1,42 @@
+"""Parallelism invariance: a 100 TB job reruns with different
+executor counts, AQE decisions, and retry layouts — results must not
+depend on shuffle partitioning. Re-plan float-sensitive queries under
+a different spark.sql.shuffle.partitions and require canonically
+identical output (this is the property the decimal-aggregation and
+rounded-before-compare disciplines exist to guarantee)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ntripmonitor_spark.plans import REGISTRY
+
+# The float-heavy / ordering-sensitive set most likely to betray a
+# summation-order dependence.
+QUERIES = [
+    "q01_pricing_summary", "q05_rate_normalization", "q21_rollup_hierarchy",
+    "an04_ewma_drift", "an05_seasonal_decompose", "ig02_loss_aware_mix",
+    "tx07_unigram_surprisal", "tx10_bigram_nll", "tx14_stupid_backoff",
+    "cu05_ccnet_buckets", "ws01_weighted_sample", "qa03_robust_outliers",
+    "sk02_kmv_set_algebra", "ts02_ohlc_downsample", "fn03_user_growth",
+    "sj02_salted_join", "dq01_table_profile", "lr01_grouped_regression",
+]
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(v) for v in r) for r in df.select(cols).collect())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_invariant_to_shuffle_partitioning(spark, sf_dir, name):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    fn = REGISTRY[name].fn
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = _canon(fn(spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = _canon(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b, f"{name}: result depends on shuffle partitioning"
