@@ -714,3 +714,57 @@ def test_native_session_window_streams_closed_sessions(spark, sf_dir, tmp_path):
     horizon = max_ts - dt.timedelta(minutes=90)  # watermark + gap + slack
     must_emit = {s for s in want_all if dt.datetime.fromisoformat(s[2]) < horizon}
     assert must_emit <= got, f"missing closed sessions: {sorted(must_emit - got)[:3]}"
+
+
+def test_streaming_profile_merge_equals_batch(spark, sf_dir, tmp_path):
+    """dq01's streaming twin: per-batch profile partials merged on
+    read must equal the batch profile exactly on counts/nulls/ranges,
+    and the merged KMV sketch must equal the batch-computed sketch
+    (same estimate — k-smallest-of-union associativity)."""
+    from ntripmonitor_spark.streaming import profile_stream as ps
+
+    ev = table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_src")
+    ev.limit(3000).repartition(3).write.parquet(src)
+
+    cols = ["event_id", "user_id", "value"]
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    base = str(tmp_path / "prof")
+    q = (
+        stream.writeStream.foreachBatch(ps.profile_sink(base, cols))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    merged = {r["column"]: r for r in ps.read_profile(spark, base).collect()}
+    static = spark.read.parquet(src)
+    stats_b, kmv_b = ps.profile_partial(static, cols)
+    batch_stats = {r["column"]: r for r in stats_b.collect()}
+    import pyspark.sql.functions as F2
+    from pyspark.sql import Window as W2
+
+    w = W2.partitionBy("column").orderBy(F2.col("h").asc(), F2.col("v").asc())
+    batch_kmv = {
+        r["column"]: r
+        for r in kmv_b.withColumn("rk", F2.row_number().over(w))
+        .groupBy("column")
+        .agg(F2.max(F2.when(F2.col("rk") == ps.KMV_K, F2.col("h"))).alias("hk"),
+             F2.count(F2.lit(1)).alias("n_sk"))
+        .collect()
+    }
+    for c in cols:
+        m, b = merged[c], batch_stats[c]
+        assert (m["n_rows"], m["n_null"], m["min_num"], m["max_num"]) == (
+            b["n_rows"], b["n_null"], b["min_num"], b["max_num"]
+        )
+        bk = batch_kmv[c]
+        if bk["n_sk"] < ps.KMV_K:
+            assert m["kmv_distinct"] == float(bk["n_sk"])
+        else:
+            assert m["kmv_distinct"] == round(63.0 * float(1 << 32) / bk["hk"], 4)
