@@ -434,3 +434,36 @@ def modality_census(docs: DataFrame) -> DataFrame:
         .groupBy("modality")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nb").alias("total_bytes"))
     )
+
+
+ENTROPY_SCHEMA = "doc_id bigint, n_bytes int, entropy_bits double"
+
+
+def entropy_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Shannon entropy of the payload's byte distribution (bits/byte):
+    the classic compressibility signal — ~0 for padding/constant
+    fills, ~log2(alphabet) for text, ~8 for already-compressed or
+    encrypted payloads (which a training pipeline usually wants to
+    drop or route differently). One numpy bincount + dot per payload.
+    Rounded to 6 decimals; the probability vector is exact rational
+    (counts/n), so cross-engine differences are log2-ulp only."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, ns, ents = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            n = len(arr)
+            ids.append(doc_id)
+            ns.append(n)
+            if n == 0:
+                ents.append(0.0)
+                continue
+            counts = np.bincount(arr, minlength=256)
+            p = counts[counts > 0] / n
+            ents.append(round(float(-(p * np.log2(p)).sum()), 6))
+        yield pd.DataFrame({"doc_id": ids, "n_bytes": ns, "entropy_bits": ents})
+
+
+def byte_entropy(docs: DataFrame) -> DataFrame:
+    return binary_payloads(docs).mapInPandas(entropy_batch, schema=ENTROPY_SCHEMA)

@@ -3912,3 +3912,36 @@ def dd08_lsh_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_sigs = dedup.minhash_signatures(old)
     pairs, _ = dedup.minhash_lsh_delta(old_sigs, new)
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# mm10 — byte-entropy profile (compressibility signal).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm10_byte_entropy",
+    bench=True,
+    tags=("multimodal", "quality"),
+    doc="Shannon byte entropy per binary payload.",
+    oracle=f"""
+WITH {_BYTES_CTE},
+freq AS (
+    SELECT doc_id, b.n, bt, count(*) AS c
+    FROM (SELECT doc_id, n, unnest(bts) AS bt FROM by) AS x
+    JOIN b USING (doc_id)
+    GROUP BY doc_id, b.n, bt
+)
+SELECT doc_id, CAST(n AS INT) AS n_bytes,
+       round(-sum((c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))), 6)
+           AS entropy_bits
+FROM freq GROUP BY doc_id, n
+""",
+)
+def mm10_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility screen over binary payloads: Shannon entropy of
+    the byte histogram (bits/byte) — near 0 flags padding/constant
+    fills, near 8 flags already-compressed/encrypted content a corpus
+    build routes or drops. One Arrow-batched numpy kernel, zero
+    shuffles; the oracle replays the histogram in SQL."""
+    return multimodal.byte_entropy(table(spark, sf_dir, "documents"))

@@ -169,6 +169,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tx03_token_count",
         "tx02_quality_score",
         "tx01_language_id",
+        "sp01_stratified_sample",
     }
 )
 
