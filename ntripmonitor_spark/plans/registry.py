@@ -48,7 +48,7 @@ def bench_queries() -> dict[str, Query]:
 # the code as of the ROUND START, i.e. the previous round's end state — so a
 # round's verification applies to any query whose code is unchanged since.
 # This round's window (the 50 canonical, non-``x_`` names) is therefore:
-#   * the 26 operators added this round (never driver-checked);
+#   * the operators added this round (never driver-checked);
 #   * the 13 round-3 additions that were pre-rotated past round 4's full
 #     window (er01, tx13, aj03, ks01, kl01, dd10, qa02, er02, rj02, dp01,
 #     ss12, mm06, sp06 — never checked);
@@ -56,8 +56,8 @@ def bench_queries() -> dict[str, Query]:
 #     r3/r4 driver runs verified (dd02 DF cap, dd04 conv rewrite, tp01/tp02
 #     shard packing, cu01/dc01 funnel) — their CURRENT code has no row yet;
 #   * the stalest-verification queries that still fit (r1-era rows,
-#     unchanged code: st01, tx07, sp01; the rest of that batch is
-#     deferred to round 6 — see the trailing entries below).
+#     unchanged code: st01, tx07; the rest of that batch is deferred to
+#     round 6 — see the trailing entries below).
 # Everything else is exposed under an ``x_`` alias (sorts past the 50
 # canonical names, all < 'x'): the round-4 window itself (verified by the
 # r4 run on identical code) and the r2/r3-green unchanged queries. Nothing
