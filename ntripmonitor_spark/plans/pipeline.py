@@ -3834,10 +3834,13 @@ def er04_blocking_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("name_suffix", F.expr("substring(c_name, length(c_name) - 2, 3)")),
         ("name_length", F.length("c_name").cast("string")),
     ]
-    u = None
-    for name, col in schemes:
-        part = cust.select(F.lit(name).alias("scheme"), col.alias("blk"))
-        u = part if u is None else u.unionByName(part)
+    # one explode, ONE scan — the union-per-scheme formulation re-reads
+    # the table once per candidate key (x3 I/O at 100 TB for nothing)
+    pairs = F.array(*[
+        F.struct(F.lit(name).alias("scheme"), col.alias("blk"))
+        for name, col in schemes
+    ])
+    u = cust.select(F.explode(pairs).alias("s")).select("s.scheme", "s.blk")
     sz = u.groupBy("scheme", "blk").agg(F.count(F.lit(1)).alias("b"))
     return sz.groupBy("scheme").agg(
         F.sum("b").alias("n_records"),
