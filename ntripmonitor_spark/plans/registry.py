@@ -56,8 +56,9 @@ def bench_queries() -> dict[str, Query]:
 #     r3/r4 driver runs verified (dd02 DF cap, dd04 conv rewrite, tp01/tp02
 #     shard packing, cu01/dc01 funnel) — their CURRENT code has no row yet;
 #   * the stalest-verification queries that still fit (r1-era rows,
-#     unchanged code: st01, tx07; the rest of that batch is deferred to
-#     round 6 — see the trailing entries below).
+#     unchanged code: st01 — the SURVEY §2 operator whose only driver
+#     row is from r1; the rest of that batch is deferred to round 6 —
+#     see the trailing entries below).
 # Everything else is exposed under an ``x_`` alias (sorts past the 50
 # canonical names, all < 'x'): the round-4 window itself (verified by the
 # r4 run on identical code) and the r2/r3-green unchanged queries. Nothing
@@ -170,6 +171,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tx02_quality_score",
         "tx01_language_id",
         "sp01_stratified_sample",
+        "tx07_unigram_surprisal",
     }
 )
 

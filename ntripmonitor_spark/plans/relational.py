@@ -844,3 +844,27 @@ def q23_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("hi"),
         )
     )
+
+
+@register(
+    "q24_intersect_users",
+    bench=True,
+    tags=("relational",),
+    doc="Set-op surface: users appearing in BOTH error and purchase events.",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'error'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def q24_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set semantics) — completing the set-op
+    surface next to q22's anti-join/EXCEPT: users present in both the
+    error and the purchase slices. Planned as a distinct + left-semi
+    hash join on the two pushed-down slices of ONE scan relation —
+    both predicates reach the parquet scan, and the join sides are
+    the deduplicated user sets, not raw events."""
+    ev = table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    pur = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return err.intersect(pur)
