@@ -443,9 +443,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     subgraph, not the corpus — at 100 TB this is the difference
     between iterating over gigabytes and iterating over everything.
     """
-    # repartition by the join key BEFORE persisting (the dd02 silver-
-    # relation discipline): every round's message join then probes a
-    # co-located cached layout instead of re-exchanging the edges
+    # Persist the DIRECTED edge relation before the symmetrizing
+    # union: both union branches share the (expensive — e.g. dd02's
+    # blocked jaccard) edge subtree, and exchange reuse does not
+    # reliably dedupe it across union legs, so without this the edge
+    # generation runs twice inside the sym fill job. Then repartition
+    # by the join key BEFORE persisting sym (the dd02 silver-relation
+    # discipline): every round's message join probes a co-located
+    # cached layout instead of re-exchanging the edges.
+    edges = edges.persist()
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).repartition("doc_a").persist()
@@ -487,6 +493,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     )
     out = labels.unionByName(singles)
     sym.unpersist()
+    edges.unpersist()
     return out, rounds
 
 
