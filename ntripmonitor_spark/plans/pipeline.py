@@ -3948,3 +3948,67 @@ def mm10_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     build routes or drops. One Arrow-batched numpy kernel, zero
     shuffles; the oracle replays the histogram in SQL."""
     return multimodal.byte_entropy(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# tx16 — language-ID confusion matrix (evaluate the classifier).
+# ---------------------------------------------------------------------------
+
+_LID_PRED = """CASE WHEN s_en = best THEN 'en'
+            WHEN s_de = best THEN 'de'
+            WHEN s_es = best THEN 'es'
+            WHEN s_fr = best THEN 'fr'
+            ELSE 'zh' END"""
+
+
+@register(
+    "tx16_langid_confusion",
+    bench=True,
+    tags=("text", "quality"),
+    doc="Confusion matrix + per-class recall for the tx01 classifier.",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+s AS (
+    SELECT doc_id, lang,
+           len(list_filter(ws, x -> x IN {_LANG_FILTERS['en']})) AS s_en,
+           len(list_filter(ws, x -> x IN {_LANG_FILTERS['de']})) AS s_de,
+           len(list_filter(ws, x -> x IN {_LANG_FILTERS['es']})) AS s_es,
+           len(list_filter(ws, x -> x IN {_LANG_FILTERS['fr']})) AS s_fr,
+           len(list_filter(ws, x -> x IN {_LANG_FILTERS['zh']})) AS s_zh
+    FROM w
+),
+p AS (
+    SELECT lang AS labeled_lang, {_LID_PRED} AS pred_lang
+    FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best FROM s)
+),
+cm AS (
+    SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2
+)
+SELECT labeled_lang, pred_lang, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY labeled_lang) AS DOUBLE), 6) AS frac_of_label
+FROM cm
+""",
+)
+def tx16_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation discipline for tx01: the full (labeled,
+    predicted) confusion matrix with each cell's share of its true
+    class — the diagonal IS per-class recall, the off-diagonal rows
+    say WHICH languages the stopword heuristic confuses (the signal
+    that drives seed-list fixes). One bounded aggregate after the
+    pure-column classifier; the share window runs over |langs|² rows."""
+    from ntripmonitor_spark.operators.text import language_id
+
+    cm = (
+        language_id(table(spark, sf_dir, "documents"))
+        .groupBy("labeled_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    share = F.col("n") / F.sum("n").over(W.partitionBy("labeled_lang"))
+    return cm.select("labeled_lang", "pred_lang", "n",
+                     F.round(share, 6).alias("frac_of_label"))

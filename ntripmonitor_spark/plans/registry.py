@@ -172,6 +172,8 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tx01_language_id",
         "sp01_stratified_sample",
         "tx07_unigram_surprisal",
+        # trivially-safe round-5 addition deferred to r6 to admit tx16
+        "q24_intersect_users",
     }
 )
 
