@@ -818,3 +818,67 @@ def mips_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
         F.col("inner_product").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sq8_recall(emb: DataFrame, n_queries: int = 10, k: int = 5,
+               dim: int = 64) -> DataFrame:
+    """Recall@k of cosine search over the SQ8-RECONSTRUCTED corpus
+    against exact search — the number that justifies (or vetoes) the
+    4x storage compression: queries stay exact (the standard
+    asymmetric setup), the corpus is decode(encode(x)).
+
+    Shape: the per-dim bounds broadcast once; reconstruction is pure
+    elementwise zip_with on the scan; both top-k sides reuse the
+    knn_bruteforce pattern (broadcast query set x one corpus scan,
+    rounded-cosine + id tie-break ranking); the recall join moves
+    n_queries x k id pairs."""
+    from pyspark.sql.window import Window
+
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    v = ensure_parallelism(emb).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    stats = v.agg(
+        F.array(*[F.min(F.col("v")[i]) for i in range(dim)]).alias("mins"),
+        F.array(*[F.max(F.col("v")[i]) for i in range(dim)]).alias("maxs"),
+    )
+    with_stats = v.crossJoin(F.broadcast(stats))
+    spans = F.zip_with("maxs", "mins", lambda mx, mn: mx - mn)
+    shifted = F.zip_with("v", "mins", lambda x, mn: x - mn)
+    codes = F.zip_with(
+        shifted, spans,
+        lambda s, sp: F.when(sp == 0.0, F.lit(0.0)).otherwise(
+            F.floor(s / sp * 255.0 + 0.5).cast("double")
+        ),
+    )
+    rv = F.zip_with(
+        F.zip_with(codes, spans, lambda c, sp: c / 255.0 * sp),
+        F.col("mins"),
+        lambda x, mn: x + mn,
+    )
+    recon = with_stats.select("vec_id", rv.alias("rv")).withColumn("rn", norm(F.col("rv")))
+
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    cos_r = F.round(dot(F.col("qv"), F.col("rv")) / (F.col("qn") * F.col("rn")), 6)
+    scored = (
+        recon.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos_r.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    sq_topk = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+    bf = knn_bruteforce(emb, n_queries=n_queries, k=k).select("query_id", "neighbor_id")
+    hits = sq_topk.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    return (
+        bf.join(F.broadcast(hits), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").cast("int").alias("n_hits"))
+        .select(
+            "query_id", "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
+        )
+    )

@@ -4012,3 +4012,67 @@ def tx16_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     share = F.col("n") / F.sum("n").over(W.partitionBy("labeled_lang"))
     return cm.select("labeled_lang", "pred_lang", "n",
                      F.round(share, 6).alias("frac_of_label"))
+
+
+# ---------------------------------------------------------------------------
+# ss13 — recall under SQ8 quantization (compression quality check).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ss13_sq8_recall",
+    bench=True,
+    tags=("simsearch",),
+    doc="Recall@5 of cosine search over SQ8-reconstructed vectors vs exact.",
+    oracle=f"""
+WITH {_VEC_CTE},
+st AS (SELECT [{_SQ_MINS}] AS mins, [{_SQ_MAXS}] AS maxs FROM v),
+rec AS (
+    SELECT vec_id,
+           list_transform(range(1, {_SQ_DIM + 1}), i ->
+               mins[i] + CASE WHEN maxs[i] - mins[i] = 0 THEN 0.0
+                    ELSE floor((vec[i] - mins[i]) / (maxs[i] - mins[i]) * 255.0 + 0.5)
+                         / 255.0 * (maxs[i] - mins[i]) END) AS rv
+    FROM v, st
+),
+recn AS (SELECT vec_id, rv, sqrt(list_dot_product(rv, rv)) AS rn FROM rec),
+q AS (SELECT vec_id AS query_id, vec AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+sq_scored AS (
+    SELECT q.query_id, recn.vec_id AS neighbor_id,
+           round(list_dot_product(q.qv, recn.rv) / (q.qn * recn.rn), 6) AS cos_sim
+    FROM q CROSS JOIN recn WHERE recn.vec_id <> q.query_id
+),
+sq_topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM sq_scored
+    ) WHERE rank <= 5
+),
+bf_scored AS (
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+           round(list_dot_product(q.qv, n.vec) / (q.qn * n.nrm), 6) AS cos_sim
+    FROM q CROSS JOIN n WHERE n.vec_id <> q.query_id
+),
+bf_topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM bf_scored
+    ) WHERE rank <= 5
+)
+SELECT bf.query_id,
+       CAST(sum(CASE WHEN sq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_hits,
+       round(sum(CASE WHEN sq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 6) AS recall
+FROM bf_topk bf
+LEFT JOIN sq_topk sq ON sq.query_id = bf.query_id AND sq.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+""",
+)
+def ss13_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does 4x compression cost retrieval quality? Recall@5 of cosine
+    top-k over the SQ8-reconstructed corpus (queries exact — the
+    standard asymmetric setup) against the exact top-k, per query.
+    Bounds broadcast once, reconstruction rides the scan, the recall
+    join moves queries x k id pairs."""
+    return simsearch.sq8_recall(table(spark, sf_dir, "embeddings"))

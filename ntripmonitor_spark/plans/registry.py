@@ -174,6 +174,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tx07_unigram_surprisal",
         # trivially-safe round-5 addition deferred to r6 to admit tx16
         "q24_intersect_users",
+        "er04_blocking_compare",
     }
 )
 
