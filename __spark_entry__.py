@@ -14,8 +14,8 @@ prior snapshot) are exposed under an ``x_`` alias (see
 ``plans.registry.DRIVER_ROTATED_OUT`` for the full priority policy);
 the 50-name window holds the never-checked, changed-since-check, and
 stalest-verification queries. All queries stay registered under
-canonical names and locally DuckDB-parity-checked (152 registered as of
-round 5; 148 with full value oracles, 4 iterative trainers rows-only).
+canonical names and locally DuckDB-parity-checked (155 registered as of
+round 5; 151 with full value oracles, 4 iterative trainers rows-only).
 """
 
 from __future__ import annotations
