@@ -901,7 +901,13 @@ def bbit_minhash_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
     Bit extraction is arithmetic on the md5 hex (last nibble parity) —
     no new hashing, and the oracle recomputes it in SQL.
     """
-    sig = minhash_signatures(docs, n).persist()  # reused by bands + both bit sides
+    # Reused by bands + both bit sides within the one returned plan, so it
+    # cannot be unpersisted here (the plan is lazy); the entry stays in the
+    # session CacheManager until the caller's clearCache()/unpersist, with
+    # MEMORY_AND_DISK blocks LRU-evictable under storage pressure. In a
+    # long-lived serving session, persist the signature relation as a
+    # silver table instead and pass it in.
+    sig = minhash_signatures(docs, n).persist()
     bits = sig.select(
         "doc_id",
         *[

@@ -220,7 +220,10 @@ def kmv_set_algebra(df: DataFrame, group_col: str = "event_type",
     # materialization each branch re-runs the corpus distinct-reduce —
     # the one input-scaled job this operator has. Persisting the
     # bounded sketch makes everything downstream sketch-vs-sketch
-    # arithmetic, which is the operator's entire premise.
+    # arithmetic, which is the operator's entire premise. The cache
+    # entry (k x |groups| rows, bounded) outlives this call by design —
+    # the plan is lazy, so it cannot be unpersisted here; blocks are
+    # LRU-evictable and a serving session owns clearCache().
     sk = (
         d.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)

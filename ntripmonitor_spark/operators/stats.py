@@ -323,8 +323,11 @@ def robust_outlier_screen(docs: DataFrame, value_col: str = "n_chars",
             F.max("n_rows").alias("n_rows"),
             F.round(F.max("med"), 6).alias("median"),
             F.round(F.max("mad"), 6).alias("mad"),
-            F.sum(
-                F.when(F.col("mad") > 0, F.when(F.abs(rz) > z_cut, 1).otherwise(0))
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("mad") > 0, F.when(F.abs(rz) > z_cut, 1).otherwise(0))
+                ),
+                F.lit(0),
             ).alias("n_outliers"),
         )
     )

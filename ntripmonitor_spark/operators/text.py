@@ -678,7 +678,10 @@ def source_divergence(docs: DataFrame, vocab_size: int = 256, k: float = 0.5,
     v_plus = float(len(vocab) + 1)  # + <oov>
 
     sym = F.when(F.col("tok").isin(vocab), F.col("tok")).otherwise(F.lit("<oov>"))
-    # the only input-scaled aggregate: (source, symbol) partial counts
+    # the only input-scaled aggregate: (source, symbol) partial counts.
+    # Feeds four branches of the one returned (lazy) plan, so it can't be
+    # unpersisted here; the bounded (sources x V+1) cache entry is
+    # LRU-evictable and released by the caller's clearCache().
     sc = exploded.select(group_col, sym.alias("sym")).groupBy(group_col, "sym").agg(
         F.count(F.lit(1)).alias("c")
     ).persist()
@@ -818,6 +821,11 @@ def novelty_score(docs: DataFrame, n: int = 3,
     """
     from ntripmonitor_spark.operators.dedup import doc_shingles
 
+    # Feeds both the DF aggregate and the join-back side of the one
+    # returned (lazy) plan — unpersisting here would drop the cache
+    # before any action sees it. Blocks are LRU-evictable; a serving
+    # session releases it via clearCache(), or persists the shingle
+    # relation as a silver table and passes it in.
     sh = (
         doc_shingles(docs, n, id_col=id_col, text_col=text_col)
         .select(id_col, F.xxhash64("shingle").alias("h"))

@@ -2872,6 +2872,58 @@ def mm06_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm11 — 16-bit-block phash near-dup (the production/scale mode).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm11_phash_16bit",
+    bench=True,
+    tags=("multimodal", "dedup"),
+    oracle=f"""
+WITH {_BYTES_CTE},
+smp AS (
+    SELECT doc_id,
+           list_transform(range(0, 64), i -> bts[CAST((i * n) // 64 AS INT) + 1]) AS s
+    FROM by
+),
+sig AS (
+    SELECT doc_id,
+           array_to_string(
+               list_transform(s, x -> CASE WHEN x > list_sum(s) / 64.0
+                                           THEN '1' ELSE '0' END), '') AS ahash
+    FROM smp
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN substr(a.ahash, CAST(i AS INT), 1)
+                         <> substr(b.ahash, CAST(i AS INT), 1)
+                    THEN 1 ELSE 0 END)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+""",
+)
+def mm11_phash_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phash near-dup in the mode you would run at 100 TB: 16-bit
+    blocks (4 blocks → 65,536 buckets/position) at radius 3 — still a
+    lossless pigeonhole (hamming ≤ 3 over 4 blocks forces a shared
+    block) but with 256× fewer collisions per bucket than mm06's
+    8-bit blocking, which SCALE.md measured going quadratic at 10×
+    (0.93 s → 29.5 s) while this mode stayed linear (0.45 s → 1.22 s).
+    mm06 stays registered as the recall-sensitivity demo (radius 7);
+    the two modes' pair sets agree at the shared radius
+    (tests/test_newops_properties.py pins 8-bit ≡ 16-bit at r=3).
+    The oracle is blocking-free brute force at the same radius, so a
+    blocked candidate set that dropped ANY qualifying pair would
+    hash-mismatch."""
+    return multimodal.phash_neardup(
+        table(spark, sf_dir, "documents"), max_hamming=3, chunk_bits=16
+    )
+
+
+# ---------------------------------------------------------------------------
 # sp06 — exact token-budget selection (pre-rotated, window round 5).
 # ---------------------------------------------------------------------------
 
@@ -2990,6 +3042,84 @@ def dq01_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return profile.profile_table(
         ev, ["event_id", "user_id", "event_type", "value", "props"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq02 — HLL profile (the no-Expand 100 TB mode of dq01).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq02_profile_approx",
+    bench=True,
+    tags=("quality",),
+    doc="HLL (no-Expand) per-column profile of the events table.",
+    oracle="""
+SELECT 'event_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+       CAST(min(event_id) AS DOUBLE) AS min_num, CAST(max(event_id) AS DOUBLE) AS max_num,
+       CASE WHEN count(event_id) = 0 THEN count(DISTINCT event_id) = 0
+            ELSE count(DISTINCT event_id)
+                 BETWEEN 1 AND CAST(ceil(1.1 * count(event_id)) AS BIGINT) END AS nd_sane
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT), CAST(count(*) - count(user_id) AS BIGINT),
+       CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+       CASE WHEN count(user_id) = 0 THEN count(DISTINCT user_id) = 0
+            ELSE count(DISTINCT user_id)
+                 BETWEEN 1 AND CAST(ceil(1.1 * count(user_id)) AS BIGINT) END
+FROM events
+UNION ALL
+SELECT 'event_type', CAST(count(*) AS BIGINT), CAST(count(*) - count(event_type) AS BIGINT),
+       NULL, NULL,
+       CASE WHEN count(event_type) = 0 THEN count(DISTINCT event_type) = 0
+            ELSE count(DISTINCT event_type)
+                 BETWEEN 1 AND CAST(ceil(1.1 * count(event_type)) AS BIGINT) END
+FROM events
+UNION ALL
+SELECT 'value', CAST(count(*) AS BIGINT), CAST(count(*) - count(value) AS BIGINT),
+       CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE),
+       CASE WHEN count(value) = 0 THEN count(DISTINCT value) = 0
+            ELSE count(DISTINCT value)
+                 BETWEEN 1 AND CAST(ceil(1.1 * count(value)) AS BIGINT) END
+FROM events
+UNION ALL
+SELECT 'props', CAST(count(*) AS BIGINT), CAST(count(*) - count(props) AS BIGINT),
+       NULL, NULL,
+       CASE WHEN count(props) = 0 THEN count(DISTINCT props) = 0
+            ELSE count(DISTINCT props)
+                 BETWEEN 1 AND CAST(ceil(1.1 * count(props)) AS BIGINT) END
+FROM events
+""",
+)
+def dq02_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dq01's profile in the plan you would run at 100 TB: ONE
+    map-side-combined aggregate with approx_count_distinct (HLL++,
+    rsd 0.02, mergeable O(kB) state per column) — NO Expand(×N) row
+    multiplication, so the scan is paid once, not |columns| times
+    (test_plans pins Expand-free + single scan). Exact-in-both-engines
+    fields (row count, null count, numeric ranges) carry the value
+    oracle; the HLL estimate itself is engine-specific, so it is
+    exported as the deterministic ``nd_sane`` contract — zero iff the
+    column is all-NULL, else within [1, ceil(1.1·non-null)] — which
+    the oracle re-derives from the exact cardinality (trivially true
+    there; false on the Spark side iff the estimator degenerates).
+    The tight ±5% agreement with the exact profile is pinned by
+    tests/test_plans.py::test_profiler_approx_tracks_exact."""
+    from ntripmonitor_spark.operators import profile
+
+    ev = table(spark, sf_dir, "events")
+    p = profile.profile_table(
+        ev, ["event_id", "user_id", "event_type", "value", "props"], approx=True
+    )
+    n_nonnull = F.col("n_rows") - F.col("n_null")
+    nd_sane = F.when(n_nonnull == 0, F.col("n_distinct") == 0).otherwise(
+        (F.col("n_distinct") >= 1)
+        & (F.col("n_distinct") <= F.ceil(n_nonnull * F.lit(1.1)))
+    )
+    return p.select(
+        "column", "n_rows", "n_null", "min_num", "max_num", nd_sane.alias("nd_sane")
     )
 
 

@@ -585,6 +585,19 @@ def test_qa03_flags_planted_outlier_mean_std_would_mask(spark):
     assert abs(r["median"] - 103) <= 3
 
 
+def test_qa03_constant_group_reports_zero_not_null(spark):
+    """A group where every doc has the same length has MAD = 0; the
+    screen must report n_outliers = 0 (the oracle's CASE..ELSE 0 sum),
+    not NULL (an all-NULL Spark sum)."""
+    from ntripmonitor_spark.operators.stats import robust_outlier_screen
+
+    rows = [(i, "x", "const", 500) for i in range(25)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
+    r = robust_outlier_screen(docs).collect()[0]
+    assert r["mad"] == 0.0
+    assert r["n_outliers"] == 0 and r["n_outliers"] is not None
+
+
 def test_fn03_growth_conserves_users(spark, sf_dir):
     """Cumulative count on the last day must equal the total distinct
     user population, and n_new must sum to it too."""

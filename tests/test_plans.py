@@ -840,6 +840,17 @@ def test_dq01_single_scan_single_aggregate(spark, sf_dir):
     assert "Expand" in plan
 
 
+def test_dq02_no_expand_single_scan(spark, sf_dir):
+    """dq02 (the 100 TB profile): same single events scan as dq01 but
+    the HLL aggregate must NOT multiply rows through Expand — that is
+    the entire point of the approx mode."""
+    plan = _explain(spark, "dq02_profile_approx", sf_dir)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, (
+        f"dq02: expected exactly one events scan\n{plan[:1500]}"
+    )
+    assert "Expand" not in plan
+
+
 def test_profiler_approx_tracks_exact(spark, sf_dir):
     """The HLL profile (100 TB mode) must match the exact profile on
     nulls/ranges and be within 5% on every cardinality."""

@@ -62,7 +62,7 @@ def build_10x(spark, src: str, dst: str) -> None:
 def main() -> None:
     names = sys.argv[1:]
     if not names:
-        print("usage: plan_audit.py <query> [<query> ...]", file=sys.stderr)
+        print("usage: scale10x.py <query> [<query> ...]", file=sys.stderr)
         sys.exit(2)
     from ntripmonitor_spark.plans import REGISTRY
     from ntripmonitor_spark.session import get_spark
