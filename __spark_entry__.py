@@ -8,14 +8,16 @@ SURVEY.md §2 (plus the training-data pipeline extensions);
 without an entry are checked rows-only by the driver).
 
 Naming note (round 5): the driver records correctness rows for the first
-50 names alphabetically. Queries whose current code already has a driver
-row (or will get one from the in-flight round grading the unchanged
-prior snapshot) are exposed under an ``x_`` alias (see
-``plans.registry.DRIVER_ROTATED_OUT`` for the full priority policy);
-the 50-name window holds the never-checked, changed-since-check, and
-stalest-verification queries. All queries stay registered under
-canonical names and locally DuckDB-parity-checked (155 registered as of
-round 5; 151 with full value oracles, 4 iterative trainers rows-only).
+50 names alphabetically. This round's window is 100% verification debt
+per the round-4 verdict: the 5 queries whose latest driver row is an r3
+ERROR (fixed at HEAD, never re-checked), 43 of the 47 never-checked
+queries, and the 2 verdict-requested registrations (mm11, dq02). Queries
+with current green driver rows are exposed under an ``x_`` alias (see
+``plans.registry.DRIVER_ROTATED_OUT`` for the full priority policy).
+All queries stay registered under canonical names and locally
+DuckDB-parity-checked (157 registered as of round 5; 153 with full
+value oracles, 4 iterative trainers rows-only); cross-round driver
+coverage is derived by tools/coverage_report.py.
 """
 
 from __future__ import annotations
