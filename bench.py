@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Benchmark harness: times the headline query set at
+"""Benchmark harness: times the bench query set at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
@@ -8,6 +8,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is executed with a full materialization (count of the result
 — the aggregates are small, so count ≈ collect cost) after one warm-up
 of the session (JVM + parquet footer caches).
+
+The driver archives only a ~2 kB tail of this process's output, so the
+stdout JSON line reports the fixed HEADLINE set (the 14 queries benched
+identically since round 1 — the cross-round comparable core; "value" is
+their summed wall clock, the same semantic as BENCH_r01–r03), while the
+full per-query record (all bench=True queries, ~99) is written to
+BENCH_FULL.json next to this script. Per-query stderr echo goes to
+BENCH_FULL.json, not the console, for the same reason.
 """
 
 from __future__ import annotations
@@ -17,6 +25,26 @@ import os
 import re
 import sys
 import time
+
+# The cross-round comparable core: benched under identical names since
+# round 1 (q21/cu01/dc01 since r3). Do not rename or drop — BENCH_r{N}
+# round-over-round comparisons depend on it.
+HEADLINE = (
+    "cu01_curation_funnel",
+    "dc01_decontamination",
+    "dd02_ngram_jaccard",
+    "q01_pricing_summary",
+    "q02_tumbling_window",
+    "q05_rate_normalization",
+    "q07_dim_join",
+    "q09_three_way_join",
+    "q21_rollup_hierarchy",
+    "rt01_packages",
+    "rt02_observations",
+    "rt09_decode_throughput",
+    "ss01_knn_bruteforce",
+    "tx02_quality_score",
+)
 
 
 def main() -> None:
@@ -40,9 +68,9 @@ def main() -> None:
     # Warm-up: run every bench query once at the TARGET SF to pay the
     # one-time JVM/codegen, Python-worker-pool spawn (32 workers
     # importing pandas/pyarrow) and OS page-cache costs — steady-state
-    # on a long-lived cluster. Then report best-of-5 timed runs to
+    # on a long-lived cluster. Then report best-of-N timed runs to
     # shave scheduler/GC/co-tenant jitter (observed bursts inflate a
-    # 0.4 s query to 3+ s; 5 samples ride out most bursts).
+    # 0.4 s query to 3+ s).
     # A query that errors must not sink the whole bench record: drop it
     # from the set and keep timing the rest — but record the drop in the
     # JSON line itself ("excluded"), not only on stderr, so a bench=True
@@ -52,7 +80,6 @@ def main() -> None:
         try:
             REGISTRY[name].fn(spark, sf_dir).count()
         except Exception as exc:  # noqa: BLE001
-            print(f"# {name}: FAILED in warm-up ({exc!r}) — excluded", file=sys.stderr)
             excluded[name] = f"{type(exc).__name__}: {exc}"[:200]
             names.remove(name)
 
@@ -71,19 +98,44 @@ def main() -> None:
             rows[name] = REGISTRY[name].fn(spark, sf_dir).count()
             best[name] = min(best[name], time.perf_counter() - t0)
     timings = {name: round(best[name], 4) for name in names}
-    for name in names:
-        print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
 
-    total = round(sum(timings.values()), 4)
+    # Full record → BENCH_FULL.json (every query, rows, exclusions).
+    full_total = round(sum(timings.values()), 4)
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(
+            {
+                "metric": "query_set_wall_clock_full",
+                "value": full_total,
+                "unit": "sec",
+                "sf": sf,
+                "n_trials": n_trials,
+                "queries": timings,
+                "rows": rows,
+                "excluded": excluded,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+
+    # Archived line: the headline core only (2-decimal timings), small
+    # enough that the driver's tail capture always contains the whole
+    # line. Falls back to every timed query when a dev subset excludes
+    # the entire headline set (keeps value == sum(queries) invariant).
+    head = [n for n in names if n in HEADLINE] or names
+    head_timings = {n: round(best[n], 2) for n in head}
     print(
         json.dumps(
             {
                 "metric": "query_set_wall_clock",
-                "value": total,
+                "value": round(sum(head_timings.values()), 2),
                 "unit": "sec",
-                "queries": timings,
+                "queries": head_timings,
                 "excluded": sorted(excluded),
                 "sf": sf,
+                "full_value": full_total,
+                "n_full": len(timings),
             }
         )
     )

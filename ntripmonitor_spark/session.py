@@ -35,6 +35,10 @@ def get_spark(app_name: str = "ntripmonitor_spark", shuffle_partitions: int | No
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # Console progress bars write to stderr; the harness archives only
+        # a small output tail, and the bars would push the bench JSON line
+        # out of it (BENCH_r04 "parsed: null").
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     spark = builder.getOrCreate()

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ntripmonitor_spark.functions.timeutil import epoch_us
+
 
 def stream_interval_join(anchors: DataFrame, probes: DataFrame,
                          key: str = "user_id",
@@ -76,7 +78,10 @@ def stream_interval_join(anchors: DataFrame, probes: DataFrame,
         "event_type",
         "a_ts",
         "p_ts",
-        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("a_ts"))).alias("gap_us"),
+        # epoch_us, not raw unix_micros: a_ts/p_ts are LTZ here, but an
+        # NTZ-typed upstream (the exact r3 failure class) must degrade to
+        # a no-op cast, not a hard AnalysisException.
+        (epoch_us(F.col("p_ts")) - epoch_us(F.col("a_ts"))).alias("gap_us"),
     )
 
 
@@ -111,5 +116,8 @@ def batch_interval_join(anchors: DataFrame, probes: DataFrame,
         "event_type",
         "a_ts",
         "p_ts",
-        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("a_ts"))).alias("gap_us"),
+        # epoch_us, not raw unix_micros: a_ts/p_ts are LTZ here, but an
+        # NTZ-typed upstream (the exact r3 failure class) must degrade to
+        # a no-op cast, not a hard AnalysisException.
+        (epoch_us(F.col("p_ts")) - epoch_us(F.col("a_ts"))).alias("gap_us"),
     )

@@ -58,7 +58,37 @@ def test_bench_emits_one_json_line():
     assert {"metric", "value", "unit", "queries", "excluded", "sf"} <= set(d)
     assert d["unit"] == "sec" and d["value"] > 0
     assert d["excluded"] == []
-    assert abs(d["value"] - round(sum(d["queries"].values()), 4)) < 0.01
+    assert abs(d["value"] - round(sum(d["queries"].values()), 2)) < 0.011
+    # the archived line reports the headline subset (q01 is the only
+    # headline query in this dev set); the full record carries the rest
+    assert set(d["queries"]) == {"q01_pricing_summary"}
+    full = json.load(open("/root/repo/BENCH_FULL.json"))
+    assert set(full["queries"]) == {
+        "q01_pricing_summary", "sn01_user_sessions", "ws01_weighted_sample"
+    }
+    assert full["excluded"] == {}
+
+
+def test_bench_headline_line_fits_tail_capture():
+    """The driver archives only a ~2 kB output tail (BENCH_r04 was
+    truncated to unparseability). The headline line must stay well
+    under that even with worst-case float widths."""
+    import json
+
+    from bench import HEADLINE
+
+    worst = {
+        "metric": "query_set_wall_clock",
+        "value": 99999.99,
+        "unit": "sec",
+        "queries": {n: 99999.99 for n in HEADLINE},
+        "excluded": [],
+        "sf": 0.1,
+        "full_value": 99999.9999,
+        "n_full": 999,
+    }
+    assert len(json.dumps(worst)) < 1200
+    assert len(HEADLINE) == 14
 
 
 def test_operator_index_is_current():

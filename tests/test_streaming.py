@@ -5,6 +5,7 @@ sessionization must equal the batch closed-sessions plan."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from ntripmonitor_spark.plans.rtcm import decoded_events, event_blobs
 from ntripmonitor_spark.operators import rtcm
@@ -659,6 +660,60 @@ def test_stream_stream_left_outer_emits_proven_negatives(spark, tmp_path):
     # u1's matched anchor must NOT also emit a null row
     assert sum(1 for r in spark.sql("SELECT * FROM ssj_outer").collect()
                if r["anchor_id"] == 1) == 1
+
+
+def test_stream_interval_join_accepts_ntz_source(spark, tmp_path):
+    """The r3 driver errors came from TIMESTAMP_NTZ inputs hitting raw
+    unix_micros. The streaming join surface must accept a stream whose
+    ts column is NTZ end-to-end (cast + epoch_us discipline): same
+    rows, same gap_us as the batch twin on the same NTZ frame."""
+    from ntripmonitor_spark.streaming import joins as sj
+
+    base = 1_700_000_000_000_000  # µs; naive wall time == UTC epoch
+    rows = [
+        (1, 10, "error", base),
+        (2, 10, "click", base + 60_000_000),
+        (3, 20, "error", base + 5_000_000),
+        (4, 20, "view", base + 700_000_000),  # outside the 600 s horizon
+    ]
+    ntz = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, us long"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_micros(F.col("us")).cast("timestamp_ntz").alias("ts"),
+    )
+    assert dict(ntz.dtypes)["ts"] == "timestamp_ntz"
+    src = str(tmp_path / "ntz_src")
+    ntz.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(ntz.schema).parquet(src)
+    assert dict(stream.dtypes)["ts"] == "timestamp_ntz"
+    joined = sj.stream_interval_join(
+        stream.filter("event_type = 'error'"),
+        stream.filter("event_type <> 'error'"),
+        horizon_s=600,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_ntz")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ssj_ntz")
+    static = spark.read.parquet(src)
+    assert dict(static.dtypes)["ts"] == "timestamp_ntz"
+    want = sj.batch_interval_join(
+        static.filter("event_type = 'error'"),
+        static.filter("event_type <> 'error'"),
+        horizon_s=600,
+    )
+    assert _canon(got) == _canon(want)
+    by_anchor = {r["anchor_id"]: r for r in got.collect()}
+    assert by_anchor[1]["gap_us"] == 60_000_000
+    assert 3 not in {r["probe_id"] for r in got.collect() if r["probe_id"]}
 
 
 def test_native_session_window_streams_closed_sessions(spark, sf_dir, tmp_path):
