@@ -571,6 +571,41 @@ def test_in02_finds_planted_phrase_at_any_offset(spark):
     assert got == {1: 1, 2: 1, 3: 2}
 
 
+def test_phrase_search_prebuilt_index(spark, sf_dir, tmp_path):
+    """The serving shape the in02 docstring promises: materialize the
+    positional posting relation ONCE as a term-clustered silver table,
+    then answer multiple phrase queries probe-only — same answers as
+    the standalone build-and-probe path, with the probe plan scanning
+    the POSTING store (term predicate pushed) and never the corpus."""
+    from ntripmonitor_spark.operators.retrieval import (
+        build_posting_index, phrase_search, phrase_search_postings,
+    )
+    from ntripmonitor_spark.tables import table as load
+
+    docs = load(spark, sf_dir, "documents")
+    silver = str(tmp_path / "postings")
+    (build_posting_index(docs)
+     .repartition(8, "term").sortWithinPartitions("term")
+     .write.parquet(silver))
+    postings = spark.read.parquet(silver)
+
+    def canon(df):
+        return sorted((r["doc_id"], r["n_matches"]) for r in df.collect())
+
+    for phrase in ("stream table hash", "the"):
+        got = phrase_search_postings(postings, phrase)
+        assert canon(got) == canon(phrase_search(docs, phrase))
+
+    probe = phrase_search_postings(postings, "stream table hash")
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    assert "documents.parquet" not in plan, "probe must not rescan the corpus"
+    assert plan.count("Scan parquet") >= 1 and "PushedFilters: [IsNotNull(term), EqualTo(term," in plan, (
+        f"term predicate not pushed to the posting scan\n{plan[:2000]}"
+    )
+
+
 def test_qa03_flags_planted_outlier_mean_std_would_mask(spark):
     """A single huge doc in an otherwise tight group: MAD flags it
     (and only it); the same doc dragging the MEAN demonstrates why the
