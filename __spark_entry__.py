@@ -15,9 +15,10 @@ queries, and the 2 verdict-requested registrations (mm11, dq02). Queries
 with current green driver rows are exposed under an ``x_`` alias (see
 ``plans.registry.DRIVER_ROTATED_OUT`` for the full priority policy).
 All queries stay registered under canonical names and locally
-DuckDB-parity-checked (157 registered as of round 5; 153 with full
-value oracles, 4 iterative trainers rows-only); cross-round driver
-coverage is derived by tools/coverage_report.py.
+DuckDB-parity-checked (157 registered as of round 5, ALL with full
+value oracles — the four fixed-iteration trainers' loops are unrolled
+as chained SQL CTEs); cross-round driver coverage is derived by
+tools/coverage_report.py.
 """
 
 from __future__ import annotations

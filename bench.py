@@ -56,6 +56,10 @@ def main() -> None:
     from ntripmonitor_spark.plans import REGISTRY, bench_queries
 
     spark = get_spark("ntripmonitor_spark_bench")
+    # Keep the archived output tail clean (WARN chatter like
+    # CacheManager's "already cached" would interleave ahead of the
+    # JSON line in a combined capture).
+    spark.sparkContext.setLogLevel("ERROR")
 
     names = sorted(bench_queries()) or sorted(REGISTRY)
     # Dev/test subsetting: SPARK_GRAFT_BENCH_ONLY=q01_...,rt02_... runs just

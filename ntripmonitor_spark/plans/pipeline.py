@@ -1442,10 +1442,60 @@ def _lr02_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lr02_oracle(iters: int = 20) -> str:
+    """Full value oracle for lr02 by UNROLLING the fixed GD loop as
+    chained scalar CTEs: iteration k is one aggregate over the feature
+    relation CROSS JOINed with the previous 1-row weight CTE — exactly
+    the Spark loop's algebra (full-batch gradient, lr=1). Determinism
+    holds because every step is pure arithmetic (no argmax/tie
+    structure); summation-order float drift is ~1e-12 relative and the
+    outputs round to 6 dp on both sides (FIXTURES float canon)."""
+    feat = """
+feat AS (
+    SELECT CAST(lang = 'en' AS DOUBLE) AS y,
+           CASE WHEN len(ws) > 0
+                THEN CAST(len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'and', 'is')))
+                          AS DOUBLE) / len(ws)
+                ELSE 0.0 END AS x1,
+           CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS x2
+    FROM (
+        SELECT lang, text,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        FROM documents
+    )
+),
+it0 AS (SELECT 0.0 AS wa, 0.0 AS wb, 0.0 AS wc)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+it{k} AS (
+    SELECT max(wa) - sum(p - y) / count(*) AS wa,
+           max(wb) - sum((p - y) * x1) / count(*) AS wb,
+           max(wc) - sum((p - y) * x2) / count(*) AS wc
+    FROM (
+        SELECT f.y, f.x1, f.x2, w.wa, w.wb, w.wc,
+               1.0 / (1.0 + exp(-(w.wa + w.wb * f.x1 + w.wc * f.x2))) AS p
+        FROM feat f CROSS JOIN it{k-1} w
+    )
+)""")
+    return (
+        "WITH " + feat + "," + ",".join(steps) + f"""
+SELECT round(max(w.wa), 6) AS w0,
+       round(max(w.wb), 6) AS w_stop_ratio,
+       round(max(w.wc), 6) AS w_alpha_ratio,
+       round(avg(CASE WHEN (CASE WHEN w.wa + w.wb * f.x1 + w.wc * f.x2 > 0
+                                 THEN 1.0 ELSE 0.0 END) = f.y
+                      THEN 1.0 ELSE 0.0 END), 6) AS train_acc,
+       CAST(count(*) AS BIGINT) AS n
+FROM feat f CROSS JOIN it{iters} w
+""")
+
+
 @register(
     "lr02_logreg_quality",
     tags=("stats",),
-    oracle=None,
+    oracle=_lr02_oracle(20),
     doc="Distributed logistic-regression training (20 GD epochs)",
 )
 def lr02_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1454,8 +1504,11 @@ def lr02_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     as literals folded into the scoring expression, each epoch is ONE
     aggregate (K+2 mergeable sums) + a 1-row collect — iterative ML as
     repeated aggregates, the Lloyd-loop discipline (ss04/ss07) applied
-    to a classifier. Returns weights + training accuracy. Iterative →
-    no SQL oracle; NumPy-reference-pinned in tests/test_logreg.py."""
+    to a classifier. Returns weights + training accuracy. The FIXED
+    iteration count makes even this iterative trainer value-oracled:
+    _lr02_oracle unrolls the 20 steps as chained scalar CTEs (pure
+    arithmetic, no tie structure, 6-dp rounding absorbs summation-
+    order drift); also NumPy-reference-pinned in tests/test_logreg.py."""
     from ntripmonitor_spark.operators import stats
 
     return stats.logreg_quality(
@@ -1531,18 +1584,109 @@ def tx10_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _bpe_merge_ctes(n_merges: int = 8) -> str:
+    """CTE chain reproducing the bp01 training loop in SQL (shared by
+    the bp01 and tk01 oracles). Exact (no floats anywhere): pair
+    counts are integers and the argmax tie-break (count DESC, pair
+    ASC) is the same on both engines. The merge application maps
+    Spark's leftmost-first non-overlapping array fold onto SQL
+    ``replace`` over a DOUBLE-space-separated symbol string: the
+    pattern ' l  r ' consumes one leading/trailing space of each
+    symbol's two-space separators, so back-to-back occurrences keep a
+    separator for the next match while overlapping ones ('a a a',
+    merge (a,a)) correctly yield 'aa a'. Exposes b1..bN (one merge
+    each: lft/rgt/mrg/pair/n)."""
+    parts = ["""
+wf AS (
+    SELECT CAST(count(*) AS BIGINT) AS cnt,
+           '  ' || array_to_string(
+               list_transform(range(1, length(tok) + 1), i -> tok[i]), '  ')
+           || '  ' AS s
+    FROM (
+        SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+        FROM documents
+    )
+    GROUP BY tok
+),
+w0 AS (SELECT cnt, s FROM wf)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""
+p{k} AS (
+    SELECT w.sy[t.i] || ' ' || w.sy[t.i + 1] AS pair, sum(w.cnt) AS n
+    FROM (SELECT cnt, list_filter(string_split(s, '  '), x -> x <> '') AS sy
+          FROM w{k - 1}) w,
+         LATERAL unnest(range(1, greatest(len(w.sy), 1))) AS t(i)
+    GROUP BY pair
+),
+b{k} AS (
+    SELECT pair, CAST(n AS BIGINT) AS n,
+           split_part(pair, ' ', 1) AS lft,
+           split_part(pair, ' ', 2) AS rgt,
+           replace(pair, ' ', '') AS mrg
+    FROM p{k} ORDER BY n DESC, pair ASC LIMIT 1
+),
+w{k} AS (
+    SELECT w.cnt,
+           replace(w.s, ' ' || b.lft || '  ' || b.rgt || ' ',
+                   ' ' || b.mrg || ' ') AS s
+    FROM w{k - 1} w CROSS JOIN b{k} b
+)""")
+    return "WITH " + ",".join(parts)
+
+
+def _bp01_oracle(n_merges: int = 8) -> str:
+    """bp01: the merge table itself — union of the b1..bN argmax rows."""
+    finals = "\nUNION ALL ".join(
+        f'SELECT CAST({k - 1} AS INT) AS "rank", lft AS "left", rgt AS "right", '
+        f'mrg AS merged, n FROM b{k}'
+        for k in range(1, n_merges + 1)
+    )
+    return _bpe_merge_ctes(n_merges) + "\n" + finals
+
+
+def _tk01_oracle(n_merges: int = 8) -> str:
+    """tk01: apply the b1..bN merges (rank order) to every word of
+    every document — the same double-space ``replace`` fold as
+    training, nested once per merge — then per-doc token stats and
+    the md5 of the '|'-joined token stream (UTF-8 both engines)."""
+    enc = ("'  ' || array_to_string("
+           "list_transform(range(1, length(w) + 1), i -> w[i]), '  ') || '  '")
+    for k in range(1, n_merges + 1):
+        enc = (f"replace({enc}, ' ' || b{k}.lft || '  ' || b{k}.rgt || ' ', "
+               f"' ' || b{k}.mrg || ' ')")
+    joins = " ".join(f"CROSS JOIN b{k}" for k in range(1, n_merges + 1))
+    return _bpe_merge_ctes(n_merges) + f"""
+SELECT d.doc_id,
+       CAST(length(lower(d.text)) AS INT) AS n_chars,
+       CAST(len(d.ws) AS INT) AS n_words,
+       CAST(len(t.toks) AS INT) AS n_tokens,
+       md5(array_to_string(t.toks, '|')) AS tokens_md5
+FROM (
+    SELECT doc_id, text,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+) d {joins},
+LATERAL (
+    SELECT flatten(list_transform(d.ws,
+        w -> list_filter(string_split({enc}, '  '), x -> x <> ''))) AS toks
+) t
+"""
+
+
 @register(
     "bp01_bpe_train",
     tags=("text",),
-    oracle=None,
+    oracle=_bp01_oracle(8),
     doc="Full BPE merge loop on the word-frequency table",
 )
 def bp01_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8 rounds of BPE training: corpus → word-frequency table once,
     then per-round pair-count aggregate + argmax + column-fold merge
     application, all on the bounded vocab relation (Heaps' law ~O(√N)
-    rows). Iterative, so no SQL oracle; exact-match-pinned against a
-    pure-Python BPE in tests/test_bpe.py."""
+    rows). The FIXED merge count makes the loop SQL-unrollable
+    (_bp01_oracle — integer-exact, no float drift possible), and it
+    stays exact-match-pinned against a pure-Python BPE in
+    tests/test_bpe.py."""
     return text.bpe_train(table(spark, sf_dir, "documents"), n_merges=8)
 
 
@@ -1897,20 +2041,61 @@ def tp03_split_long_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ss07_ivf_train_full",
     tags=("simsearch",),
-    # No oracle: a driver-side iterative loop is not SQL-expressible —
-    # the driver records the weaker rows-only check; each single round
-    # is the oracle-checked ss04, and convergence is pytest-pinned.
+    # Value oracle by UNROLLING the fixed 3-round Lloyd loop as chained
+    # CTEs (one assignment + one mean per round — ss04's oracle pattern
+    # iterated). Sound because every round's assignment uses dist
+    # ROUNDED to 6 dp with ties to the lowest centroid id (both
+    # engines), and the output rounds components to 4 dp, so
+    # summation-order float drift (~1e-12 relative on the means) sits
+    # orders of magnitude under every decision/canon boundary.
+    oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+c0 AS (SELECT vec_id AS cid, vec AS cv FROM v WHERE vec_id < 8),
+"""
+    + ",\n".join(
+        f"""d{r} AS (
+    SELECT v.vec_id, c.cid, v.vec,
+           round(list_sum(list_transform(range(1, 65),
+               i -> (v.vec[i] - c.cv[i]) * (v.vec[i] - c.cv[i]))), 6) AS dist
+    FROM v CROSS JOIN c{r - 1} c
+),
+a{r} AS (
+    SELECT vec_id, cid, vec FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+        FROM d{r}
+    ) WHERE rk = 1
+),
+m{r} AS (
+    SELECT cid, t.i AS i, avg(vec[t.i]) AS comp
+    FROM a{r}, range(1, 65) t(i) GROUP BY cid, t.i
+),
+c{r} AS (
+    SELECT p.cid, coalesce(m.cv, p.cv) AS cv
+    FROM c{r - 1} p
+    LEFT JOIN (SELECT cid, list(comp ORDER BY i) AS cv FROM m{r} GROUP BY cid) m
+    USING (cid)
+)"""
+        for r in (1, 2, 3)
+    )
+    + """
+SELECT CAST(p.cid AS INT) AS centroid_id, CAST(t.i - 1 AS INT) AS dim_idx,
+       round(p.cv[t.i], 4) + 0.0 AS component
+FROM c3 p, range(1, 65) t(i)
+""",
 )
 def ss07_ivf_train_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three Lloyd rounds of IVF coarse-quantizer training (the
     driver loop whose single round is ss04): per round one corpus
     scan + one k-row aggregate; new centroids fold back as literals.
-    Output: converged centroids exploded to scalar rows."""
+    Output: converged centroids exploded to scalar rows (the harness
+    canonicalizer cannot hash array cells). The fixed iteration count
+    makes the loop SQL-unrollable, so this trainer carries a full
+    value oracle; + 0.0 normalizes IEEE -0.0 on both sides."""
     cents, _hist = simsearch.ivf_train(
         table(spark, sf_dir, "embeddings"), k=8, iters=3
     )
     rows = [
-        (cid, i, round(x, 4)) for cid, vec in cents for i, x in enumerate(vec)
+        (cid, i, round(x, 4) + 0.0) for cid, vec in cents for i, x in enumerate(vec)
     ]
     return spark.createDataFrame(rows, "centroid_id int, dim_idx int, component double")
 
@@ -2312,12 +2497,12 @@ def mm05_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tk01_bpe_encode",
     tags=("text",),
-    # No SQL oracle: the 8 merges are data-derived by the bp01 training
-    # loop (driver-bounded argmax per round) — reproducing them needs 8
-    # chained aggregate+argmax CTEs. Correctness is pinned instead by
-    # tests/test_bpe.py against a pure-Python reference tokenizer
-    # (exact per-doc token stream match), and the driver records the
-    # rows-only check.
+    # Value oracle: the 8 data-derived merges are reproduced by the
+    # _bpe_merge_ctes training chain (integer-exact), then applied to
+    # every word as nested replace folds; tokens_md5 makes the check
+    # corpus-wide exact. Also pinned by tests/test_bpe.py against a
+    # pure-Python reference tokenizer.
+    oracle=_tk01_oracle(8),
 )
 def tk01_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-scale BPE encode: the ≤8-row trained merge table folds
