@@ -340,7 +340,12 @@ def obs_epoch_col(receive_time: Column, epoch_ms: Column, msg_type: Column) -> C
       if obsSec - nowSecOfDay < -5h: next day
       GLONASS types (1009-1012, 1081-1087): −3 h
     """
-    now_us = F.unix_micros(receive_time)
+    # epoch_us, not raw unix_micros: receive_time is LTZ on every
+    # in-repo path, but an NTZ-typed source (the r3 driver-error class)
+    # must degrade to a no-op cast, not an AnalysisException.
+    from ntripmonitor_spark.functions.timeutil import epoch_us
+
+    now_us = epoch_us(receive_time)
     day_start_us = (now_us / _US_DAY).cast("long") * _US_DAY
     obs_sec = (epoch_ms / 1000).cast("long") % 86400
     frac_us = (epoch_ms % 1000) * 1000

@@ -37,11 +37,11 @@ ARCHIVE_SCHEMA = StructType(
 def write_frame_archive(frames_df, path: str) -> None:
     """Persist (mountpoint, receive_time, frame) rows as a replayable
     archive, ordered-stable via a row index."""
-    from pyspark.sql import functions as F
+    from ntripmonitor_spark.functions.timeutil import epoch_us
 
     (
         frames_df.select(
-            "mountpoint", F.unix_micros("receive_time").alias("receive_time_us"), "frame"
+            "mountpoint", epoch_us("receive_time").alias("receive_time_us"), "frame"
         )
         .coalesce(1)
         .write.mode("overwrite")

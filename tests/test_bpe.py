@@ -122,3 +122,40 @@ def test_bpe_encode_matches_reference_tokenizer(spark):
         assert got[i]["n_tokens"] == len(toks)
         assert got[i]["n_words"] == len([w for w in t.split(" ") if w])
         assert got[i]["tokens_md5"] == hashlib.md5("|".join(toks).encode()).hexdigest()
+
+
+def test_sql_replace_fold_equals_spark_merge_fold(spark):
+    """The bp01/tk01 oracles express Spark's leftmost-first
+    non-overlapping merge fold as DuckDB replace() over a DOUBLE-space
+    separated symbol string. Pin the equivalence on the adversarial
+    shapes: overlapping runs ('a a a' + (a,a) -> 'aa a'), back-to-back
+    non-overlapping occurrences ('l r l r' -> 'm m', the case a
+    single-space encoding silently misses), merged-output re-eligibility
+    ('aa a' + (aa,a)), and no-op sequences."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from ntripmonitor_spark.operators.text import _merge_fold
+
+    cases = [
+        (["a", "a", "a"], ("a", "a", "aa")),
+        (["l", "r", "l", "r"], ("l", "r", "lr")),
+        (["a", "a", "a", "a"], ("a", "a", "aa")),
+        (["aa", "a", "b"], ("aa", "a", "aaa")),
+        (["x", "l", "r", "l", "r", "y"], ("l", "r", "lr")),
+        (["b", "c"], ("a", "a", "aa")),
+        (["q"], ("q", "q", "qq")),
+    ]
+    con = duckdb.connect()
+    for syms, (left, right, merged) in cases:
+        df = spark.createDataFrame([(syms,)], "syms array<string>")
+        want = df.select(
+            _merge_fold(F.col("syms"), left, right, merged).alias("out")
+        ).collect()[0]["out"]
+        s = "  " + "  ".join(syms) + "  "
+        got_s = con.execute(
+            "SELECT replace(?, ' ' || ? || '  ' || ? || ' ', ' ' || ? || ' ')",
+            [s, left, right, merged],
+        ).fetchone()[0]
+        got = [x for x in got_s.split("  ") if x]
+        assert got == list(want), (syms, (left, right, merged), got, want)
