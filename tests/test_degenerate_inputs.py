@@ -230,7 +230,31 @@ def test_round5_event_ops_survive_empty_and_single(spark, empty_events):
             "event_type", "event_id",
         ).collect()
         profile.profile_table(ev, ["event_id", "user_id", "value"]).collect()
+        profile.profile_table(ev, ["event_id", "value"], approx=True).collect()
         timeseries.ewma_daily(ev).collect()
         timeseries.ohlc_downsample(ev).collect()
         sketch.kmv_set_algebra(ev).collect()
         ssn.sessionize_native(ev).collect()
+
+
+def test_dq02_nd_sane_all_null_column(spark):
+    """dq02's nd_sane contract on the branch the corpus never hits: an
+    all-NULL column must report nd_sane = TRUE via the estimate == 0
+    leg (HLL of zero non-null values), never NULL or FALSE."""
+    from pyspark.sql import functions as F2
+
+    from ntripmonitor_spark.operators import profile
+
+    ev = spark.createDataFrame(
+        [(i, None) for i in range(50)], "event_id long, dead string"
+    )
+    p = profile.profile_table(ev, ["event_id", "dead"], approx=True)
+    n_nonnull = F2.col("n_rows") - F2.col("n_null")
+    nd_sane = F2.when(n_nonnull == 0, F2.col("n_distinct") == 0).otherwise(
+        (F2.col("n_distinct") >= 1)
+        & (F2.col("n_distinct") <= F2.ceil(n_nonnull * F2.lit(1.1)))
+    )
+    rows = {r["column"]: r for r in p.select("column", "n_rows", "n_null",
+                                             nd_sane.alias("nd_sane")).collect()}
+    assert rows["dead"]["n_null"] == 50 and rows["dead"]["nd_sane"] is True
+    assert rows["event_id"]["nd_sane"] is True
