@@ -20,6 +20,10 @@ QUERIES = [
     "cu05_ccnet_buckets", "ws01_weighted_sample", "qa03_robust_outliers",
     "sk02_kmv_set_algebra", "ts02_ohlc_downsample", "fn03_user_growth",
     "sj02_salted_join", "dq01_table_profile", "lr01_grouped_regression",
+    # round-5 loop-unrolled trainers: iterated float aggregates are the
+    # most summation-order-sensitive plans in the repo; dq02 pins HLL
+    # merge-order invariance
+    "lr02_logreg_quality", "ss07_ivf_train_full", "dq02_profile_approx",
 ]
 
 
