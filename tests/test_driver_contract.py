@@ -91,6 +91,45 @@ def test_bench_headline_line_fits_tail_capture():
     assert len(HEADLINE) == 14
 
 
+def test_queries_survive_non_utc_driver_session():
+    """The harness driver builds its OWN SparkSession — nothing
+    guarantees UTC. _pin_utc must make the contract hold anyway: run
+    the most timezone-sensitive window queries against their oracles
+    from a session pinned to America/New_York (subprocess: a second
+    differently-configured session cannot coexist with the suite's).
+    This is the r3 failure class (timestamp semantics diverging at the
+    driver) pinned from the driver's side."""
+    import subprocess
+
+    code = """
+import sys
+sys.path.insert(0, '/root/repo'); sys.path.insert(0, '/root/repo/tests')
+from pyspark.sql import SparkSession
+import __spark_entry__ as E
+from tests.oracle import compare_query
+spark = (SparkSession.builder.master('local[8]')
+         .appName('ntz_driver_sim')
+         .config('spark.sql.session.timeZone', 'America/New_York')
+         .config('spark.ui.enabled', 'false')
+         .config('spark.ui.showConsoleProgress', 'false')
+         .getOrCreate())
+spark.sparkContext.setLogLevel('ERROR')
+qs = E.queries(); osql = E.oracle_sql()
+sf = '/root/testdata/sf0.001'
+for n in ['sn01_user_sessions', 'aj01_asof_join', 'ts01_gap_fill']:
+    ok, msg = compare_query(spark, sf, n, qs[n], osql[n])
+    assert ok, f'{n}: {msg[:500]}'
+print('NONUTC_OK')
+spark.stop()
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=600, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "NONUTC_OK" in out.stdout
+
+
 def test_operator_index_is_current():
     """docs/OPERATORS.md must match the live registry (regenerate with
     tools/gen_operator_index.py after adding operators)."""
