@@ -44,3 +44,27 @@ def test_result_invariant_to_shuffle_partitioning(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b, f"{name}: result depends on shuffle partitioning"
+
+
+# Join-strategy-sensitive set: AQE rewrites joins (broadcast promotion,
+# skew split) at runtime — results must not depend on whether it runs.
+AQE_QUERIES = [
+    "sj01_salted_distinct", "sj02_salted_join", "dd03_minhash_lsh",
+    "ss11_ivfpq_search", "q09_three_way_join", "rj01_range_join",
+]
+
+
+@pytest.mark.parametrize("name", AQE_QUERIES)
+def test_result_invariant_to_aqe(spark, sf_dir, name):
+    """The driver (and any production cluster) may run with AQE on or
+    off; runtime join re-planning must never change answers."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    fn = REGISTRY[name].fn
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        a = _canon(fn(spark, sf_dir))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        b = _canon(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert a == b, f"{name}: result depends on AQE"
