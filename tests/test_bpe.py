@@ -159,3 +159,42 @@ def test_sql_replace_fold_equals_spark_merge_fold(spark):
         ).fetchone()[0]
         got = [x for x in got_s.split("  ") if x]
         assert got == list(want), (syms, (left, right, merged), got, want)
+
+
+def test_sql_replace_fold_exhaustive_small_sequences(spark):
+    """Exhaustive equivalence of the SQL replace() encoding vs Spark's
+    merge fold: EVERY symbol sequence up to length 5 over {a, b} (62
+    sequences), against merges (a,b)->ab, (a,a)->aa, (b,a)->ba — one
+    batched Spark job + a DuckDB loop, so no adversarial interleaving
+    of runs/overlaps/boundaries can hide."""
+    import itertools
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from ntripmonitor_spark.operators.text import _merge_fold
+
+    seqs = [
+        list(p)
+        for n in range(1, 6)
+        for p in itertools.product("ab", repeat=n)
+    ]
+    merges = [("a", "b", "ab"), ("a", "a", "aa"), ("b", "a", "ba")]
+    rows = [(i, s) for i, s in enumerate(seqs)]
+    df = spark.createDataFrame(rows, "i int, syms array<string>")
+    cols = [
+        _merge_fold(F.col("syms"), l, r, m).alias(f"m{j}")
+        for j, (l, r, m) in enumerate(merges)
+    ]
+    want = {row["i"]: row for row in df.select("i", *cols).collect()}
+
+    con = duckdb.connect()
+    for i, syms in enumerate(seqs):
+        s = "  " + "  ".join(syms) + "  "
+        for j, (l, r, m) in enumerate(merges):
+            got_s = con.execute(
+                "SELECT replace(?, ' ' || ? || '  ' || ? || ' ', ' ' || ? || ' ')",
+                [s, l, r, m],
+            ).fetchone()[0]
+            got = [x for x in got_s.split("  ") if x]
+            assert got == list(want[i][f"m{j}"]), (syms, merges[j], got, want[i][f"m{j}"])
