@@ -98,8 +98,10 @@ def route_observations(obs: DataFrame) -> dict[str, DataFrame]:
 
 def write_jdbc_append(df: DataFrame, url: str, table: str,
                       options: dict[str, str] | None = None) -> None:
-    """K1/K2 typed batch append via the JDBC writer (requires a JDBC
-    driver jar on the classpath; not available in the test container)."""
+    """K1/K2 typed batch append via the JDBC writer. Live-tested
+    in-container against embedded Derby (tests/test_sinks.py — Spark
+    ships the driver jar); production targets Postgres via the same
+    options dict (driver/user/password)."""
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in (options or {}).items():
         writer = writer.option(k, v)
