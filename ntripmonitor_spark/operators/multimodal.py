@@ -2,10 +2,13 @@
 
 Images/audio/video ride through the engine as `binary` columns with a
 struct of metadata; decode / feature-extraction runs as an Arrow-batched
-``mapInPandas`` stage (the only sanctioned Python hot path). The decode
-kernel itself is STUBBED deterministically — the real codec libraries
-are not in this container — but the Spark-side plumbing (schema, batch
-iteration, partition behavior) is real and tested.
+``mapInPandas`` stage (the only sanctioned Python hot path). The
+oracle-checked registered queries use a deterministic stub decode (what
+DuckDB can reproduce); the ``real=True`` path decodes PNG payloads for
+real via the built-in stdlib codec (functions/png.py — full filter
+support, fixture parity test) and uses PIL, when the container ships
+it, for other formats. The Spark-side plumbing (schema, batch
+iteration, partition behavior) is identical on every path.
 
 At 100 TB: payloads stay columnar in parquet (binary column chunks),
 metadata predicates prune row groups before any byte of payload is
@@ -26,12 +29,18 @@ DECODE_SCHEMA = (
     "doc_id bigint, n_bytes int, width int, height int, checksum string"
 )
 
-try:  # real image codec, if the container ships one
+try:  # full-format image codec, if the container ships one
     import PIL.Image  # noqa: F401
 
     REAL_CODECS_AVAILABLE = True
 except ImportError:  # pragma: no cover - container-dependent
     REAL_CODECS_AVAILABLE = False
+
+# PNG always decodes for real: functions/png.py is a pure stdlib+NumPy
+# implementation of the public PNG spec (bit depth 8, all five
+# scanline filters), so the real-decode path no longer depends on the
+# container shipping PIL — PIL widens coverage to JPEG/WebP/....
+REAL_PNG_AVAILABLE = True
 
 
 def _decode_stub(payload: bytes) -> tuple[int, int]:
@@ -47,16 +56,24 @@ def _decode_stub(payload: bytes) -> tuple[int, int]:
 
 
 def _decode_real(payload: bytes) -> tuple[int, int]:
-    """Actual image-header decode via PIL (lazy: reads the header, not
-    the pixel data)."""
+    """Actual image-header decode: the built-in PNG codec for PNG
+    payloads (stdlib-only, always available), PIL for everything else
+    (lazy: reads the header, not the pixel data)."""
+    if not payload:
+        return (0, 0)
+
+    from ntripmonitor_spark.functions import png
+
+    if png.is_png(payload):
+        return png.png_size(payload)
     if not REAL_CODECS_AVAILABLE:
-        raise NotImplementedError("real image codec requires PIL in the container")
+        raise NotImplementedError(
+            "non-PNG image codec requires PIL in the container"
+        )
     import io
 
     import PIL.Image as Image
 
-    if not payload:
-        return (0, 0)
     with Image.open(io.BytesIO(payload)) as im:
         return im.size
 

@@ -69,3 +69,108 @@ def test_patchify_conserves_bytes_and_tiles_grid(spark, sf_dir):
         }
         assert sum(r["patch_sum"] for r in prs) == sum(payload[: w * h])
         assert all(r["img_w"] == w and r["img_h"] == h for r in prs)
+
+
+# ---------------------------------------------------------------------------
+# Built-in PNG codec: the real-decode path without PIL.
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_channel_counts():
+    import numpy as np
+
+    from ntripmonitor_spark.functions import png
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        arr = rng.integers(0, 256, size=(13, 9, ch), dtype=np.uint8)
+        data = png.encode_png(arr)
+        assert png.is_png(data)
+        assert png.png_size(data) == (9, 13)
+        back = png.decode_png(data)
+        assert back.shape == (13, 9, ch)
+        assert (back == arr).all()
+
+
+def test_png_decoder_handles_all_five_filters():
+    """The encoder emits filter 0 only, so filters 1-4 need crafted
+    scanlines: forward-filter a known image per the spec, wrap in
+    valid chunks, and require exact pixel recovery."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ntripmonitor_spark.functions import png
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    h, w, ch = arr.shape
+    stride = w * ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    flat = arr.reshape(h, stride).astype(int)
+    raw = bytearray()
+    for y, ftype in zip(range(h), [0, 1, 2, 3, 4]):
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=int)
+        cur = flat[y]
+        filt = np.zeros(stride, dtype=int)
+        for x in range(stride):
+            left = cur[x - ch] if x >= ch else 0
+            upleft = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                filt[x] = cur[x]
+            elif ftype == 1:
+                filt[x] = cur[x] - left
+            elif ftype == 2:
+                filt[x] = cur[x] - prev[x]
+            elif ftype == 3:
+                filt[x] = cur[x] - ((left + prev[x]) >> 1)
+            else:
+                filt[x] = cur[x] - paeth(left, prev[x], upleft)
+        raw.append(ftype)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        png.PNG_MAGIC
+        + png._chunk(b"IHDR", ihdr)
+        + png._chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + png._chunk(b"IEND", b"")
+    )
+    back = png.decode_png(data)
+    assert (back == arr).all()
+
+
+def test_decode_metadata_real_path_on_png_payloads(spark):
+    """decode_metadata(real=True) end-to-end through the Arrow-batched
+    kernel on ACTUAL PNG bytes — no PIL required: widths/heights come
+    from the real IHDR, not the stub arithmetic."""
+    import numpy as np
+
+    from ntripmonitor_spark.functions import png
+    from ntripmonitor_spark.operators import multimodal
+
+    rng = np.random.default_rng(3)
+    rows = []
+    want = {}
+    for i, (hh, ww) in enumerate([(4, 6), (12, 3), (1, 1)]):
+        data = png.encode_png(rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8))
+        rows.append((i, data.decode("latin-1")))
+        want[i] = (ww, hh)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # binary_payloads casts text→binary; latin-1 round-trips bytes<->str
+    docs = docs.select(
+        "doc_id",
+        __import__("pyspark.sql.functions", fromlist=["encode"])
+        .encode("text", "iso-8859-1").cast("string").alias("text"),
+    )
+    out = {r["doc_id"]: r for r in multimodal.decode_metadata(docs, real=True).collect()}
+    for i, (ww, hh) in want.items():
+        assert (out[i]["width"], out[i]["height"]) == (ww, hh)
