@@ -111,11 +111,53 @@ def binary_payloads(docs: DataFrame) -> DataFrame:
 def decode_metadata(docs: DataFrame, real: bool = False) -> DataFrame:
     """binary payload → typed metadata via Arrow-batched mapInPandas.
 
-    ``real=True`` swaps the deterministic stub for the PIL header
-    decode (requires PIL; payloads must then be actual image bytes) —
+    ``real=True`` swaps the deterministic stub for an actual header
+    decode (built-in PNG codec always; PIL for other formats when the
+    container ships it; payloads must then be actual image bytes) —
     identical schema, batch shape, and partitioning either way."""
     kernel = decode_batch_real if real else decode_batch
     return binary_payloads(docs).mapInPandas(kernel, schema=DECODE_SCHEMA)
+
+
+PIXEL_FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, "
+    "mean_lum double, std_lum double"
+)
+
+
+def pixel_feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL pixel-level feature extraction over PNG payloads: decode
+    via the built-in codec, then per-image luminance mean/std (Rec.601
+    weights on the color channels; alpha ignored). The batch shape a
+    CLIP-embed stage takes, with an actual decode in the middle."""
+    import numpy as np
+
+    from ntripmonitor_spark.functions import png
+
+    for pdf in batches:
+        out = {"doc_id": pdf["doc_id"], "width": [], "height": [],
+               "channels": [], "mean_lum": [], "std_lum": []}
+        for payload in pdf["payload"]:
+            arr = png.decode_png(bytes(payload)).astype(np.float64)
+            h, w, ch = arr.shape
+            if ch >= 3:
+                lum = arr[:, :, 0] * 0.299 + arr[:, :, 1] * 0.587 + arr[:, :, 2] * 0.114
+            else:
+                lum = arr[:, :, 0]
+            out["width"].append(w)
+            out["height"].append(h)
+            out["channels"].append(ch)
+            out["mean_lum"].append(float(lum.mean()))
+            out["std_lum"].append(float(lum.std()))
+        yield pd.DataFrame(out)
+
+
+def pixel_features(docs: DataFrame) -> DataFrame:
+    """PNG payloads → real pixel-level features (see
+    pixel_feature_batch); payloads must be valid PNG bytes."""
+    return binary_payloads(docs).mapInPandas(
+        pixel_feature_batch, schema=PIXEL_FEATURES_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -174,3 +174,30 @@ def test_decode_metadata_real_path_on_png_payloads(spark):
     out = {r["doc_id"]: r for r in multimodal.decode_metadata(docs, real=True).collect()}
     for i, (ww, hh) in want.items():
         assert (out[i]["width"], out[i]["height"]) == (ww, hh)
+
+
+def test_pixel_features_real_decode_known_values(spark):
+    """pixel_features on crafted PNGs with analytically known
+    luminance: a constant gray image (mean = value, std = 0) and a
+    half-black/half-white RGB image (mean = 127.5 of 0/255 Rec.601
+    luminance, std = 127.5)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F2
+
+    from ntripmonitor_spark.functions import png
+    from ntripmonitor_spark.operators import multimodal
+
+    gray = np.full((8, 8, 1), 77, dtype=np.uint8)
+    bw = np.zeros((4, 8, 3), dtype=np.uint8)
+    bw[:, 4:, :] = 255
+    rows = [(0, png.encode_png(gray).decode("latin-1")),
+            (1, png.encode_png(bw).decode("latin-1"))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F2.encode("text", "iso-8859-1").cast("string").alias("text")
+    )
+    out = {r["doc_id"]: r for r in multimodal.pixel_features(docs).collect()}
+    assert out[0]["channels"] == 1 and out[0]["mean_lum"] == 77.0 and out[0]["std_lum"] == 0.0
+    assert out[1]["channels"] == 3
+    assert abs(out[1]["mean_lum"] - 127.5) < 1e-9
+    assert abs(out[1]["std_lum"] - 127.5) < 1e-9
