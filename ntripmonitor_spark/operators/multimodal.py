@@ -245,6 +245,49 @@ def resize(docs: DataFrame) -> DataFrame:
     return binary_payloads(docs).mapInPandas(resize_batch, schema=RESIZE_SCHEMA)
 
 
+def resize_real_batch(target: tuple[int, int] = (8, 8)):
+    """REAL resize kernel factory: decode PNG payloads via the
+    built-in codec, nearest-neighbor resample to ``target`` (w, h),
+    re-encode as PNG, and checksum the resized image bytes — the
+    actual thumbnail/normalize stage of an image-curation pipeline,
+    same Arrow batch shape as the stub."""
+    tw, th = target
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from ntripmonitor_spark.functions import png
+
+        for pdf in batches:
+            ids, ws, hs, cks = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = png.decode_png(bytes(payload))
+                h, w, _ch = arr.shape
+                ys = (np.arange(th) * h) // th
+                xs = (np.arange(tw) * w) // tw
+                resized = arr[ys][:, xs]
+                ids.append(doc_id)
+                ws.append(tw)
+                hs.append(th)
+                cks.append(hashlib.md5(png.encode_png(resized)).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "out_width": ws, "out_height": hs,
+                 "resized_checksum": cks}
+            )
+
+    return kernel
+
+
+def resize_real(docs: DataFrame, target: tuple[int, int] = (8, 8)) -> DataFrame:
+    """PNG payloads → real nearest-neighbor thumbnails (see
+    resize_real_batch)."""
+    return binary_payloads(docs).mapInPandas(
+        resize_real_batch(target), schema=RESIZE_SCHEMA
+    )
+
+
 ENERGY_SCHEMA = "doc_id bigint, win_idx int, ssq bigint, rms double"
 
 WIN_SAMPLES = 32  # stub "audio" analysis window (samples)
@@ -329,8 +372,44 @@ def ahash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+def ahash_real_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The REAL aHash the stub stands in for: decode the PNG payload,
+    Rec.601 luminance, nearest-neighbor resample to 8×8, bit =
+    pixel > mean — the actual image near-dup signature. Identical
+    output schema to ahash_batch, so every downstream stage
+    (chunk blocking, candidate join, hamming) is unchanged."""
+    import numpy as np
+
+    from ntripmonitor_spark.functions import png
+
+    side = 8  # 8×8 grid = AHASH_BITS samples
+    for pdf in batches:
+        sigs = []
+        chunk_cols: list[list[int]] = [[] for _ in range(AHASH_CHUNKS)]
+        chunk_w = AHASH_BITS // AHASH_CHUNKS
+        for b in pdf["payload"]:
+            arr = png.decode_png(bytes(b)).astype(np.float64)
+            h, w, ch = arr.shape
+            if ch >= 3:
+                lum = arr[:, :, 0] * 0.299 + arr[:, :, 1] * 0.587 + arr[:, :, 2] * 0.114
+            else:
+                lum = arr[:, :, 0]
+            ys = (np.arange(side) * h) // side
+            xs = (np.arange(side) * w) // side
+            grid = lum[ys][:, xs].reshape(AHASH_BITS)
+            mean = grid.sum() / float(AHASH_BITS)
+            bits = "".join("1" if x > mean else "0" for x in grid)
+            sigs.append(bits)
+            for j in range(AHASH_CHUNKS):
+                chunk_cols[j].append(int(bits[j * chunk_w:(j + 1) * chunk_w], 2))
+        out = {"doc_id": pdf["doc_id"], "ahash": sigs}
+        for j in range(AHASH_CHUNKS):
+            out[f"c{j}"] = pd.Series(chunk_cols[j], dtype="int32")
+        yield pd.DataFrame(out)
+
+
 def phash_neardup(docs: DataFrame, max_hamming: int = 7,
-                  chunk_bits: int = 8) -> DataFrame:
+                  chunk_bits: int = 8, real: bool = False) -> DataFrame:
     """Perceptual-hash near-duplicate pairs over binary payloads — the
     multimodal analog of dd04: signature via the Arrow-batched aHash
     kernel, candidate generation by identical 8-bit chunk (pigeonhole:
@@ -354,9 +433,10 @@ def phash_neardup(docs: DataFrame, max_hamming: int = 7,
             f"blocks, got {n_blocks} ({chunk_bits}-bit blocks)"
         )
     chunk_fields = ", ".join(f"c{j} int" for j in range(AHASH_CHUNKS))
+    kernel = ahash_real_batch if real else ahash_batch
     sig = (
         binary_payloads(docs)
-        .mapInPandas(ahash_batch, f"doc_id long, ahash string, {chunk_fields}")
+        .mapInPandas(kernel, f"doc_id long, ahash string, {chunk_fields}")
         .drop("ahash")
         .persist()
     )

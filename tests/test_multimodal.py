@@ -201,3 +201,57 @@ def test_pixel_features_real_decode_known_values(spark):
     assert out[1]["channels"] == 3
     assert abs(out[1]["mean_lum"] - 127.5) < 1e-9
     assert abs(out[1]["std_lum"] - 127.5) < 1e-9
+
+
+def test_phash_neardup_real_pixels(spark):
+    """phash_neardup(real=True): the aHash is computed from DECODED
+    8x8 luminance, not byte samples. A base image and a mildly noised
+    copy must pair within radius 7; an inverted image must not pair
+    with either. Downstream (blocking, candidate join, hamming) is the
+    exact machinery the registered stub queries use."""
+    import numpy as np
+
+    from pyspark.sql import functions as F2
+
+    from ntripmonitor_spark.functions import png
+    from ntripmonitor_spark.operators import multimodal
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    noised = np.clip(base.astype(int) + rng.integers(-6, 7, base.shape), 0, 255).astype(np.uint8)
+    inverted = (255 - base).astype(np.uint8)
+    rows = [(i, png.encode_png(a).decode("latin-1"))
+            for i, a in enumerate([base, noised, inverted])]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F2.encode("text", "iso-8859-1").cast("string").alias("text")
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in multimodal.phash_neardup(docs, max_hamming=7, real=True).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 7
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_resize_real_known_thumbnail(spark):
+    """resize_real: nearest-neighbor 8x8 thumbnails of real PNGs; the
+    checksum must equal the PNG of the analytically computed resample."""
+    import hashlib
+
+    import numpy as np
+
+    from pyspark.sql import functions as F2
+
+    from ntripmonitor_spark.functions import png
+    from ntripmonitor_spark.operators import multimodal
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    ys = (np.arange(8) * 24) // 8
+    xs = (np.arange(8) * 16) // 8
+    want = hashlib.md5(png.encode_png(arr[ys][:, xs])).hexdigest()
+
+    docs = spark.createDataFrame(
+        [(1, png.encode_png(arr).decode("latin-1"))], "doc_id long, text string"
+    ).select("doc_id", F2.encode("text", "iso-8859-1").cast("string").alias("text"))
+    r = multimodal.resize_real(docs).collect()[0]
+    assert (r["out_width"], r["out_height"]) == (8, 8)
+    assert r["resized_checksum"] == want
