@@ -335,6 +335,59 @@ def audio_energy(docs: DataFrame) -> DataFrame:
     return binary_payloads(docs).mapInPandas(audio_energy_batch, schema=ENERGY_SCHEMA)
 
 
+def wav_energy_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The REAL audio decode the stub stands in for: parse the payload
+    as a RIFF/WAVE container via the stdlib ``wave`` module (PCM 8/16
+    bit, any channel count — channels averaged to mono), then the same
+    integer sliding-window sum-of-squares as the stub kernel, so RMS
+    stays an exact rational's sqrt. Same output schema; window indexes
+    count PCM samples, not payload bytes."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    for pdf in batches:
+        ids, wi, ssqs, rmss = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            with wave.open(io.BytesIO(bytes(payload))) as wv:
+                n_ch = wv.getnchannels()
+                width = wv.getsampwidth()
+                frames = wv.readframes(wv.getnframes())
+            if width == 1:  # unsigned 8-bit PCM, center at 0
+                pcm = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
+            elif width == 2:  # signed 16-bit little-endian
+                pcm = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+            else:
+                raise NotImplementedError(f"PCM width {width} unsupported (8/16-bit)")
+            if n_ch > 1:  # average to mono (floor division keeps ints)
+                pcm = pcm.reshape(-1, n_ch).sum(axis=1) // n_ch
+            n_wins = max(0, (len(pcm) - WIN_SAMPLES) // HOP_SAMPLES + 1)
+            if n_wins:
+                sq = pcm * pcm
+                starts = np.arange(n_wins) * HOP_SAMPLES
+                windows = np.lib.stride_tricks.sliding_window_view(sq, WIN_SAMPLES)[starts]
+                sums = windows.sum(axis=1)
+                for w, s in enumerate(sums):
+                    ids.append(doc_id)
+                    wi.append(w)
+                    ssqs.append(int(s))
+                    rmss.append(round(math.sqrt(int(s) / float(WIN_SAMPLES)), 6))
+        yield pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"),
+             "win_idx": pd.Series(wi, dtype="int32"),
+             "ssq": pd.Series(ssqs, dtype="int64"),
+             "rms": pd.Series(rmss, dtype="float64")}
+        )
+
+
+def wav_energy(docs: DataFrame) -> DataFrame:
+    """RIFF/WAVE payloads → real windowed PCM energy (see
+    wav_energy_batch)."""
+    return binary_payloads(docs).mapInPandas(wav_energy_batch, schema=ENERGY_SCHEMA)
+
+
 AHASH_BITS = 64
 AHASH_CHUNKS = 8  # 8-bit chunks; pigeonhole covers hamming <= 7
 

@@ -255,3 +255,48 @@ def test_resize_real_known_thumbnail(spark):
     r = multimodal.resize_real(docs).collect()[0]
     assert (r["out_width"], r["out_height"]) == (8, 8)
     assert r["resized_checksum"] == want
+
+
+def test_wav_energy_real_decode_known_rms(spark):
+    """wav_energy on a stdlib-written RIFF/WAVE file with analytically
+    known energy: a constant-amplitude 16-bit square wave (|sample| =
+    1000 everywhere) has RMS exactly 1000 in every window; a silent
+    file has RMS 0. Stereo averages to mono first."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from pyspark.sql import functions as F2
+
+    from ntripmonitor_spark.operators import multimodal
+
+    def make_wav(samples: np.ndarray, n_ch: int = 1) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(n_ch)
+            wv.setsampwidth(2)
+            wv.setframerate(8000)
+            wv.writeframes(samples.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    n = multimodal.WIN_SAMPLES * 3
+    square = np.where(np.arange(n) % 2 == 0, 1000, -1000)
+    silent = np.zeros(n, dtype=int)
+    # stereo: L = 2000, R = 0 -> mono average 1000 (exact int)
+    stereo = np.zeros(2 * n, dtype=int)
+    stereo[0::2] = 2000
+    rows = [(0, make_wav(square).decode("latin-1")),
+            (1, make_wav(silent).decode("latin-1")),
+            (2, make_wav(stereo, n_ch=2).decode("latin-1"))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F2.encode("text", "iso-8859-1").cast("string").alias("text")
+    )
+    out = multimodal.wav_energy(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(r["rms"] == 1000.0 for r in by_doc[0])
+    assert all(r["rms"] == 0.0 for r in by_doc[1])
+    assert all(r["rms"] == 1000.0 for r in by_doc[2])
+    assert len(by_doc[0]) == len(by_doc[1]) == len(by_doc[2]) > 0
