@@ -245,6 +245,43 @@ def resize(docs: DataFrame) -> DataFrame:
     return binary_payloads(docs).mapInPandas(resize_batch, schema=RESIZE_SCHEMA)
 
 
+def gif_frame_sample_batch(every_k: int = 2):
+    """REAL frame sampling over animated-GIF payloads (the video
+    modality's container-friendly stand-in): decode via the built-in
+    LZW codec, keep every ``every_k``-th frame, emit the total frame
+    count and each sampled frame's integer pixel sum — the exact shape
+    an ffmpeg-sample stage produces, with an actual decode inside."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ntripmonitor_spark.functions import gif
+
+        for pdf in batches:
+            ids, nf, sums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = gif.decode_gif(bytes(payload))
+                sampled = frames[::every_k]
+                ids.append(doc_id)
+                nf.append(frames.shape[0])
+                sums.append([int(f.sum()) for f in sampled.astype(np.int64)])
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "n_frames": pd.Series(nf, dtype="int32"),
+                 "frame_sums": sums}
+            )
+
+    return kernel
+
+
+def gif_frame_sample(docs: DataFrame, every_k: int = 2) -> DataFrame:
+    """Animated-GIF payloads → real sampled-frame statistics (see
+    gif_frame_sample_batch)."""
+    return binary_payloads(docs).mapInPandas(
+        gif_frame_sample_batch(every_k), schema=FRAME_SCHEMA
+    )
+
+
 def resize_real_batch(target: tuple[int, int] = (8, 8)):
     """REAL resize kernel factory: decode PNG payloads via the
     built-in codec, nearest-neighbor resample to ``target`` (w, h),

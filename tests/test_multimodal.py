@@ -300,3 +300,95 @@ def test_wav_energy_real_decode_known_rms(spark):
     assert all(r["rms"] == 0.0 for r in by_doc[1])
     assert all(r["rms"] == 1000.0 for r in by_doc[2])
     assert len(by_doc[0]) == len(by_doc[1]) == len(by_doc[2]) > 0
+
+
+def test_gif_codec_roundtrip_and_real_frame_sampling(spark):
+    """The GIF LZW decoder against the fixture encoder: exact pixel
+    recovery across frames, then the Spark real frame-sampling kernel
+    end-to-end with analytically known pixel sums."""
+    import numpy as np
+
+    from pyspark.sql import functions as F2
+
+    from ntripmonitor_spark.functions import gif
+    from ntripmonitor_spark.operators import multimodal
+
+    palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [10, 20, 30]],
+                       dtype=np.uint8)
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 4, size=(5, 6, 9), dtype=np.uint8)
+    data = gif.encode_gif(frames, palette)
+    assert gif.is_gif(data)
+    decoded = gif.decode_gif(data)
+    assert decoded.shape == (5, 6, 9, 3)
+    want_rgb = palette[frames]
+    assert (decoded == want_rgb).all()
+
+    docs = spark.createDataFrame(
+        [(7, data.decode("latin-1"))], "doc_id long, text string"
+    ).select("doc_id", F2.encode("text", "iso-8859-1").cast("string").alias("text"))
+    r = multimodal.gif_frame_sample(docs, every_k=2).collect()[0]
+    assert r["n_frames"] == 5
+    want_sums = [int(want_rgb[i].astype(np.int64).sum()) for i in (0, 2, 4)]
+    assert list(r["frame_sums"]) == want_sums
+
+
+def test_gif_lzw_decoder_handles_growing_dictionary_and_kwkwk():
+    """The fixture encoder never grows the LZW dictionary, so compress
+    a frame with a REAL in-test LZW encoder (string-table growth,
+    width escalation, and the KwKwK self-reference via long runs) and
+    require exact recovery."""
+    import numpy as np
+
+    from ntripmonitor_spark.functions.gif import _lzw_decode
+
+    def lzw_encode(pixels, min_code):
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        table = {(i,): i for i in range(clear)}
+        next_code = eoi + 1
+        width = min_code + 1
+        out_codes = [clear]
+        seq = ()
+        widths = []
+        for p in pixels:
+            cand = seq + (p,)
+            if cand in table:
+                seq = cand
+                continue
+            out_codes.append(table[seq])
+            widths.append(width)
+            table[cand] = next_code
+            next_code += 1
+            # the GIF width rule: codes grow when next_code exceeds width
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+            seq = (p,)
+        out_codes.append(table[seq])
+        widths.append(width)
+        out_codes.append(eoi)
+        widths.append(width)
+        # pack: first code (clear) at initial width
+        widths = [min_code + 1] + widths
+        acc = nbits = 0
+        data = bytearray()
+        for code, wdt in zip(out_codes, widths):
+            acc |= code << nbits
+            nbits += wdt
+            while nbits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            data.append(acc & 0xFF)
+        return bytes(data)
+
+    rng = np.random.default_rng(17)
+    # long runs (KwKwK) + enough variety to force width growth past 2^min
+    pixels = np.concatenate([
+        np.full(50, 1), np.full(37, 2),
+        rng.integers(0, 4, 300), np.full(25, 3), np.tile([0, 1], 40),
+    ]).astype(int).tolist()
+    for min_code in (2, 3):
+        stream = lzw_encode(pixels, min_code)
+        got = _lzw_decode(min_code, stream, len(pixels))
+        assert got == pixels, f"min_code={min_code}: mismatch"
