@@ -392,3 +392,46 @@ def test_gif_lzw_decoder_handles_growing_dictionary_and_kwkwk():
         stream = lzw_encode(pixels, min_code)
         got = _lzw_decode(min_code, stream, len(pixels))
         assert got == pixels, f"min_code={min_code}: mismatch"
+
+
+def test_media_ingest_binaryfile_to_manifest(spark, tmp_path):
+    """End-to-end media ingest: a directory tree of real PNG/GIF/WAV
+    files (written by the fixture encoders/stdlib) plus one junk file,
+    read through Spark's binaryFile source (recursive + glob) into the
+    typed manifest with per-modality REAL metadata."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from ntripmonitor_spark.functions import gif, png
+    from ntripmonitor_spark.sources import media
+
+    rng = np.random.default_rng(21)
+    root = tmp_path / "drop"
+    (root / "sub").mkdir(parents=True)
+
+    (root / "a.png").write_bytes(
+        png.encode_png(rng.integers(0, 256, (10, 20, 3), dtype=np.uint8)))
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    (root / "sub" / "b.gif").write_bytes(
+        gif.encode_gif(rng.integers(0, 2, (3, 4, 5), dtype=np.uint8), pal))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1); wv.setsampwidth(2); wv.setframerate(16000)
+        wv.writeframes(np.zeros(160, dtype="<i2").tobytes())
+    (root / "sub" / "c.wav").write_bytes(buf.getvalue())
+    (root / "junk.txt").write_bytes(b"not media at all")
+
+    out = {r["path"].rsplit("/", 1)[-1]: r
+           for r in media.ingest_media(spark, str(root)).collect()}
+    assert out["a.png"]["modality"] == "image"
+    assert (out["a.png"]["width"], out["a.png"]["height"]) == (20, 10)
+    assert out["b.gif"]["modality"] == "video" and out["b.gif"]["n_frames"] == 3
+    assert (out["b.gif"]["width"], out["b.gif"]["height"]) == (5, 4)
+    assert out["c.wav"]["modality"] == "audio"
+    assert out["c.wav"]["n_samples"] == 160 and out["c.wav"]["sample_rate"] == 16000
+    assert out["junk.txt"]["modality"] == "other"
+
+    only_png = media.ingest_media(spark, str(root), glob="*.png").collect()
+    assert [r["path"].rsplit("/", 1)[-1] for r in only_png] == ["a.png"]
