@@ -105,3 +105,25 @@ def ingest_media(spark: SparkSession, path: str,
                  glob: str | None = None) -> DataFrame:
     """One-call bronze build: read + manifest."""
     return media_manifest(read_media(spark, path, glob))
+
+
+BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_media(spark: SparkSession, path: str,
+                 glob: str | None = None) -> DataFrame:
+    """Continuous media ingest: the same binaryFile relation as a
+    STREAM over a watched drop directory — each new file becomes a
+    manifest row in the micro-batch after it lands (the cloud
+    auto-loader pattern on OSS Spark; checkpointing makes it
+    exactly-once per file). Compose with ``media_manifest``."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARYFILE_SCHEMA)
+        .option("recursiveFileLookup", "true")
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -435,3 +435,49 @@ def test_media_ingest_binaryfile_to_manifest(spark, tmp_path):
 
     only_png = media.ingest_media(spark, str(root), glob="*.png").collect()
     assert [r["path"].rsplit("/", 1)[-1] for r in only_png] == ["a.png"]
+
+
+def test_media_stream_ingest_watched_drop_dir(spark, tmp_path):
+    """Continuous media ingest: files landing in a watched directory
+    across TWO stream runs each appear exactly once in the manifest
+    sink (checkpointed file-source semantics — the second run picks up
+    only the file added after the first)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from ntripmonitor_spark.functions import png
+    from ntripmonitor_spark.sources import media
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    rng = np.random.default_rng(31)
+    (drop / "one.png").write_bytes(
+        png.encode_png(rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)))
+
+    sink = str(tmp_path / "manifest")
+
+    def run_once():
+        q = (
+            media.media_manifest(media.stream_media(spark, str(drop)))
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1); wv.setsampwidth(2); wv.setframerate(8000)
+        wv.writeframes(np.zeros(80, dtype="<i2").tobytes())
+    (drop / "two.wav").write_bytes(buf.getvalue())
+    run_once()
+
+    rows = spark.read.parquet(sink).select("path", "modality").collect()
+    names = sorted(r["path"].rsplit("/", 1)[-1] for r in rows)
+    assert names == ["one.png", "two.wav"], names
+    by = {r["path"].rsplit("/", 1)[-1]: r["modality"] for r in rows}
+    assert by == {"one.png": "image", "two.wav": "audio"}
