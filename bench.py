@@ -104,8 +104,11 @@ def main() -> None:
     timings = {name: round(best[name], 4) for name in names}
 
     # Full record → BENCH_FULL.json (every query, rows, exclusions).
+    # Dev-subset runs (SPARK_GRAFT_BENCH_ONLY) go to BENCH_FULL_DEV.json
+    # so they can never clobber the archived full record.
     full_total = round(sum(timings.values()), 4)
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    full_name = "BENCH_FULL_DEV.json" if only else "BENCH_FULL.json"
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), full_name)
     with open(full_path, "w") as f:
         json.dump(
             {

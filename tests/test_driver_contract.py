@@ -62,7 +62,7 @@ def test_bench_emits_one_json_line():
     # the archived line reports the headline subset (q01 is the only
     # headline query in this dev set); the full record carries the rest
     assert set(d["queries"]) == {"q01_pricing_summary"}
-    full = json.load(open("/root/repo/BENCH_FULL.json"))
+    full = json.load(open("/root/repo/BENCH_FULL_DEV.json"))
     assert set(full["queries"]) == {
         "q01_pricing_summary", "sn01_user_sessions", "ws01_weighted_sample"
     }
