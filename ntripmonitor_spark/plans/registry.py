@@ -99,6 +99,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "gr02_dup_degree",
         "ig02_loss_aware_mix",
         "in02_phrase_search",
+        "in03_phrase_probe",
         "kl01_source_divergence",
         "ks01_source_drift",
         "mm01_decode_metadata",

@@ -288,54 +288,23 @@ def rt02_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _frame_archive_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the rt-fixture frames ONCE per sf_dir as a parquet
     archive under /tmp (deterministic content — safe to cache). The
-    decode-throughput bench reads this so its timed runs measure the
-    ENGINE decode, not the Python fixture encoder. The cache key mixes
-    in the mtimes of the fixture-defining sources AND the mtime/size of
-    the underlying events parquet, so an encoder change OR a
-    regenerated sf_dir invalidates stale archives instead of silently
-    serving old frames; the directory is per-uid so concurrent users
-    cannot race on a shared predictable path."""
-    import getpass
-    import hashlib
-    import tempfile
-
+    decode-throughput queries read this so their timed runs measure the
+    ENGINE decode, not the Python fixture encoder. Salted on the
+    fixture-defining sources so an encoder change invalidates stale
+    archives (data/sf_dir invalidation handled by silver_archive)."""
     from ntripmonitor_spark.sources import encoder_vec, framing
+    from ntripmonitor_spark.tables import silver_archive
 
     salt = "|".join(
         str(os.path.getmtime(m.__file__))
         for m in (encoder, encoder_vec, framing)
         if getattr(m, "__file__", None)
+    ) + f"|{__file__}|{os.path.getmtime(__file__)}"
+    return silver_archive(
+        spark, sf_dir, "frames",
+        lambda: split_frames(event_blobs(spark, sf_dir)),
+        salt=salt,
     )
-    data_salt = "|".join(
-        f"{f}:{os.path.getmtime(os.path.join(sf_dir, f))}:{os.path.getsize(os.path.join(sf_dir, f))}"
-        for f in sorted(os.listdir(sf_dir))
-        if f.endswith(".parquet") and os.path.isfile(os.path.join(sf_dir, f))
-    )
-    key = hashlib.md5(
-        (os.path.abspath(sf_dir) + "|" + salt + "|" + data_salt + "|"
-         + __file__ + "|" + str(os.path.getmtime(__file__))).encode()
-    ).hexdigest()[:12]
-    try:
-        user = getpass.getuser()
-    except Exception:
-        user = str(os.getuid()) if hasattr(os, "getuid") else "u"
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_{user}")
-    os.makedirs(base, exist_ok=True)
-    path = os.path.join(base, f"frames_{key}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        # Write to a unique scratch dir, then atomically rename into place
-        # so a concurrent run never observes a half-written archive.
-        scratch = tempfile.mkdtemp(dir=base, prefix=f"frames_{key}.tmp.")
-        frames = split_frames(event_blobs(spark, sf_dir))
-        frames.write.mode("overwrite").parquet(scratch)
-        try:
-            os.rename(scratch, path)
-        except OSError:
-            # Lost the race to another run — its archive is equivalent.
-            import shutil
-
-            shutil.rmtree(scratch, ignore_errors=True)
-    return path
 
 
 @register(

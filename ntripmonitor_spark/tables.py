@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import re
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -105,6 +106,61 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def silver_archive(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build: Callable[[], DataFrame],
+    *,
+    salt: str = "",
+) -> str:
+    """Materialize a deterministic derived table ONCE per (sf_dir, code
+    version) as a parquet archive under /tmp and return its path.
+
+    Probe-only serving queries (phrase search over a posting index,
+    decode throughput over aligned frames) should pay the build cost
+    once per corpus version, not per query — at scale the silver table
+    is a managed warehouse table; locally this cache stands in for it.
+    The cache key mixes the sf_dir parquet mtimes/sizes and a caller
+    salt (typically source-module mtimes) so a code OR data change
+    invalidates stale archives instead of silently serving old rows.
+    The directory is per-uid so concurrent users cannot race on a
+    shared predictable path, and writes land in a scratch dir that is
+    atomically renamed into place so a concurrent run never observes a
+    half-written archive.
+    """
+    import getpass
+    import hashlib
+    import tempfile
+
+    data_salt = "|".join(
+        f"{f}:{os.path.getmtime(os.path.join(sf_dir, f))}:{os.path.getsize(os.path.join(sf_dir, f))}"
+        for f in sorted(os.listdir(sf_dir))
+        if f.endswith(".parquet") and os.path.isfile(os.path.join(sf_dir, f))
+    )
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + "|" + name + "|" + salt + "|" + data_salt).encode()
+    ).hexdigest()[:12]
+    try:
+        user = getpass.getuser()
+    except Exception:
+        user = str(os.getuid()) if hasattr(os, "getuid") else "u"
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_{user}")
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, f"{name}_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        scratch = tempfile.mkdtemp(dir=base, prefix=f"{name}_{key}.tmp.")
+        build().write.mode("overwrite").parquet(scratch)
+        try:
+            os.rename(scratch, path)
+        except OSError:
+            # Lost the race to another run — its archive is equivalent.
+            import shutil
+
+            shutil.rmtree(scratch, ignore_errors=True)
+    return path
 
 
 def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
