@@ -71,6 +71,8 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list[int]:
 def _sub_blocks(data: bytes, pos: int) -> tuple[bytes, int]:
     chunks = []
     while True:
+        if pos >= len(data):
+            raise ValueError("truncated GIF sub-block chain")
         size = data[pos]
         pos += 1
         if size == 0:
@@ -84,6 +86,8 @@ def decode_gif(data: bytes) -> np.ndarray:
     """GIF bytes → uint8 array (n_frames, height, width, 3) RGB."""
     if not is_gif(data):
         raise ValueError("not a GIF (bad signature)")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
     sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     gct = None
@@ -101,6 +105,8 @@ def decode_gif(data: bytes) -> np.ndarray:
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension
+            if pos >= len(data):
+                raise ValueError("truncated GIF extension")
             label = data[pos]
             pos += 1
             body, pos = _sub_blocks(data, pos)
@@ -110,8 +116,15 @@ def decode_gif(data: bytes) -> np.ndarray:
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated GIF image descriptor")
         left, top, w, h, ipacked = struct.unpack("<HHHHB", data[pos:pos + 9])
         pos += 9
+        if left + w > sw or top + h > sh:
+            raise ValueError(
+                f"frame rectangle {w}x{h}@({left},{top}) exceeds "
+                f"logical screen {sw}x{sh}"
+            )
         if ipacked & 0x40:
             raise NotImplementedError("interlaced GIF unsupported")
         table = gct
@@ -123,6 +136,8 @@ def decode_gif(data: bytes) -> np.ndarray:
             pos += 3 * n
         if table is None:
             raise ValueError("image without a color table")
+        if pos >= len(data):
+            raise ValueError("truncated GIF image data")
         min_code = data[pos]
         pos += 1
         lzw, pos = _sub_blocks(data, pos)

@@ -138,7 +138,15 @@ def pixel_feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         out = {"doc_id": pdf["doc_id"], "width": [], "height": [],
                "channels": [], "mean_lum": [], "std_lum": []}
         for payload in pdf["payload"]:
-            arr = png.decode_png(bytes(payload)).astype(np.float64)
+            # Per-row quarantine (cf. media.manifest_batch): one corrupt
+            # payload must not kill the whole stage — emit a null-metadata
+            # row the caller can filter on (width IS NULL).
+            try:
+                arr = png.decode_png(bytes(payload)).astype(np.float64)
+            except Exception:
+                for k in ("width", "height", "channels", "mean_lum", "std_lum"):
+                    out[k].append(None)
+                continue
             h, w, ch = arr.shape
             if ch >= 3:
                 lum = arr[:, :, 0] * 0.299 + arr[:, :, 1] * 0.587 + arr[:, :, 2] * 0.114
@@ -260,14 +268,21 @@ def gif_frame_sample_batch(every_k: int = 2):
         for pdf in batches:
             ids, nf, sums = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                frames = gif.decode_gif(bytes(payload))
-                sampled = frames[::every_k]
                 ids.append(doc_id)
+                # Per-row quarantine: a corrupt GIF yields a null row
+                # (n_frames IS NULL) instead of failing the stage.
+                try:
+                    frames = gif.decode_gif(bytes(payload))
+                except Exception:
+                    nf.append(None)
+                    sums.append(None)
+                    continue
+                sampled = frames[::every_k]
                 nf.append(frames.shape[0])
                 sums.append([int(f.sum()) for f in sampled.astype(np.int64)])
             yield pd.DataFrame(
                 {"doc_id": pd.Series(ids, dtype="int64"),
-                 "n_frames": pd.Series(nf, dtype="int32"),
+                 "n_frames": pd.Series(nf, dtype="Int32"),
                  "frame_sums": sums}
             )
 
@@ -478,7 +493,15 @@ def ahash_real_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunk_cols: list[list[int]] = [[] for _ in range(AHASH_CHUNKS)]
         chunk_w = AHASH_BITS // AHASH_CHUNKS
         for b in pdf["payload"]:
-            arr = png.decode_png(bytes(b)).astype(np.float64)
+            # Per-row quarantine: null signature/chunks on corrupt PNG
+            # (null join keys fall out of the blocking equi-join).
+            try:
+                arr = png.decode_png(bytes(b)).astype(np.float64)
+            except Exception:
+                sigs.append(None)
+                for j in range(AHASH_CHUNKS):
+                    chunk_cols[j].append(None)
+                continue
             h, w, ch = arr.shape
             if ch >= 3:
                 lum = arr[:, :, 0] * 0.299 + arr[:, :, 1] * 0.587 + arr[:, :, 2] * 0.114
@@ -494,7 +517,8 @@ def ahash_real_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 chunk_cols[j].append(int(bits[j * chunk_w:(j + 1) * chunk_w], 2))
         out = {"doc_id": pdf["doc_id"], "ahash": sigs}
         for j in range(AHASH_CHUNKS):
-            out[f"c{j}"] = pd.Series(chunk_cols[j], dtype="int32")
+            # Nullable Int32: quarantined rows carry null chunk keys.
+            out[f"c{j}"] = pd.Series(chunk_cols[j], dtype="Int32")
         yield pd.DataFrame(out)
 
 

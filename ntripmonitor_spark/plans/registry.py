@@ -111,6 +111,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "mm07_patch_grid",
         "mm09_modality_census",
         "mm10_byte_entropy",
+        "mm12_media_manifest",
         "q01_pricing_summary",
         "q02_tumbling_window",
         "q03_conditional_agg",

@@ -86,9 +86,11 @@ def manifest_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "checksum": hashlib.md5(payload).hexdigest(),
                 **meta,
             })
-        out = pd.DataFrame(rows)
-        yield out[["path", "n_bytes", "modality", "width", "height",
-                   "n_frames", "n_samples", "sample_rate", "checksum"]]
+        cols = ["path", "n_bytes", "modality", "width", "height",
+                "n_frames", "n_samples", "sample_rate", "checksum"]
+        # Column-wise build: pd.DataFrame([]) has no columns at all and
+        # the selection below would KeyError on an empty Arrow batch.
+        yield pd.DataFrame({c: [r[c] for r in rows] for c in cols})
 
 
 def media_manifest(media: DataFrame) -> DataFrame:

@@ -481,3 +481,68 @@ def test_media_stream_ingest_watched_drop_dir(spark, tmp_path):
     assert names == ["one.png", "two.wav"], names
     by = {r["path"].rsplit("/", 1)[-1]: r["modality"] for r in rows}
     assert by == {"one.png": "image", "two.wav": "audio"}
+
+
+def test_real_kernels_quarantine_corrupt_rows(spark):
+    """One corrupt payload in a batch must not kill the stage: the
+    real-decode kernels emit a null-metadata row for it (the
+    media.manifest_batch modality='corrupt' convention) while the
+    valid rows decode normally."""
+    import numpy as np
+
+    from pyspark.sql import functions as F2
+
+    from ntripmonitor_spark.functions import gif, png
+    from ntripmonitor_spark.operators import multimodal
+
+    rng = np.random.default_rng(11)
+    good_png = png.encode_png(rng.integers(0, 256, (5, 4, 3), dtype=np.uint8))
+    bad = b"\x89PNG\r\n\x1a\n" + bytes(4)  # magic + garbage
+    rows = [(0, good_png.decode("latin-1")), (1, bad.decode("latin-1"))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F2.encode("text", "iso-8859-1").cast("string").alias("text")
+    )
+    out = {r["doc_id"]: r for r in multimodal.pixel_features(docs).collect()}
+    assert out[0]["width"] == 4 and out[0]["height"] == 5
+    assert out[1]["width"] is None and out[1]["mean_lum"] is None
+
+    sig = {r["doc_id"]: r for r in multimodal.phash_neardup(
+        docs, max_hamming=7, real=True).collect()}
+    assert sig == {}  # no pairs — and no stage failure
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    good_gif = gif.encode_gif(
+        rng.integers(0, 2, (2, 3, 3), dtype=np.uint8), pal)
+    rows = [(0, good_gif.decode("latin-1")), (1, "GIF89a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F2.encode("text", "iso-8859-1").cast("string").alias("text")
+    )
+    out = {r["doc_id"]: r for r in multimodal.gif_frame_sample(docs).collect()}
+    assert out[0]["n_frames"] == 2
+    assert out[1]["n_frames"] is None and out[1]["frame_sums"] is None
+
+
+def test_gif_decoder_rejects_malformed_with_valueerror():
+    """Malformed GIFs raise ValueError (never IndexError / numpy
+    broadcast errors): truncated header, truncated sub-blocks, and a
+    frame rectangle exceeding the logical screen."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from ntripmonitor_spark.functions import gif
+
+    with pytest.raises(ValueError):
+        gif.decode_gif(b"GIF89a\x01\x00")  # truncated header
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    ok = gif.encode_gif(np.zeros((1, 2, 2), dtype=np.uint8), pal)
+    with pytest.raises(ValueError):
+        gif.decode_gif(ok[:20])  # truncated mid-stream
+    # Rewrite the image descriptor so the frame overflows the screen:
+    # find the 0x2C introducer and bump its width field.
+    pos = ok.index(b"\x2c", 6)
+    bad = bytearray(ok)
+    bad[pos + 5:pos + 7] = struct.pack("<H", 9)  # w=9 on a 2x2 screen
+    with pytest.raises(ValueError, match="exceeds"):
+        gif.decode_gif(bytes(bad))
