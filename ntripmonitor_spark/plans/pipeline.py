@@ -797,6 +797,74 @@ def gr01_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# gr03 — the 100 TB dedup-graph route end-to-end: CC over LSH edges.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gr03_lsh_clusters",
+    tags=("dedup",),
+    bench=True,
+    oracle=f"""
+WITH RECURSIVE {_SH_CTE},
+mh AS (
+    SELECT doc_id,
+           {_MH_MINS}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+    {_MH_BANDS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM cand
+    UNION ALL SELECT doc_b, doc_a FROM cand
+),
+reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+by_cluster AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+    FROM clusters GROUP BY 1
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * cluster_size AS BIGINT) AS n_docs,
+       CAST(count(*) * (cluster_size - 1) AS BIGINT) AS n_removable
+FROM by_cluster GROUP BY 1
+""",
+)
+def gr03_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gr01's dedup report over the APPROXIMATE edge set — the route a
+    100 TB corpus actually takes: MinHash-LSH banding (dd03) generates
+    the candidate pairs (signatures shuffle, never text; bucket
+    equi-join, never all-pairs), and connected components runs over
+    exactly those edges (edge-touched subgraph only, pointer-doubling
+    O(log d) rounds). gr01 stays the exact-Jaccard report; this pins
+    the LSH-edges → CC → savings-report composition end-to-end under
+    the driver. The recursive oracle recomputes reachability over the
+    same banding-derived edge list."""
+    docs = table(spark, sf_dir, "documents")
+    edges = dedup.minhash_lsh_pairs(docs, n=3).select("doc_a", "doc_b")
+    labels, _ = dedup.connected_components(docs.select("doc_id"), edges)
+    by_cluster = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return by_cluster.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
+        (F.count(F.lit(1)) * (F.col("cluster_size") - 1)).alias("n_removable"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # tx06 — PII scrub (regex redaction with accounting)
 # ---------------------------------------------------------------------------
 
@@ -3052,7 +3120,17 @@ def mm06_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal dedup: Arrow-batched signature kernel at the stub-codec
     boundary, dd04-style lossless chunk blocking (hamming ≤ 7 over 8
     chunks forces a shared chunk), exact hamming on candidates only.
-    The oracle recomputes the signature byte-for-byte from hex pairs."""
+    The oracle recomputes the signature byte-for-byte from hex pairs.
+
+    DELIBERATE oracle-stress variant, kept registered by decision
+    (round-6): 8-bit chunks at radius 7 are the only lossless blocking
+    that yields non-empty results on the raw synthetic corpus (closest
+    pair at hamming 5), and the wide radius is what stresses the
+    candidate join against the blocking-free oracle. It is NOT the
+    scale mode — 16-bit blocking (mm11 on the raw corpus; mm13 with
+    planted near-dups proving non-empty recovery) is the 100 TB
+    default (SCALE.md §6d: 8-bit went 0.93 s → 29.5 s at 10×, 16-bit
+    stayed linear)."""
     return multimodal.phash_neardup(table(spark, sf_dir, "documents"), max_hamming=7)
 
 
@@ -3106,6 +3184,93 @@ def mm11_phash_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_neardup(
         table(spark, sf_dir, "documents"), max_hamming=3, chunk_bits=16
     )
+
+
+# ---------------------------------------------------------------------------
+# mm13 — production mode with PLANTED near-dups (non-empty proof).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm13_phash_planted",
+    bench=True,
+    tags=("multimodal", "dedup"),
+    oracle="""
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 23 = 0
+    UNION ALL
+    SELECT doc_id + 200000,
+           substr(text, 1, strlen(text) - 1)
+           || CASE WHEN substr(text, strlen(text), 1) = 'z'
+                   THEN 'y' ELSE 'z' END
+    FROM documents WHERE doc_id % 29 = 0
+),
+b AS (
+    SELECT doc_id, hex(encode(text)) AS h,
+           CAST(octet_length(encode(text)) AS INT) AS n
+    FROM aug
+),
+by2 AS (
+    SELECT doc_id, n,
+           list_transform(range(0, n), i ->
+               (strpos('0123456789ABCDEF', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(h, CAST(2*i+2 AS INT), 1)) - 1) AS bts
+    FROM b
+),
+smp AS (
+    SELECT doc_id,
+           list_transform(range(0, 64), i -> bts[CAST((i * n) // 64 AS INT) + 1]) AS s
+    FROM by2
+),
+sig AS (
+    SELECT doc_id,
+           array_to_string(
+               list_transform(s, x -> CASE WHEN x > list_sum(s) / 64.0
+                                           THEN '1' ELSE '0' END), '') AS ahash
+    FROM smp
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN substr(a.ahash, CAST(i AS INT), 1)
+                         <> substr(b.ahash, CAST(i AS INT), 1)
+                    THEN 1 ELSE 0 END)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+""",
+)
+def mm13_phash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm11's production mode (16-bit blocks, radius 3) proven on a
+    corpus where near-dups EXIST: the documents table augmented with
+    deterministic twins — exact copies (doc_id % 23, hamming 0) and
+    last-character swaps (doc_id % 29, a near-miss whose sampled-byte
+    and mean shifts stay within the radius for most docs). mm11's row
+    on the raw corpus is agreement-on-empty (the synthetic closest
+    pair sits at hamming 5 > 3); this query is the non-empty
+    counterpart — the blocked candidate set must recover every planted
+    pair the blocking-free brute-force oracle finds, at the same
+    radius. mm06 (8-bit chunks, radius 7) stays registered as the
+    deliberate oracle-stress/recall-sensitivity variant — see its
+    docstring and SCALE.md §6d for why 16-bit is the 100 TB mode."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 23 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    last = F.substring(F.col("text"), -1, 1)
+    swapped = F.concat(
+        F.expr("substring(text, 1, length(text) - 1)"),
+        F.when(last == "z", F.lit("y")).otherwise(F.lit("z")),
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 29 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", swapped)
+    )
+    aug = docs.unionByName(dup).unionByName(near)
+    return multimodal.phash_neardup(aug, max_hamming=3, chunk_bits=16)
 
 
 # ---------------------------------------------------------------------------
@@ -3219,9 +3384,15 @@ def dq01_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time data-quality report over events: row count, null
     count, exact distinct cardinality, and numeric range for every
     column, in ONE aggregation job (Expand(xN) + value-keyed dedup —
-    the oracle's five separate scans collapse into one). The approx
-    twin (profile_table(approx=True), HLL state, no Expand) is the
-    100 TB default; equivalence-within-error is test-pinned."""
+    the oracle's five separate scans collapse into one).
+
+    DELIBERATE exact variant, kept registered by decision (round-6):
+    exact distinct counts are what a SQL oracle can value-check
+    hash-exactly, and the Expand×|columns| cost is the honest price of
+    exactness. It is NOT the scale mode — dq02 (profile_table(
+    approx=True), HLL sketch state, single scan, no Expand) is the
+    100 TB default with its own driver-green row (r5);
+    equivalence-within-error is test-pinned."""
     from ntripmonitor_spark.operators import profile
 
     ev = table(spark, sf_dir, "events")

@@ -97,6 +97,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "er03_blocking_profile",
         "fn03_user_growth",
         "gr02_dup_degree",
+        "gr03_lsh_clusters",
         "ig02_loss_aware_mix",
         "in02_phrase_search",
         "in03_phrase_probe",
@@ -112,6 +113,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "mm09_modality_census",
         "mm10_byte_entropy",
         "mm12_media_manifest",
+        "mm13_phash_planted",
         "q01_pricing_summary",
         "q02_tumbling_window",
         "q03_conditional_agg",
