@@ -20,9 +20,18 @@ def cpu_count() -> int:
 
 
 def get_spark(app_name: str = "ntripmonitor_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    import tempfile
+
     cpus = cpu_count()
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    # Keep JVM side-effect files (spark-warehouse/, Derby's derby.log +
+    # metastore_db) out of the process CWD — test/bench runs must leave
+    # a clean `git status` behind.
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_jvm_{os.getuid() if hasattr(os, 'getuid') else 0}"
+    )
+    os.makedirs(scratch, exist_ok=True)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -40,6 +49,8 @@ def get_spark(app_name: str = "ntripmonitor_spark", shuffle_partitions: int | No
         # out of it (BENCH_r04 "parsed: null").
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.warehouse.dir", os.path.join(scratch, "warehouse"))
+        .config("spark.driver.extraJavaOptions", f"-Dderby.system.home={scratch}")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
