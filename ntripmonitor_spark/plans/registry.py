@@ -43,43 +43,44 @@ def bench_queries() -> dict[str, Query]:
     return {n: q for n, q in REGISTRY.items() if q.bench}
 
 
-# Driver-window rotation (round 5): the ALL-DEBT window. The correctness
-# driver records rows for the FIRST 50 registered names alphabetically;
-# the round-4 verdict directed this round's window to be spent entirely on
-# verification debt. The 50 canonical (non-``x_``) names are therefore:
-#   * the 5 queries whose LATEST driver row is an r3 ERROR (driver-side
-#     TIMESTAMP_NTZ/unix_micros change + the canonicalizer's array-cell
-#     crash) and whose fixes (functions/timeutil.py epoch_us,
-#     plans/pipeline.py ss04 posexplode) have never had a driver row:
-#     aj01, rj01, sn01, sn02, ss04;
-#   * 43 of the 47 never-driver-checked queries (the full ANN serving
-#     stack ss05-ss11, tx08-tx12, funnels/retrieval, q22/q24, ...);
-#     deferred to round 6 (lowest risk - each has a driver-green sibling
-#     on the same code path): an02/an03 (an04/an05 green r4),
-#     tp03 (tp01/tp02/tp04 green r4), mm05 (mm06-mm10 green r4);
-#   * the 2 round-5 registrations the verdict itself requested green rows
-#     for: mm11_phash_16bit (scale-safe 16-bit blocking) and
-#     dq02_profile_approx (no-Expand HLL profile).
-# New-query registration is otherwise FROZEN this round (verdict order)
-# so round 6 can finish the backlog: the 4 deferred never-checked + the
-# stale r1-era re-verification batch (trailing entries below).
-# Everything else is exposed under an ``x_`` alias (sorts past the 50
-# canonical names, all < 'x'): the entire r4 window (just re-greened on
-# identical code) and the r1-r3-green unchanged queries. Nothing is
-# hidden - every query stays registered under its canonical name for
-# tests/bench and the local DuckDB parity suite (tests/test_parity.py);
-# cross-round coverage is auto-derived by tools/coverage_report.py.
+# Driver-window rotation (round 7), per the round-5 verdict's top directive
+# (the r5/r6 windows were byte-identical; this applies the overdue rotation).
+# The correctness driver records rows for the FIRST 50 registered names
+# alphabetically. The 50 canonical (non-``x_``) names are, in priority order:
+#   * the 8 never-driver-graded queries: an02, an03, mm05, tp03 (deferred
+#     since r5) and the four round-6 registrations in03, mm12, mm13, gr03;
+#   * qa03_robust_outliers - its only green row (r4) predates the MAD=0
+#     coalesce fix, so the fixed code has never been driver-graded;
+#   * the full rtcm family rt01-rt10 - rows are r3-era and two later
+#     rounds touched their code (r5 epoch_us rerouting, r6 rt01
+#     frame-archive timed path);
+#   * q01-q21 - r3-era rows whose epoch paths were also rerouted in r5;
+#   * the stalest r1/r2-era green rows: tx01-tx07, ss01, ss02, sp01.
+# Everything else (fresh r5/r6-green rows and unchanged r2/r3-green rows
+# such as mm01-mm04, dd01-dd06, sp02) is exposed under an ``x_`` alias
+# (sorts past the 50 canonical names, all < 'x') and queues for round 8.
+# Nothing is hidden - every query stays registered under its canonical
+# name for tests/bench and the local DuckDB parity suite
+# (tests/test_parity.py); cross-round coverage is auto-derived by
+# tools/coverage_report.py.
 DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
     {
+        "aj01_asof_join",
+        "aj02_asof_tolerance",
         "aj03_asof_nearest",
-        "an02_seasonal_anomalies",
-        "an03_mean_shift",
+        "an01_rolling_zscore",
         "an04_ewma_drift",
         "an05_seasonal_decompose",
+        "bm01_bm25_topk",
+        "bp01_bpe_train",
+        "cm01_countmin_heavy_hitters",
         "cu01_curation_funnel",
+        "cu02_adaptive_gate",
+        "cu03_full_pipeline",
         "cu04_drop_reasons",
         "cu05_ccnet_buckets",
         "dc01_decontamination",
+        "dc02_decontamination_bloom",
         "dc03_thirteen_gram",
         "dd01_exact_dedup",
         "dd02_ngram_jaccard",
@@ -87,96 +88,89 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "dd04_simhash",
         "dd05_embedding_neardup",
         "dd06_dup_clusters",
+        "dd07_semantic_dedup",
         "dd08_lsh_delta",
+        "dd09_block_dedup_rebuild",
         "dd10_containment",
         "dd11_bbit_minhash",
         "dp01_mean_drift",
         "dq01_table_profile",
+        "dq02_profile_approx",
         "er01_name_matching",
         "er02_entity_clusters",
         "er03_blocking_profile",
+        "er04_blocking_compare",
+        "fn01_conversion_funnel",
+        "fn02_cohort_retention",
         "fn03_user_growth",
+        "gr01_cluster_sizes",
         "gr02_dup_degree",
-        "gr03_lsh_clusters",
+        "hs01_length_histogram",
+        "ig01_dsir_weights",
         "ig02_loss_aware_mix",
+        "in01_inverted_index",
         "in02_phrase_search",
-        "in03_phrase_probe",
         "kl01_source_divergence",
         "ks01_source_drift",
+        "lo01_zorder_code",
+        "lr01_grouped_regression",
+        "lr02_logreg_quality",
+        "mk01_event_transitions",
         "mm01_decode_metadata",
         "mm02_feature_extract",
         "mm03_frame_sample",
         "mm04_resize",
-        "mm05_audio_energy",
         "mm06_phash_neardup",
         "mm07_patch_grid",
         "mm09_modality_census",
         "mm10_byte_entropy",
-        "mm12_media_manifest",
-        "mm13_phash_planted",
-        "q01_pricing_summary",
-        "q02_tumbling_window",
-        "q03_conditional_agg",
-        "q04_pivot_linestatus",
-        "q05_rate_normalization",
-        "q06_agg_of_agg",
-        "q07_dim_join",
-        "q08_semi_join",
-        "q09_three_way_join",
-        "q10_predicates",
-        "q11_distinct",
-        "q12_orderby_multi",
-        "q13_mod_latency",
-        "q14_coalesce_duration",
-        "q15_gap_spine",
-        "q16_json_shred",
-        "q17_latest_per_key",
-        "q18_array_agg",
-        "q19_mjd_bucket",
-        "q20_topk_per_group",
-        "q21_rollup_hierarchy",
+        "mm11_phash_16bit",
+        "q22_no_order_customers",
         "q23_value_deciles",
+        "q24_intersect_users",
+        "qa01_quantile_thresholds",
         "qa02_percentile_normalize",
-        "qa03_robust_outliers",
+        "rc01_hybrid_rrf",
+        "rj01_range_join",
         "rj02_interval_overlap",
-        "rt01_packages",
-        "rt02_observations",
-        "rt03_coordinates",
-        "rt04_text_messages",
-        "rt05_message_catalog",
-        "rt06_msm46_observations",
-        "rt07_all_constellations",
-        "rt08_legacy_observations",
-        "rt09_decode_throughput",
-        "rt10_msm123_observations",
+        "scd01_history",
+        "sd01_duplicate_spans",
         "sj01_salted_distinct",
         "sj02_salted_join",
         "sk01_kmv_distinct",
         "sk02_kmv_set_algebra",
+        "sn01_user_sessions",
+        "sn02_reconnect_pairs",
         "sn03_native_sessions",
-        "sp01_stratified_sample",
         "sp02_quota_per_source",
         "sp03_source_mixing",
+        "sp04_stratified_ksample",
+        "sp05_hash_split",
         "sp06_token_budget",
         "sp07_epoch_order",
-        "ss01_knn_bruteforce",
-        "ss02_ann_bucketed",
         "ss03_ann_lsh_multitable",
+        "ss04_ivf_train_step",
+        "ss05_pq_encode",
+        "ss06_ivf_probe",
+        "ss07_ivf_train_full",
+        "ss08_ann_recall",
+        "ss09_pq_adc_topk",
+        "ss10_sq8_quantize",
+        "ss11_ivfpq_search",
         "ss12_mips_topk",
         "ss13_sq8_recall",
         "st01_sourcetable",
+        "tk01_bpe_encode",
         "tp01_sequence_pack",
         "tp02_sorted_pack",
-        "tp03_split_long_docs",
         "tp04_pack_utilization",
+        "ts01_gap_fill",
         "ts02_ohlc_downsample",
-        "tx01_language_id",
-        "tx02_quality_score",
-        "tx03_token_count",
-        "tx04_fingerprint",
-        "tx05_repetition",
-        "tx06_pii_scrub",
-        "tx07_unigram_surprisal",
+        "tx08_bpe_pairs",
+        "tx09_zipf_fit",
+        "tx10_bigram_nll",
+        "tx11_gopher_rules",
+        "tx12_pmi_collocations",
         "tx13_tfidf_keywords",
         "tx14_stupid_backoff",
         "tx15_novelty_score",

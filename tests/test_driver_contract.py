@@ -117,7 +117,8 @@ spark.sparkContext.setLogLevel('ERROR')
 qs = E.queries(); osql = E.oracle_sql()
 sf = '/root/testdata/sf0.001'
 for n in ['sn01_user_sessions', 'aj01_asof_join', 'ts01_gap_fill']:
-    ok, msg = compare_query(spark, sf, n, qs[n], osql[n])
+    e = n if n in qs else f'x_{n}'  # canonical name may be rotated out
+    ok, msg = compare_query(spark, sf, n, qs[e], osql[e])
     assert ok, f'{n}: {msg[:500]}'
 print('NONUTC_OK')
 spark.stop()
