@@ -3199,9 +3199,9 @@ def mm11_phash_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH aug AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 23 = 0
+    SELECT doc_id + 1000000000000, text FROM documents WHERE doc_id % 23 = 0
     UNION ALL
-    SELECT doc_id + 200000,
+    SELECT doc_id + 2000000000000,
            substr(text, 1, strlen(text) - 1)
            || CASE WHEN substr(text, strlen(text), 1) = 'z'
                    THEN 'y' ELSE 'z' END
@@ -3256,8 +3256,10 @@ def mm13_phash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberate oracle-stress/recall-sensitivity variant — see its
     docstring and SCALE.md §6d for why 16-bit is the 100 TB mode."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Twin ids sit 10**12 above the corpus range so they can never alias
+    # genuine doc_ids, even at 100 TB scale factors (doc_id is int64).
     dup = docs.filter(F.col("doc_id") % 23 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 100000
+        "doc_id", F.col("doc_id") + F.lit(1_000_000_000_000)
     )
     last = F.substring(F.col("text"), -1, 1)
     swapped = F.concat(
@@ -3266,7 +3268,7 @@ def mm13_phash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     near = (
         docs.filter(F.col("doc_id") % 29 == 0)
-        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(2_000_000_000_000))
         .withColumn("text", swapped)
     )
     aug = docs.unionByName(dup).unionByName(near)

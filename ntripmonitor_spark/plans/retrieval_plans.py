@@ -225,8 +225,12 @@ def _posting_index_path(spark: SparkSession, sf_dir: str) -> str:
             "term", "doc_id", "pos"
         )
 
+    # Salt on BOTH the operator module and this plan module: the
+    # repartitionByRange/sortWithinPartitions layout lives here, so a
+    # layout change must invalidate the cached archive too.
     return silver_archive(
-        spark, sf_dir, "postings", build, salt=str(os.path.getmtime(r.__file__))
+        spark, sf_dir, "postings", build,
+        salt=f"{os.path.getmtime(r.__file__)}|{__file__}|{os.path.getmtime(__file__)}",
     )
 
 

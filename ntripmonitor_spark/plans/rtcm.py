@@ -213,9 +213,11 @@ FROM t
 )
 def rt01_packages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Envelope table (P16 + P15 epoch reconstruction; frame sizes
-    prove the decoder consumed exactly the real frames — the archive
-    holds split_frames output, so CRC decoys are still present and
-    must be CRC-gated out in the timed path).
+    prove the decoder consumed exactly the real frames). The CRC gate
+    and decoy rejection run at archive-BUILD time: split_frames emits
+    only CRC-valid frames, so the archive holds no decoys. The timed
+    path still recomputes per-frame CRC inside decode_frames, but only
+    over already-valid frames.
 
     Timed path reads the cached frame archive (same as rt09) so the
     bench measures engine CRC+decode, not the Python fixture encoder:

@@ -53,5 +53,14 @@ def get_spark(app_name: str = "ntripmonitor_spark", shuffle_partitions: int | No
         .config("spark.driver.extraJavaOptions", f"-Dderby.system.home={scratch}")
     )
     spark = builder.getOrCreate()
+    # extraJavaOptions only takes effect when THIS builder launches the
+    # JVM; if a gateway already existed the -Dderby.system.home above is
+    # ignored. Derby reads the property at boot (first JDBC connection),
+    # which happens strictly after session creation, so setting it on the
+    # live JVM keeps the clean-CWD guarantee for reused gateways too.
+    try:
+        spark._jvm.java.lang.System.setProperty("derby.system.home", scratch)  # type: ignore[union-attr]
+    except Exception:  # pragma: no cover - py4j internals unavailable
+        pass
     spark.sparkContext.setLogLevel("WARN")
     return spark
