@@ -96,8 +96,20 @@ def main() -> None:
     n_trials = 5 if len(names) <= 20 else 3
     best: dict[str, float] = {name: float("inf") for name in names}
     rows: dict[str, int] = {}
+    # Each fn() call builds FRESH persisted relations / localCheckpoint
+    # blocks; their cleanup is asynchronous (Python GC -> py4j ->
+    # ContextCleaner), so a 100+-query sweep can accumulate dead storage
+    # blocks faster than they drain. Drop dead cached state between
+    # timed queries: each query's own persists happen inside its timed
+    # run either way, so this only removes cross-query pollution.
+    import gc
+
+    def _drain_dead_state() -> None:
+        gc.collect()
+        spark.catalog.clearCache()
     for _ in range(n_trials):
         for name in names:
+            _drain_dead_state()
             t0 = time.perf_counter()
             rows[name] = REGISTRY[name].fn(spark, sf_dir).count()
             best[name] = min(best[name], time.perf_counter() - t0)

@@ -987,3 +987,87 @@ def blocking_profile(records: DataFrame, block_col: Column,
             ),
         ).alias("reduction_ratio"),
     )
+
+
+def survivor_by_quality(docs: DataFrame, n: int = 3, threshold: float = 0.6,
+                        quality_col: str = "n_chars",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Dedup keep-decision with a QUALITY survivor policy: within each
+    near-dup cluster keep the highest-quality member (ties to the
+    lowest id) instead of dd06's min-id canonical — the policy real
+    curation runs use (keep the longest / best-scored copy, drop the
+    truncated mirrors of it).
+
+    Scale shape: clusters come from the shared pointer-doubling CC
+    (edge-touched subgraph only); the survivor argmax is a single
+    map-side-combined ``max(struct(quality, -id))`` aggregate per
+    cluster — no per-cluster window sort, no second pass over text.
+    The aggregate output is cluster-count-sized and joins back on the
+    cluster id the labels are already keyed by.
+    """
+    edges = ngram_jaccard_pairs(docs, n, threshold).select("doc_a", "doc_b")
+    nodes = docs.select(F.col(id_col).alias("doc_id"))
+    labels, _ = connected_components(nodes, edges)
+    members = labels.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(quality_col).alias("_q")),
+        "doc_id",
+    )
+    best = members.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("_q").alias("q"), (-F.col("doc_id")).alias("neg_id"))).alias("_b"),
+        F.count(F.lit(1)).alias("n_members"),
+    ).select(
+        "cluster_id", (-F.col("_b.neg_id")).alias("keep_doc_id"), "n_members"
+    )
+    return members.join(best, "cluster_id").select(
+        "doc_id", "cluster_id", "keep_doc_id", "n_members",
+        (F.col("doc_id") == F.col("keep_doc_id")).alias("keep"),
+    )
+
+
+def source_overlap(docs: DataFrame, n: int = 3,
+                   source_col: str = "source") -> DataFrame:
+    """Pairwise inter-source duplication matrix: for every source pair,
+    how many distinct word n-grams they share, with Jaccard and both
+    directed containments — the "is source B just a mirror of source
+    A?" audit that decides which sources a mixing plan should collapse.
+
+    Scale shape: ONE aggregate keyed by shingle hash builds the
+    per-shingle source set (array bounded by the number of sources — a
+    catalog-sized constant, never corpus-scaled); pairs explode from
+    that bounded array, so the corpus-sized shingle relation shuffles
+    exactly once and no self-join ever forms. Per-source totals are
+    a source-count-sized broadcast.
+    """
+    sh = (
+        docs.select(F.col(source_col).alias("src"),
+                    normalized_words(F.col("text")).alias("_ws"))
+        .select("src", F.explode(word_shingles(F.col("_ws"), n)).alias("shingle"))
+        .distinct()
+        .select("src", F.xxhash64("shingle").alias("h"))
+    )
+    totals = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
+    srcs = sh.groupBy("h").agg(F.sort_array(F.collect_set("src")).alias("srcs"))
+    pairs = (
+        srcs.filter(F.size("srcs") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (a, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs)), b -> struct(a, b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = totals.select(F.col("src").alias("source_a"), F.col("n_sh").alias("n_a"))
+    tb = totals.select(F.col("src").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "source_a").join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a", "source_b", "n_shared",
+            F.round(F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6).alias("jaccard"),
+            F.round(F.col("n_shared") / F.col("n_a"), 6).alias("containment_a"),
+            F.round(F.col("n_shared") / F.col("n_b"), 6).alias("containment_b"),
+        )
+    )

@@ -543,3 +543,29 @@ def epoch_order(docs: DataFrame, epoch: int, n_shards: int = PACK_SHARDS) -> Dat
                     + F.row_number().over(w) - 1)
         .select("doc_id", "shard", "pos")
     )
+
+
+def cluster_split(docs: DataFrame, n: int = 3, threshold: float = 0.6,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Leakage-safe train/val/test split: hash the near-dup CLUSTER id,
+    not the document id, so every member of a duplicate cluster lands
+    in the same split. A doc-id hash split (sp05) puts ~10% of a
+    near-dup pair's mates into val/test — exactly the train/test
+    contamination dedup was supposed to prevent; grouping by the CC
+    cluster id closes that hole (the group-aware split every
+    benchmark-honest pipeline uses).
+
+    Scale shape: clusters come from the shared pointer-doubling CC
+    (edge-touched subgraph only — singletons never iterate); the split
+    itself is the same pure column expression as sp05 applied to
+    cluster_id, so beyond CC there are zero extra exchanges and a
+    materialized split pushes down as a scan predicate.
+    """
+    from ntripmonitor_spark.operators.dedup import duplicate_clusters
+
+    labels = duplicate_clusters(docs, n=n, threshold=threshold, id_col=id_col)
+    return labels.select(
+        "doc_id", "cluster_id",
+        split_hash_col(F.col("cluster_id")).alias("h"),
+        split_col(F.col("cluster_id")).alias("split"),
+    )

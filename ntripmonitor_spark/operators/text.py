@@ -844,3 +844,46 @@ def novelty_score(docs: DataFrame, n: int = 3,
         id_col, "n_shingles",
         F.round(F.col("n_unique") / F.col("n_shingles"), 6).alias("novelty"),
     )
+
+
+def vocab_coverage(docs: DataFrame, vocab_size: int = 500,
+                   source_col: str = "source") -> DataFrame:
+    """Per-source vocabulary coverage against the corpus top-V vocab:
+    token OOV rate and distinct OOV types — the "will the tokenizer's
+    vocab cover this source?" check run before committing a mixing
+    plan (a source with a high OOV rate fragments into bytes and
+    inflates its real token cost).
+
+    Scale shape: one explode scan feeds a map-side-combined word count
+    (vocabulary-bounded output); the top-V cut sorts that bounded
+    relation, never corpus rows, and rides back as a broadcast hash
+    join against the token stream — the corpus shuffles only for the
+    final per-source aggregate (source-count-sized output).
+    """
+    from ntripmonitor_spark.operators.dedup import normalized_words
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    toks = (
+        ensure_parallelism(docs)
+        .select(F.col(source_col).alias("source"),
+                F.explode(normalized_words(F.col("text"))).alias("word"))
+    )
+    vocab = (
+        toks.groupBy("word").agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("word").asc())
+        .limit(vocab_size)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.count_distinct(F.when(F.col("in_vocab").isNull(), F.col("word"))).alias("n_oov_types"),
+        )
+        .select(
+            "source", "n_tokens", "n_oov", "n_oov_types",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

@@ -608,11 +608,11 @@ def tx05_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dd06_dup_clusters",
-    tags=("dedup",),
-    oracle=f"""
-WITH RECURSIVE {_SH_CTE},
+# Shared transitive-closure chain over the 0.6-Jaccard near-dup graph
+# (consumes the `sh` CTE from _SH_CTE): `lab` = (doc_id, cluster_id =
+# min reachable id) — the oracle twin of dedup.duplicate_clusters,
+# reused by dd06 / dd12 / sp08.
+_CC_LAB_CTE = """
 sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 p AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -632,9 +632,19 @@ reach(id, r) AS (
     SELECT doc_id, doc_id FROM documents
     UNION
     SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
-)
-SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_canonical
-FROM reach GROUP BY id
+),
+lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+"""
+
+
+@register(
+    "dd06_dup_clusters",
+    tags=("dedup",),
+    oracle=f"""
+WITH RECURSIVE {_SH_CTE},
+{_CC_LAB_CTE.strip()}
+SELECT doc_id, cluster_id, cluster_id = doc_id AS is_canonical
+FROM lab
 """,
 )
 def dd06_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4564,3 +4574,133 @@ def ss13_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bounds broadcast once, reconstruction rides the scan, the recall
     join moves queries x k id pairs."""
     return simsearch.sq8_recall(table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Round-7 curation additions: leakage-safe split, quality survivor,
+# source-overlap matrix, vocabulary coverage.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sp08_cluster_split",
+    tags=("sampling", "dedup"),
+    oracle=f"""
+WITH RECURSIVE {_SH_CTE},
+{_CC_LAB_CTE.strip()}
+SELECT doc_id, cluster_id,
+       (cluster_id * 2654435761) % 4294967296 AS h,
+       CASE WHEN (cluster_id * 2654435761) % 4294967296 < 3865470566 THEN 'train'
+            WHEN (cluster_id * 2654435761) % 4294967296 < 4080218931 THEN 'val'
+            ELSE 'test' END AS split
+FROM lab
+""",
+)
+def sp08_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 90/5/5 split: hash the near-dup CLUSTER id (CC over
+    the 0.6-Jaccard graph) so duplicate mates can never straddle
+    train/test — the group-aware complement of sp05's per-doc hash."""
+    from ntripmonitor_spark.operators.sampling import cluster_split
+
+    return cluster_split(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dd12_quality_survivor",
+    tags=("dedup",),
+    oracle=f"""
+WITH RECURSIVE {_SH_CTE},
+{_CC_LAB_CTE.strip()},
+mem AS (
+    SELECT lab.doc_id, lab.cluster_id, d.n_chars
+    FROM lab JOIN documents d USING (doc_id)
+),
+best AS (
+    SELECT cluster_id, doc_id AS keep_doc_id FROM (
+        SELECT cluster_id, doc_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM mem
+    ) WHERE rn = 1
+),
+cnt AS (SELECT cluster_id, count(*) AS n_members FROM mem GROUP BY 1)
+SELECT m.doc_id, m.cluster_id, b.keep_doc_id, c.n_members,
+       m.doc_id = b.keep_doc_id AS keep
+FROM mem m JOIN best b USING (cluster_id) JOIN cnt c USING (cluster_id)
+""",
+)
+def dd12_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup keep-decision with a quality survivor policy: each
+    near-dup cluster keeps its highest-n_chars member (ties to lowest
+    id) — the keep-the-best-copy policy real curation runs use, vs
+    dd06's min-id canonical."""
+    return dedup.survivor_by_quality(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mx01_source_overlap",
+    tags=("dedup", "sampling"),
+    oracle="""
+WITH w AS (
+    SELECT source, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT source,
+           unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+    FROM w
+),
+tot AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+pr AS (
+    SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       round(n_shared / CAST(ta.n_sh + tb.n_sh - n_shared AS DOUBLE), 6) AS jaccard,
+       round(n_shared / CAST(ta.n_sh AS DOUBLE), 6) AS containment_a,
+       round(n_shared / CAST(tb.n_sh AS DOUBLE), 6) AS containment_b
+FROM pr
+JOIN tot ta ON ta.source = pr.source_a
+JOIN tot tb ON tb.source = pr.source_b
+""",
+)
+def mx01_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise inter-source shingle-overlap matrix (shared distinct
+    3-grams, Jaccard, both containments): the mirror-source audit a
+    mixing plan runs before assigning per-source weights. One shuffle
+    keyed by shingle hash; pairs explode from a source-count-bounded
+    array — no self-join, no all-pairs."""
+    return dedup.source_overlap(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "tx17_vocab_coverage",
+    tags=("text", "sampling"),
+    oracle="""
+WITH t AS (
+    SELECT source,
+           unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+    FROM documents
+),
+wc AS (SELECT word, count(*) AS c FROM t GROUP BY 1),
+vocab AS (SELECT word FROM wc ORDER BY c DESC, word ASC LIMIT 500),
+j AS (
+    SELECT t.source, t.word, v.word IS NOT NULL AS in_vocab
+    FROM t LEFT JOIN vocab v USING (word)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(count(DISTINCT CASE WHEN NOT in_vocab THEN word END) AS BIGINT) AS n_oov_types,
+       round(sum(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM j GROUP BY 1
+""",
+)
+def tx17_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OOV rate and distinct OOV types against the corpus
+    top-500 vocabulary — the tokenizer-coverage check run before
+    committing a mixing plan."""
+    return text.vocab_coverage(table(spark, sf_dir, "documents"))

@@ -93,6 +93,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "dd09_block_dedup_rebuild",
         "dd10_containment",
         "dd11_bbit_minhash",
+        "dd12_quality_survivor",
         "dp01_mean_drift",
         "dq01_table_profile",
         "dq02_profile_approx",
@@ -125,6 +126,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "mm09_modality_census",
         "mm10_byte_entropy",
         "mm11_phash_16bit",
+        "mx01_source_overlap",
         "q22_no_order_customers",
         "q23_value_deciles",
         "q24_intersect_users",
@@ -148,6 +150,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "sp05_hash_split",
         "sp06_token_budget",
         "sp07_epoch_order",
+        "sp08_cluster_split",
         "ss03_ann_lsh_multitable",
         "ss04_ivf_train_step",
         "ss05_pq_encode",
@@ -175,6 +178,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tx14_stupid_backoff",
         "tx15_novelty_score",
         "tx16_langid_confusion",
+        "tx17_vocab_coverage",
         "ws01_weighted_sample",
     }
 )
