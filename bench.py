@@ -86,6 +86,16 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             excluded[name] = f"{type(exc).__name__}: {exc}"[:200]
             names.remove(name)
+    # Large sets need a SECOND warm-up pass: with 100+ distinct queries
+    # the first pass only triggers codegen/class-load; the JVM's tiered
+    # JIT promotes the generated classes to C2 on re-execution, and
+    # measured timings keep dropping through the first ~2 full passes
+    # (rt02 2.1 s -> 1.2 s across four passes). One extra pass puts
+    # best-of-N inside steady state — which is what a long-lived
+    # serving session actually runs at.
+    if len(names) > 50:
+        for name in names:
+            REGISTRY[name].fn(spark, sf_dir).count()
 
     # Trials interleave round-robin across queries so a co-tenant load
     # burst degrades one SAMPLE of many queries, not all samples of one

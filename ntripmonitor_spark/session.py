@@ -49,6 +49,13 @@ def get_spark(app_name: str = "ntripmonitor_spark", shuffle_partitions: int | No
         # out of it (BENCH_r04 "parsed: null").
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The generated-class cache defaults to 100 entries; a session
+        # serving 100+ distinct queries (this engine's whole point)
+        # thrashes it and pays Janino recompiles of every whole-stage-
+        # codegen stage on every run — measured 2x on codegen-heavy
+        # queries in the full bench sweep (dd02 2.8 s -> 1.3 s, rt01
+        # 1.2 s -> 0.5 s with the cache sized to the query set).
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.sql.warehouse.dir", os.path.join(scratch, "warehouse"))
         .config("spark.driver.extraJavaOptions", f"-Dderby.system.home={scratch}")
     )
