@@ -720,3 +720,45 @@ def entropy_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def byte_entropy(docs: DataFrame) -> DataFrame:
     return binary_payloads(docs).mapInPandas(entropy_batch, schema=ENTROPY_SCHEMA)
+
+
+SCENE_SCHEMA = "doc_id bigint, frame_idx int, delta double"
+
+
+def scene_delta_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL scene-change kernel over animated-GIF payloads: decode via
+    the built-in LZW codec, compute the mean absolute RGB delta between
+    each consecutive frame pair — the per-cut signal an ffmpeg
+    scene-detect stage produces, with an actual decode inside. One
+    output row per (doc, frame transition); corrupt payloads quarantine
+    as a single null-metric row instead of failing the stage."""
+    import numpy as np
+
+    from ntripmonitor_spark.functions import gif
+
+    for pdf in batches:
+        ids, fidx, deltas = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            try:
+                frames = gif.decode_gif(bytes(payload)).astype(np.int16)
+            except Exception:
+                ids.append(doc_id)
+                fidx.append(None)
+                deltas.append(None)
+                continue
+            d = np.abs(frames[1:] - frames[:-1]).mean(axis=(1, 2, 3))
+            for f, dv in enumerate(d, start=1):
+                ids.append(doc_id)
+                fidx.append(f)
+                deltas.append(round(float(dv), 6))
+        yield pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"),
+             "frame_idx": pd.Series(fidx, dtype="Int32"),
+             "delta": pd.Series(deltas, dtype="float64")}
+        )
+
+
+def gif_scene_deltas(media: DataFrame) -> DataFrame:
+    """(doc_id, payload) GIF rows → per-transition mean-RGB deltas
+    (see scene_delta_batch)."""
+    return media.mapInPandas(scene_delta_batch, schema=SCENE_SCHEMA)

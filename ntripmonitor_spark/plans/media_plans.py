@@ -144,3 +144,109 @@ def mm12_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         "modality", "width", "height", "n_frames", "n_samples", "sample_rate",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm14 — scene-change detection over real animated GIFs.
+# ---------------------------------------------------------------------------
+
+N_SCENE = 40
+
+
+def _scene_payload(i: int) -> bytes:
+    """Deterministic scene-cut GIF for doc_id ``i``: constant-color
+    frames that toggle black<->white exactly at the planted cut
+    positions (frame f >= 1 is a cut iff (f*7 + i) % 3 == 0), so every
+    consecutive-frame mean RGB delta is analytically 255 at a cut and
+    0 inside a segment. i % 10 == 9 is a corrupt class (GIF magic +
+    garbage) exercising the kernel's per-row quarantine."""
+    from ntripmonitor_spark.functions import gif
+
+    if i % 10 == 9:
+        return b"GIF89a" + bytes(7)
+    w, h, n = 4 + i % 5, 3 + i % 4, 6 + i % 5
+    color, idx = 0, []
+    for f in range(n):
+        if f >= 1 and (f * 7 + i) % 3 == 0:
+            color ^= 1
+        idx.append(np.full((h, w), color, dtype=np.uint8))
+    palette = np.array(
+        [[0, 0, 0], [255, 255, 255], [0, 0, 0], [0, 0, 0]], dtype=np.uint8
+    )
+    return gif.encode_gif(np.stack(idx), palette)
+
+
+def _scene_fixture_dir() -> str:
+    """40-GIF scene fixture dir, built once per codec/plan version
+    (same scratch-then-rename discipline as _fixture_dir)."""
+    import getpass
+    import hashlib
+    import tempfile
+
+    from ntripmonitor_spark.functions import gif
+
+    salt = f"{os.path.getmtime(gif.__file__)}|{__file__}|{os.path.getmtime(__file__)}|scene"
+    key = hashlib.md5(salt.encode()).hexdigest()[:12]
+    try:
+        user = getpass.getuser()
+    except Exception:
+        user = str(os.getuid()) if hasattr(os, "getuid") else "u"
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_{user}")
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, f"scene_{key}")
+    if not os.path.isdir(path):
+        scratch = tempfile.mkdtemp(dir=base, prefix=f"scene_{key}.tmp.")
+        for i in range(N_SCENE):
+            with open(os.path.join(scratch, f"{i:04d}.gif"), "wb") as f:
+                f.write(_scene_payload(i))
+        try:
+            os.rename(scratch, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(scratch, ignore_errors=True)
+    return path
+
+
+@register(
+    "mm14_scene_change",
+    bench=True,
+    tags=("multimodal",),
+    oracle=f"""
+WITH valid AS (
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(CASE WHEN (f * 7 + doc_id) % 3 = 0 THEN 255.0 ELSE 0.0 END AS DOUBLE) AS delta
+    FROM documents, LATERAL unnest(range(1, 6 + doc_id % 5)) t(f)
+    WHERE doc_id < {N_SCENE} AND doc_id % 10 <> 9
+)
+SELECT doc_id, frame_idx, delta, delta > 64 AS is_cut FROM valid
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL FROM documents
+WHERE doc_id < {N_SCENE} AND doc_id % 10 = 9
+""",
+)
+def mm14_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection through the driver with REAL decode: a
+    40-GIF fixture dir (constant-color frames toggling exactly at the
+    planted cut positions, plus a corrupt class) read via binaryFile,
+    per-transition mean RGB deltas computed by the LZW codec kernel,
+    cuts = delta > 64. Every delta is analytically 0 or 255 as a
+    function of (doc_id, frame), so the oracle recomputes the full
+    per-transition table from ``documents`` — value-checking
+    land→scan→decode→detect. Corrupt payloads surface as quarantined
+    null rows, not stage failures. No shuffle: listing-parallel scan +
+    per-row map only (the threshold is a pure column expression)."""
+    from ntripmonitor_spark.operators.multimodal import gif_scene_deltas
+    from ntripmonitor_spark.sources import media
+
+    raw = media.read_media(spark, _scene_fixture_dir())
+    payloads = raw.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.gif$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    out = gif_scene_deltas(payloads)
+    return out.select(
+        "doc_id", "frame_idx", "delta", (F.col("delta") > 64).alias("is_cut")
+    )

@@ -126,6 +126,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "mm09_modality_census",
         "mm10_byte_entropy",
         "mm11_phash_16bit",
+        "mm14_scene_change",
         "mx01_source_overlap",
         "q22_no_order_customers",
         "q23_value_deciles",

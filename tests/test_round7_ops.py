@@ -44,7 +44,7 @@ def test_sp08_constructed_pair_always_co_splits(spark):
     assert len({r.split for r in out}) == 1  # co-located
     assert len({r.cluster_id for r in out}) == 1  # one cluster
     # the pair is only interesting if the per-doc split WOULD differ;
-    # ids 3 and 9 are picked to make that true — assert it stays true
+    # ids 3 and 8 are picked to make that true — assert it stays true
     assert len({r.s for r in doc_splits}) == 2
 
 
@@ -144,3 +144,38 @@ def test_tx17_small_vocab_marks_tail_oov(spark):
     out = {r.source: r for r in text.vocab_coverage(docs, vocab_size=1).collect()}
     assert out["s0"].n_oov == 1 and out["s0"].n_tokens == 4
     assert out["s1"].n_oov == 2 and out["s1"].n_oov_types == 2
+
+
+def test_mm14_scene_deltas_match_planted_cuts(spark):
+    """Constructed GIFs: deltas are exactly 255 at planted cuts and 0
+    inside segments, and a corrupt payload quarantines as one null
+    row instead of failing the stage."""
+    import numpy as np
+
+    from ntripmonitor_spark.functions import gif
+    from ntripmonitor_spark.operators.multimodal import gif_scene_deltas
+
+    palette = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+
+    def payload(cuts, n=6, w=5, h=4):
+        color, idx = 0, []
+        for f in range(n):
+            if f in cuts:
+                color ^= 1
+            idx.append(np.full((h, w), color, dtype=np.uint8))
+        return gif.encode_gif(np.stack(idx), palette)
+
+    rows = [
+        (1, bytearray(payload({2, 4}))),
+        (2, bytearray(payload(set()))),
+        (3, bytearray(b"GIF89a" + bytes(3))),  # corrupt
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = gif_scene_deltas(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    d1 = {r.frame_idx: r.delta for r in by_doc[1]}
+    assert d1 == {1: 0.0, 2: 255.0, 3: 0.0, 4: 255.0, 5: 0.0}
+    assert all(r.delta == 0.0 for r in by_doc[2]) and len(by_doc[2]) == 5
+    assert len(by_doc[3]) == 1 and by_doc[3][0].frame_idx is None
