@@ -4704,3 +4704,59 @@ def tx17_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-500 vocabulary — the tokenizer-coverage check run before
     committing a mixing plan."""
     return text.vocab_coverage(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sp09_cluster_split_lsh",
+    tags=("sampling", "dedup"),
+    oracle=f"""
+WITH RECURSIVE {_SH_CTE},
+mh AS (
+    SELECT doc_id,
+           {_MH_MINS}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+    {_MH_BANDS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM cand
+    UNION ALL SELECT doc_b, doc_a FROM cand
+),
+reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+),
+clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       (cluster_id * 2654435761) % 4294967296 AS h,
+       CASE WHEN (cluster_id * 2654435761) % 4294967296 < 3865470566 THEN 'train'
+            WHEN (cluster_id * 2654435761) % 4294967296 < 4080218931 THEN 'val'
+            ELSE 'test' END AS split
+FROM clusters
+""",
+)
+def sp09_cluster_split_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sp08's leakage-safe split over the APPROXIMATE edge set — the
+    route a 100 TB corpus actually takes (cf. gr03): MinHash-LSH
+    banding generates the near-dup edges (signatures shuffle, never
+    text), connected components groups them (edge-touched subgraph
+    only), and the split hash is the same pure column expression over
+    the cluster id. sp08 stays the exact-Jaccard variant; this pins
+    the LSH-edges → CC → group-split composition under the driver."""
+    from ntripmonitor_spark.operators.sampling import split_col, split_hash_col
+
+    docs = table(spark, sf_dir, "documents")
+    edges = dedup.minhash_lsh_pairs(docs, n=3).select("doc_a", "doc_b")
+    labels, _ = dedup.connected_components(docs.select("doc_id"), edges)
+    return labels.select(
+        "doc_id", "cluster_id",
+        split_hash_col(F.col("cluster_id")).alias("h"),
+        split_col(F.col("cluster_id")).alias("split"),
+    )

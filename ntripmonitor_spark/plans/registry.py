@@ -152,6 +152,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "sp06_token_budget",
         "sp07_epoch_order",
         "sp08_cluster_split",
+        "sp09_cluster_split_lsh",
         "ss03_ann_lsh_multitable",
         "ss04_ivf_train_step",
         "ss05_pq_encode",

@@ -179,3 +179,19 @@ def test_mm14_scene_deltas_match_planted_cuts(spark):
     assert d1 == {1: 0.0, 2: 255.0, 3: 0.0, 4: 255.0, 5: 0.0}
     assert all(r.delta == 0.0 for r in by_doc[2]) and len(by_doc[2]) == 5
     assert len(by_doc[3]) == 1 and by_doc[3][0].frame_idx is None
+
+
+def test_sp09_lsh_split_never_straddles_lsh_clusters(spark):
+    """The LSH-edge variant keeps the same invariant as sp08: no
+    near-dup cluster (as discovered by banding) straddles splits."""
+    from ntripmonitor_spark.plans import REGISTRY
+
+    out = REGISTRY["sp09_cluster_split_lsh"].fn(spark, SF).persist()
+    straddlers = (
+        out.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    out.unpersist()
