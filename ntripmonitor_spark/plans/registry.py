@@ -131,6 +131,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "q22_no_order_customers",
         "q23_value_deciles",
         "q24_intersect_users",
+        "q25_except_users",
         "qa01_quantile_thresholds",
         "qa02_percentile_normalize",
         "rc01_hybrid_rrf",

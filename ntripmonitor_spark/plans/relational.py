@@ -868,3 +868,26 @@ def q24_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = ev.filter(F.col("event_type") == "error").select("user_id")
     pur = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return err.intersect(pur)
+
+
+@register(
+    "q25_except_users",
+    bench=True,
+    tags=("relational",),
+    doc="Set-op surface: users with views but no purchases (EXCEPT).",
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def q25_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set semantics) — the last set operator next to
+    q24's INTERSECT: users who viewed but never purchased. Planned as
+    a distinct + left-anti hash join over two pushed-down slices of
+    ONE scan relation; the join sides are the deduplicated user sets,
+    not raw events."""
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    pur = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return views.subtract(pur)
