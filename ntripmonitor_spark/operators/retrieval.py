@@ -237,3 +237,29 @@ def phrase_search_postings(postings: DataFrame, phrase: str,
         )
         base = base.join(nxt, [id_col, "pos"])
     return base.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def boolean_search_postings(postings: DataFrame, must: list[str],
+                            must_not: list[str] | None = None,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Probe-only conjunctive boolean retrieval over a prebuilt posting
+    relation: ``must`` terms intersect by doc id (each contributing its
+    per-doc term frequency), ``must_not`` terms anti-join — the
+    AND/AND-NOT query class next to phrase (in03) and ranked (bm01)
+    retrieval. Every ``term = w`` literal reaches the posting store as
+    a pushed predicate, so per-query cost is the query terms' posting
+    volume; the corpus text is never touched."""
+    if not must:
+        raise ValueError("at least one must-term required")
+    base = None
+    for i, wd in enumerate(must):
+        tf = (
+            postings.filter(F.col("term") == wd.lower())
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias(f"tf_{i}"))
+        )
+        base = tf if base is None else base.join(tf, id_col)
+    for wd in must_not or []:
+        ex = postings.filter(F.col("term") == wd.lower()).select(id_col).distinct()
+        base = base.join(ex, id_col, "left_anti")
+    return base

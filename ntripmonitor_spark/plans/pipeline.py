@@ -4760,3 +4760,54 @@ def sp09_cluster_split_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_hash_col(F.col("cluster_id")).alias("h"),
         split_col(F.col("cluster_id")).alias("split"),
     )
+
+
+@register(
+    "fn04_conversion_latency",
+    tags=("joins", "analytics"),
+    oracle="""
+WITH pu AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+    FROM events GROUP BY 1
+),
+conv AS (
+    SELECT CAST(fv AS DATE) AS cohort_day,
+           (epoch_us(fp) - epoch_us(fv)) / 1000000.0 AS lat
+    FROM pu WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+)
+SELECT cohort_day,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(lat, 0.5), 4) AS p50_s,
+       round(quantile_cont(lat, 0.9), 4) AS p90_s,
+       round(avg(lat), 4) AS avg_s
+FROM conv GROUP BY 1
+""",
+)
+def fn04_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long does view -> purchase take? Per first-view-day cohort:
+    converted-user count and exact p50/p90/mean conversion latency in
+    seconds. One user-keyed aggregate (two conditional mins — no
+    event-log self-join, the fn01/fn02 discipline) then one
+    day-keyed percentile aggregate over the bounded converting-user
+    relation; epoch arithmetic through timeutil.epoch_us."""
+    from ntripmonitor_spark.functions.timeutil import epoch_us
+
+    ev = table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+    )
+    conv = pu.filter(
+        F.col("fv").isNotNull() & F.col("fp").isNotNull() & (F.col("fp") >= F.col("fv"))
+    ).select(
+        F.to_date("fv").alias("cohort_day"),
+        ((epoch_us("fp") - epoch_us("fv")) / F.lit(1000000.0)).alias("lat"),
+    )
+    return conv.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(lat, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(lat, 0.9)"), 4).alias("p90_s"),
+        F.round(F.avg("lat"), 4).alias("avg_s"),
+    )

@@ -104,6 +104,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "fn01_conversion_funnel",
         "fn02_cohort_retention",
         "fn03_user_growth",
+        "fn04_conversion_latency",
         "gr01_cluster_sizes",
         "gr02_dup_degree",
         "hs01_length_histogram",
@@ -111,6 +112,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "ig02_loss_aware_mix",
         "in01_inverted_index",
         "in02_phrase_search",
+        "in04_boolean_probe",
         "kl01_source_divergence",
         "ks01_source_drift",
         "lo01_zorder_code",

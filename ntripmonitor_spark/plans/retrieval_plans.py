@@ -269,3 +269,37 @@ def in03_phrase_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     postings = spark.read.parquet(_posting_index_path(spark, sf_dir))
     return r.phrase_search_postings(postings, "stream table hash")
+
+
+@register(
+    "in04_boolean_probe",
+    bench=True,
+    tags=("retrieval",),
+    doc="Probe-only AND/AND-NOT boolean retrieval over the posting index.",
+    oracle="""
+WITH p AS (
+    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+    FROM documents
+),
+a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf_0 FROM p WHERE term = 'stream' GROUP BY 1),
+b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf_1 FROM p WHERE term = 'hash' GROUP BY 1),
+x AS (SELECT DISTINCT doc_id FROM p WHERE term = 'join')
+SELECT a.doc_id, a.tf_0, b.tf_1
+FROM a JOIN b USING (doc_id)
+WHERE a.doc_id NOT IN (SELECT doc_id FROM x)
+""",
+)
+def in04_boolean_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive boolean retrieval in its SERVING shape: docs
+    containing 'stream' AND 'hash' but NOT 'join', answered entirely
+    from the prebuilt term-range-partitioned posting index — three
+    posting probes (pushed ``term = w`` predicates pruning to the
+    matching term-range files), hash-joined on doc id, with the
+    exclusion as a left-anti join. Completes the retrieval surface
+    next to phrase (in03) and ranked BM25 (bm01) probes."""
+    from ntripmonitor_spark.operators import retrieval as r
+
+    postings = spark.read.parquet(_posting_index_path(spark, sf_dir))
+    return r.boolean_search_postings(
+        postings, must=["stream", "hash"], must_not=["join"]
+    )
