@@ -24,6 +24,10 @@ QUERIES = [
     # most summation-order-sensitive plans in the repo; dq02 pins HLL
     # merge-order invariance
     "lr02_logreg_quality", "ss07_ivf_train_full", "dq02_profile_approx",
+    # round-7: CC-backed split/survivor (iterative min-label joins),
+    # bounded-pair source overlap, percentile latency aggregate
+    "sp08_cluster_split", "dd12_quality_survivor", "mx01_source_overlap",
+    "fn04_conversion_latency",
 ]
 
 
@@ -51,6 +55,9 @@ def test_result_invariant_to_shuffle_partitioning(spark, sf_dir, name):
 AQE_QUERIES = [
     "sj01_salted_distinct", "sj02_salted_join", "dd03_minhash_lsh",
     "ss11_ivfpq_search", "q09_three_way_join", "rj01_range_join",
+    # round-7: LSH-edge cluster split (banded self-join + CC),
+    # posting-probe boolean retrieval (anti-join exclusion)
+    "sp09_cluster_split_lsh", "in04_boolean_probe",
 ]
 
 
