@@ -116,7 +116,9 @@ spark = (SparkSession.builder.master('local[8]')
 spark.sparkContext.setLogLevel('ERROR')
 qs = E.queries(); osql = E.oracle_sql()
 sf = '/root/testdata/sf0.001'
-for n in ['sn01_user_sessions', 'aj01_asof_join', 'ts01_gap_fill']:
+for n in ['sn01_user_sessions', 'aj01_asof_join', 'ts01_gap_fill',
+          'q02_tumbling_window', 'q13_mod_latency', 'q19_mjd_bucket',
+          'rt01_packages']:
     e = n if n in qs else f'x_{n}'  # canonical name may be rotated out
     ok, msg = compare_query(spark, sf, n, qs[e], osql[e])
     assert ok, f'{n}: {msg[:500]}'
