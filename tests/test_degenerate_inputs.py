@@ -258,3 +258,54 @@ def test_dq02_nd_sane_all_null_column(spark):
                                              nd_sane.alias("nd_sane")).collect()}
     assert rows["dead"]["n_null"] == 50 and rows["dead"]["nd_sane"] is True
     assert rows["event_id"]["nd_sane"] is True
+
+
+def test_round7_doc_ops_survive_empty_and_single(empty_docs, one_doc):
+    """sp08/dd12/mx01/tx17 on an empty and a one-doc corpus: no
+    div-by-zero, no collect on nothing; singleton doc is its own
+    cluster, keeps itself, has no source pair."""
+    for docs, n in ((empty_docs, 0), (one_doc, 1)):
+        assert sampling.cluster_split(docs).count() == n
+        out = dedup.survivor_by_quality(docs).collect()
+        assert len(out) == n
+        if n == 1:
+            assert out[0].keep and out[0].n_members == 1
+        assert dedup.source_overlap(docs).count() == 0  # no pair exists
+        cov = text.vocab_coverage(docs).collect()
+        assert len(cov) == n
+        if n == 1:
+            assert cov[0].n_oov == 0  # tiny vocab covers everything
+
+
+def test_mm14_single_frame_gif_yields_no_transitions(spark):
+    """A one-frame GIF has no consecutive pair: zero delta rows, not a
+    crash or a null row."""
+    import numpy as np
+
+    from ntripmonitor_spark.functions import gif
+    from ntripmonitor_spark.operators.multimodal import gif_scene_deltas
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    payload = gif.encode_gif(np.zeros((1, 3, 4), dtype=np.uint8), pal)
+    docs = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    assert gif_scene_deltas(docs).count() == 0
+
+
+def test_in04_unmatched_terms_yield_empty_not_error(spark):
+    """Boolean probe with a never-occurring must-term returns an empty
+    relation (the join legs are empty posting scans, not errors)."""
+    from ntripmonitor_spark.operators.retrieval import (
+        boolean_search_postings,
+        build_posting_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    postings = build_posting_index(docs)
+    assert boolean_search_postings(postings, must=["nosuchterm"]).count() == 0
+    assert boolean_search_postings(
+        postings, must=["alpha"], must_not=["beta"]
+    ).count() == 0
+    got = boolean_search_postings(postings, must=["alpha"], must_not=["zeta"]).collect()
+    assert len(got) == 1 and got[0].tf_0 == 1
