@@ -298,3 +298,120 @@ def interval_overlap_join(events: DataFrame, a_pred: Column, b_pred: Column,
             ).alias("overlap_s"),
         )
     )
+
+
+def window_funnel(events: DataFrame, stages: tuple[str, str, str] = ("view", "click", "purchase"),
+                  window_s: int = 3600, key_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+    """ClickHouse-``windowFunnel``-style per-instance funnel: for EVERY
+    stage-1 event (not per user, like ``event_funnel``), the deepest
+    stage reached by a strictly-ordered chain that fits inside
+    ``window_s`` of the stage-1 timestamp; output is the (max_step →
+    event count, distinct users) histogram.
+
+    Greedy-earliest matching is exact for a 3-step funnel: with
+    c* = the earliest stage-2 event after t0, a chain via ANY stage-2
+    event c implies a chain via c* (the first stage-3 event after c* is
+    at-or-before the one after c), so only c* needs examining.
+
+    Shape: ONE keyed exchange. All three stages sort on
+    (epoch, tag, event_id) with LATER stages tagged to sort EARLIER at
+    equal timestamps, so a strictly-following row frame never admits an
+    equal-timestamp successor — "strictly after" falls out of the sort
+    order instead of a per-pair predicate. Two stacked
+    ``first(ignorenulls)`` forward frames on that one sort give each
+    stage-2 row its next stage-3 epoch and each stage-1 row its
+    (stage-2 epoch, that row's stage-3 epoch) pair; a missing stage-3
+    match rides as a far-future sentinel so both fields come from the
+    SAME stage-2 row (two independent ignorenulls scans could otherwise
+    mix rows). The window cap is a post-pass arithmetic check; the
+    event log is never self-joined.
+    """
+    s1, s2, s3 = stages
+    w_us = window_s * 1_000_000
+    sentinel = F.lit(1 << 62).cast("long")
+    e = events.filter(F.col(type_col).isin(*stages)).select(
+        "event_id", key_col,
+        epoch_us(ts_col).alias("us"),
+        F.col(type_col),
+        # later funnel stages sort FIRST at equal timestamps
+        F.when(F.col(type_col) == s3, 0)
+         .when(F.col(type_col) == s2, 1)
+         .otherwise(2).alias("tag"),
+    )
+    base = Window.partitionBy(key_col).orderBy("us", "tag", "event_id")
+    fwd = base.rowsBetween(1, Window.unboundedFollowing)
+    p_after = F.first(
+        F.when(F.col(type_col) == s3, F.col("us")), ignorenulls=True
+    ).over(fwd)
+    with_p = e.withColumn("p_after", p_after)
+    c_us = F.first(
+        F.when(F.col(type_col) == s2, F.col("us")), ignorenulls=True
+    ).over(fwd)
+    c_p = F.first(
+        F.when(F.col(type_col) == s2, F.coalesce(F.col("p_after"), sentinel)),
+        ignorenulls=True,
+    ).over(fwd)
+    staged = with_p.withColumn("c_us", c_us).withColumn("c_p", c_p)
+    step2 = F.col("c_us").isNotNull() & (F.col("c_us") <= F.col("us") + w_us)
+    step3 = step2 & (F.col("c_p") <= F.col("us") + w_us)
+    v = staged.filter(F.col(type_col) == s1).select(
+        key_col,
+        F.when(step3, 3).when(step2, 2).otherwise(1).alias("max_step"),
+    )
+    return v.groupBy("max_step").agg(
+        F.count(F.lit(1)).alias("n_starts"),
+        F.count_distinct(key_col).alias("n_users"),
+    )
+
+
+def linear_attribution(events: DataFrame, touch_types: tuple[str, str] = ("view", "click"),
+                       convert_type: str = "purchase", window_s: int = 7 * 86400,
+                       key_col: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type") -> DataFrame:
+    """Linear (equal-credit) marketing attribution: every conversion
+    splits one unit of credit equally across the user's touch events in
+    the ``window_s`` lookback ENDING strictly before the conversion;
+    output is per-channel total credit plus how many conversions each
+    channel participated in.
+
+    Shape: per-channel touch counts are conditional COUNTs over ONE
+    value-RANGE window frame (``[-window_us, -1]`` on the epoch order),
+    so every channel shares a single keyed exchange and the log is
+    never joined against itself (the textbook formulation is a
+    conversions×touches inequality join). The value-range frame also
+    makes equal-timestamp ties deterministic — frames are by epoch
+    VALUE, not peer order. Credit shares are summed as DECIMAL(18,6) on
+    both engines (the ``_dsum`` discipline), so the totals are
+    summation-order-independent at any partition count.
+    """
+    w_us = window_s * 1_000_000
+    e = events.filter(F.col(type_col).isin(convert_type, *touch_types)).select(
+        key_col, F.col(type_col), epoch_us(ts_col).alias("us")
+    )
+    w = Window.partitionBy(key_col).orderBy("us").rangeBetween(-w_us, -1)
+    counts = [
+        F.count(F.when(F.col(type_col) == t, F.lit(1))).over(w).alias(f"n_{i}")
+        for i, t in enumerate(touch_types)
+    ]
+    conv = (
+        e.select(key_col, type_col, "us", *counts)
+        .filter(F.col(type_col) == convert_type)
+    )
+    n_touch = sum(F.col(f"n_{i}") for i in range(len(touch_types)))
+    conv = conv.withColumn("n_touch", n_touch).filter(F.col("n_touch") > 0)
+    per_channel = [
+        conv.select(
+            F.lit(t).alias("channel"),
+            F.round(F.col(f"n_{i}") / F.col("n_touch"), 6)
+             .cast("decimal(18,6)").alias("share"),
+        )
+        for i, t in enumerate(touch_types)
+    ]
+    stacked = per_channel[0]
+    for df in per_channel[1:]:
+        stacked = stacked.unionByName(df)
+    return stacked.groupBy("channel").agg(
+        F.sum("share").cast("double").alias("credit"),
+        F.count(F.when(F.col("share") > 0, F.lit(1))).alias("n_conversions"),
+    )

@@ -569,3 +569,59 @@ def cluster_split(docs: DataFrame, n: int = 3, threshold: float = 0.6,
         split_hash_col(F.col("cluster_id")).alias("h"),
         split_col(F.col("cluster_id")).alias("split"),
     )
+
+
+def pps_resample(docs: DataFrame, id_col: str = "doc_id",
+                 size_col: str = "n_chars", group_col: str = "source",
+                 buckets: int = BUCKETS) -> DataFrame:
+    """Poisson PPS (probability-proportional-to-size) resampling with
+    the Horvitz-Thompson group-count estimator: each doc is kept
+    independently with inclusion probability proportional to its size
+    (p_max = 1 for the largest doc, floor p = 1/buckets so every doc
+    stays in the sampling frame and the HT estimator stays unbiased),
+    and each kept doc is reweighted by 1/p.
+
+    Deterministic accept: integer cutoff ``clamp(1, buckets*size//max)``
+    compared against the Knuth hash bucket — integer arithmetic on both
+    engines, no float boundary, no RNG state, reproducible across
+    retries and partition layouts (randomSplit/sample are neither).
+
+    Shape: one corpus aggregate for max(size) rides back as a one-row
+    broadcast (the bm01 corpus-stats discipline); the keep decision is
+    then a pure pushed-down scan predicate — zero additional exchanges
+    before the final per-group rollup. HT shares (1/p, a single IEEE
+    division → identical doubles on both engines) are 6-dp-rounded and
+    summed as DECIMAL(18,6), so estimates are summation-order-free.
+    """
+    mx = docs.agg(F.max(F.col(size_col)).alias("mx"))
+    staged = docs.crossJoin(F.broadcast(mx)).select(
+        F.col(id_col), F.col(group_col), F.col(size_col),
+        # floor() on both engines — Spark's double->long cast truncates
+        # but DuckDB's CAST rounds, so the cast must never see a
+        # fractional value
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.least(
+                F.lit(buckets).cast("long"),
+                F.floor(
+                    (F.col(size_col).cast("long") * buckets)
+                    / F.col("mx").cast("long")
+                ).cast("long"),
+            ),
+        ).alias("cutoff"),
+        hash_bucket(F.col(id_col), buckets).alias("bucket"),
+    )
+    kept = staged.filter(F.col("bucket") < F.col("cutoff"))
+    ht_share = F.round(F.lit(float(buckets)) / F.col("cutoff"), 6).cast("decimal(18,6)")
+    n_orig = staged.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_orig"))
+    agg = kept.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col(size_col)).alias("chars_kept"),
+        F.round(F.sum(ht_share).cast("double"), 4).alias("ht_n_docs"),
+    )
+    return n_orig.join(agg, group_col, "left").select(
+        group_col, "n_orig",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("chars_kept", F.lit(0)).alias("chars_kept"),
+        F.coalesce("ht_n_docs", F.lit(0.0)).alias("ht_n_docs"),
+    )

@@ -882,3 +882,115 @@ def sq8_recall(emb: DataFrame, n_queries: int = 10, k: int = 5,
             F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
         )
     )
+
+
+def mmr_rerank(emb: DataFrame, n_queries: int = 10, pool_k: int = 10,
+               k: int = 3, lam: float = 0.7, penalty: float = 0.3) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` results per query maximizing
+    ``lam * rel(c) - penalty * max_sim(c, selected)`` — the
+    diversity-aware second stage every retrieval pipeline runs after
+    ANN recall.
+
+    ``penalty`` is passed explicitly instead of computed as ``1 - lam``
+    because ``1 - 0.7 != 0.3`` in IEEE doubles and the oracle SQL spells
+    the literal ``0.3``.
+
+    Shape: retrieval (one broadcast-query corpus scan + per-query
+    top-``pool_k`` window) runs ONCE and the tiny candidate pool
+    (``n_queries * pool_k`` rows) is persisted — at production scale
+    this is the materialized candidate table reranking always starts
+    from. Everything after operates on that pool: the pairwise cosine
+    matrix is a per-query self-join (≤ pool_k² rows per query, never
+    corpus-sized), and each greedy step is a broadcast join + window
+    argmax. The greedy loop is unrolled ``k`` times — fixed-iteration
+    driver loops are SQL-expressible as chained CTEs, and all scores
+    are arithmetic over 6-dp-rounded cosines so both engines compare
+    identical doubles.
+    """
+    from pyspark.sql.window import Window
+
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    v = ensure_parallelism(emb).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    rel = F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("neighbor_id").asc())
+    cand = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), rel.alias("rel"), "v", "nrm")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= pool_k)
+        .persist()
+    )
+    a = cand.select("query_id", F.col("neighbor_id").alias("a_id"),
+                    F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = cand.select("query_id", F.col("neighbor_id").alias("b_id"),
+                    F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    s = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    sim = (
+        a.join(b, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("query_id", "a_id", "b_id", s.alias("s"))
+    )
+
+    selected = [cand.filter(F.col("rnk") == 1).select("query_id", "neighbor_id", "rel")]
+    scores = [None]  # rank-1 score is lam * rel, attached at output time
+    pool = cand.select("query_id", "neighbor_id", "rel")
+    for _ in range(1, k):
+        remaining = pool
+        max_sim = None
+        for i, sel in enumerate(selected):
+            sel_i = F.broadcast(sel.select(
+                "query_id", F.col("neighbor_id").alias(f"sel_{i}")
+            ))
+            remaining = remaining.join(sel_i, "query_id").filter(
+                F.col("neighbor_id") != F.col(f"sel_{i}")
+            )
+            sim_i = sim.select(
+                "query_id", F.col("a_id").alias("neighbor_id"),
+                F.col("b_id").alias(f"sel_{i}"), F.col("s").alias(f"s_{i}")
+            )
+            remaining = remaining.join(sim_i, ["query_id", "neighbor_id", f"sel_{i}"])
+            col = F.col(f"s_{i}")
+            max_sim = col if max_sim is None else F.greatest(max_sim, col)
+        # Exact decimal arithmetic: double score math can land exactly on
+        # a 6-dp rounding boundary (0.7 * 0.371485 = 0.2600395), where
+        # Spark (shortest-repr HALF_UP) and DuckDB (binary-value
+        # rounding) disagree. DECIMAL(2,1) * DECIMAL(18,6) is exact, and
+        # both engines round an exact trailing-5 decimal away from zero.
+        scored = remaining.withColumn(
+            "score",
+            F.lit(str(lam)).cast("decimal(2,1)") * F.col("rel").cast("decimal(18,6)")
+            - F.lit(str(penalty)).cast("decimal(2,1)") * max_sim.cast("decimal(18,6)"),
+        )
+        ws = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc()
+        )
+        nxt = (
+            scored.withColumn("r", F.row_number().over(ws))
+            .filter(F.col("r") == 1)
+            .select("query_id", "neighbor_id", "rel", "score")
+        )
+        selected.append(nxt)
+        scores.append("score")
+
+    outs = []
+    for rank, (sel, sc) in enumerate(zip(selected, scores), start=1):
+        score_col = (
+            F.round(F.lit(str(lam)).cast("decimal(2,1)") * F.col("rel").cast("decimal(18,6)"), 6)
+            if sc is None else F.round(F.col(sc), 6)
+        ).cast("double")
+        outs.append(sel.select(
+            "query_id", F.lit(rank).alias("mmr_rank"), "neighbor_id", "rel",
+            score_col.alias("mmr_score"),
+        ))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -353,3 +353,46 @@ def seasonal_decompose(events: DataFrame, period_days: int = 7,
         F.round("seasonal", 6).alias("seasonal"),
         F.round(F.col("detr") - F.col("seasonal"), 6).alias("residual"),
     )
+
+
+def twap_locf(events: DataFrame, key_col: str = "user_id",
+              ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Time-weighted average under last-observation-carried-forward
+    interpolation — TimescaleDB's ``time_weight('LOCF', ...)``
+    aggregate (the honest average for irregularly-sampled gauges,
+    where the arithmetic mean over-weights bursts of dense samples).
+
+    Each observation holds its value until the key's next observation;
+    TWAP = sum(value_i * dt_i) / sum(dt_i) over the key's span. The
+    final observation carries no forward interval and equal-timestamp
+    ties are zero-width (the (ts, id) sort makes that deterministic).
+
+    Shape: one keyed window pass (``lead`` on the shared sort) + one
+    aggregate on the same key — a single exchange. The value*dt
+    products are identical IEEE doubles on both engines (one multiply
+    each); they ride as DECIMAL(38,6) through the sum so the total is
+    summation-order-free at any partition count.
+    """
+    from pyspark.sql import Window
+
+    from ntripmonitor_spark.functions.timeutil import epoch_us
+
+    w = Window.partitionBy(key_col).orderBy("us", "event_id")
+    staged = events.select(
+        key_col, "event_id", F.col(value_col).alias("v"), epoch_us(ts_col).alias("us")
+    ).withColumn("nxt_us", F.lead("us").over(w))
+    weighted = staged.filter(F.col("nxt_us").isNotNull()).select(
+        key_col,
+        (F.col("nxt_us") - F.col("us")).alias("dt_us"),
+        (F.col("v") * (F.col("nxt_us") - F.col("us")).cast("double")).alias("vdt"),
+    )
+    agg = weighted.groupBy(key_col).agg(
+        (F.count(F.lit(1)) + 1).alias("n_points"),
+        F.sum("dt_us").alias("span_us"),
+        F.sum(F.col("vdt").cast("decimal(38,6)")).cast("double").alias("sum_vdt"),
+    )
+    return agg.filter(F.col("span_us") > 0).select(
+        key_col, "n_points",
+        F.floor(F.col("span_us") / F.lit(1_000_000)).alias("span_s"),
+        F.round(F.col("sum_vdt") / F.col("span_us").cast("double"), 6).alias("twap"),
+    )

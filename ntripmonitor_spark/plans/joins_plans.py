@@ -283,3 +283,98 @@ def fn03_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return j.select("day", "n_active", "n_new", F.sum("n_new").over(w).alias("n_cumulative"))
+
+
+@register(
+    "fn05_window_funnel",
+    bench=True,
+    tags=("joins", "analytics"),
+    oracle="""
+WITH e AS (
+    SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+           CASE event_type WHEN 'purchase' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS tag
+    FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+p AS (
+    SELECT *, first_value(CASE WHEN event_type = 'purchase' THEN us END IGNORE NULLS)
+              OVER fwd AS p_after
+    FROM e
+    WINDOW fwd AS (PARTITION BY user_id ORDER BY us, tag, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+c AS (
+    SELECT *,
+           first_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+               OVER fwd AS c_us,
+           first_value(CASE WHEN event_type = 'click'
+                            THEN coalesce(p_after, 4611686018427387904) END IGNORE NULLS)
+               OVER fwd AS c_p
+    FROM p
+    WINDOW fwd AS (PARTITION BY user_id ORDER BY us, tag, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT max_step, count(*) AS n_starts, count(DISTINCT user_id) AS n_users
+FROM (
+    SELECT user_id,
+           CASE WHEN c_us IS NOT NULL AND c_us <= us + 86400000000
+                THEN CASE WHEN c_p <= us + 86400000000 THEN 3 ELSE 2 END
+                ELSE 1 END AS max_step
+    FROM c WHERE event_type = 'view'
+) GROUP BY max_step
+""",
+)
+def fn05_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-windowFunnel semantics: for EVERY view event, the
+    deepest view→click→purchase chain completed within 24 hours of
+    that view (fn01 answers this once per user; fn05 per funnel
+    instance). One keyed exchange: stage-(i+1) matches are stacked
+    forward-frame ``first(ignorenulls)`` passes on a single
+    (epoch, stage-tag, id) sort whose tag order encodes
+    "strictly after" — no self-join, no inequality join."""
+    ev = table(spark, sf_dir, "events")
+    return joins.window_funnel(ev, window_s=86400)
+
+
+@register(
+    "fn06_linear_attribution",
+    bench=True,
+    tags=("joins", "analytics"),
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us
+    FROM events WHERE event_type IN ('purchase', 'view', 'click')
+),
+w AS (
+    SELECT *,
+           count(CASE WHEN event_type = 'view' THEN 1 END) OVER lb AS n_0,
+           count(CASE WHEN event_type = 'click' THEN 1 END) OVER lb AS n_1
+    FROM e
+    WINDOW lb AS (PARTITION BY user_id ORDER BY us
+                  RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+),
+conv AS (
+    SELECT *, n_0 + n_1 AS n_touch FROM w
+    WHERE event_type = 'purchase' AND n_0 + n_1 > 0
+),
+st AS (
+    SELECT 'view' AS channel,
+           CAST(round(n_0 / n_touch, 6) AS DECIMAL(18,6)) AS share FROM conv
+    UNION ALL
+    SELECT 'click' AS channel,
+           CAST(round(n_1 / n_touch, 6) AS DECIMAL(18,6)) AS share FROM conv
+)
+SELECT channel, CAST(sum(share) AS DOUBLE) AS credit,
+       count(CASE WHEN share > 0 THEN 1 END) AS n_conversions
+FROM st GROUP BY channel
+""",
+)
+def fn06_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase splits one unit of
+    credit equally over the user's view/click touches in the 7-day
+    lookback ending strictly before it. Channel touch counts are
+    conditional COUNTs sharing ONE value-RANGE window frame (no
+    conversions×touches inequality join); credit sums ride as
+    DECIMAL(18,6) so totals are summation-order-independent at any
+    partition count."""
+    ev = table(spark, sf_dir, "events")
+    return joins.linear_attribution(ev)

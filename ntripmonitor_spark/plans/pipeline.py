@@ -4811,3 +4811,127 @@ def fn04_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lat, 0.9)"), 4).alias("p90_s"),
         F.round(F.avg("lat"), 4).alias("avg_s"),
     )
+
+
+@register(
+    "ss14_mmr_rerank",
+    bench=True,
+    tags=("simsearch", "retrieval"),
+    oracle=f"""
+WITH {_VEC_CTE},
+q AS (SELECT vec_id AS query_id, vec AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+sc AS (
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+           round(list_dot_product(q.qv, n.vec) / (q.qn * n.nrm), 6) AS rel,
+           n.vec, n.nrm
+    FROM q CROSS JOIN n WHERE n.vec_id <> q.query_id
+),
+cand AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY rel DESC, neighbor_id ASC) AS rnk
+        FROM sc
+    ) WHERE rnk <= 10
+),
+sim AS (
+    SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+           round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS s
+    FROM cand a JOIN cand b
+      ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+),
+sel1 AS (SELECT query_id, neighbor_id, rel FROM cand WHERE rnk = 1),
+c2 AS (
+    SELECT c.query_id, c.neighbor_id, c.rel,
+           CAST(0.7 AS DECIMAL(2,1)) * CAST(c.rel AS DECIMAL(18,6))
+           - CAST(0.3 AS DECIMAL(2,1)) * CAST(sim.s AS DECIMAL(18,6)) AS score
+    FROM cand c
+    JOIN sel1 ON sel1.query_id = c.query_id AND c.neighbor_id <> sel1.neighbor_id
+    JOIN sim ON sim.query_id = c.query_id AND sim.a_id = c.neighbor_id
+            AND sim.b_id = sel1.neighbor_id
+),
+sel2 AS (
+    SELECT query_id, neighbor_id, rel, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id ASC) AS r
+        FROM c2
+    ) WHERE r = 1
+),
+c3 AS (
+    SELECT c.query_id, c.neighbor_id, c.rel,
+           CAST(0.7 AS DECIMAL(2,1)) * CAST(c.rel AS DECIMAL(18,6))
+           - CAST(0.3 AS DECIMAL(2,1)) * CAST(greatest(s1.s, s2.s) AS DECIMAL(18,6)) AS score
+    FROM cand c
+    JOIN sel1 ON sel1.query_id = c.query_id AND c.neighbor_id <> sel1.neighbor_id
+    JOIN sel2 ON sel2.query_id = c.query_id AND c.neighbor_id <> sel2.neighbor_id
+    JOIN sim s1 ON s1.query_id = c.query_id AND s1.a_id = c.neighbor_id
+               AND s1.b_id = sel1.neighbor_id
+    JOIN sim s2 ON s2.query_id = c.query_id AND s2.a_id = c.neighbor_id
+               AND s2.b_id = sel2.neighbor_id
+),
+sel3 AS (
+    SELECT query_id, neighbor_id, rel, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id ASC) AS r
+        FROM c3
+    ) WHERE r = 1
+)
+SELECT query_id, 1 AS mmr_rank, neighbor_id, rel,
+       CAST(round(CAST(0.7 AS DECIMAL(2,1)) * CAST(rel AS DECIMAL(18,6)), 6) AS DOUBLE) AS mmr_score FROM sel1
+UNION ALL
+SELECT query_id, 2 AS mmr_rank, neighbor_id, rel,
+       CAST(round(score, 6) AS DOUBLE) AS mmr_score FROM sel2
+UNION ALL
+SELECT query_id, 3 AS mmr_rank, neighbor_id, rel,
+       CAST(round(score, 6) AS DOUBLE) AS mmr_score FROM sel3
+""",
+)
+def ss14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking of the top-10 cosine pool down to 3
+    results per query (lambda=0.7): retrieval scans the corpus ONCE,
+    then every greedy step is a broadcast join + window argmax over the
+    persisted candidate pool — the re-rank never touches corpus-sized
+    data. Greedy loop unrolled (fixed k), scores are arithmetic over
+    6-dp-rounded cosines, so the DuckDB oracle replays it as chained
+    CTEs comparing identical doubles."""
+    return simsearch.mmr_rerank(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sp10_pps_resample",
+    bench=True,
+    tags=("sampling", "stats"),
+    oracle=f"""
+WITH mx AS (SELECT max(n_chars) AS mx FROM documents),
+staged AS (
+    SELECT doc_id, source, n_chars,
+           greatest(1, least(1000,
+               CAST(floor((n_chars * 1000) / mx.mx) AS BIGINT))) AS cutoff,
+           {_BUCKET_SQL} AS bucket
+    FROM documents CROSS JOIN mx
+),
+kept AS (SELECT * FROM staged WHERE bucket < cutoff),
+agg AS (
+    SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept,
+           round(CAST(sum(CAST(round(1000.0 / cutoff, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+               AS ht_n_docs
+    FROM kept GROUP BY source
+)
+SELECT s.source, s.n_orig,
+       coalesce(agg.n_kept, 0) AS n_kept,
+       coalesce(agg.chars_kept, 0) AS chars_kept,
+       coalesce(agg.ht_n_docs, 0.0) AS ht_n_docs
+FROM (SELECT source, count(*) AS n_orig FROM staged GROUP BY source) s
+LEFT JOIN agg USING (source)
+""",
+)
+def sp10_pps_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson PPS resampling (inclusion probability proportional to
+    doc length, Horvitz-Thompson 1/p reweighting) with per-source
+    kept counts and the HT estimate of the original doc count — the
+    unbiased downsample-but-keep-estimates primitive. One corpus max
+    rides as a one-row broadcast; the keep decision is a deterministic
+    integer hash-cutoff scan predicate (no RNG state, reproducible
+    across retries); HT shares sum as DECIMAL(18,6)."""
+    from ntripmonitor_spark.operators import sampling
+
+    return sampling.pps_resample(table(spark, sf_dir, "documents"))

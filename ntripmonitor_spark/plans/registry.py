@@ -105,6 +105,8 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "fn02_cohort_retention",
         "fn03_user_growth",
         "fn04_conversion_latency",
+        "fn05_window_funnel",
+        "fn06_linear_attribution",
         "gr01_cluster_sizes",
         "gr02_dup_degree",
         "hs01_length_histogram",
@@ -156,7 +158,9 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "sp07_epoch_order",
         "sp08_cluster_split",
         "sp09_cluster_split_lsh",
+        "sp10_pps_resample",
         "ss03_ann_lsh_multitable",
+        "ss14_mmr_rerank",
         "ss04_ivf_train_step",
         "ss05_pq_encode",
         "ss06_ivf_probe",
@@ -174,6 +178,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tp04_pack_utilization",
         "ts01_gap_fill",
         "ts02_ohlc_downsample",
+        "ts03_twap_locf",
         "tx08_bpe_pairs",
         "tx09_zipf_fit",
         "tx10_bigram_nll",

@@ -282,3 +282,41 @@ def an05_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact decimal; all post-aggregate windows run on the bounded
     (type, day) relation."""
     return timeseries.seasonal_decompose(table(spark, sf_dir, "events"))
+
+
+@register(
+    "ts03_twap_locf",
+    bench=True,
+    tags=("timeseries",),
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_id, value AS v, epoch_us(ts) AS us FROM events
+),
+iv AS (
+    SELECT user_id, us,
+           lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt_us, v
+    FROM e
+),
+wt AS (
+    SELECT user_id, nxt_us - us AS dt_us,
+           v * CAST(nxt_us - us AS DOUBLE) AS vdt
+    FROM iv WHERE nxt_us IS NOT NULL
+),
+agg AS (
+    SELECT user_id, count(*) + 1 AS n_points, sum(dt_us) AS span_us,
+           CAST(sum(CAST(vdt AS DECIMAL(38,6))) AS DOUBLE) AS sum_vdt
+    FROM wt GROUP BY user_id
+)
+SELECT user_id, n_points,
+       CAST(floor(span_us / 1000000) AS BIGINT) AS span_s,
+       round(sum_vdt / CAST(span_us AS DOUBLE), 6) AS twap
+FROM agg WHERE span_us > 0
+""",
+)
+def ts03_twap_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value under LOCF interpolation —
+    TimescaleDB toolkit's ``time_weight('LOCF')`` re-expressed as one
+    keyed ``lead`` window plus one aggregate on the same exchange; the
+    value*dt products ride as DECIMAL(38,6) so the result is
+    summation-order-free at any partition count."""
+    return timeseries.twap_locf(table(spark, sf_dir, "events"))
