@@ -1071,3 +1071,56 @@ def source_overlap(docs: DataFrame, n: int = 3,
             F.round(F.col("n_shared") / F.col("n_b"), 6).alias("containment_b"),
         )
     )
+
+
+def pagerank(edges: DataFrame, iters: int = 3, damping_pct: int = 85,
+             scale: int = 10**12) -> DataFrame:
+    """Fixed-budget PageRank over an undirected edge list (``doc_a``,
+    ``doc_b``) → (doc_id, degree, pr_e12): ``iters`` rounds of the
+    power method with damping ``damping_pct/100`` over the
+    edge-touched subgraph — the centrality score that ranks a dup
+    cluster's "canonical" member (the doc most near-duplicated
+    against) above its satellites.
+
+    Arithmetic is FIXED-POINT: ranks are integers scaled by ``scale``
+    (1e12) and every division is integral (Spark ``div`` == DuckDB
+    ``//`` on non-negative longs), so an iteration is exact integer
+    arithmetic end to end — no float summation order, no
+    round-at-boundary divergence, bit-identical at any partition count
+    and on both engines. Truncation forfeits < 1 ulp (1e-12) of mass
+    per message per round; with a symmetrized edge list every touched
+    node has degree ≥ 1 and in-messages ≥ 1, so no dangling-mass term
+    is needed.
+
+    Scale shape: the symmetrized edge list is repartitioned by ``src``
+    and persisted ONCE — each round's message join probes that
+    co-located layout (the connected_components discipline), so a
+    round costs one join plus one keyed aggregate and shuffles only
+    (node, rank) messages, never the corpus. The node count rides as a
+    one-row broadcast folded into the per-node base relation. Rounds
+    are a fixed driver-side unroll; production tuning is the iteration
+    budget, not the plan shape.
+    """
+    und = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    und = und.union(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).repartition("src").persist()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    # teleport mass (1 - d) * scale is exact in integers for pct inputs
+    tele_total = scale * (100 - damping_pct) // 100
+    base = deg.crossJoin(F.broadcast(n))  # (src, deg, n)
+    pr = base.withColumn("pr", F.expr(f"{scale} div n"))
+    for _ in range(iters):
+        msg = und.join(pr.select("src", "deg", "pr"), "src").select(
+            F.col("dst").alias("src"), F.expr("pr div deg").alias("c")
+        )
+        s = msg.groupBy("src").agg(F.sum("c").alias("s"))
+        pr = base.join(s, "src").withColumn(
+            "pr",
+            F.expr(f"({tele_total} div n) + (({damping_pct} * s) div 100)"),
+        )
+    return pr.select(
+        F.col("src").alias("doc_id"), F.col("deg").alias("degree"),
+        F.col("pr").alias("pr_e12"),
+    )

@@ -378,3 +378,79 @@ def fn06_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition count."""
     ev = table(spark, sf_dir, "events")
     return joins.linear_attribution(ev)
+
+
+@register(
+    "fn07_rfm_segments",
+    bench=True,
+    tags=("joins", "analytics"),
+    oracle="""
+WITH p AS (
+    SELECT user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(18,2)) AS v
+    FROM events WHERE event_type = 'purchase'
+),
+mx AS (SELECT max(us) AS mx FROM p),
+per_user AS (
+    SELECT user_id,
+           (max(mx.mx) - max(us)) // 86400000000 AS recency_d,
+           count(*) AS freq,
+           sum(v) AS monetary
+    FROM p CROSS JOIN mx GROUP BY user_id
+),
+scored AS (
+    SELECT CASE WHEN recency_d <= 2 THEN 3 WHEN recency_d <= 7 THEN 2 ELSE 1 END AS r_score,
+           CASE WHEN freq >= 20 THEN 3 WHEN freq >= 10 THEN 2 ELSE 1 END AS f_score,
+           CASE WHEN monetary >= 800 THEN 3 WHEN monetary >= 300 THEN 2 ELSE 1 END AS m_score,
+           monetary
+    FROM per_user
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(monetary) AS DOUBLE) AS total_monetary
+FROM scored GROUP BY 1, 2, 3
+""",
+)
+def fn07_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation of purchasers:
+    per-user recency in whole days vs the corpus's latest purchase,
+    purchase count, and decimal-exact spend, bucketed into 3x3x3
+    fixed-threshold scores and rolled up to segment population + spend.
+
+    Fixed thresholds instead of ntile(): quantile cuts make a user's
+    segment depend on every OTHER user's ties (non-deterministic under
+    re-partitioning and engine sort differences); threshold scoring is
+    per-row arithmetic, embarrassingly parallel, and stable as the
+    corpus grows. Shape: one user-keyed aggregate (the corpus max
+    timestamp rides as a one-row broadcast folded in pre-aggregate) +
+    one bounded 27-row rollup; recency division is integral (``div`` ==
+    ``//``), spend aggregates in DECIMAL(18,2) — no float path at all
+    until the final display cast."""
+    from ntripmonitor_spark.functions.timeutil import epoch_us
+
+    p = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", epoch_us("ts").alias("us"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    mx = p.agg(F.max("us").alias("mx"))
+    per_user = p.crossJoin(F.broadcast(mx)).groupBy("user_id").agg(
+        F.expr("(max(mx) - max(us)) div 86400000000").alias("recency_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("v").alias("monetary"),
+    )
+    scored = per_user.select(
+        F.when(F.col("recency_d") <= 2, 3).when(F.col("recency_d") <= 7, 2)
+         .otherwise(1).alias("r_score"),
+        F.when(F.col("freq") >= 20, 3).when(F.col("freq") >= 10, 2)
+         .otherwise(1).alias("f_score"),
+        F.when(F.col("monetary") >= 800, 3).when(F.col("monetary") >= 300, 2)
+         .otherwise(1).alias("m_score"),
+        F.col("monetary"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("monetary").cast("double").alias("total_monetary"),
+    )

@@ -4935,3 +4935,136 @@ def sp10_pps_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntripmonitor_spark.operators import sampling
 
     return sampling.pps_resample(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# gr04 — PageRank centrality over the LSH dup-graph (fixed-point power method)
+# ---------------------------------------------------------------------------
+
+def _PR_ITER(i: int) -> str:
+    """One fixed-point PageRank round as two chained CTEs (message sum,
+    then rank update) — the SQL unroll of dedup.pagerank's loop."""
+    return f"""
+m{i} AS (
+    SELECT u.dst AS src, sum(p.pr // p.deg) AS s
+    FROM und u JOIN pr{i - 1} p ON u.src = p.src GROUP BY u.dst
+),
+pr{i} AS (
+    SELECT d.src, d.deg, d.n, (150000000000 // d.n) + ((85 * m{i}.s) // 100) AS pr
+    FROM pr{i - 1} d JOIN m{i} ON m{i}.src = d.src
+)"""
+
+
+@register(
+    "gr04_pagerank",
+    bench=True,
+    tags=("dedup", "graph"),
+    oracle=f"""
+WITH {_SH_CTE},
+mh AS (
+    SELECT doc_id,
+           {_MH_MINS}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+    {_MH_BANDS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+und AS (
+    SELECT doc_a AS src, doc_b AS dst FROM cand
+    UNION ALL SELECT doc_b, doc_a FROM cand
+),
+deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+pr0 AS (
+    SELECT d.src, d.deg, nn.n, 1000000000000 // nn.n AS pr
+    FROM deg d CROSS JOIN nn
+),{_PR_ITER(1)},{_PR_ITER(2)},{_PR_ITER(3)}
+SELECT doc_id, degree, pr_e12,
+       CAST(row_number() OVER (ORDER BY pr_e12 DESC, doc_id ASC) AS INT) AS rnk
+FROM (
+    SELECT src AS doc_id, deg AS degree, pr AS pr_e12
+    FROM pr3 ORDER BY pr DESC, src ASC LIMIT 20
+)
+""",
+)
+def gr04_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank docs of the MinHash-LSH dup-graph (3 power
+    rounds, damping 0.85): the canonical-member ranking inside dup
+    clusters — the doc everything else is a near-copy OF scores
+    highest, so "keep the canonical, drop satellites" becomes a rank
+    filter instead of min(doc_id) arbitrariness. Ranks are integers
+    scaled by 1e12 with integral division everywhere (see
+    dedup.pagerank), so both engines run EXACT integer arithmetic —
+    no float appears anywhere in this query. The top-20 is
+    orderBy+limit (TakeOrdered — distributed heap top-k, no global
+    sort, no single-partition window); the rank column is a window
+    over the surviving 20 rows only."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    edges = dedup.minhash_lsh_pairs(docs, n=3).select("doc_a", "doc_b")
+    ranked = dedup.pagerank(edges)
+    top = ranked.orderBy(F.col("pr_e12").desc(), F.col("doc_id").asc()).limit(20)
+    w = Window.orderBy(F.col("pr_e12").desc(), F.col("doc_id").asc())
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# mx02 — temperature-flattened mixture weights → per-source epoch budget
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mx02_mixture_epochs",
+    tags=("sampling", "curation"),
+    oracle="""
+WITH s AS (SELECT source, sum(n_chars) AS n_chars_total FROM documents GROUP BY source),
+t AS (
+    SELECT sum(CAST(round(sqrt(CAST(n_chars_total AS DOUBLE)), 6) AS DECIMAL(38,6))) AS z,
+           sum(n_chars_total) AS total
+    FROM s
+)
+SELECT source, n_chars_total,
+       round(round(sqrt(CAST(n_chars_total AS DOUBLE)), 6) / CAST(t.z AS DOUBLE), 6) AS weight,
+       round(2.0 * t.total * (round(sqrt(CAST(n_chars_total AS DOUBLE)), 6) / CAST(t.z AS DOUBLE))
+             / n_chars_total, 4) AS epochs,
+       CAST(round(2.0 * t.total * (round(sqrt(CAST(n_chars_total AS DOUBLE)), 6) / CAST(t.z AS DOUBLE))
+             / n_chars_total, 4) > 1.0 AS INT) AS needs_upsampling
+FROM s CROSS JOIN t
+""",
+)
+def mx02_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixing plan a training run actually executes: per-source
+    temperature-flattened weight (T=0.5, i.e. w ∝ sqrt(chars) — sqrt is
+    correctly-rounded IEEE on every libm, unlike pow(x, 0.7)) and the
+    epoch count each source needs to fill a 2x-corpus token budget at
+    that weight; epochs > 1 flags sources the loader must upsample
+    (repeat) rather than subsample. Shape: one |sources|-row aggregate,
+    corpus totals ride back as a one-row broadcast — two bounded
+    aggregates total, no shuffle scales with the corpus. Flattening
+    normalizer sums 6-dp-rounded sqrts as DECIMAL(38,6) so the weight
+    denominator is summation-order-free."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.sum("n_chars").alias("n_chars_total"))
+    sq = F.round(F.sqrt(F.col("n_chars_total").cast("double")), 6)
+    t = s.agg(
+        F.sum(sq.cast("decimal(38,6)")).alias("z"),
+        F.sum("n_chars_total").alias("total"),
+    )
+    j = s.crossJoin(F.broadcast(t))
+    w_raw = sq / F.col("z").cast("double")
+    epochs = F.round(
+        F.lit(2.0) * F.col("total").cast("double") * w_raw
+        / F.col("n_chars_total").cast("double"), 4,
+    )
+    return j.select(
+        "source", "n_chars_total",
+        F.round(w_raw, 6).alias("weight"),
+        epochs.alias("epochs"),
+        (epochs > F.lit(1.0)).cast("int").alias("needs_upsampling"),
+    )

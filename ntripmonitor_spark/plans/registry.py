@@ -107,8 +107,10 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "fn04_conversion_latency",
         "fn05_window_funnel",
         "fn06_linear_attribution",
+        "fn07_rfm_segments",
         "gr01_cluster_sizes",
         "gr02_dup_degree",
+        "gr04_pagerank",
         "hs01_length_histogram",
         "ig01_dsir_weights",
         "ig02_loss_aware_mix",
@@ -132,6 +134,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "mm11_phash_16bit",
         "mm14_scene_change",
         "mx01_source_overlap",
+        "mx02_mixture_epochs",
         "q22_no_order_customers",
         "q23_value_deciles",
         "q24_intersect_users",
