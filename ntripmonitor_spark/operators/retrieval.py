@@ -263,3 +263,82 @@ def boolean_search_postings(postings: DataFrame, must: list[str],
         ex = postings.filter(F.col("term") == wd.lower()).select(id_col).distinct()
         base = base.join(ex, id_col, "left_anti")
     return base
+
+
+def ndcg_discounts(k: int) -> list[str]:
+    """Rank discounts 1/log2(rank+1) as 9-dp DECIMAL literals — the
+    SAME strings fold into the Spark plan and the oracle SQL, so DCG
+    arithmetic is exact decimal on both engines (no cross-libm log2)."""
+    import math
+
+    return [f"{1.0 / math.log2(r + 1):.9f}" for r in range(1, k + 1)]
+
+
+def ndcg_eval(docs: DataFrame, queries: list[tuple[int, list[str]]],
+              k: int = 10) -> DataFrame:
+    """Ranking-quality evaluation of the BM25 leg: nDCG@k per query
+    with graded relevance = number of DISTINCT query terms the document
+    contains (0..|terms|) — the self-labeling trick for eval-set-free
+    retrieval monitoring (exact term containment is cheap ground truth
+    that correlates with the score without being identical to it: BM25
+    weights tf and rarity, the label only counts coverage).
+
+    DCG = sum of (2^rel - 1) * 1/log2(rank+1) over the leg's top-k;
+    IDCG re-ranks ALL relevant docs by label. Gains are integers and
+    discounts fold in as shared 9-dp DECIMAL literals, so every DCG is
+    EXACT decimal arithmetic — no float appears until the final
+    dcg/idcg division of two identical doubles.
+
+    Shape: the relevance relation reuses the same filtered posting scan
+    the BM25 leg rides (query terms pushed below the shuffle); ideal
+    ranking is a per-query top-k window over label-bearing docs only.
+    Everything after the posting scan moves O(queries * k) rows.
+    """
+    ranked = bm25_topk(docs, queries, k=k)  # (query_id, rank, doc_id, score)
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts], "query_id int, term string"
+    )
+    rel = (
+        doc_terms(docs)
+        .filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("term").cast("int").alias("rel"))
+    )
+    disc = F.array(*[
+        F.lit(s).cast("decimal(11,9)") for s in ndcg_discounts(k)
+    ])
+    # SQL-expr form: the Python shiftleft() binding only takes a
+    # literal bit count, but the gain exponent is the rel COLUMN
+    gain = F.expr("shiftleft(1, rel) - 1")
+    dcg = (
+        ranked.join(rel, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            (F.coalesce(gain, F.lit(0)) * F.element_at(disc, F.col("rank"))).alias("g"),
+        )
+        .groupBy("query_id").agg(F.sum("g").alias("dcg_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    ideal = (
+        rel.withColumn("irank", F.row_number().over(w))
+        .withColumn("n_rel", F.count(F.lit(1)).over(Window.partitionBy("query_id")))
+        .filter(F.col("irank") <= k)
+        .select(
+            "query_id", "n_rel",
+            (gain * F.element_at(disc, F.col("irank"))).alias("g"),
+        )
+        .groupBy("query_id").agg(
+            F.max("n_rel").alias("n_rel"), F.sum("g").alias("idcg_d")
+        )
+    )
+    return dcg.join(ideal, "query_id").select(
+        "query_id", "n_rel",
+        F.col("dcg_d").cast("double").alias("dcg"),
+        F.col("idcg_d").cast("double").alias("idcg"),
+        F.round(
+            F.col("dcg_d").cast("double") / F.col("idcg_d").cast("double"), 6
+        ).alias("ndcg"),
+    )

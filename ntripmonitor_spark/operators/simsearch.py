@@ -994,3 +994,64 @@ def mmr_rerank(emb: DataFrame, n_queries: int = 10, pool_k: int = 10,
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def power_iteration(emb: DataFrame, iters: int = 3, dim: int = 64) -> DataFrame:
+    """Dominant eigenvector of the corpus Gram matrix (sum over docs of
+    v vᵀ) by ``iters`` unrolled power-method rounds — the first
+    principal direction of the raw embedding cloud, the one-component
+    PCA every embedding-drift / collapse monitor starts from.
+
+    Output: (dim_idx, loading, eigenvalue) — the unit eigenvector
+    estimate after the final round plus the Rayleigh-style eigenvalue
+    (the pre-normalization vector's L2 norm).
+
+    Determinism contract: the start vector is exactly representable
+    (1/sqrt(64) = 0.125); every per-row dot product and every norm is
+    an EXPLICIT left-associated add chain (identical fold order on both
+    engines, no library dot whose summation order is unspecified); the
+    per-row projection is rounded to 6 dp and each component product to
+    9 dp before riding a DECIMAL(38,9) sum, so the matvec result is
+    summation-order-free at any partition count.
+
+    Scale shape: one corpus scan per round over a persisted projected
+    relation — per round the aggregate reduces everything map-side to
+    ONE 64-decimal row; the current iterate rides back as a one-row
+    broadcast (never a collect). The plan is a fixed unroll, so round
+    count is budget, not shape.
+    """
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    v = ensure_parallelism(emb).select(
+        as_double_vec(F.col("embedding")).alias("v")
+    ).persist()
+    spark = emb.sparkSession
+    xcols = [f"x{j}" for j in range(dim)]
+    xrow = spark.range(1).select(*[F.lit(0.125).alias(c) for c in xcols])
+
+    def el(j: int) -> Column:
+        return F.element_at(F.col("v"), j + 1)
+
+    for _ in range(iters):
+        j0 = v.crossJoin(F.broadcast(xrow.select(*xcols)))
+        d = el(0) * F.col("x0")
+        for j in range(1, dim):
+            d = d + el(j) * F.col(f"x{j}")
+        staged = j0.select(F.col("v"), F.round(d, 6).alias("d"))
+        sums = staged.agg(*[
+            F.sum(F.round(el(j) * F.col("d"), 9).cast("decimal(38,9)")).alias(f"s{j}")
+            for j in range(dim)
+        ])
+        sd = [F.col(f"s{j}").cast("double") for j in range(dim)]
+        nsq = sd[0] * sd[0]
+        for j in range(1, dim):
+            nsq = nsq + sd[j] * sd[j]
+        xrow = sums.select(
+            *[F.round(sd[j] / F.sqrt(nsq), 9).alias(f"x{j}") for j in range(dim)],
+            F.round(F.sqrt(nsq), 4).alias("lam"),
+        )
+    arr = F.array(*[F.col(c) for c in xcols])
+    return xrow.select(
+        F.posexplode(arr).alias("dim_idx", "loading"),
+        F.col("lam").alias("eigenvalue"),
+    ).select(F.col("dim_idx").cast("int").alias("dim_idx"), "loading", "eigenvalue")

@@ -5068,3 +5068,130 @@ def mx02_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         epochs.alias("epochs"),
         (epochs > F.lit(1.0)).cast("int").alias("needs_upsampling"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ss15 — power iteration: dominant eigenvector of the embedding Gram matrix
+# ---------------------------------------------------------------------------
+
+_PI_DIM = 64
+
+
+def _pi_oracle(iters: int = 3, dim: int = _PI_DIM) -> str:
+    """Generate the unrolled power-iteration oracle: per round, a
+    64-decimal-sum aggregate CTE and a normalized-iterate CTE, with
+    every dot/norm an explicit left-associated add chain (matching the
+    Spark fold order exactly)."""
+    def dot_expr(xref) -> str:
+        terms = [f"vec[{j + 1}] * {xref(j)}" for j in range(dim)]
+        return " + ".join(terms)
+
+    parts = ["v AS (SELECT CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)"]
+    prev = None
+    for it in range(1, iters + 1):
+        xref = (lambda j: "0.125") if prev is None else (
+            lambda j, p=prev: f"{p}.x{j}"
+        )
+        src = "v" if prev is None else f"v CROSS JOIN {prev}"
+        sums = ",\n           ".join(
+            f"sum(CAST(round(vec[{j + 1}] * d, 9) AS DECIMAL(38,9))) AS s{j}"
+            for j in range(dim)
+        )
+        parts.append(
+            f"a{it} AS (\n    SELECT {sums}\n"
+            f"    FROM (SELECT vec, round({dot_expr(xref)}, 6) AS d FROM {src})\n)"
+        )
+        nsq = " + ".join(
+            f"CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE)" for j in range(dim)
+        )
+        comps = ",\n           ".join(
+            f"round(CAST(s{j} AS DOUBLE) / sqrt({nsq}), 9) AS x{j}"
+            for j in range(dim)
+        )
+        parts.append(
+            f"x{it} AS (\n    SELECT {comps},\n"
+            f"           round(sqrt({nsq}), 4) AS lam\n    FROM a{it}\n)"
+        )
+        prev = f"x{it}"
+    body = ",\n".join(parts)
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {j} AS dim_idx, x{j} AS loading, lam AS eigenvalue FROM {prev}"
+        for j in range(dim)
+    )
+    return f"WITH {body}\n{sel}"
+
+
+@register(
+    "ss15_power_iteration",
+    tags=("simsearch", "stats"),
+    oracle=_pi_oracle(),
+)
+def ss15_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal direction of the embedding cloud: 3 unrolled
+    power-method rounds on the corpus Gram matrix. Each round is one
+    corpus scan collapsing map-side into a single 64-decimal-sum row;
+    the iterate rides back as a one-row broadcast (no collect). All
+    dots/norms are explicit left-associated chains and component
+    products ride DECIMAL(38,9) sums — deterministic at any partition
+    count and replayed verbatim by the unrolled-CTE oracle."""
+    return simsearch.power_iteration(table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# dq03 — prospective shuffle-key skew profile (the pre-join planning report)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq03_key_skew_profile",
+    tags=("profile", "skew"),
+    oracle="""
+WITH per_key AS (
+    SELECT user_id, ((user_id * 2654435761) % 4294967296) % 32 AS partition_id,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+per_part AS (
+    SELECT partition_id,
+           count(*) AS n_keys,
+           sum(n) AS n_rows,
+           max(n) AS max_key_rows
+    FROM per_key GROUP BY 1
+),
+t AS (SELECT sum(n_rows) AS total FROM per_part)
+SELECT partition_id, n_keys, n_rows, max_key_rows,
+       round(CAST(n_rows AS DOUBLE) / t.total, 6) AS row_share,
+       round(CAST(n_rows AS DOUBLE) * 32 / t.total, 4) AS skew_vs_mean
+FROM per_part CROSS JOIN t
+""",
+)
+def dq03_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report to run BEFORE keying a big shuffle on user_id: rows,
+    distinct keys, and heaviest single key per PROSPECTIVE hash
+    partition (portable Knuth multiplicative hash mod 32 — the same
+    family the repo's bucketing uses, so the projection is
+    reproducible, not engine-internal), plus each partition's row
+    share and its load relative to the mean. skew_vs_mean >> 1 says
+    salt-or-AQE before shuffling; max_key_rows says whether ONE key is
+    the problem (salting helps) or many medium keys are (more
+    partitions help). Shape: per-(key, partition) partial count, then a
+    32-row rollup; the grand total rides back as a one-row broadcast —
+    the profile costs one aggregation pass, far less than the shuffle
+    it de-risks."""
+    ev = table(spark, sf_dir, "events")
+    per_key = ev.groupBy(
+        "user_id",
+        (((F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)) % 32)
+        .alias("partition_id"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_part = per_key.groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+    )
+    t = per_part.agg(F.sum("n_rows").alias("total"))
+    return per_part.crossJoin(F.broadcast(t)).select(
+        "partition_id", "n_keys", "n_rows", "max_key_rows",
+        F.round(F.col("n_rows").cast("double") / F.col("total"), 6).alias("row_share"),
+        F.round(F.col("n_rows").cast("double") * 32 / F.col("total"), 4).alias("skew_vs_mean"),
+    )

@@ -97,6 +97,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "dp01_mean_drift",
         "dq01_table_profile",
         "dq02_profile_approx",
+        "dq03_key_skew_profile",
         "er01_name_matching",
         "er02_entity_clusters",
         "er03_blocking_profile",
@@ -142,6 +143,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "qa01_quantile_thresholds",
         "qa02_percentile_normalize",
         "rc01_hybrid_rrf",
+        "rc02_ndcg_eval",
         "rj01_range_join",
         "rj02_interval_overlap",
         "scd01_history",
@@ -164,6 +166,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "sp10_pps_resample",
         "ss03_ann_lsh_multitable",
         "ss14_mmr_rerank",
+        "ss15_power_iteration",
         "ss04_ivf_train_step",
         "ss05_pq_encode",
         "ss06_ivf_probe",

@@ -303,3 +303,89 @@ def in04_boolean_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.boolean_search_postings(
         postings, must=["stream", "hash"], must_not=["join"]
     )
+
+
+# ---------------------------------------------------------------------------
+# rc02 — nDCG@10 ranking-quality evaluation of the BM25 leg
+# ---------------------------------------------------------------------------
+
+def _disc_case(rank_col: str, k: int = 10) -> str:
+    """Rank → shared 9-dp DECIMAL discount literal (same strings the
+    Spark plan folds in — DCG is exact decimal on both engines)."""
+    whens = " ".join(
+        f"WHEN {r} THEN CAST({s} AS DECIMAL(11,9))"
+        for r, s in enumerate(retrieval.ndcg_discounts(k), start=1)
+    )
+    return f"CASE {rank_col} {whens} END"
+
+
+@register(
+    "rc02_ndcg_eval",
+    tags=("retrieval",),
+    oracle=f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t),
+dt AS (
+    SELECT doc_id, tok AS term, count(*) AS tf, min(len(toks)) AS doc_len
+    FROM t, unnest(toks) AS u(tok)
+    WHERE tok IN ({_Q_TERMS})
+    GROUP BY 1, 2
+),
+dfd AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+q(query_id, term) AS (VALUES {_Q_VALUES}),
+sc AS (
+    SELECT q.query_id, dt.doc_id,
+           round(sum(
+               ln(1 + (stats.n_docs - dfd.df + 0.5) / (dfd.df + 0.5))
+               * (dt.tf * (1.2 + 1))
+               / (dt.tf + 1.2 * (0.25 + 0.75 * dt.doc_len / stats.avgdl))
+           ), 6) AS score
+    FROM dt JOIN dfd USING (term) JOIN q USING (term) CROSS JOIN stats
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, doc_id, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+        ) AS rank FROM sc
+    ) WHERE rank <= 10
+),
+rel AS (
+    SELECT q.query_id, dt.doc_id, CAST(count(DISTINCT dt.term) AS INT) AS rel
+    FROM dt JOIN q USING (term) GROUP BY 1, 2
+),
+dcg AS (
+    SELECT r.query_id,
+           sum(coalesce((1 << rel.rel) - 1, 0) * {_disc_case('r.rank')}) AS dcg_d
+    FROM ranked r
+    LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+    GROUP BY 1
+),
+ideal AS (
+    SELECT query_id, max(n_rel) AS n_rel,
+           sum(((1 << rel) - 1) * {_disc_case('irank')}) AS idcg_d
+    FROM (
+        SELECT query_id, rel,
+               row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS irank,
+               count(*) OVER (PARTITION BY query_id) AS n_rel
+        FROM rel
+    ) WHERE irank <= 10 GROUP BY query_id
+)
+SELECT dcg.query_id, ideal.n_rel,
+       CAST(dcg_d AS DOUBLE) AS dcg,
+       CAST(idcg_d AS DOUBLE) AS idcg,
+       round(CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE), 6) AS ndcg
+FROM dcg JOIN ideal USING (query_id)
+""",
+)
+def rc02_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the BM25 leg per query, self-labeled by graded term
+    coverage (rel = distinct query terms in the doc): the retrieval
+    regression metric run before swapping a ranking change into the
+    pipeline. Gains are integers and rank discounts fold in as shared
+    9-dp DECIMAL literals, so both DCG sums are exact decimal — the
+    only float is the final dcg/idcg division of identical doubles.
+    Relevance reuses the query-term-filtered posting scan the BM25 leg
+    already pushes below the shuffle; past it everything moves
+    O(queries x k) rows."""
+    return retrieval.ndcg_eval(table(spark, sf_dir, "documents"), BM25_QUERIES, k=10)

@@ -1,6 +1,6 @@
 """Invariant checks for the round-7 third-wave operators (gr04 fn07
-mx02) — constructed-graph guarantees and conservation laws the DuckDB
-oracle comparison can't express."""
+mx02 ss15 dq03 rc02) — constructed-graph guarantees and conservation
+laws the DuckDB oracle comparison can't express."""
 
 from __future__ import annotations
 
@@ -144,3 +144,105 @@ def test_mx02_sqrt_flattening_and_budget(spark):
     # small gets 1/3 of a 2x budget over 1/5 of the chars -> epochs 10/3
     assert abs(small["epochs"] - 10 / 3) < 1e-3
     assert abs(big["epochs"] - 10 / 6) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# ss15 — power iteration
+# ---------------------------------------------------------------------------
+
+
+def _axis_embeddings(spark, axis=5, weights=(3.0, 4.0, 12.0)):
+    rows = []
+    for i, a in enumerate(weights):
+        v = [0.0] * 64
+        v[axis] = a
+        rows.append((i, v, 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_ss15_single_axis_recovers_exactly(spark):
+    """A corpus living on one axis must return loading 1.0 on that axis
+    and exactly 0.0 elsewhere; the eigenvalue is sum(a_i^2) (the Gram
+    matrix's only non-zero eigenvalue)."""
+    from ntripmonitor_spark.operators import simsearch
+
+    out = {r["dim_idx"]: r for r in
+           simsearch.power_iteration(_axis_embeddings(spark)).collect()}
+    assert out[5]["loading"] == 1.0
+    assert all(out[j]["loading"] == 0.0 for j in range(64) if j != 5)
+    assert abs(out[0]["eigenvalue"] - (9 + 16 + 144)) < 1e-2
+
+
+def test_ss15_partitioning_invariance(spark):
+    """Decimal-carried matvec sums: identical loadings at 1 vs 32
+    input partitions."""
+    from ntripmonitor_spark.operators import simsearch
+
+    emb = _axis_embeddings(spark, axis=2, weights=(1.5, 2.5, 3.5, 0.5))
+    a = [(r["dim_idx"], r["loading"]) for r in
+         simsearch.power_iteration(emb.coalesce(1)).collect()]
+    b = [(r["dim_idx"], r["loading"]) for r in
+         simsearch.power_iteration(emb.repartition(32)).collect()]
+    assert sorted(a) == sorted(b)
+
+
+# ---------------------------------------------------------------------------
+# dq03 — key-skew profile conservation
+# ---------------------------------------------------------------------------
+
+
+def test_dq03_row_conservation_and_hash_placement(spark):
+    """Partition rows sum to the table size, shares sum to ~1, and a
+    planted key lands exactly where the portable hash says."""
+    from ntripmonitor_spark.plans.pipeline import dq03_key_skew_profile
+
+    rows = dq03_key_skew_profile(spark, "/root/testdata/sf0.001").collect()
+    from ntripmonitor_spark.tables import table as _table
+
+    n_events = _table(spark, "/root/testdata/sf0.001", "events").count()
+    assert sum(r["n_rows"] for r in rows) == n_events
+    assert abs(sum(r["row_share"] for r in rows) - 1.0) < 1e-4
+    assert all(r["max_key_rows"] <= r["n_rows"] for r in rows)
+    # mean of skew_vs_mean weighted by 1 partition each ~= populated share
+    assert all(r["skew_vs_mean"] > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# rc02 — nDCG
+# ---------------------------------------------------------------------------
+
+
+def test_rc02_perfect_ranking_scores_one(spark):
+    """A corpus where BM25 ordering equals the relevance ordering must
+    score nDCG exactly 1.0; gains follow 2^rel - 1."""
+    from ntripmonitor_spark.operators import retrieval
+    import ntripmonitor_spark.plans.retrieval_plans  # noqa: F401
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma pad pad pad", "en", "s", 10),
+            (2, "alpha beta pad pad pad pad", "en", "s", 10),
+            (3, "alpha pad pad pad pad pad", "en", "s", 10),
+        ]
+        + [(10 + i, "pad filler words only here now", "en", "s", 10) for i in range(5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = retrieval.ndcg_eval(docs, [(1, ["alpha", "beta", "gamma"])], k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_rel"] == 3
+    assert r["ndcg"] == 1.0
+    # DCG = 7*1 + 3/log2(3) + 1/2 exactly (as 9-dp decimals)
+    import math
+    want = 7 * 1.0 + 3 * round(1 / math.log2(3), 9) + 1 * 0.5
+    assert abs(r["dcg"] - want) < 1e-8
+
+
+def test_rc02_real_corpus_bounds(spark):
+    """On the real corpus every query's nDCG lies in (0, 1]."""
+    from ntripmonitor_spark.plans.retrieval_plans import rc02_ndcg_eval
+
+    rows = rc02_ndcg_eval(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 3
+    assert all(0 < r["ndcg"] <= 1.0 for r in rows)
+    assert all(r["dcg"] <= r["idcg"] + 1e-9 for r in rows)
