@@ -1124,3 +1124,68 @@ def pagerank(edges: DataFrame, iters: int = 3, damping_pct: int = 85,
         F.col("src").alias("doc_id"), F.col("deg").alias("degree"),
         F.col("pr").alias("pr_e12"),
     )
+
+
+def lsh_calibration(docs: DataFrame, n: int = 3) -> DataFrame:
+    """MinHash estimator calibration — the report that tunes the LSH
+    parameters before a 100 TB dedup run: for every candidate pair the
+    banding emits, compare the SIGNATURE-estimated Jaccard (matching
+    slots / perms) against the EXACT shingle-set Jaccard, grouped by
+    matching-slot count. Output one row per signature-agreement level:
+    (n_match, n_pairs, avg_exact, avg_abs_err).
+
+    The exact side is computed ONLY for candidate pairs (the verify
+    stage every production LSH pipeline runs anyway): the pair list
+    gates the shingle join, so the exact-Jaccard cost is bounded by the
+    candidate volume, never |corpus|². Per-pair Jaccards and absolute
+    errors are 6-dp rounded then DECIMAL(18,6)-summed, so bucket means
+    are summation-order-free.
+    """
+    pairs = (
+        minhash_lsh_pairs(docs, n)
+        .withColumn(
+            "n_match",
+            F.round(F.col("est_jaccard") * MINHASH_PERMS).cast("int"),
+        )
+        .select("doc_a", "doc_b", "n_match")
+        .persist()
+    )
+    sh = doc_shingles(docs, n)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ash = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    bsh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter_inner = (
+        pairs.join(ash, "doc_a")
+        .join(bsh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    # a banded collision w.h.p. implies >= 1 shared shingle, but a pair
+    # with zero intersection must still report jaccard 0, not vanish
+    inter = pairs.join(inter_inner, ["doc_a", "doc_b"], "left").select(
+        "doc_a", "doc_b", "n_match",
+        F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6,
+    )
+    est = F.round(F.col("n_match") / F.lit(float(MINHASH_PERMS)), 6)
+    scored = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select("n_match", jac.alias("jac"), est.alias("est"))
+    )
+    return scored.groupBy("n_match").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("jac").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)), 6,
+        ).alias("avg_exact"),
+        F.round(
+            F.sum(F.round(F.abs(F.col("est") - F.col("jac")), 6)
+                  .cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)), 6,
+        ).alias("avg_abs_err"),
+    )

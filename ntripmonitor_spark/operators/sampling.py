@@ -625,3 +625,45 @@ def pps_resample(docs: DataFrame, id_col: str = "doc_id",
         F.coalesce("chars_kept", F.lit(0)).alias("chars_kept"),
         F.coalesce("ht_n_docs", F.lit(0.0)).alias("ht_n_docs"),
     )
+
+
+def sliding_chunks(docs: DataFrame, window: int = 128, stride: int = 96) -> DataFrame:
+    """OVERLAPPING sequence chunking — the RAG/retrieval sibling of
+    split_long_docs: chunks of ``window`` tokens starting every
+    ``stride`` tokens, so each boundary is covered by
+    ``window - stride`` tokens of context on both sides (no sentence
+    straddles a hard cut unseen).
+
+    A start is emitted iff it contributes NEW tokens beyond the
+    previous chunk's coverage: start i (token offset stride*i) is kept
+    when i == 0 or n_tokens > stride*i + (window - stride), i.e.
+    k = max(1, ceil((n_tokens - overlap) / stride)) chunks. Every kept
+    non-first chunk therefore overlaps its predecessor by exactly
+    ``window - stride`` tokens (n_new = chunk_len - overlap).
+
+    Pure per-row generate (sequence + explode), zero shuffles/joins —
+    fuses into the corpus scan at any scale, like split_long_docs.
+    """
+    from ntripmonitor_spark.operators.dedup import normalized_words
+
+    overlap = window - stride
+    n_tok = F.size(normalized_words(F.col("text")))
+    staged = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+    k = F.greatest(
+        F.ceil((F.col("n_tokens") - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
+        F.lit(1),
+    )
+    idx = F.explode(F.sequence(F.lit(0), k - 1))
+    start = F.col("chunk_idx") * stride
+    chunk_len = F.least(F.lit(window), F.col("n_tokens") - start).cast("int")
+    return (
+        staged.withColumn("chunk_idx", idx)
+        .select(
+            "doc_id", "source", "n_tokens",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            start.cast("int").alias("start_tok"),
+            chunk_len.alias("chunk_len"),
+            F.when(F.col("chunk_idx") == 0, chunk_len)
+             .otherwise(chunk_len - overlap).cast("int").alias("n_new"),
+        )
+    )

@@ -5195,3 +5195,102 @@ def dq03_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_rows").cast("double") / F.col("total"), 6).alias("row_share"),
         F.round(F.col("n_rows").cast("double") * 32 / F.col("total"), 4).alias("skew_vs_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dd13 — MinHash estimator calibration (signature vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd13_lsh_calibration",
+    tags=("dedup",),
+    oracle=f"""
+WITH {_SH_CTE},
+mh AS (
+    SELECT doc_id,
+           {_MH_MINS}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+    {_MH_BANDS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+nm AS (
+    SELECT cand.doc_a, cand.doc_b, {_MH_MATCHES} AS n_match
+    FROM cand JOIN mh x ON x.doc_id = cand.doc_a JOIN mh y ON y.doc_id = cand.doc_b
+),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+ii AS (
+    SELECT n.doc_a, n.doc_b, count(*) AS n_inter
+    FROM nm n JOIN sh sa ON sa.doc_id = n.doc_a
+    JOIN sh sb ON sb.doc_id = n.doc_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+),
+inter AS (
+    SELECT nm.doc_a, nm.doc_b, nm.n_match, coalesce(ii.n_inter, 0) AS n_inter
+    FROM nm LEFT JOIN ii ON ii.doc_a = nm.doc_a AND ii.doc_b = nm.doc_b
+),
+scored AS (
+    SELECT n_match,
+           round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter), 6) AS jac,
+           round(n_match / 9.0, 6) AS est
+    FROM inter JOIN sz x ON x.doc_id = inter.doc_a JOIN sz y ON y.doc_id = inter.doc_b
+)
+SELECT n_match, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(CAST(jac AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_exact,
+       round(CAST(sum(CAST(round(abs(est - jac), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_abs_err
+FROM scored GROUP BY 1
+""",
+)
+def dd13_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-vs-exact Jaccard calibration per matching-slot count —
+    the tuning report run before trusting 9-perm/3-band LSH at corpus
+    scale (is est within tolerance of exact at the 0.69 threshold
+    region?). The exact side computes only on the banded candidate
+    pairs (the verify stage a production run executes anyway), so its
+    cost is candidate-bounded, never |corpus|². Bucket means are
+    DECIMAL-carried."""
+    return dedup.lsh_calibration(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# tp05 — sliding-window chunking (RAG-style overlap)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tp05_sliding_chunks",
+    tags=("packing", "text"),
+    oracle="""
+WITH staged AS (
+    SELECT doc_id, source,
+           len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(i * 96 AS INT) AS start_tok,
+       CAST(least(128, n_tokens - i * 96) AS INT) AS chunk_len,
+       CAST(CASE WHEN i = 0 THEN least(128, n_tokens)
+                 ELSE least(128, n_tokens - i * 96) - 32 END AS INT) AS n_new
+FROM (
+    SELECT doc_id, source, n_tokens,
+           unnest(range(0, greatest(CAST(ceil((n_tokens - 32) / 96.0) AS BIGINT), 1))) AS i
+    FROM staged
+)
+""",
+)
+def tp05_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 128-token chunks every 96 tokens (32-token overlap
+    both sides of every cut) — the retrieval/RAG splitting rule, vs
+    tp03's contiguous training split. A start is emitted only when it
+    adds new tokens beyond the previous chunk's coverage. Pure per-row
+    sequence+explode: zero shuffles, fuses into the corpus scan."""
+    from ntripmonitor_spark.operators.sampling import sliding_chunks
+
+    return sliding_chunks(table(spark, sf_dir, "documents"), window=128, stride=96)

@@ -94,6 +94,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "dd10_containment",
         "dd11_bbit_minhash",
         "dd12_quality_survivor",
+        "dd13_lsh_calibration",
         "dp01_mean_drift",
         "dq01_table_profile",
         "dq02_profile_approx",
@@ -140,6 +141,8 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "q23_value_deciles",
         "q24_intersect_users",
         "q25_except_users",
+        "q26_cube_report",
+        "q27_pivot_daily",
         "qa01_quantile_thresholds",
         "qa02_percentile_normalize",
         "rc01_hybrid_rrf",
@@ -182,6 +185,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tp01_sequence_pack",
         "tp02_sorted_pack",
         "tp04_pack_utilization",
+        "tp05_sliding_chunks",
         "ts01_gap_fill",
         "ts02_ohlc_downsample",
         "ts03_twap_locf",

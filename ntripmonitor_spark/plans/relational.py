@@ -891,3 +891,81 @@ def q25_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.filter(F.col("event_type") == "view").select("user_id")
     pur = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return views.subtract(pur)
+
+
+# ---------------------------------------------------------------------------
+# Q26 — CUBE over (status, priority): the full 2-D aggregation lattice
+# ---------------------------------------------------------------------------
+@register(
+    "q26_cube_report",
+    tags=("extension",),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q26_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts and decimal-exact revenue across the FULL
+    (status × priority) aggregation lattice via CUBE — all four
+    grouping sets in one logical pass (Spark's Expand + partial
+    re-aggregation, the q21 GROUPING SETS machinery at its 2^n
+    extreme). GROUPING() flags disambiguate NULLed-out levels from
+    genuine NULL keys."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q26")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders_q26
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Q27 — PIVOT: daily wide-format event matrix
+# ---------------------------------------------------------------------------
+_Q27_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+@register(
+    "q27_pivot_daily",
+    tags=("extension",),
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       {", ".join(f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}" for t in _Q27_TYPES)},
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
+FROM events GROUP BY 1
+""",
+)
+def q27_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format daily dashboard matrix via the DataFrame PIVOT
+    relational operator: one column per event type plus decimal-exact
+    purchase revenue. The pivot VALUES are passed explicitly — with an
+    inferred pivot Spark must run an extra distinct-scan job to
+    discover the columns AND the output schema becomes data-dependent,
+    both unacceptable at 100 TB. Conditional counts coalesce to 0 so
+    absent (day, type) cells match the oracle's count semantics."""
+    ev = table(spark, sf_dir, "events")
+    piv = (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("day")
+        .pivot("event_type", list(_Q27_TYPES))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("val"))
+    )
+    return piv.select(
+        "day",
+        *[F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}") for t in _Q27_TYPES],
+        F.col("purchase_val").cast("double").alias("purchase_value"),
+    )
