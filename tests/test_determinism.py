@@ -28,6 +28,11 @@ QUERIES = [
     # bounded-pair source overlap, percentile latency aggregate
     "sp08_cluster_split", "dd12_quality_survivor", "mx01_source_overlap",
     "fn04_conversion_latency",
+    # round-7 waves 2-4: decimal-carried credit/TWAP/HT/matvec/DCG sums,
+    # greedy MMR decimal scoring, calibration bucket means
+    "fn06_linear_attribution", "ts03_twap_locf", "sp10_pps_resample",
+    "ss14_mmr_rerank", "ss15_power_iteration", "mx02_mixture_epochs",
+    "dd13_lsh_calibration", "rc02_ndcg_eval",
 ]
 
 
@@ -58,6 +63,9 @@ AQE_QUERIES = [
     # round-7: LSH-edge cluster split (banded self-join + CC),
     # posting-probe boolean retrieval (anti-join exclusion)
     "sp09_cluster_split_lsh", "in04_boolean_probe",
+    # round-7 waves 3-4: fixed-point PageRank (iterative joins over the
+    # banded edge list), candidate-gated exact-jaccard calibration
+    "gr04_pagerank", "dd13_lsh_calibration",
 ]
 
 
