@@ -5294,3 +5294,175 @@ def tp05_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntripmonitor_spark.operators.sampling import sliding_chunks
 
     return sliding_chunks(table(spark, sf_dir, "documents"), window=128, stride=96)
+
+
+# ---------------------------------------------------------------------------
+# sp11 — temporal train/test split with embargo + user-leakage audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sp11_temporal_split",
+    tags=("sampling",),
+    oracle="""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+m AS (SELECT min(us) AS mn FROM e),
+d AS (
+    SELECT user_id, (us - m.mn) // 86400000000 AS day_idx
+    FROM e CROSS JOIN m
+),
+lab AS (
+    SELECT user_id, day_idx,
+           CASE WHEN day_idx < 21 THEN 'train'
+                WHEN day_idx < 22 THEN 'embargo'
+                ELSE 'test' END AS split
+    FROM d
+),
+tr_users AS (SELECT DISTINCT user_id FROM lab WHERE split = 'train')
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(min(day_idx) AS BIGINT) AS first_day,
+       CAST(max(day_idx) AS BIGINT) AS last_day,
+       CAST(count(DISTINCT CASE WHEN user_id IN (SELECT user_id FROM tr_users)
+                                THEN user_id END) AS BIGINT) AS n_users_shared_with_train
+FROM lab GROUP BY split
+""",
+)
+def sp11_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/embargo/test split (days <21 / 21 / >=22 from
+    the corpus's first event) with the user-leakage audit: how many of
+    each split's users also appear in train. The embargo day absorbs
+    boundary-straddling windows (the standard purge for autocorrelated
+    features); the shared-user count is the signal that a USER-level
+    model still leaks across a purely temporal cut and needs sp08's
+    entity-level split instead. Shape: corpus min rides as a one-row
+    broadcast; labeling is a scan predicate; the audit is one distinct
+    aggregate plus a broadcast-sized train-user semi-join."""
+    from ntripmonitor_spark.functions.timeutil import epoch_us
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", epoch_us("ts").alias("us")
+    )
+    m = e.agg(F.min("us").alias("mn"))
+    lab = e.crossJoin(F.broadcast(m)).select(
+        "user_id",
+        F.expr("(us - mn) div 86400000000").alias("day_idx"),
+    ).select(
+        "user_id", "day_idx",
+        F.when(F.col("day_idx") < 21, "train")
+         .when(F.col("day_idx") < 22, "embargo")
+         .otherwise("test").alias("split"),
+    )
+    tr_users = lab.filter(F.col("split") == "train").select("user_id").distinct()
+    shared = lab.join(tr_users.withColumnRenamed("user_id", "tu"),
+                      lab.user_id == F.col("tu"), "left")
+    return shared.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("day_idx").alias("first_day"),
+        F.max("day_idx").alias("last_day"),
+        F.count_distinct(F.when(F.col("tu").isNotNull(), F.col("user_id")))
+         .alias("n_users_shared_with_train"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dp02 — PSI drift monitor (population stability index per event type)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dp02_psi_drift",
+    tags=("monitoring", "stats"),
+    oracle="""
+WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+m AS (SELECT min(us) AS mn FROM e),
+lab AS (
+    SELECT event_type,
+           CAST(least(CAST(floor(value / 25.0) AS BIGINT), 15) AS BIGINT) AS bin,
+           CASE WHEN (us - m.mn) // 86400000000 < 15 THEN 'ref' ELSE 'cur' END AS half
+    FROM e CROSS JOIN m
+),
+c AS (SELECT event_type, bin, half, count(*) AS c FROM lab GROUP BY 1, 2, 3),
+types AS (SELECT DISTINCT event_type FROM lab),
+grid AS (
+    SELECT t.event_type, g.bin
+    FROM types t CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) g
+),
+tot AS (
+    SELECT event_type,
+           sum(CASE WHEN half = 'ref' THEN c ELSE 0 END) AS n_ref,
+           sum(CASE WHEN half = 'cur' THEN c ELSE 0 END) AS n_cur
+    FROM c GROUP BY 1
+),
+filled AS (
+    SELECT g.event_type, g.bin, tot.n_ref, tot.n_cur,
+           coalesce(max(CASE WHEN c.half = 'ref' THEN c.c END), 0) AS c_ref,
+           coalesce(max(CASE WHEN c.half = 'cur' THEN c.c END), 0) AS c_cur
+    FROM grid g
+    JOIN tot ON tot.event_type = g.event_type
+    LEFT JOIN c ON c.event_type = g.event_type AND c.bin = g.bin
+    GROUP BY 1, 2, 3, 4
+),
+terms AS (
+    SELECT event_type, n_ref, n_cur,
+           round(((c_cur + 0.5) / (n_cur + 8.0) - (c_ref + 0.5) / (n_ref + 8.0))
+                 * ln(((c_cur + 0.5) / (n_cur + 8.0)) / ((c_ref + 0.5) / (n_ref + 8.0))),
+                 9) AS term
+    FROM filled
+)
+SELECT event_type, CAST(max(n_ref) AS BIGINT) AS n_ref, CAST(max(n_cur) AS BIGINT) AS n_cur,
+       round(CAST(sum(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi,
+       CAST(round(CAST(sum(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6) > 0.1 AS INT) AS drift_flag
+FROM terms GROUP BY 1
+""",
+)
+def dp02_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type — THE production
+    drift monitor: value distributions of the corpus's first 15 days
+    (reference) vs the rest (current) over 16 fixed-width bins,
+    PSI = sum((q-p)·ln(q/p)) with add-half smoothing over the full bin
+    grid (kl01's discipline — no empty-bin infinities, every bin
+    present on both sides). PSI > 0.1 is the canonical
+    investigate-drift flag. Per-bin terms are 9-dp rounded and
+    DECIMAL-summed so the 16-term total is order-free. Shape: one
+    grouped count over a scan predicate + a |types|x16 bounded grid —
+    nothing after the first aggregate scales with the corpus."""
+    from ntripmonitor_spark.functions.timeutil import epoch_us
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type", "value", epoch_us("ts").alias("us")
+    )
+    m = e.agg(F.min("us").alias("mn"))
+    lab = e.crossJoin(F.broadcast(m)).select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 25.0).cast("long"), F.lit(15).cast("long")).alias("bin"),
+        F.when(F.expr("(us - mn) div 86400000000") < 15, "ref").otherwise("cur").alias("half"),
+    )
+    c = lab.groupBy("event_type", "bin", "half").agg(F.count(F.lit(1)).alias("c"))
+    types = lab.select("event_type").distinct()
+    grid = types.crossJoin(spark.range(16).select(F.col("id").alias("bin")))
+    tot = c.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == "ref", F.col("c")).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("half") == "cur", F.col("c")).otherwise(0)).alias("n_cur"),
+    )
+    filled = (
+        grid.join(tot, "event_type")
+        .join(c, ["event_type", "bin"], "left")
+        .groupBy("event_type", "bin", "n_ref", "n_cur")
+        .agg(
+            F.coalesce(F.max(F.when(F.col("half") == "ref", F.col("c"))), F.lit(0)).alias("c_ref"),
+            F.coalesce(F.max(F.when(F.col("half") == "cur", F.col("c"))), F.lit(0)).alias("c_cur"),
+        )
+    )
+    p = (F.col("c_ref") + 0.5) / (F.col("n_ref") + 8.0)
+    q = (F.col("c_cur") + 0.5) / (F.col("n_cur") + 8.0)
+    term = F.round((q - p) * F.log(q / p), 9)
+    psi = F.round(F.sum(term.cast("decimal(18,9)")).cast("double"), 6)
+    return filled.groupBy("event_type").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        psi.alias("psi"),
+        (psi > 0.1).cast("int").alias("drift_flag"),
+    )

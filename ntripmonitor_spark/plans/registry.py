@@ -96,6 +96,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "dd12_quality_survivor",
         "dd13_lsh_calibration",
         "dp01_mean_drift",
+        "dp02_psi_drift",
         "dq01_table_profile",
         "dq02_profile_approx",
         "dq03_key_skew_profile",
@@ -143,6 +144,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "q25_except_users",
         "q26_cube_report",
         "q27_pivot_daily",
+        "q28_json_props",
         "qa01_quantile_thresholds",
         "qa02_percentile_normalize",
         "rc01_hybrid_rrf",
@@ -167,6 +169,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "sp08_cluster_split",
         "sp09_cluster_split_lsh",
         "sp10_pps_resample",
+        "sp11_temporal_split",
         "ss03_ann_lsh_multitable",
         "ss14_mmr_rerank",
         "ss15_power_iteration",

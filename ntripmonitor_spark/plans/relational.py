@@ -969,3 +969,45 @@ def q27_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}") for t in _Q27_TYPES],
         F.col("purchase_val").cast("double").alias("purchase_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q28 — semi-structured: schema-on-read over the JSON props column
+# ---------------------------------------------------------------------------
+@register(
+    "q28_json_props",
+    tags=("extension",),
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       count(k) AS n_parsed,
+       min(k) AS min_k, max(k) AS max_k,
+       round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
+FROM (
+    SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+)
+GROUP BY 1
+""",
+)
+def q28_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the semi-structured ``props`` JSON column:
+    ``from_json`` with an explicit one-field schema (typed extraction
+    inside codegen — no regex, no UDF; malformed rows become NULL and
+    are visible as n_events - n_parsed). At 100 TB the explicit schema
+    matters twice: no sampling pass to infer it, and Parquet still
+    prunes every other column while the JSON parse runs per-row in the
+    scan stage. The k sum stays integer until one final division."""
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_parsed"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("k").cast("double") / F.count("k"), 6).alias("avg_k"),
+        )
+    )

@@ -1,6 +1,6 @@
-"""Invariant checks for the round-7 fourth-wave operators (q26 q27
-tp05 dd13) — lattice/coverage conservation laws and planted-pair
-calibration facts the DuckDB oracle comparison can't express."""
+"""Invariant checks for the round-7 fourth/fifth-wave operators (q26
+q27 tp05 dd13 q28 sp11 dp02) — lattice/coverage conservation laws and
+planted-pair calibration facts the DuckDB oracle can't express."""
 
 from __future__ import annotations
 
@@ -140,3 +140,105 @@ def test_dd13_estimator_error_bounded_on_real_data(spark):
     # no strict monotonicity check: at sf0.001 buckets hold a handful
     # of near-saturated pairs and sampling noise can invert adjacent
     # bucket means (observed 0.975 vs 0.989)
+
+
+# ---------------------------------------------------------------------------
+# q28 — JSON schema-on-read
+# ---------------------------------------------------------------------------
+
+
+def test_q28_malformed_json_counted_not_fatal(spark):
+    """from_json returns NULL for malformed props; the parse-failure
+    count surfaces as n_events - n_parsed instead of an error."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "view", 1.0, '{"k": 5}'),
+        (2, dt.datetime(2024, 1, 1), 1, "view", 1.0, "not json"),
+        (3, dt.datetime(2024, 1, 1), 1, "view", 1.0, '{"k": 7}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    )
+    from pyspark.sql import functions as FF
+
+    k = FF.from_json(FF.col("props"), "k INT").getField("k")
+    out = df.select(k.alias("k")).agg(
+        FF.count(FF.lit(1)).alias("n"), FF.count("k").alias("p"),
+        FF.sum("k").alias("s"),
+    ).collect()[0]
+    assert (out["n"], out["p"], out["s"]) == (3, 2, 12)
+
+
+def test_q28_all_corpus_rows_parse(spark):
+    from ntripmonitor_spark.plans.relational import q28_json_props
+
+    rows = q28_json_props(spark, SF).collect()
+    assert rows and all(r["n_parsed"] == r["n_events"] for r in rows)
+    assert all(0 <= r["min_k"] <= r["max_k"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# sp11 — temporal split
+# ---------------------------------------------------------------------------
+
+
+def test_sp11_partitions_the_log_and_audits_leakage(spark):
+    from ntripmonitor_spark.plans.pipeline import sp11_temporal_split
+    from ntripmonitor_spark.tables import table as _table
+
+    rows = {r["split"]: r for r in sp11_temporal_split(spark, SF).collect()}
+    total = _table(spark, SF, "events").count()
+    assert sum(r["n_events"] for r in rows.values()) == total
+    tr = rows["train"]
+    assert tr["n_users_shared_with_train"] == tr["n_users"]
+    for s in ("embargo", "test"):
+        if s in rows:
+            assert rows[s]["n_users_shared_with_train"] <= rows[s]["n_users"]
+    assert tr["first_day"] == 0 and tr["last_day"] <= 20
+    if "embargo" in rows:
+        assert rows["embargo"]["first_day"] == 21 == rows["embargo"]["last_day"]
+    if "test" in rows:
+        assert rows["test"]["first_day"] >= 22
+
+
+# ---------------------------------------------------------------------------
+# dp02 — PSI
+# ---------------------------------------------------------------------------
+
+
+def test_dp02_identical_halves_score_zero(spark):
+    """Reference and current halves with IDENTICAL value distributions
+    must score PSI ~ 0 (and never negative)."""
+    import datetime as dt
+    import ntripmonitor_spark.plans.pipeline as pp
+    from ntripmonitor_spark.plans.pipeline import dp02_psi_drift
+
+    rows = []
+    eid = 0
+    for day in list(range(0, 10)) + list(range(20, 30)):
+        for i in range(20):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1) + dt.timedelta(days=day, minutes=i),
+                         i, "view", float(25 * (i % 5) + 1), "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    )
+    orig = pp.table
+    pp.table = lambda spark, sf_dir, name: df
+    try:
+        out = dp02_psi_drift(spark, "ignored").collect()
+    finally:
+        pp.table = orig
+    assert len(out) == 1
+    assert out[0]["psi"] == 0.0 and out[0]["drift_flag"] == 0
+
+
+def test_dp02_real_corpus_psi_nonnegative(spark):
+    from ntripmonitor_spark.plans.pipeline import dp02_psi_drift
+
+    rows = dp02_psi_drift(spark, SF).collect()
+    assert rows and all(r["psi"] >= 0.0 for r in rows)
+    assert all(r["n_ref"] > 0 and r["n_cur"] > 0 for r in rows)
