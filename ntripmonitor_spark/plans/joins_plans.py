@@ -454,3 +454,65 @@ def fn07_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("monetary").cast("double").alias("total_monetary"),
     )
+
+
+@register(
+    "scd02_asof_snapshot",
+    tags=("joins", "warehouse"),
+    oracle="""
+WITH runs AS (
+    SELECT event_id, user_id, ts, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+changes AS (
+    SELECT * FROM runs WHERE prev IS NULL OR event_type <> prev
+),
+hist AS (
+    SELECT user_id, event_type AS attr_value, epoch_us(ts) AS vf_us,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS vt_us
+    FROM changes
+),
+t AS (SELECT min(epoch_us(ts)) + 15 * 86400000000 AS t_us FROM events),
+snap AS (
+    SELECT h.user_id, h.attr_value, h.vf_us
+    FROM hist h CROSS JOIN t
+    WHERE h.vf_us <= t.t_us AND (h.vt_us IS NULL OR h.vt_us > t.t_us)
+)
+SELECT attr_value,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(CAST(sum(t.t_us - vf_us) AS DOUBLE) / count(*) / 3600000000.0, 4)
+           AS avg_state_age_h
+FROM snap CROSS JOIN t
+GROUP BY attr_value
+""",
+)
+def scd02_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) reconstruction from scd01's SCD2 history:
+    the dimension state 15 days after the corpus's first event — one
+    row per attribute value with its population and mean state age at
+    T. The AS OF filter is a pure predicate over the validity
+    intervals (at scale: partition-pruned by valid_from date), so a
+    snapshot costs a scan of the history table, never a replay of the
+    event log. Age sums stay integer microseconds until one final
+    division."""
+    from ntripmonitor_spark.functions.timeutil import epoch_us
+
+    ev = table(spark, sf_dir, "events")
+    hist = joins.scd2_history(ev).select(
+        "user_id", "attr_value",
+        epoch_us("valid_from").alias("vf_us"),
+        epoch_us("valid_to").alias("vt_us"),
+    )
+    t = ev.agg((F.min(epoch_us("ts")) + 15 * 86400000000).alias("t_us"))
+    snap = hist.crossJoin(F.broadcast(t)).filter(
+        (F.col("vf_us") <= F.col("t_us"))
+        & (F.col("vt_us").isNull() | (F.col("vt_us") > F.col("t_us")))
+    )
+    return snap.groupBy("attr_value").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(
+            F.sum(F.col("t_us") - F.col("vf_us")).cast("double")
+            / F.count(F.lit(1)) / 3600000000.0, 4,
+        ).alias("avg_state_age_h"),
+    )

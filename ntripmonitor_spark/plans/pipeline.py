@@ -5466,3 +5466,96 @@ def dp02_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         psi.alias("psi"),
         (psi > 0.1).cast("int").alias("drift_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ss16 — IVF nprobe tuning sweep: recall@5 across probe budgets
+# ---------------------------------------------------------------------------
+
+
+def _ss16_block(p: int) -> str:
+    """One nprobe leg of the sweep oracle — ss08's probe/rank/recall
+    CTEs parameterized by the probe budget."""
+    return f"""
+probes{p} AS (
+    SELECT t.vec_id AS query_id, nn.vec AS qv, nn.nrm AS qnrm, t.cid AS cell
+    FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS pr
+        FROM cd WHERE vec_id < 10
+    ) t JOIN n nn ON nn.vec_id = t.vec_id
+    WHERE t.pr <= {p}
+),
+ann_scored{p} AS (
+    SELECT pq.query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(pq.qv, c.vec) / (pq.qnrm * c.nrm), 6) AS cos_sim
+    FROM corpus c JOIN probes{p} pq ON pq.cell = c.cell
+    WHERE c.vec_id <> pq.query_id
+),
+ann{p} AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM ann_scored{p}
+    ) WHERE rank <= 5
+),
+rec{p} AS (
+    SELECT bf.query_id, round(count(ann{p}.neighbor_id) / 5.0, 6) AS recall
+    FROM bf LEFT JOIN ann{p}
+      ON ann{p}.query_id = bf.query_id AND ann{p}.neighbor_id = bf.neighbor_id
+    GROUP BY bf.query_id
+)"""
+
+
+_SS16_NPROBES = (1, 2, 3)
+
+
+@register(
+    "ss16_nprobe_sweep",
+    tags=("simsearch",),
+    oracle=f"""
+WITH {_VEC_CTE},
+q AS (SELECT vec_id AS query_id, vec AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+bf_scored AS (
+    SELECT q.query_id, n.vec_id AS neighbor_id,
+           round(list_dot_product(q.qv, n.vec) / (q.qn * n.nrm), 6) AS cos_sim
+    FROM q CROSS JOIN n WHERE n.vec_id <> q.query_id
+),
+bf AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM bf_scored
+    ) WHERE rank <= 5
+),
+{_CELL_CTE},
+corpus AS (SELECT n.vec_id, n.vec, n.nrm, cells.cell FROM n JOIN cells USING (vec_id)),
+{",".join(_ss16_block(p) for p in _SS16_NPROBES)}
+{" UNION ALL ".join(
+    f'''SELECT {p} AS nprobe, CAST(count(*) AS BIGINT) AS n_queries,
+       round(CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_recall,
+       min(recall) AS min_recall
+FROM rec{p}''' for p in _SS16_NPROBES)}
+""",
+)
+def ss16_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuning curve an IVF deployment reads before fixing its probe
+    budget: recall@5 vs brute force at nprobe 1, 2, 3 in one plan. The
+    brute-force reference ranking computes ONCE and each leg reuses the
+    shared cell assignment — the incremental cost per budget level is
+    only that leg's candidate ranking. Per-query recalls ride
+    DECIMAL(18,6) into the mean."""
+    emb = table(spark, sf_dir, "embeddings")
+    legs = []
+    for p in _SS16_NPROBES:
+        r = simsearch.ann_recall(emb, k_centroids=8, n_queries=10, nprobe=p, k=5)
+        legs.append(r.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(
+                F.sum(F.col("recall").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)), 6,
+            ).alias("avg_recall"),
+            F.min("recall").alias("min_recall"),
+        ).select(F.lit(p).alias("nprobe"), "n_queries", "avg_recall", "min_recall"))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -152,6 +152,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "rj01_range_join",
         "rj02_interval_overlap",
         "scd01_history",
+        "scd02_asof_snapshot",
         "sd01_duplicate_spans",
         "sj01_salted_distinct",
         "sj02_salted_join",
@@ -173,6 +174,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "ss03_ann_lsh_multitable",
         "ss14_mmr_rerank",
         "ss15_power_iteration",
+        "ss16_nprobe_sweep",
         "ss04_ivf_train_step",
         "ss05_pq_encode",
         "ss06_ivf_probe",

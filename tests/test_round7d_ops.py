@@ -242,3 +242,46 @@ def test_dp02_real_corpus_psi_nonnegative(spark):
     rows = dp02_psi_drift(spark, SF).collect()
     assert rows and all(r["psi"] >= 0.0 for r in rows)
     assert all(r["n_ref"] > 0 and r["n_cur"] > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# scd02 — AS OF snapshot
+# ---------------------------------------------------------------------------
+
+
+def test_scd02_one_state_per_active_user(spark):
+    """The snapshot partitions the T-active population: sum of per-state
+    user counts equals the number of users whose history starts at or
+    before T (every such user is in EXACTLY one state at T)."""
+    from ntripmonitor_spark.plans.joins_plans import scd02_asof_snapshot
+    from ntripmonitor_spark.functions.timeutil import epoch_us
+    from ntripmonitor_spark.tables import table as _table
+
+    rows = scd02_asof_snapshot(spark, SF).collect()
+    ev = _table(spark, SF, "events").select("user_id", epoch_us("ts").alias("us"))
+    t_us = ev.agg(F.min("us")).collect()[0][0] + 15 * 86400000000
+    n_active = (
+        ev.groupBy("user_id").agg(F.min("us").alias("first_us"))
+        .filter(F.col("first_us") <= t_us).count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_active
+    assert all(r["avg_state_age_h"] >= 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# ss16 — nprobe sweep monotonicity
+# ---------------------------------------------------------------------------
+
+
+def test_ss16_recall_monotone_in_probe_budget(spark):
+    """More probed cells can only ADD candidates: avg recall@5 must be
+    non-decreasing in nprobe, and every recall lies in [0, 1]."""
+    from ntripmonitor_spark.plans.pipeline import ss16_nprobe_sweep
+
+    rows = sorted(ss16_nprobe_sweep(spark, SF).collect(),
+                  key=lambda r: r["nprobe"])
+    assert [r["nprobe"] for r in rows] == [1, 2, 3]
+    assert all(r["n_queries"] == 10 for r in rows)
+    assert all(0.0 <= r["min_recall"] <= r["avg_recall"] <= 1.0 for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert b["avg_recall"] >= a["avg_recall"] - 1e-9
