@@ -83,3 +83,82 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def pruning_stats(df: DataFrame, col_a: str, col_b: str,
+                  a_lo: float, a_hi: float, b_lo: float, b_hi: float,
+                  n_files: int = 64, bits: int = ZBITS,
+                  id_col: str = "event_id") -> DataFrame:
+    """Zone-map file-skipping estimate: how many of ``n_files`` files a
+    box predicate (col_a ∈ [a_lo,a_hi] AND col_b ∈ [b_lo,b_hi]) must
+    scan under (1) the Z-order layout vs (2) insertion order — the
+    quantified case for `write_zordered`, computed without writing a
+    byte. Each layout assigns rows to files by fixed-width buckets of
+    its clustering key (z code / ``id_col``), mirrors parquet footer
+    min/max per file, and scans a file iff its bounding box intersects
+    the query box — exactly the planner's PushedFilters + stats prune.
+
+    Fixed-width bucketing (not repartitionByRange, whose sampled
+    boundaries are nondeterministic) keeps the file assignment
+    engine-reproducible; skew across synthetic files only biases the
+    estimate AGAINST z-order, so the reported gain is a floor. One
+    scan + one |files|-keyed aggregate per layout; file counts and row
+    counts are exact integers.
+    """
+    zc = zorder_code(df, col_a, col_b, bits)
+    z_lo, z_hi, i_lo, i_hi = zc.agg(
+        F.min("z"), F.max("z"),
+        F.min(F.col(id_col).cast("long")), F.max(F.col(id_col).cast("long")),
+    ).first()
+
+    def file_of(col: Column, lo: int, hi: int) -> Column:
+        span = max(int(hi) - int(lo) + 1, 1)
+        return F.least(
+            F.floor((col.cast("long") - F.lit(int(lo))) * F.lit(n_files) / F.lit(span)),
+            F.lit(n_files - 1),
+        ).cast("int")
+
+    hit = (
+        (F.col(col_a).cast("double") >= a_lo) & (F.col(col_a).cast("double") <= a_hi)
+        & (F.col(col_b).cast("double") >= b_lo) & (F.col(col_b).cast("double") <= b_hi)
+    ).cast("int")
+
+    legs = []
+    for layout, fcol in (
+        ("zorder", file_of(F.col("z"), z_lo, z_hi)),
+        ("insertion", file_of(F.col(id_col), i_lo, i_hi)),
+    ):
+        per_file = (
+            zc.select(
+                fcol.alias("f"),
+                F.col(col_a).cast("double").alias("_a"),
+                F.col(col_b).cast("double").alias("_b"),
+                hit.alias("_hit"),
+            )
+            .groupBy("f")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("_a").alias("a_min"), F.max("_a").alias("a_max"),
+                F.min("_b").alias("b_min"), F.max("_b").alias("b_max"),
+                F.sum("_hit").alias("n_match"),
+            )
+        )
+        scanned = (
+            (F.col("a_max") >= a_lo) & (F.col("a_min") <= a_hi)
+            & (F.col("b_max") >= b_lo) & (F.col("b_min") <= b_hi)
+        )
+        legs.append(
+            per_file.agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum(scanned.cast("int")).alias("files_scanned"),
+                F.sum(F.when(scanned, F.col("n_rows")).otherwise(0)).alias("rows_scanned"),
+                F.sum("n_match").alias("rows_matched"),
+            ).select(
+                F.lit(layout).alias("layout"), "n_files", "files_scanned",
+                "rows_scanned", "rows_matched",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

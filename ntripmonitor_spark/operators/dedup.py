@@ -1189,3 +1189,132 @@ def lsh_calibration(docs: DataFrame, n: int = 3) -> DataFrame:
             / F.count(F.lit(1)), 6,
         ).alias("avg_abs_err"),
     )
+
+
+def cdc_chunk_stats(docs: DataFrame, avg_bits: int = 3,
+                    source_col: str = "source") -> DataFrame:
+    """Content-defined-chunking dedup statistics (the FastCDC/rsync
+    idea lifted to token streams): a chunk boundary falls AFTER any
+    token whose fingerprint matches a 1-in-2^``avg_bits`` pattern, so
+    chunk edges depend only on local content — insert one word and
+    only the surrounding chunk changes, which is why CDC beats
+    fixed-width spans for substring-level dedup. Chunks are hashed and
+    counted corpus-wide; per source, the share of tokens sitting in a
+    chunk that appears more than once anywhere.
+
+    The boundary predicate is the first hex nibble of md5(token) ∈
+    {0, 8} — engine-portable and exactly the 1/8 cut. Chunk ids are a
+    running boundary count per doc (one keyed window on the doc id);
+    chunk text re-assembles position-sorted (never relying on
+    collect order); the dup decision is a window count over the chunk
+    hash. Three keyed exchanges (doc, chunk, hash), each on a bounded
+    key — the corpus never self-joins.
+    """
+    toks = normalized_words(F.col("text"))
+    pos = docs.select(
+        F.col("doc_id"), F.col(source_col).alias("source"),
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    boundary = F.when(
+        F.substring(F.md5(F.col("tok").cast("binary")), 1, 1).isin("0", "8"), 1
+    ).otherwise(0)
+    w_run = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = pos.withColumn(
+        "chunk_id", F.coalesce(F.sum(boundary).over(w_run), F.lit(0))
+    )
+    chunks = (
+        staged.groupBy("doc_id", "source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("chunk_h"),
+        )
+    )
+    w_dup = Window.partitionBy("chunk_h")
+    scored = chunks.withColumn("n_occ", F.count(F.lit(1)).over(w_dup))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.round(
+                F.sum(F.when(F.col("n_occ") > 1, F.col("n_toks")).otherwise(0))
+                / F.sum("n_toks").cast("double"), 6,
+            ).alias("dup_token_share"),
+        )
+    )
+
+
+def triangle_stats(lineitem: DataFrame, min_weight: int = 2,
+                   k: int = 20) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over
+    the part co-order graph (parts appearing in the same order,
+    co-count ≥ ``min_weight``) — the density diagnostic that tells a
+    dedup/linkage pipeline whether its candidate graph is clique-like
+    (true duplicate clusters) or chain-like (hash collisions bleeding
+    through).
+
+    Edges build from one self-join keyed on the order id (bounded per
+    key by the order's line count, never corpus²), then the standard
+    oriented enumeration: every triangle a<b<c is found exactly once
+    by joining edges (a,b)+(b,c) and probing (a,c). Per-node counts
+    union the three roles. The ``min_weight`` floor caps the edge
+    relation; at 100 TB the same plan runs with a degree cap on hub
+    nodes (drop the top-0.01% degree vertices first), which bounds the
+    join fan-out — documented, not needed at bench scale. Output:
+    top ``k`` nodes by (triangles DESC, node ASC) with degree and
+    clustering coefficient — all-integer ranking.
+    """
+    li = lineitem.select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, on=(F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("w"))
+        .filter(F.col("w") >= min_weight)
+        .select("u", "v")
+        .persist()
+    )
+    e1 = edges.select(F.col("u").alias("ta"), F.col("v").alias("tb"))
+    e2 = edges.select(F.col("u").alias("tb"), F.col("v").alias("tc"))
+    e3 = edges.select(F.col("u").alias("ta"), F.col("v").alias("tc"))
+    tri = e1.join(e2, "tb").join(e3, ["ta", "tc"]).select("ta", "tb", "tc")
+    roles = (
+        tri.select(F.col("ta").alias("node"))
+        .union(tri.select(F.col("tb").alias("node")))
+        .union(tri.select(F.col("tc").alias("node")))
+    )
+    t_cnt = roles.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    out = t_cnt.join(deg, "node").select(
+        "node", "degree", "n_tri",
+        F.round(
+            F.lit(2.0) * F.col("n_tri")
+            / (F.col("degree").cast("double") * (F.col("degree") - F.lit(1))), 6,
+        ).alias("clustering"),
+    )
+    topk = out.orderBy(F.col("n_tri").desc(), F.col("node").asc()).limit(k)
+    w = Window.orderBy(F.col("n_tri").desc(), F.col("node").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "node", "degree", "n_tri", "clustering"
+    )

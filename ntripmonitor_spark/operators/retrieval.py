@@ -342,3 +342,41 @@ def ndcg_eval(docs: DataFrame, queries: list[tuple[int, list[str]]],
             F.col("dcg_d").cast("double") / F.col("idcg_d").cast("double"), 6
         ).alias("ndcg"),
     )
+
+
+def proximity_rank(docs: DataFrame, term_a: str, term_b: str,
+                   k: int = 20) -> DataFrame:
+    """Positional-index proximity ranking: docs containing BOTH terms,
+    ranked by the minimum token distance between any occurrence pair —
+    the positional leg a phrase/NEAR query needs beyond `doc_terms`'
+    frequency-only postings.
+
+    Both term filters are literal predicates pushed below the explode's
+    shuffle, so only the two terms' positional postings ever move (the
+    corpus never self-joins: the position pairing is a per-doc join
+    between two tf-bounded posting slices). Output is the top ``k``
+    (min_dist ASC, doc_id ASC) — all-integer, so the cut is exact on
+    both engines.
+    """
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    pos = (
+        ensure_parallelism(docs)
+        .select("doc_id", F.posexplode(toks).alias("pos0", "tok"))
+        .filter(F.col("tok").isin(term_a, term_b))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    pa = pos.filter(F.col("tok") == term_a).select("doc_id", F.col("pos").alias("pos_a"))
+    pb = pos.filter(F.col("tok") == term_b).select("doc_id", F.col("pos").alias("pos_b"))
+    pairs = pa.join(pb, "doc_id").groupBy("doc_id").agg(
+        F.min(F.abs(F.col("pos_a") - F.col("pos_b"))).alias("min_dist"),
+        F.count_distinct("pos_a").alias("tf_a"),
+        F.count_distinct("pos_b").alias("tf_b"),
+    )
+    topk = pairs.orderBy(F.col("min_dist").asc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("min_dist").asc(), F.col("doc_id").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "min_dist", "tf_a", "tf_b")
+    )

@@ -331,3 +331,86 @@ def robust_outlier_screen(docs: DataFrame, value_col: str = "n_chars",
             ).alias("n_outliers"),
         )
     )
+
+
+def winsorized_mean(events: DataFrame, lo_q: float = 0.05, hi_q: float = 0.95,
+                    group_col: str = "event_type",
+                    value_col: str = "value") -> DataFrame:
+    """Winsorized mean per group: clip the tails at the exact
+    (``lo_q``, ``hi_q``) percentiles, then compare the raw mean to the
+    clipped mean — the robust location estimate a metrics pipeline
+    publishes when a handful of fat-tail rows would otherwise move the
+    dashboard (complement of `robust_outlier_screen`, which flags the
+    tail rows; this one neutralizes them).
+
+    One exact per-group percentile aggregate (single keyed exchange),
+    broadcast back, then one more keyed aggregate over the clipped
+    column. Clipped values round to 6 decimals and sum in DECIMAL, so
+    the means are float-order-free; both engines interpolate the
+    percentile linearly so the clip bounds agree. 100 TB dial:
+    approx_percentile in pass one, same shape.
+    """
+    pct = events.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo_q})").alias("p_lo"),
+        F.expr(f"percentile({value_col}, {hi_q})").alias("p_hi"),
+    )
+    j = events.join(F.broadcast(pct), group_col)
+    v = F.col(value_col).cast("double")
+    clip = F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi"))
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.max("p_lo"), 6).alias("p_lo"),
+            F.round(F.max("p_hi"), 6).alias("p_hi"),
+            F.round(
+                F.sum(F.round(v, 6).cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)), 6,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(F.round(clip, 6).cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)), 6,
+            ).alias("mean_winsor"),
+            F.sum(F.when(v < F.col("p_lo"), 1).otherwise(0)).alias("n_clip_lo"),
+            F.sum(F.when(v > F.col("p_hi"), 1).otherwise(0)).alias("n_clip_hi"),
+        )
+    )
+
+
+def benford_deviation(events: DataFrame, group_col: str = "event_type",
+                      value_col: str = "value") -> DataFrame:
+    """First-significant-digit (Benford) screen per group: the digit
+    histogram of positive values vs the Benford expectation
+    log10(1 + 1/d), summarized as a chi-square statistic — the classic
+    fabricated/corrupted-feed detector for financial-style columns.
+
+    The digit is floor(v / 10^floor(log10(v))) — pure column math, so
+    the whole operator is one map-side-combined aggregate on
+    (group, digit) followed by a |groups|×9 reduction. Counts are
+    exact integers; the chi-square sum runs over ≤9 rounded terms in
+    DECIMAL so it is summation-order-free.
+    """
+    v = F.col(value_col).cast("double")
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    by_digit = (
+        events.filter(v > 0)
+        .select(group_col, digit.alias("digit"))
+        .groupBy(group_col, "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = by_digit.groupBy(group_col).agg(F.sum("n").alias("n_tot"))
+    j = by_digit.join(F.broadcast(tot), group_col)
+    exp_n = F.col("n_tot").cast("double") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    term = F.round(
+        (F.col("n").cast("double") - exp_n) * (F.col("n").cast("double") - exp_n) / exp_n, 9
+    )
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.max("n_tot").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_digits"),
+            F.round(F.sum(term.cast("decimal(38,9)")).cast("double"), 6).alias("chi2"),
+            F.max(F.when(F.col("digit") == 1,
+                         F.round(F.col("n").cast("double") / F.col("n_tot"), 6))).alias("p_digit1"),
+        )
+    )

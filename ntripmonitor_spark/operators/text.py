@@ -887,3 +887,50 @@ def vocab_coverage(docs: DataFrame, vocab_size: int = 500,
             F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
         )
     )
+
+
+def lexical_diversity(docs: DataFrame, source_col: str = "source") -> DataFrame:
+    """Per-source lexical-diversity profile: mean type-token ratio and
+    mean hapax share (fraction of a doc's distinct words that appear
+    exactly once in it) — cheap repetitiveness/quality signals that
+    drop for template/spam text long before a classifier would.
+
+    Entirely array-side: sort each doc's token array once, then count
+    run starts (= distinct types) and width-1 runs (= hapaxes) with an
+    index-lambda over the sorted array — no explode, no shuffle until
+    the final |sources|-row aggregate. Per-doc ratios round to 9
+    decimals and sum in DECIMAL, so the source means are independent
+    of float summation order.
+    """
+    s = F.array_sort(F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != ""))
+    staged = docs.select(F.col(source_col).alias("source"), s.alias("s")).filter(
+        F.size("s") > 0
+    )
+    run_start = (
+        "i -> i = 1 OR element_at(s, i) <> try_element_at(s, i - 1)"
+    )
+    hapax = (
+        "i -> (i = 1 OR element_at(s, i) <> try_element_at(s, i - 1))"
+        " AND (i = size(s) OR element_at(s, i) <> try_element_at(s, i + 1))"
+    )
+    per_doc = staged.select(
+        "source",
+        F.size("s").alias("n_tokens"),
+        F.size(F.expr(f"filter(sequence(1, size(s)), {run_start})")).alias("n_types"),
+        F.size(F.expr(f"filter(sequence(1, size(s)), {hapax})")).alias("n_hapax"),
+    )
+    ttr = F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 9)
+    hr = F.round(F.col("n_hapax").cast("double") / F.col("n_types"), 9)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum(ttr.cast("decimal(38,9)")).cast("double") / F.count(F.lit(1)), 6,
+            ).alias("avg_ttr"),
+            F.round(
+                F.sum(hr.cast("decimal(38,9)")).cast("double") / F.count(F.lit(1)), 6,
+            ).alias("avg_hapax_share"),
+        )
+    )

@@ -396,3 +396,110 @@ def twap_locf(events: DataFrame, key_col: str = "user_id",
         F.floor(F.col("span_us") / F.lit(1_000_000)).alias("span_s"),
         F.round(F.col("sum_vdt") / F.col("span_us").cast("double"), 6).alias("twap"),
     )
+
+
+def cusum_changepoint(events: DataFrame, bucket_s: int = 3600,
+                      slack_k: float = 0.25, key_col: str = "event_type",
+                      ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """CUSUM change-point localization per key — the sequential
+    recursion S_i = max(0, S_{i-1} + y_i) rewritten into its window
+    closed form S_i = C_i − min(0, min_{j≤i} C_j) where C is the
+    running sum of the slack-adjusted residuals y_i = x_i − μ − kσ.
+    That identity is what makes CUSUM distributable: two ordered
+    window passes on one keyed exchange, no recursion (upgrading
+    `mean_shift_changepoints`' sliding-window approximation to the
+    exact statistic).
+
+    x_i is the per-(key, bucket) mean at ``bucket_s`` grain, rounded
+    to 6 decimals so both engines feed the cumsum identical doubles;
+    μ/σ come from exact DECIMAL sufficient statistics over the rounded
+    bucket series, so no result depends on float summation order. The
+    reported change point is the ONSET — the latest prefix-argmin of C
+    at/before the S peak (S keeps growing while a shift persists, so
+    the peak itself marks the end of the drift, not its start); both
+    ranks break float ties on round(·, 9) then bucket.
+    mean_before/mean_after re-aggregate the bucket series around the
+    onset in DECIMAL.
+
+    Scale: window state is bounded by the SERIES length (buckets per
+    key), not corpus size — the bucket aggregate collapses the input
+    first, exactly like the reference's time_bucket panels.
+    """
+    bkt_us = bucket_s * 1_000_000
+    series = (
+        events.select(
+            key_col,
+            F.floor(epoch_us(ts_col) / bkt_us).cast("long").alias("bkt"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy(key_col, "bkt")
+        .agg(F.round(
+            F.sum(F.col("v").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1)), 6,
+        ).alias("x"))
+    )
+    stats = series.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        (F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("mu"),
+        F.sum(
+            (F.col("x").cast("decimal(18,6)") * F.col("x").cast("decimal(18,6)"))
+            .cast("decimal(38,12)")
+        ).cast("double").alias("sx2"),
+    ).withColumn(
+        "sigma",
+        F.sqrt(
+            (F.col("sx2") - F.col("n_buckets").cast("double") * F.col("mu") * F.col("mu"))
+            / (F.col("n_buckets").cast("double") - F.lit(1.0))
+        ),
+    )
+    staged = series.join(F.broadcast(stats), key_col).withColumn(
+        "y", F.col("x") - F.col("mu") - F.lit(slack_k) * F.col("sigma")
+    )
+    w_run = (
+        Window.partitionBy(key_col).orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = staged.withColumn("c", F.sum("y").over(w_run)).withColumn(
+        "s", F.col("c") - F.least(F.lit(0.0), F.min("c").over(w_run))
+    )
+    w_rank = Window.partitionBy(key_col).orderBy(
+        F.round("s", 9).desc(), F.col("bkt").asc()
+    )
+    peak = (
+        cum.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(key_col, F.col("bkt").alias("peak_bkt"), F.col("s").alias("s_max"),
+                "n_buckets")
+    )
+    # Change ONSET, not peak: S keeps accumulating while the shift
+    # persists, so the peak sits at the series end; the standard CUSUM
+    # localization is the latest prefix-argmin of C at/before the peak
+    # (drift starts in the next bucket).
+    w_onset = Window.partitionBy(key_col).orderBy(
+        F.round("c", 9).asc(), F.col("bkt").desc()
+    )
+    cp = (
+        cum.select(key_col, "bkt", "c")
+        .join(F.broadcast(peak), key_col)
+        .filter(F.col("bkt") <= F.col("peak_bkt"))
+        .withColumn("rn", F.row_number().over(w_onset))
+        .filter(F.col("rn") == 1)
+        .select(key_col, F.col("bkt").alias("cp_bkt"), "s_max", "n_buckets")
+    )
+    around = series.join(F.broadcast(cp), key_col).groupBy(key_col).agg(
+        F.round(
+            F.sum(F.when(F.col("bkt") <= F.col("cp_bkt"),
+                         F.col("x").cast("decimal(18,6)"))).cast("double")
+            / F.sum(F.when(F.col("bkt") <= F.col("cp_bkt"), 1)), 6,
+        ).alias("mean_before"),
+        F.round(
+            F.sum(F.when(F.col("bkt") > F.col("cp_bkt"),
+                         F.col("x").cast("decimal(18,6)"))).cast("double")
+            / F.sum(F.when(F.col("bkt") > F.col("cp_bkt"), 1)), 6,
+        ).alias("mean_after"),
+    )
+    return cp.join(around, key_col).select(
+        key_col, "n_buckets", "cp_bkt",
+        F.round("s_max", 6).alias("s_max"),
+        "mean_before", "mean_after",
+    )

@@ -5559,3 +5559,300 @@ def ss16_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# tx18 — per-source lexical-diversity profile (TTR + hapax share)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx18_lexical_diversity",
+    tags=("text",),
+    oracle="""
+WITH t AS (
+    SELECT source,
+           list_sort(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS s
+    FROM documents
+),
+m AS (
+    SELECT source, len(s) AS n_tokens,
+           len(list_filter(range(1, len(s) + 1),
+               i -> i = 1 OR s[i] <> s[i - 1])) AS n_types,
+           len(list_filter(range(1, len(s) + 1),
+               i -> (i = 1 OR s[i] <> s[i - 1])
+                    AND (i = len(s) OR s[i] <> s[i + 1]))) AS n_hapax
+    FROM t WHERE len(s) > 0
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(CAST(sum(CAST(round(CAST(n_types AS DOUBLE) / n_tokens, 9)
+                           AS DECIMAL(38,9))) AS DOUBLE) / count(*), 6) AS avg_ttr,
+       round(CAST(sum(CAST(round(CAST(n_hapax AS DOUBLE) / n_types, 9)
+                           AS DECIMAL(38,9))) AS DOUBLE) / count(*), 6) AS avg_hapax_share
+FROM m GROUP BY 1
+""",
+)
+def tx18_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean type-token ratio and mean hapax share (words
+    occurring once in their doc) — corpus-level diversity profile on
+    top of tx05's per-doc repetition signals. Distinct/hapax counts
+    come from run boundaries of the per-doc SORTED token array (an
+    index lambda, no explode), so the only shuffle is the final
+    |sources|-row aggregate; per-doc ratios ride 9-dp DECIMAL."""
+    return text.lexical_diversity(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# qa04 — winsorized mean per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qa04_winsorized_mean",
+    tags=("stats",),
+    oracle="""
+WITH pct AS (
+    SELECT event_type,
+           quantile_cont(value, 0.05) AS p_lo,
+           quantile_cont(value, 0.95) AS p_hi
+    FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(max(p.p_lo), 6) AS p_lo, round(max(p.p_hi), 6) AS p_hi,
+       round(CAST(sum(CAST(round(e.value, 6) AS DECIMAL(38,6))) AS DOUBLE)
+             / count(*), 6) AS mean_raw,
+       round(CAST(sum(CAST(round(least(greatest(e.value, p.p_lo), p.p_hi), 6)
+                           AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS mean_winsor,
+       CAST(sum(CASE WHEN e.value < p.p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+       CAST(sum(CASE WHEN e.value > p.p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
+FROM events e JOIN pct p USING (event_type)
+GROUP BY 1
+""",
+)
+def qa04_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw vs tail-clipped (p05/p95) mean per event type — the robust
+    location estimate published when fat-tail rows would move the
+    dashboard; complements qa03, which flags the tail rows instead of
+    neutralizing them. One exact-percentile aggregate broadcast back +
+    one keyed aggregate; clipped values are 6-dp rounded and
+    DECIMAL-summed so the means are float-order-free."""
+    from ntripmonitor_spark.operators import stats
+
+    return stats.winsorized_mean(table(spark, sf_dir, "events"),
+                                 lo_q=0.05, hi_q=0.95)
+
+
+# ---------------------------------------------------------------------------
+# dq04 — Benford first-digit screen per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq04_benford",
+    tags=("quality",),
+    oracle="""
+WITH d AS (
+    SELECT event_type,
+           CAST(floor(value / pow(10.0, floor(log10(value)))) AS INT) AS digit
+    FROM events WHERE value > 0
+),
+bd AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+tt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_tot FROM bd GROUP BY 1)
+SELECT b.event_type,
+       CAST(max(t.n_tot) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_digits,
+       round(CAST(sum(CAST(round(
+           (CAST(b.n AS DOUBLE) - CAST(t.n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(b.digit AS DOUBLE)))
+           * (CAST(b.n AS DOUBLE) - CAST(t.n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(b.digit AS DOUBLE)))
+           / (CAST(t.n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(b.digit AS DOUBLE))), 9)
+           AS DECIMAL(38,9))) AS DOUBLE), 6) AS chi2,
+       max(CASE WHEN b.digit = 1
+                THEN round(CAST(b.n AS DOUBLE) / t.n_tot, 6) END) AS p_digit1
+FROM bd b JOIN tt t USING (event_type)
+GROUP BY 1
+""",
+)
+def dq04_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit histogram vs the Benford expectation,
+    as a per-type chi-square — the fabricated/corrupted-feed screen
+    for financial-style columns. One map-side-combined (type, digit)
+    aggregate + a |types|×9 reduction; the chi-square terms are 9-dp
+    rounded and DECIMAL-summed (≤9 terms, order-free)."""
+    from ntripmonitor_spark.operators import stats
+
+    return stats.benford_deviation(table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# dd14 — content-defined-chunking dedup statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd14_cdc_chunks",
+    tags=("dedup",),
+    oracle="""
+WITH w AS (
+    SELECT doc_id, source,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    FROM documents
+),
+p AS (
+    SELECT doc_id, source, i AS pos, toks[i] AS tok
+    FROM w, unnest(range(1, len(toks) + 1)) AS u(i)
+),
+f AS (
+    SELECT *, CASE WHEN substr(md5(tok), 1, 1) IN ('0', '8') THEN 1 ELSE 0 END AS b
+    FROM p
+),
+st AS (
+    SELECT *, coalesce(sum(b) OVER (
+        PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+    FROM f
+),
+ch AS (
+    SELECT doc_id, source, chunk_id, CAST(count(*) AS BIGINT) AS n_toks,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_h
+    FROM st GROUP BY 1, 2, 3
+),
+sc AS (SELECT *, count(*) OVER (PARTITION BY chunk_h) AS n_occ FROM ch)
+SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       round(CAST(sum(CASE WHEN n_occ > 1 THEN n_toks ELSE 0 END) AS BIGINT)
+             / CAST(sum(n_toks) AS DOUBLE), 6) AS dup_token_share
+FROM sc GROUP BY 1
+""",
+)
+def dd14_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup stats (FastCDC on token streams):
+    boundaries fall where md5(token)'s first nibble ∈ {0,8} (1-in-8,
+    local content only — an insertion shifts one chunk, not the whole
+    tail, which is why CDC beats fixed spans for substring dedup).
+    Chunks hash corpus-wide; per source, the token share sitting in
+    chunks seen more than once. Three keyed exchanges (doc → chunk →
+    hash); the corpus never self-joins."""
+    return dedup.cdc_chunk_stats(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# gr05 — triangle counts / clustering coefficient on the co-order graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gr05_triangle_stats",
+    tags=("graph",),
+    oracle="""
+WITH e AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2
+),
+tri AS (
+    SELECT e1.u AS ta, e1.v AS tb, e2.v AS tc
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+roles AS (
+    SELECT ta AS node FROM tri
+    UNION ALL SELECT tb FROM tri
+    UNION ALL SELECT tc FROM tri
+),
+tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM roles GROUP BY 1),
+dg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+    GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY t.n_tri DESC, t.node ASC) AS rank,
+       t.node, dg.degree, t.n_tri,
+       round(2.0 * t.n_tri / (CAST(dg.degree AS DOUBLE) * (dg.degree - 1)), 6)
+           AS clustering
+FROM tcnt t JOIN dg USING (node)
+ORDER BY t.n_tri DESC, t.node ASC LIMIT 20
+""",
+)
+def gr05_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by triangle participation (plus degree and local
+    clustering coefficient) on the part co-order graph — the density
+    diagnostic separating clique-like duplicate clusters from
+    chain-like hash-collision bleed in a candidate graph. Oriented
+    a<b<c enumeration finds each triangle once; the co-count ≥ 2
+    floor caps the edge relation (at 100 TB add a hub degree cap —
+    documented in `dedup.triangle_stats`)."""
+    return dedup.triangle_stats(table(spark, sf_dir, "lineitem"),
+                                min_weight=2, k=20)
+
+
+# ---------------------------------------------------------------------------
+# lo02 — zone-map file-skipping estimate: Z-order vs insertion layout
+# ---------------------------------------------------------------------------
+
+_LO02_BOX = "av >= 30 AND av <= 70 AND bv >= 50 AND bv <= 200"
+_LO02_SCAN = "a_max >= 30 AND a_min <= 70 AND b_max >= 50 AND b_min <= 200"
+
+
+def _lo02_leg(layout: str, keyexpr: str, lo: str, hi: str) -> str:
+    return f"""
+SELECT '{layout}' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN {_LO02_SCAN} THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       CAST(sum(CASE WHEN {_LO02_SCAN} THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(sum(n_match) AS BIGINT) AS rows_matched
+FROM (
+    SELECT least(CAST(floor(({keyexpr} - rng.{lo}) * 64
+                            / greatest(rng.{hi} - rng.{lo} + 1, 1)) AS BIGINT), 63) AS f,
+           count(*) AS n_rows, min(av) AS a_min, max(av) AS a_max,
+           min(bv) AS b_min, max(bv) AS b_max,
+           sum(CASE WHEN {_LO02_BOX} THEN 1 ELSE 0 END) AS n_match
+    FROM z CROSS JOIN rng GROUP BY 1
+)"""
+
+
+@register(
+    "lo02_pruning_stats",
+    tags=("layout",),
+    oracle=f"""
+WITH s AS (
+    SELECT min(CAST(user_id AS DOUBLE)) AS loa, max(CAST(user_id AS DOUBLE)) AS hia,
+           min(CAST(value AS DOUBLE)) AS lob, max(CAST(value AS DOUBLE)) AS hib
+    FROM events
+),
+b AS (
+    SELECT event_id, CAST(user_id AS DOUBLE) AS av, CAST(value AS DOUBLE) AS bv,
+           CAST(floor(least(greatest((CAST(user_id AS DOUBLE) - s.loa)
+                / (CASE WHEN s.hia > s.loa THEN s.hia - s.loa ELSE 1 END), 0), 1) * 65535) AS BIGINT) AS xa,
+           CAST(floor(least(greatest((CAST(value AS DOUBLE) - s.lob)
+                / (CASE WHEN s.hib > s.lob THEN s.hib - s.lob ELSE 1 END), 0), 1) * 65535) AS BIGINT) AS xb
+    FROM events CROSS JOIN s
+),
+z AS (SELECT event_id, av, bv, {_Z_TERMS} AS z FROM b),
+rng AS (
+    SELECT min(z) AS zmin, max(z) AS zmax,
+           min(event_id) AS imin, max(event_id) AS imax
+    FROM z
+)
+{_lo02_leg("zorder", "z.z", "zmin", "zmax")}
+UNION ALL
+{_lo02_leg("insertion", "z.event_id", "imin", "imax")}
+""",
+)
+def lo02_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many of 64 files a (user_id ∈ [30,70] AND value ∈ [50,200])
+    box query scans under the Z-order layout vs insertion order —
+    parquet zone-map pruning quantified without writing a byte (each
+    synthetic file mirrors a footer's min/max; a file is scanned iff
+    its bounding box intersects the predicate box). Fixed-width
+    bucketing keeps file assignment engine-reproducible where
+    repartitionByRange's sampled boundaries are not; skew in the
+    synthetic files only biases AGAINST z-order, so the reported gain
+    is a floor. lo01 builds the code; this is the read-side payoff."""
+    from ntripmonitor_spark.functions.zorder import pruning_stats
+
+    return pruning_stats(table(spark, sf_dir, "events"), "user_id", "value",
+                         30.0, 70.0, 50.0, 200.0, n_files=64)

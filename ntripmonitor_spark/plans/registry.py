@@ -56,7 +56,10 @@ def bench_queries() -> dict[str, Query]:
 #     green rows are r3-era while r5 rerouted their epoch paths
 #     (functions/timeutil.epoch_us) and r6 moved rt01's timed path to the
 #     cached frame archive;
-#   * stale-green backfill to exactly 50: ss01, ss02 (r1-era rows).
+#   * the first two wave-6 registrations (an06_cusum_shift,
+#     dd14_cdc_chunks), never-checked and so ranked above the stale
+#     backfill they displaced (ss01/ss02 rotate back out; the other
+#     seven wave-6 queries are pre-rotated and queue for round 8).
 # Everything else (fresh r5/r6-green rows, plus the r1-era tx01-tx07 /
 # q20 / dd05 / sp01 batch and the r3-era q-family that no longer fits -
 # queued first for round 8) is exposed under an ``x_`` alias (sorts past
@@ -97,6 +100,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "dp01_mean_drift",
         "dq01_table_profile",
         "dq02_profile_approx",
+        "dq04_benford",
         "er01_name_matching",
         "er02_entity_clusters",
         "er03_blocking_profile",
@@ -106,14 +110,17 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "fn03_user_growth",
         "gr01_cluster_sizes",
         "gr02_dup_degree",
+        "gr05_triangle_stats",
         "hs01_length_histogram",
         "ig01_dsir_weights",
         "ig02_loss_aware_mix",
         "in01_inverted_index",
         "in02_phrase_search",
+        "in05_proximity_rank",
         "kl01_source_divergence",
         "ks01_source_drift",
         "lo01_zorder_code",
+        "lo02_pruning_stats",
         "lr01_grouped_regression",
         "lr02_logreg_quality",
         "mk01_event_transitions",
@@ -149,9 +156,11 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "q22_no_order_customers",
         "q23_value_deciles",
         "q24_intersect_users",
+        "q29_grouping_sets",
         "qa01_quantile_thresholds",
         "qa02_percentile_normalize",
         "qa03_robust_outliers",
+        "qa04_winsorized_mean",
         "rc01_hybrid_rrf",
         "rj01_range_join",
         "rj02_interval_overlap",
@@ -171,6 +180,8 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "sp05_hash_split",
         "sp06_token_budget",
         "sp07_epoch_order",
+        "ss01_knn_bruteforce",
+        "ss02_ann_bucketed",
         "ss03_ann_lsh_multitable",
         "ss04_ivf_train_step",
         "ss05_pq_encode",
@@ -205,6 +216,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tx14_stupid_backoff",
         "tx15_novelty_score",
         "tx16_langid_confusion",
+        "tx18_lexical_diversity",
         "ws01_weighted_sample",
     }
 )

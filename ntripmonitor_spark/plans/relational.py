@@ -1011,3 +1011,54 @@ def q28_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("k").cast("double") / F.count("k"), 6).alias("avg_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q29 — explicit GROUPING SETS via the DataFrame-native API (vs q21's
+# SQL-text route and q26's CUBE): two disjoint single-dim sets + grand
+# total in ONE pass with partial re-aggregation.
+# ref: the Grafana template-variable queries aggregate the same joined
+# relation once per dimension (RTCM monitor.json:1100 region/station
+# lists) — grouping sets collapse those N scans into one.
+# ---------------------------------------------------------------------------
+@register(
+    "q29_grouping_sets",
+    tags=("extension",),
+    oracle="""
+SELECT n.n_name AS nation, o.o_orderpriority AS priority,
+       CAST(GROUPING(n.n_name) * 2 + GROUPING(o.o_orderpriority) AS INT) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority), ())
+""",
+)
+def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order count + revenue by nation, by priority, and in total —
+    three aggregation levels in one logical pass via the DataFrame-
+    native ``groupingSets`` API (Spark 4). The grouping-flag bitmask
+    is spelled out as grouping(a)*2 + grouping(b) so both engines
+    agree on the id regardless of their internal bit order. The
+    nation dim rides in as an explicit broadcast; revenue sums ride
+    DECIMAL (`_dsum`)."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    j = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"),
+                F.col("o_orderpriority").alias("priority"),
+                "o_totalprice")
+    )
+    return (
+        j.groupingSets([["nation"], ["priority"], []], "nation", "priority")
+        .agg(
+            (F.grouping("nation") * 2 + F.grouping("priority"))
+            .cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )

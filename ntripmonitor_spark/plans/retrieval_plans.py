@@ -389,3 +389,37 @@ def rc02_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     already pushes below the shuffle; past it everything moves
     O(queries x k) rows."""
     return retrieval.ndcg_eval(table(spark, sf_dir, "documents"), BM25_QUERIES, k=10)
+
+
+@register(
+    "in05_proximity_rank",
+    tags=("retrieval",),
+    oracle=f"""
+WITH {_TOKS_CTE},
+p AS (
+    SELECT doc_id, i AS pos, toks[i] AS tok
+    FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+    WHERE toks[i] IN ('hash', 'join')
+),
+pa AS (SELECT doc_id, pos AS pos_a FROM p WHERE tok = 'hash'),
+pb AS (SELECT doc_id, pos AS pos_b FROM p WHERE tok = 'join'),
+g AS (
+    SELECT pa.doc_id, min(abs(pos_a - pos_b)) AS min_dist,
+           count(DISTINCT pos_a) AS tf_a, count(DISTINCT pos_b) AS tf_b
+    FROM pa JOIN pb USING (doc_id) GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY min_dist ASC, doc_id ASC) AS rank,
+       doc_id, min_dist, tf_a, tf_b
+FROM g ORDER BY min_dist ASC, doc_id ASC LIMIT 20
+""",
+)
+def in05_proximity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional NEAR ranking: docs containing both 'hash' and 'join',
+    top-20 by minimum token distance between any occurrence pair. The
+    two term literals prune the positional postings below the explode's
+    shuffle (only those terms' positions ever move); the pairing is a
+    per-doc join between two tf-bounded posting slices, never a corpus
+    self-join; the cut is TakeOrderedAndProject on all-integer keys."""
+    return retrieval.proximity_rank(
+        table(spark, sf_dir, "documents"), "hash", "join", k=20
+    )

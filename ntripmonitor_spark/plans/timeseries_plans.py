@@ -320,3 +320,84 @@ def ts03_twap_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     value*dt products ride as DECIMAL(38,6) so the result is
     summation-order-free at any partition count."""
     return timeseries.twap_locf(table(spark, sf_dir, "events"))
+
+
+@register(
+    "an06_cusum_shift",
+    tags=("timeseries",),
+    oracle="""
+WITH series AS (
+    SELECT event_type, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bkt,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS x
+    FROM events GROUP BY 1, 2
+),
+st AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu,
+           CAST(sum(CAST(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sx2
+    FROM series GROUP BY 1
+),
+st2 AS (
+    SELECT *, sqrt((sx2 - n_buckets * mu * mu) / (n_buckets - 1.0)) AS sigma
+    FROM st
+),
+y AS (
+    SELECT s.event_type, s.bkt, s.x, st2.n_buckets,
+           s.x - st2.mu - 0.25 * st2.sigma AS y
+    FROM series s JOIN st2 USING (event_type)
+),
+c AS (
+    SELECT *, sum(y) OVER w AS c FROM y
+    WINDOW w AS (PARTITION BY event_type ORDER BY bkt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s2 AS (
+    SELECT *, c - least(0.0, min(c) OVER w) AS s FROM c
+    WINDOW w AS (PARTITION BY event_type ORDER BY bkt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+peak AS (
+    SELECT event_type, n_buckets, bkt AS peak_bkt, s AS s_max FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY round(s, 9) DESC, bkt ASC
+        ) AS rn FROM s2
+    ) WHERE rn = 1
+),
+cp AS (
+    SELECT event_type, n_buckets, bkt AS cp_bkt, s_max FROM (
+        SELECT s2.event_type, s2.bkt, peak.n_buckets, peak.s_max,
+               row_number() OVER (
+                   PARTITION BY s2.event_type
+                   ORDER BY round(s2.c, 9) ASC, s2.bkt DESC
+               ) AS rn
+        FROM s2 JOIN peak USING (event_type)
+        WHERE s2.bkt <= peak.peak_bkt
+    ) WHERE rn = 1
+),
+ar AS (
+    SELECT s.event_type,
+           round(CAST(sum(CASE WHEN s.bkt <= cp.cp_bkt
+                               THEN CAST(s.x AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / sum(CASE WHEN s.bkt <= cp.cp_bkt THEN 1 END), 6) AS mean_before,
+           round(CAST(sum(CASE WHEN s.bkt > cp.cp_bkt
+                               THEN CAST(s.x AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / sum(CASE WHEN s.bkt > cp.cp_bkt THEN 1 END), 6) AS mean_after
+    FROM series s JOIN cp USING (event_type) GROUP BY 1
+)
+SELECT cp.event_type, cp.n_buckets, cp.cp_bkt, round(cp.s_max, 6) AS s_max,
+       ar.mean_before, ar.mean_after
+FROM cp JOIN ar USING (event_type)
+""",
+)
+def an06_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CUSUM change-point per event type over the hourly mean
+    series — the sequential S_i = max(0, S_{i-1} + y_i) recursion in
+    its window closed form S = C − min(0, running_min(C)), which makes
+    the statistic distributable (two ordered window passes on one
+    keyed exchange; `mean_shift_changepoints`' sliding contrast is the
+    approximation this replaces). Bucket means are 6-dp rounded and
+    all cross-row sums ride DECIMAL, so both engines walk identical
+    doubles through the cumsum."""
+    return timeseries.cusum_changepoint(table(spark, sf_dir, "events"),
+                                        bucket_s=3600, slack_k=0.25)

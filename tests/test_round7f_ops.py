@@ -1,0 +1,293 @@
+"""Invariant checks for the round-7 sixth-wave operators (an06 qa04
+dq04 tx18 in05 dd14 gr05 q29 lo02) — recursion identities, clipping
+conservation laws, and layout-pruning facts the DuckDB oracle can't
+express (the oracles pin cross-engine values; these pin semantics)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from ntripmonitor_spark.functions.zorder import pruning_stats
+from ntripmonitor_spark.operators import dedup, retrieval, stats, text, timeseries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    """rows = (doc_id, text)."""
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _events(spark, rows):
+    """rows = (event_id, ts, user_id, event_type, value)."""
+    return spark.createDataFrame(
+        [(i, ts, u, et, v, "{}") for i, ts, u, et, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# an06 — CUSUM window closed form == sequential recursion
+# ---------------------------------------------------------------------------
+
+
+def test_an06_matches_sequential_recursion(spark):
+    """The window identity S = C - min(0, running_min(C)) must equal
+    the textbook recursion S_i = max(0, S_{i-1} + y_i) — verified by
+    replaying the recursion in Python on a step series with a planted
+    level shift, and the argmax must localize the shift."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for h in range(48):
+        level = 10.0 if h < 30 else 25.0  # shift at bucket 30
+        rows.append((h, base + datetime.timedelta(hours=h), 1, "a", level))
+    out = timeseries.cusum_changepoint(
+        _events(spark, rows), bucket_s=3600, slack_k=0.25
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # replay the recursion on the same hourly series
+    xs = [10.0] * 30 + [25.0] * 18
+    mu = sum(xs) / len(xs)
+    var = sum((x - mu) ** 2 for x in xs) / (len(xs) - 1)
+    sigma = var ** 0.5
+    s, smax = 0.0, float("-inf")
+    bkt0 = int(base.timestamp() // 3600)
+    last_zero = None
+    for i, x in enumerate(xs):
+        prev = s
+        s = max(0.0, s + (x - mu - 0.25 * sigma))
+        if prev == 0.0 and s > 0.0:
+            last_zero = bkt0 + i - 1
+        smax = max(smax, s)
+    assert abs(r["s_max"] - smax) < 1e-6
+    # onset = latest prefix-argmin of C before the peak = bucket 29
+    # (the last pre-shift bucket); the shift itself starts at 30
+    assert r["cp_bkt"] == bkt0 + 29 == last_zero
+    assert r["n_buckets"] == 48
+    assert r["mean_before"] == 10.0
+    assert r["mean_after"] == 25.0
+
+
+def test_an06_no_shift_small_smax(spark):
+    """A flat series never accumulates: s_max stays ~0 and
+    mean_before ≈ mean_after."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(h, base + datetime.timedelta(hours=h), 1, "a", 5.0) for h in range(24)]
+    r = timeseries.cusum_changepoint(_events(spark, rows), bucket_s=3600).collect()[0]
+    assert r["s_max"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# qa04 — winsorized mean conservation
+# ---------------------------------------------------------------------------
+
+
+def test_qa04_clip_neutralizes_outlier(spark):
+    """One absurd outlier: the raw mean moves with it, the winsorized
+    mean stays near the bulk; clip counts match the tail definition."""
+    base = datetime.datetime(2024, 1, 1)
+    vals = [10.0] * 99 + [10000.0]
+    rows = [(i, base + datetime.timedelta(minutes=i), 1, "a", v)
+            for i, v in enumerate(vals)]
+    r = stats.winsorized_mean(_events(spark, rows), lo_q=0.05, hi_q=0.95).collect()[0]
+    assert r["mean_raw"] > 100.0
+    assert r["mean_winsor"] < 30.0
+    assert r["n_clip_hi"] == 1 and r["n_clip_lo"] == 0
+    assert r["n_rows"] == 100
+
+
+def test_qa04_constant_series_identity(spark):
+    """With no tails to clip, winsorized == raw."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base + datetime.timedelta(minutes=i), 1, "a", 7.5) for i in range(20)]
+    r = stats.winsorized_mean(_events(spark, rows)).collect()[0]
+    assert r["mean_raw"] == r["mean_winsor"] == 7.5
+    assert r["n_clip_lo"] == r["n_clip_hi"] == 0
+
+
+# ---------------------------------------------------------------------------
+# dq04 — Benford screen
+# ---------------------------------------------------------------------------
+
+
+def test_dq04_benford_sample_scores_low_uniform_high(spark):
+    """Values drawn FROM the Benford distribution score a far lower
+    chi-square than a constant-first-digit feed; digits stay in 1..9."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    # benford-ish: first digits with frequency ∝ log10(1+1/d)
+    import math
+    for d in range(1, 10):
+        n = round(1000 * math.log10(1 + 1 / d))
+        for _ in range(n):
+            rows.append((i, base, 1, "benford", float(d)))
+            i += 1
+    for _ in range(500):
+        rows.append((i, base, 1, "constant", 42.0))
+        i += 1
+    out = {r["event_type"]: r for r in
+           stats.benford_deviation(_events(spark, rows)).collect()}
+    assert out["benford"]["chi2"] < 10.0
+    assert out["constant"]["chi2"] > 1000.0
+    assert out["constant"]["n_digits"] == 1
+    assert out["constant"]["p_digit1"] is None
+
+
+def test_dq04_digit_extraction_spans_magnitudes(spark):
+    """0.07, 7.0 and 700 all land on digit 7 (scale-free extraction);
+    zero/negative rows are excluded."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(0, base, 1, "a", 0.07), (1, base, 1, "a", 7.0),
+            (2, base, 1, "a", 700.0), (3, base, 1, "a", 0.0)]
+    r = stats.benford_deviation(_events(spark, rows)).collect()[0]
+    assert r["n_rows"] == 3 and r["n_digits"] == 1
+
+
+# ---------------------------------------------------------------------------
+# tx18 — lexical diversity
+# ---------------------------------------------------------------------------
+
+
+def test_tx18_ttr_and_hapax_exact(spark):
+    """Hand-computed TTR/hapax on known docs: 'a a b c' → 3 types /
+    4 tokens, hapaxes {b, c} → 2/3 of types."""
+    out = text.lexical_diversity(_docs(spark, [(1, "a a b c"), (2, "x x x x")])).collect()
+    r = out[0]
+    assert r["n_docs"] == 2 and r["n_tokens"] == 8
+    # doc1: ttr 0.75, hapax 2/3; doc2: ttr 0.25, hapax 0
+    assert abs(r["avg_ttr"] - (0.75 + 0.25) / 2) < 1e-9
+    assert abs(r["avg_hapax_share"] - (2 / 3 + 0.0) / 2) < 1e-6
+
+
+def test_tx18_distinct_all_unique(spark):
+    """All-unique doc: ttr == hapax share == 1."""
+    r = text.lexical_diversity(_docs(spark, [(1, "q w e r t y")])).collect()[0]
+    assert r["avg_ttr"] == 1.0 and r["avg_hapax_share"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# in05 — proximity rank
+# ---------------------------------------------------------------------------
+
+
+def test_in05_min_distance_and_rank(spark):
+    """Adjacent pair beats a far pair; docs missing either term drop."""
+    out = retrieval.proximity_rank(
+        _docs(spark, [
+            (1, "hash join now"),            # dist 1
+            (2, "hash x x x x join"),        # dist 5
+            (3, "hash only here"),           # no 'join' → absent
+            (4, "join hash"),                # dist 1, higher doc_id
+        ]), "hash", "join", k=10,
+    ).collect()
+    ranks = {r["doc_id"]: r for r in out}
+    assert set(ranks) == {1, 2, 4}
+    assert ranks[1]["rank"] == 1 and ranks[4]["rank"] == 2  # tie → doc_id asc
+    assert ranks[1]["min_dist"] == 1 and ranks[2]["min_dist"] == 5
+
+
+def test_in05_multi_occurrence_takes_closest(spark):
+    """min over ALL occurrence pairs, tf counts distinct positions."""
+    r = retrieval.proximity_rank(
+        _docs(spark, [(1, "hash far far far join hash")]), "hash", "join", k=5,
+    ).collect()[0]
+    assert r["min_dist"] == 1 and r["tf_a"] == 2 and r["tf_b"] == 1
+
+
+# ---------------------------------------------------------------------------
+# dd14 — CDC chunking
+# ---------------------------------------------------------------------------
+
+
+def test_dd14_token_conservation_and_shared_chunk(spark):
+    """Chunk token counts conserve the corpus token count; two docs
+    sharing their full text produce fully duplicated chunks while a
+    unique doc contributes no dups beyond collisions."""
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    out = dedup.cdc_chunk_stats(_docs(spark, [(1, t), (2, t), (3, "unique words only")]))
+    r = {x["source"]: x for x in out.collect()}["s"]
+    assert r["n_tokens"] == len(t.split()) * 2 + 3
+    # the two identical docs chunk identically → every one of their
+    # chunks appears ≥2 times
+    assert r["n_dup_chunks"] >= 2 * 1  # at least the duplicated doc's chunks
+    assert 0 < r["dup_token_share"] < 1
+
+
+def test_dd14_insertion_locality(spark):
+    """CDC's point: inserting one word near the head changes only the
+    chunk containing it — the tail chunks still dedup against the
+    original (fixed-width spans would shift every later chunk)."""
+    words = [f"w{i}" for i in range(120)]
+    orig = " ".join(words)
+    edited = " ".join(["INSERTED"] + words)
+    out = dedup.cdc_chunk_stats(_docs(spark, [(1, orig), (2, edited)]))
+    r = out.collect()[0]
+    # most chunks dedup despite the insertion
+    assert r["dup_token_share"] > 0.5
+
+
+# ---------------------------------------------------------------------------
+# gr05 — triangle counting
+# ---------------------------------------------------------------------------
+
+
+def test_gr05_counts_known_graph(spark):
+    """Hand-built co-order graph: orders {1:(a,b,c)×2 views} forming a
+    triangle among parts 1-2-3 plus a pendant 4 — the pendant joins no
+    triangle; clustering of a triangle vertex with degree 2 is 1.0."""
+    rows = []
+    # each pair must co-occur in >= 2 distinct orders to form an edge
+    orders = [
+        (100, [1, 2, 3]), (101, [1, 2, 3]),       # triangle twice
+        (102, [1, 4]), (103, [1, 4]),              # pendant edge 1-4
+    ]
+    ln = 0
+    for ok, parts in orders:
+        for p in parts:
+            rows.append((ok, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         datetime.datetime(2024, 1, 1)))
+            ln += 1
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    out = {r["node"]: r for r in dedup.triangle_stats(li, min_weight=2, k=10).collect()}
+    assert set(out) == {1, 2, 3}  # node 4 is in no triangle
+    assert all(r["n_tri"] == 1 for r in out.values())
+    assert out[2]["degree"] == 2 and out[2]["clustering"] == 1.0
+    assert out[1]["degree"] == 3  # edges to 2, 3, 4
+    assert abs(out[1]["clustering"] - 2 * 1 / (3 * 2)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# lo02 — zone-map pruning
+# ---------------------------------------------------------------------------
+
+
+def test_lo02_zorder_prunes_no_worse_and_counts_conserve(spark):
+    """On the real sf0.001 events table: both layouts see the same 64
+    files and the same matched rows; the z-order layout scans no more
+    files than insertion order (the entire point of the layout)."""
+    from ntripmonitor_spark.tables import table
+
+    ev = table(spark, SF, "events")
+    out = {r["layout"]: r for r in
+           pruning_stats(ev, "user_id", "value", 30.0, 70.0, 50.0, 200.0,
+                         n_files=64).collect()}
+    assert set(out) == {"zorder", "insertion"}
+    assert out["zorder"]["rows_matched"] == out["insertion"]["rows_matched"]
+    assert out["zorder"]["files_scanned"] <= out["insertion"]["files_scanned"]
+    for r in out.values():
+        assert r["rows_scanned"] >= r["rows_matched"]
+        assert r["files_scanned"] <= r["n_files"] <= 64
