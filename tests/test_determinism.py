@@ -33,6 +33,10 @@ QUERIES = [
     "fn06_linear_attribution", "ts03_twap_locf", "sp10_pps_resample",
     "ss14_mmr_rerank", "ss15_power_iteration", "mx02_mixture_epochs",
     "dd13_lsh_calibration", "rc02_ndcg_eval",
+    # round-7 wave 6: CUSUM cumsum/running-min identity over rounded
+    # bucket means, decimal-carried winsorized/TTR/chi-square means
+    "an06_cusum_shift", "qa04_winsorized_mean", "dq04_benford",
+    "tx18_lexical_diversity",
 ]
 
 
@@ -66,6 +70,9 @@ AQE_QUERIES = [
     # round-7 waves 3-4: fixed-point PageRank (iterative joins over the
     # banded edge list), candidate-gated exact-jaccard calibration
     "gr04_pagerank", "dd13_lsh_calibration",
+    # round-7 wave 6: oriented triangle enumeration (edge-edge joins),
+    # CDC chunk-hash window dedup, positional posting-pair join
+    "gr05_triangle_stats", "dd14_cdc_chunks", "in05_proximity_rank",
 ]
 
 

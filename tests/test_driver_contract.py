@@ -121,7 +121,9 @@ for n in ['sn01_user_sessions', 'aj01_asof_join', 'ts01_gap_fill',
           'rt01_packages',
           # round-7 waves 2-4 epoch-arithmetic members
           'fn05_window_funnel', 'fn06_linear_attribution',
-          'fn07_rfm_segments', 'ts03_twap_locf', 'q27_pivot_daily']:
+          'fn07_rfm_segments', 'ts03_twap_locf', 'q27_pivot_daily',
+          # round-7 wave 6: hourly-bucket epoch arithmetic
+          'an06_cusum_shift']:
     e = n if n in qs else f'x_{n}'  # canonical name may be rotated out
     ok, msg = compare_query(spark, sf, n, qs[e], osql[e])
     assert ok, f'{n}: {msg[:500]}'
