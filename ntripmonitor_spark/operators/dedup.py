@@ -1256,6 +1256,28 @@ def cdc_chunk_stats(docs: DataFrame, avg_bits: int = 3,
     )
 
 
+def co_order_edges(lineitem: DataFrame, min_weight: int = 2) -> DataFrame:
+    """Undirected (u < v) part co-order edge list: parts appearing in
+    the same order in ≥ ``min_weight`` distinct orders. One self-join
+    keyed on the order id (fan-out bounded per key by the order's line
+    count, never corpus²) + one pair-keyed aggregate; the weight floor
+    caps the edge relation. Shared by the graph family (gr05
+    triangles, gr06 k-core)."""
+    li = lineitem.select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, on=(F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("w"))
+        .filter(F.col("w") >= min_weight)
+        .select("u", "v")
+    )
+
+
 def triangle_stats(lineitem: DataFrame, min_weight: int = 2,
                    k: int = 20) -> DataFrame:
     """Per-node triangle counts and local clustering coefficient over
@@ -1276,20 +1298,7 @@ def triangle_stats(lineitem: DataFrame, min_weight: int = 2,
     top ``k`` nodes by (triangles DESC, node ASC) with degree and
     clustering coefficient — all-integer ranking.
     """
-    li = lineitem.select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, on=(F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("w"))
-        .filter(F.col("w") >= min_weight)
-        .select("u", "v")
-        .persist()
-    )
+    edges = co_order_edges(lineitem, min_weight).persist()
     e1 = edges.select(F.col("u").alias("ta"), F.col("v").alias("tb"))
     e2 = edges.select(F.col("u").alias("tb"), F.col("v").alias("tc"))
     e3 = edges.select(F.col("u").alias("ta"), F.col("v").alias("tc"))
@@ -1318,3 +1327,38 @@ def triangle_stats(lineitem: DataFrame, min_weight: int = 2,
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "rank", "node", "degree", "n_tri", "clustering"
     )
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """Fixed-budget k-core peeling over an undirected (u < v) edge
+    list: each round drops every node with degree < ``k`` and every
+    edge touching one, the standard dense-subgraph extractor (the
+    "real cluster" filter a dedup graph runs before trusting CC
+    components — bridges and hash-collision chains peel away, cliques
+    survive). ``rounds`` is a fixed unroll like `pagerank`'s budget:
+    each round is one degree aggregate + two broadcast-ready semi-joins
+    against the (shrinking) survivor set; production iterates to the
+    fixpoint, the plan per round is identical. Output: the surviving
+    nodes with their in-core degree after the last peel."""
+    e = edges.select("u", "v").persist()
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .persist()
+        )
+    out = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )
+    return out.orderBy(F.col("core_deg").desc(), F.col("node").asc())

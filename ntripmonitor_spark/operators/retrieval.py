@@ -380,3 +380,24 @@ def proximity_rank(docs: DataFrame, term_a: str, term_b: str,
         topk.withColumn("rank", F.row_number().over(w))
         .select("rank", "doc_id", "min_dist", "tf_a", "tf_b")
     )
+
+
+def prefix_probe(postings: DataFrame, prefix: str, k: int = 15) -> DataFrame:
+    """Wildcard (prefix) retrieval over the positional posting index:
+    docs ranked by total term frequency across every term matching
+    ``prefix*``. The predicate is a ``startswith`` — on the
+    term-range-partitioned posting store it reaches parquet as a
+    StringStartsWith pushed filter, i.e. a [prefix, prefix+1) range
+    that min/max stats prune to the matching term-range files; the
+    corpus text is never rescanned. Output: top ``k`` by
+    (tf_prefix DESC, doc_id ASC) — all-integer cut."""
+    m = postings.filter(F.col("term").startswith(prefix))
+    g = m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("tf_prefix"),
+        F.count_distinct("term").alias("n_terms"),
+    )
+    topk = g.orderBy(F.col("tf_prefix").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("tf_prefix").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "tf_prefix", "n_terms"
+    )

@@ -350,20 +350,13 @@ def pq_encode(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
     )
 
 
-def ivf_probe(emb: DataFrame, k_centroids: int = IVF_K, n_queries: int = 10,
-              nprobe: int = 2, k: int = 5) -> DataFrame:
-    """IVF serving path: the search that the trained coarse quantizer
-    (`ivf_train_step`) exists for. Every corpus vector belongs to its
-    nearest centroid's cell (at scale: the storage partition key);
-    a query probes only its ``nprobe`` nearest cells and ranks the
-    candidates there by cosine.
-
-    Scale shape: the corpus is scanned once and NEVER shuffled — the
-    query side (n_queries × nprobe rows) is broadcast onto the cell
-    column, so candidate generation is a broadcast hash join touching
-    nprobe/k_centroids of the data; only candidates pay the cosine.
-    Output: (query_id, neighbor_id, cell, cos_sim, rank).
-    """
+def _ivf_scored(emb: DataFrame, k_centroids: int, n_queries: int,
+                nprobe: int) -> DataFrame:
+    """Shared IVF candidate-scoring stage: (query_id, neighbor_id,
+    cell, cos_sim) for every candidate in a query's probed cells —
+    `ivf_probe` ranks it (top-k), `ivf_radius` filters it (cos ≥ τ).
+    The corpus is scanned once and never shuffled; the query side
+    broadcasts onto the cell column."""
     from pyspark.sql.window import Window
 
     from ntripmonitor_spark.tables import ensure_parallelism
@@ -399,8 +392,44 @@ def ivf_probe(emb: DataFrame, k_centroids: int = IVF_K, n_queries: int = 10,
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cell",
                 cos.alias("cos_sim"))
     )
+    return scored
+
+
+def ivf_probe(emb: DataFrame, k_centroids: int = IVF_K, n_queries: int = 10,
+              nprobe: int = 2, k: int = 5) -> DataFrame:
+    """IVF serving path: the search that the trained coarse quantizer
+    (`ivf_train_step`) exists for. Every corpus vector belongs to its
+    nearest centroid's cell (at scale: the storage partition key);
+    a query probes only its ``nprobe`` nearest cells and ranks the
+    candidates there by cosine.
+
+    Scale shape: the corpus is scanned once and NEVER shuffled — the
+    query side (n_queries × nprobe rows) is broadcast onto the cell
+    column, so candidate generation is a broadcast hash join touching
+    nprobe/k_centroids of the data; only candidates pay the cosine.
+    Output: (query_id, neighbor_id, cell, cos_sim, rank).
+    """
+    from pyspark.sql.window import Window
+
+    scored = _ivf_scored(emb, k_centroids, n_queries, nprobe)
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_radius(emb: DataFrame, tau: float, k_centroids: int = IVF_K,
+               n_queries: int = 10, nprobe: int = 2) -> DataFrame:
+    """Radius (range) search: ALL candidates within cosine ≥ ``tau``
+    of each query, not a fixed top-k — the dedup-ish serving mode
+    ("give me everything this close") where the result size is
+    data-dependent. Same IVF candidate stage as `ivf_probe`; the cut
+    is a pure predicate on the 6-dp-rounded cosine (no window at all,
+    so nothing ranks and nothing is ordered — cheaper than top-k and
+    embarrassingly parallel at any scale). Output: (query_id,
+    neighbor_id, cos_sim)."""
+    scored = _ivf_scored(emb, k_centroids, n_queries, nprobe)
+    return scored.filter(F.col("cos_sim") >= tau).select(
+        "query_id", "neighbor_id", "cos_sim"
+    )
 
 
 def ivf_train(emb: DataFrame, k: int = IVF_K, iters: int = 3):

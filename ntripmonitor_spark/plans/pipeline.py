@@ -5856,3 +5856,141 @@ def lo02_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return pruning_stats(table(spark, sf_dir, "events"), "user_id", "value",
                          30.0, 70.0, 50.0, 200.0, n_files=64)
+
+
+# ---------------------------------------------------------------------------
+# an07 — peaks-over-threshold mean excess (EVT tail diagnostics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "an07_mean_excess",
+    tags=("stats", "timeseries"),
+    oracle="""
+WITH thr AS (
+    SELECT event_type, quantile_cont(value, 0.95) AS u FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_exceed,
+       round(max(t.u), 6) AS threshold,
+       round(CAST(sum(CAST(round(e.value - t.u, 6) AS DECIMAL(38,6))) AS DOUBLE)
+             / count(*), 6) AS mean_excess,
+       round(max(e.value), 6) AS max_value
+FROM events e JOIN thr t USING (event_type)
+WHERE e.value > t.u
+GROUP BY 1
+""",
+)
+def an07_mean_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold summary per event type: exceedances over
+    the exact p95, their mean excess, and the max — the extreme-value
+    diagnostic (linear mean excess ⇒ generalized-Pareto tail) that
+    MEASURES the tail qa04 clips. The threshold filter drops the body
+    of the distribution before the exceedance aggregate shuffles."""
+    from ntripmonitor_spark.operators import stats
+
+    return stats.mean_excess(table(spark, sf_dir, "events"), q=0.95)
+
+
+# ---------------------------------------------------------------------------
+# ss17 — radius (range) search over the IVF cells
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ss17_radius_search",
+    tags=("simsearch",),
+    oracle=f"""
+WITH {_VEC_CTE},
+seeds AS (SELECT vec_id AS cid, vec AS sv FROM v WHERE vec_id < 8),
+d AS (
+    SELECT v.vec_id, seeds.cid,
+           round(list_sum(list_transform(range(1, 65),
+               i -> (v.vec[i] - seeds.sv[i]) * (v.vec[i] - seeds.sv[i]))), 6) AS dist
+    FROM v CROSS JOIN seeds
+),
+corpus AS (
+    SELECT n.vec_id, n.vec, n.nrm, a.cell
+    FROM n JOIN (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+            FROM d
+        ) WHERE rk = 1
+    ) a ON a.vec_id = n.vec_id
+),
+probes AS (
+    SELECT t.vec_id AS query_id, nn.vec AS qv, nn.nrm AS qnrm, t.cid AS cell
+    FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS pr
+        FROM d WHERE vec_id < 10
+    ) t JOIN n nn ON nn.vec_id = t.vec_id
+    WHERE t.pr <= 2
+)
+SELECT p.query_id, c.vec_id AS neighbor_id,
+       round(list_dot_product(p.qv, c.vec) / (p.qnrm * c.nrm), 6) AS cos_sim
+FROM corpus c JOIN probes p ON p.cell = c.cell
+WHERE c.vec_id <> p.query_id
+  AND round(list_dot_product(p.qv, c.vec) / (p.qnrm * c.nrm), 6) >= 0.35
+""",
+)
+def ss17_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search: every candidate within cosine ≥ 0.35 of each of
+    the 10 query vectors, generated from the same IVF cell probes as
+    ss06 — but the cut is a pure predicate on the rounded cosine, so
+    there is NO ranking window at all: result size is data-dependent
+    (the dedup-style "everything this close" serving mode) and the
+    plan is embarrassingly parallel at any scale."""
+    return simsearch.ivf_radius(table(spark, sf_dir, "embeddings"),
+                                tau=0.35, k_centroids=8, n_queries=10, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# gr06 — k-core peeling on the co-order graph
+# ---------------------------------------------------------------------------
+
+
+def _gr06_round(i: int) -> str:
+    prev = f"e{i - 1}"
+    return f"""
+d{i} AS (
+    SELECT node, count(*) AS deg
+    FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev})
+    GROUP BY 1
+),
+k{i} AS (SELECT node FROM d{i} WHERE deg >= 3),
+e{i} AS (
+    SELECT {prev}.u, {prev}.v
+    FROM {prev}
+    JOIN k{i} a ON a.node = {prev}.u
+    JOIN k{i} b ON b.node = {prev}.v
+)"""
+
+
+@register(
+    "gr06_kcore",
+    tags=("graph",),
+    oracle=f"""
+WITH e0 AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2
+),
+{",".join(_gr06_round(i) for i in (1, 2, 3))}
+SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+FROM (SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3)
+GROUP BY 1
+ORDER BY core_deg DESC, node ASC
+""",
+)
+def gr06_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three peeling rounds toward the 3-core of the part co-order
+    graph: drop degree<3 nodes and their edges each round — the
+    dense-subgraph filter a dedup graph runs before trusting CC
+    components (bridges and collision chains peel away; cliques
+    survive). Fixed unroll like gr04's budget: one degree aggregate +
+    two semi-joins per round over the shrinking survivor set, edges
+    persisted between rounds."""
+    edges = dedup.co_order_edges(table(spark, sf_dir, "lineitem"), min_weight=2)
+    return dedup.kcore_peel(edges, k=3, rounds=3)

@@ -59,7 +59,8 @@ def bench_queries() -> dict[str, Query]:
 #   * the first two wave-6 registrations (an06_cusum_shift,
 #     dd14_cdc_chunks), never-checked and so ranked above the stale
 #     backfill they displaced (ss01/ss02 rotate back out; the other
-#     seven wave-6 queries are pre-rotated and queue for round 8).
+#     seven wave-6 queries are pre-rotated and queue for round 8,
+#     as are the five wave-7 registrations an07/gr06/in06/q30/ss17).
 # Everything else (fresh r5/r6-green rows, plus the r1-era tx01-tx07 /
 # q20 / dd05 / sp01 batch and the r3-era q-family that no longer fits -
 # queued first for round 8) is exposed under an ``x_`` alias (sorts past
@@ -75,6 +76,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "an01_rolling_zscore",
         "an04_ewma_drift",
         "an05_seasonal_decompose",
+        "an07_mean_excess",
         "bm01_bm25_topk",
         "bp01_bpe_train",
         "cm01_countmin_heavy_hitters",
@@ -111,12 +113,14 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "gr01_cluster_sizes",
         "gr02_dup_degree",
         "gr05_triangle_stats",
+        "gr06_kcore",
         "hs01_length_histogram",
         "ig01_dsir_weights",
         "ig02_loss_aware_mix",
         "in01_inverted_index",
         "in02_phrase_search",
         "in05_proximity_rank",
+        "in06_prefix_probe",
         "kl01_source_divergence",
         "ks01_source_drift",
         "lo01_zorder_code",
@@ -157,6 +161,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "q23_value_deciles",
         "q24_intersect_users",
         "q29_grouping_sets",
+        "q30_range_frame",
         "qa01_quantile_thresholds",
         "qa02_percentile_normalize",
         "qa03_robust_outliers",
@@ -193,6 +198,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "ss11_ivfpq_search",
         "ss12_mips_topk",
         "ss13_sq8_recall",
+        "ss17_radius_search",
         "st01_sourcetable",
         "tk01_bpe_encode",
         "tp01_sequence_pack",

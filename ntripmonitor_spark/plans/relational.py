@@ -1062,3 +1062,49 @@ def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("o_totalprice")).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q30 — event-time RANGE window frame (interval-bounded, not row-bounded)
+# ref: the Grafana rate panels average over trailing wall-clock spans
+# (RTCM monitor.json:126 $__rate_interval), which a ROWS frame cannot
+# express under irregular sampling — this is the RANGE-frame analog.
+# ---------------------------------------------------------------------------
+@register(
+    "q30_range_frame",
+    tags=("extension",),
+    oracle="""
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       round(CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             / count(*) OVER w, 6) AS avg_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def q30_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing ONE-HOUR (wall-clock, not row-count) per-user moving
+    average: a RANGE frame over epoch microseconds — the frame type
+    irregular sampling needs, where ROWS BETWEEN N PRECEDING silently
+    averages a variable time span. One keyed window exchange; values
+    ride DECIMAL through the frame sum so equal-timestamp peer groups
+    (which RANGE includes wholesale, per the SQL standard on both
+    engines) cannot introduce order-dependence."""
+    from ntripmonitor_spark.functions.timeutil import epoch_us
+
+    staged = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", epoch_us("ts").alias("us"),
+        F.round(F.col("value"), 6).cast("decimal(38,6)").alias("dv"),
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return staged.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(
+            F.sum("dv").over(w).cast("double") / F.count(F.lit(1)).over(w), 6,
+        ).alias("avg_1h"),
+    )

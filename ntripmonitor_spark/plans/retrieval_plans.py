@@ -423,3 +423,37 @@ def in05_proximity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.proximity_rank(
         table(spark, sf_dir, "documents"), "hash", "join", k=20
     )
+
+
+@register(
+    "in06_prefix_probe",
+    tags=("retrieval",),
+    doc="Probe-only wildcard (prefix) retrieval over the posting index.",
+    oracle="""
+WITH p AS (
+    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+    FROM documents
+),
+m AS (SELECT doc_id, term FROM p WHERE term LIKE 's%'),
+g AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS tf_prefix,
+           CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+    FROM m GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY tf_prefix DESC, doc_id ASC) AS rank,
+       doc_id, tf_prefix, n_terms
+FROM g ORDER BY tf_prefix DESC, doc_id ASC LIMIT 15
+""",
+)
+def in06_prefix_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard retrieval ('s*') in its SERVING shape: the prefix
+    predicate reaches the term-range-partitioned posting store as a
+    pushed StringStartsWith — a [prefix, prefix+1) range that min/max
+    stats prune to the matching term-range files — then one doc-keyed
+    aggregate and a TakeOrderedAndProject top-15 on all-integer keys.
+    Completes the probe family: equality (in03), boolean (in04),
+    proximity (in05), prefix (in06)."""
+    from ntripmonitor_spark.operators import retrieval as r
+
+    postings = spark.read.parquet(_posting_index_path(spark, sf_dir))
+    return r.prefix_probe(postings, "s", k=15)

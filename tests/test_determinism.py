@@ -37,6 +37,8 @@ QUERIES = [
     # bucket means, decimal-carried winsorized/TTR/chi-square means
     "an06_cusum_shift", "qa04_winsorized_mean", "dq04_benford",
     "tx18_lexical_diversity",
+    # round-7 wave 7: decimal-carried excess means and RANGE-frame sums
+    "an07_mean_excess", "q30_range_frame",
 ]
 
 
@@ -73,6 +75,8 @@ AQE_QUERIES = [
     # round-7 wave 6: oriented triangle enumeration (edge-edge joins),
     # CDC chunk-hash window dedup, positional posting-pair join
     "gr05_triangle_stats", "dd14_cdc_chunks", "in05_proximity_rank",
+    # round-7 wave 7: iterative semi-join peeling, IVF cell radius join
+    "gr06_kcore", "ss17_radius_search",
 ]
 
 

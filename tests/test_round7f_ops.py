@@ -291,3 +291,106 @@ def test_lo02_zorder_prunes_no_worse_and_counts_conserve(spark):
     for r in out.values():
         assert r["rows_scanned"] >= r["rows_matched"]
         assert r["files_scanned"] <= r["n_files"] <= 64
+
+
+# ---------------------------------------------------------------------------
+# wave 7: an07 ss17 gr06 in06 q30
+# ---------------------------------------------------------------------------
+
+
+def test_an07_mean_excess_known_tail(spark):
+    """20 values: p95 interpolates into the two top values; only the
+    max exceeds it; mean excess = max - threshold."""
+    base = datetime.datetime(2024, 1, 1)
+    vals = [float(i) for i in range(1, 21)]  # p95 = 19.05
+    rows = [(i, base + datetime.timedelta(minutes=i), 1, "a", v)
+            for i, v in enumerate(vals)]
+    r = stats.mean_excess(_events(spark, rows), q=0.95).collect()[0]
+    assert r["n_exceed"] == 1
+    assert abs(r["threshold"] - 19.05) < 1e-9
+    assert abs(r["mean_excess"] - (20.0 - 19.05)) < 1e-6
+    assert r["max_value"] == 20.0
+
+
+def test_ss17_radius_is_predicate_cut_of_probe_candidates(spark):
+    """Radius results == ivf_probe candidates (unbounded k) filtered at
+    the same tau, and every returned pair clears the threshold."""
+    from ntripmonitor_spark.operators import simsearch
+    from ntripmonitor_spark.tables import table
+
+    emb = table(spark, SF, "embeddings")
+    rad = simsearch.ivf_radius(emb, tau=0.3, k_centroids=8, n_queries=5, nprobe=2)
+    got = {(r["query_id"], r["neighbor_id"]) for r in rad.collect()}
+    probe = simsearch.ivf_probe(emb, k_centroids=8, n_queries=5, nprobe=2,
+                                k=10**9).collect()
+    want = {(r["query_id"], r["neighbor_id"]) for r in probe if r["cos_sim"] >= 0.3}
+    assert got == want and got
+    assert all(r["cos_sim"] >= 0.3 for r in rad.collect())
+
+
+def test_gr06_kcore_peels_pendant_keeps_clique(spark):
+    """A 4-clique survives 3-core peeling; a pendant chain hanging off
+    it peels away entirely."""
+    rows, ln = [], 0
+    # 4-clique over parts 1-4: every pair needs >= 2 shared orders
+    cl = [1, 2, 3, 4]
+    for ok in (100, 101):
+        for p in cl:
+            rows.append((ok, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         datetime.datetime(2024, 1, 1)))
+            ln += 1
+    # pendant chain 4-5-6 (each consecutive pair in 2 orders)
+    for ok, pair in ((102, (4, 5)), (103, (4, 5)), (104, (5, 6)), (105, (5, 6))):
+        for p in pair:
+            rows.append((ok, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         datetime.datetime(2024, 1, 1)))
+            ln += 1
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    edges = dedup.co_order_edges(li, min_weight=2)
+    out = {r["node"]: r["core_deg"] for r in dedup.kcore_peel(edges, k=3, rounds=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(d == 3 for d in out.values())
+
+
+def test_in06_prefix_probe_counts(spark):
+    """Prefix 's' sums tf across every s-term and counts distinct
+    matched terms; docs without s-terms are absent."""
+    from ntripmonitor_spark.operators import retrieval as r
+
+    postings = spark.createDataFrame(
+        [(1, "stream", 0), (1, "sort", 1), (1, "stream", 2), (1, "hash", 3),
+         (2, "small", 0), (3, "hash", 0)],
+        "doc_id long, term string, pos int",
+    )
+    out = {x["doc_id"]: x for x in r.prefix_probe(postings, "s", k=10).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["tf_prefix"] == 3 and out[1]["n_terms"] == 2
+    assert out[2]["tf_prefix"] == 1 and out[2]["n_terms"] == 1
+    assert out[1]["rank"] == 1
+
+
+def test_q30_range_frame_is_time_bounded(spark):
+    """Events 30 min apart: the trailing-1h frame holds at most 3 of
+    them (t-60m..t inclusive), and an isolated event counts only
+    itself — a ROWS frame could not express this."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base + datetime.timedelta(minutes=30 * i), 1, "a", 10.0)
+            for i in range(4)]
+    rows.append((9, base + datetime.timedelta(days=2), 1, "a", 99.0))
+    df = _events(spark, rows)
+    from ntripmonitor_spark.functions.timeutil import epoch_us
+    from pyspark.sql import Window as W
+
+    staged = df.select(
+        "event_id", epoch_us("ts").alias("us"),
+        F.round(F.col("value"), 6).cast("decimal(38,6)").alias("dv"))
+    w = W.partitionBy().orderBy("us").rangeBetween(-3_600_000_000, 0)
+    got = {r["event_id"]: r["n"] for r in
+           staged.select("event_id", F.count(F.lit(1)).over(w).alias("n")).collect()}
+    assert got == {0: 1, 1: 2, 2: 3, 3: 3, 9: 1}
