@@ -1362,3 +1362,54 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("core_deg"))
     )
     return out.orderBy(F.col("core_deg").desc(), F.col("node").asc())
+
+
+def golden_record(df: DataFrame, id_col: str = "c_custkey",
+                  name_col: str = "c_name") -> DataFrame:
+    """Survivorship after entity resolution: for every entity cluster
+    (er02's transitive closure over blocked-Levenshtein matches),
+    merge the member records' attributes into ONE golden record under
+    explicit, deterministic rules — min-id member donates the
+    canonical name, balances take the max, the market segment is the
+    cluster MAJORITY (ties → lexicographically first), and the
+    distinct-nation count is kept as a conflict indicator. This is
+    the master-data step `entity_clusters` stops short of: not just
+    which records co-refer, but what the merged row says.
+
+    Scale shape: edges/CC are er02's (blocked candidates, matched-
+    subgraph-only rounds); everything after is two aggregates keyed by
+    the (much smaller) entity id plus one broadcast-ready join for the
+    majority vote — no new corpus-scale shuffle.
+    """
+    edges = blocked_name_matches(df, id_col, name_col).select(
+        F.col("rec_a").alias("doc_a"), F.col("rec_b").alias("doc_b")
+    )
+    nodes = df.select(F.col(id_col).alias("doc_id"))
+    labels, _ = connected_components(nodes, edges)
+    members = df.join(
+        labels, df[id_col] == labels["doc_id"]
+    ).select(
+        F.col("cluster_id").alias("entity_id"), F.col(id_col).alias("rec_id"),
+        F.col(name_col).alias("nm"), "c_acctbal", "c_mktsegment", "c_nationkey",
+    )
+    base = members.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.max(F.when(F.col("rec_id") == F.col("entity_id"), F.col("nm"))).alias("canonical_name"),
+        F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+        F.count_distinct("c_nationkey").alias("n_nations"),
+    )
+    seg_counts = members.groupBy("entity_id", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_seg")
+    )
+    w = Window.partitionBy("entity_id").orderBy(
+        F.col("n_seg").desc(), F.col("c_mktsegment").asc()
+    )
+    modal = (
+        seg_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("entity_id", F.col("c_mktsegment").alias("segment"))
+    )
+    return base.join(modal, "entity_id").select(
+        "entity_id", "n_records", "canonical_name", "max_acctbal",
+        "segment", "n_nations",
+    )

@@ -667,3 +667,39 @@ def sliding_chunks(docs: DataFrame, window: int = 128, stride: int = 96) -> Data
              .otherwise(chunk_len - overlap).cast("int").alias("n_new"),
         )
     )
+
+
+def fim_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fill-in-the-middle training splits: two deterministic uniform
+    cut points per document (prefix | middle | suffix), the transform
+    FIM-trained code/LLM pipelines apply to a configured fraction of
+    documents. Cuts derive from the same Knuth multiplicative hash as
+    `hash_split` — a new document never changes any existing split,
+    unlike an RNG transform — and the PSM/SPM mode flag comes from the
+    hash's parity, so the whole operator is a pure column expression:
+    zero exchanges at any scale, trivially fused into the export scan.
+
+    Output keeps both the segment LENGTHS and the md5 of the middle
+    segment's text, so the re-assembly property (prefix+middle+suffix
+    == doc) is value-checkable downstream.
+    """
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    staged = docs.select(
+        F.col(id_col), F.col("source"), toks.alias("toks")
+    ).withColumn("n_tokens", F.size("toks")).filter(F.col("n_tokens") >= 3)
+    h1 = F.pmod(F.col(id_col).cast("long") * F.lit(KNUTH), F.lit(1 << 32))
+    h2 = F.pmod((F.col(id_col).cast("long") + F.lit(1)) * F.lit(KNUTH), F.lit(1 << 32))
+    c1 = F.pmod(h1, F.col("n_tokens") + 1)
+    c2 = F.pmod(h2, F.col("n_tokens") + 1)
+    lo = F.least(c1, c2)
+    hi = F.greatest(c1, c2)
+    middle = F.slice(F.col("toks"), lo + 1, hi - lo)
+    return staged.select(
+        id_col, "source", "n_tokens",
+        lo.alias("cut_lo"), hi.alias("cut_hi"),
+        lo.alias("len_prefix"),
+        (hi - lo).alias("len_middle"),
+        (F.col("n_tokens") - hi).alias("len_suffix"),
+        F.when(F.pmod(h1, F.lit(2)) == 0, F.lit("psm")).otherwise(F.lit("spm")).alias("mode"),
+        F.md5(F.array_join(middle, " ").cast("binary")).alias("middle_fp"),
+    )

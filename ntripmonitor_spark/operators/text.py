@@ -934,3 +934,35 @@ def lexical_diversity(docs: DataFrame, source_col: str = "source") -> DataFrame:
             ).alias("avg_hapax_share"),
         )
     )
+
+
+def tokenizer_fertility(docs: DataFrame, source_col: str = "source",
+                        lang_col: str = "lang") -> DataFrame:
+    """Tokenizer fertility (BPE-ish tokens per whitespace word) by
+    (source, lang) — the cost model a mixing plan prices token budgets
+    with: a high-fertility slice consumes more of the training budget
+    per word, so mixing weights set on raw word counts under-buy it.
+
+    Pure column arithmetic over one scan (both token counts are
+    length/regexp expressions; no explode), then one small keyed
+    aggregate. Integer token totals divide once per output row.
+    """
+    text = F.col("text")
+    staged = docs.select(
+        F.col(source_col).alias("source"), F.col(lang_col).alias("lang"),
+        F.size(normalized_words(text)).alias("n_ws"),
+        F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), F.lit(0))).alias("n_bpe"),
+    )
+    return (
+        staged.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("ws_tokens"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+        )
+        .select(
+            "source", "lang", "n_docs", "ws_tokens", "bpe_tokens",
+            F.round(F.col("bpe_tokens") / F.col("ws_tokens").cast("double"), 6)
+            .alias("fertility"),
+        )
+    )

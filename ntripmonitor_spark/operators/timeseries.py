@@ -503,3 +503,62 @@ def cusum_changepoint(events: DataFrame, bucket_s: int = 3600,
         F.round("s_max", 6).alias("s_max"),
         "mean_before", "mean_after",
     )
+
+
+def autocorrelation(events: DataFrame, lags: tuple[int, ...] = (1, 2, 3),
+                    bucket_s: int = 3600, key_col: str = "event_type",
+                    ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Lag-k autocorrelation of the per-key bucket-mean series — the
+    ACF diagnostic (is the series noise, trending, or periodic?) read
+    before trusting an EWMA/seasonal model's residuals. r_k =
+    Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)², with μ over the full series
+    (the standard biased ACF estimator, comparable across lags).
+
+    Shape mirrors `cusum_changepoint`: the bucket aggregate collapses
+    the corpus first, μ comes from DECIMAL sufficient statistics, all
+    ``lags`` read from ONE keyed window pass (one lead() per lag on
+    the shared sort — no per-lag rescans), and per-pair products are
+    9-dp rounded into DECIMAL sums so the quotient is order-free.
+    Output: (key, lag, n_pairs, acf).
+    """
+    bkt_us = bucket_s * 1_000_000
+    series = (
+        events.select(
+            key_col,
+            F.floor(epoch_us(ts_col) / bkt_us).cast("long").alias("bkt"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy(key_col, "bkt")
+        .agg(F.round(
+            F.sum(F.col("v").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1)), 6,
+        ).alias("x"))
+    )
+    mu_rel = series.groupBy(key_col).agg(
+        (F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("mu"),
+    )
+    w = Window.partitionBy(key_col).orderBy("bkt")
+    staged = series.join(F.broadcast(mu_rel), key_col)
+    for k in lags:
+        staged = staged.withColumn(f"x_lead{k}", F.lead("x", k).over(w))
+    dev = F.col("x") - F.col("mu")
+    denom_term = F.round(dev * dev, 9).cast("decimal(38,9)")
+    legs = []
+    for k in lags:
+        lead_dev = F.col(f"x_lead{k}") - F.col("mu")
+        num_term = F.when(
+            F.col(f"x_lead{k}").isNotNull(), F.round(dev * lead_dev, 9)
+        ).cast("decimal(38,9)")
+        legs.append(
+            staged.groupBy(key_col).agg(
+                F.sum(F.when(F.col(f"x_lead{k}").isNotNull(), 1).otherwise(0)).alias("n_pairs"),
+                F.round(
+                    F.sum(num_term).cast("double")
+                    / F.sum(denom_term).cast("double"), 6,
+                ).alias("acf"),
+            ).select(key_col, F.lit(k).alias("lag"), "n_pairs", "acf")
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

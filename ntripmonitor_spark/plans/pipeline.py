@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ntripmonitor_spark.operators import dedup, multimodal, simsearch, text
+from ntripmonitor_spark.operators import timeseries as timeseries_ops
 from ntripmonitor_spark.plans.registry import register
 from ntripmonitor_spark.tables import table
 
@@ -5994,3 +5995,191 @@ def gr06_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted between rounds."""
     edges = dedup.co_order_edges(table(spark, sf_dir, "lineitem"), min_weight=2)
     return dedup.kcore_peel(edges, k=3, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# tp06 — fill-in-the-middle training splits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tp06_fim_split",
+    tags=("packing",),
+    oracle="""
+WITH t AS (
+    SELECT doc_id, source,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+s AS (
+    SELECT doc_id, source, len(ws) AS n_tokens, ws,
+           (doc_id * 2654435761) % 4294967296 AS h1,
+           ((doc_id + 1) * 2654435761) % 4294967296 AS h2
+    FROM t WHERE len(ws) >= 3
+),
+c AS (
+    SELECT *,
+           least(h1 % (n_tokens + 1), h2 % (n_tokens + 1)) AS lo,
+           greatest(h1 % (n_tokens + 1), h2 % (n_tokens + 1)) AS hi
+    FROM s
+)
+SELECT doc_id, source, n_tokens,
+       lo AS cut_lo, hi AS cut_hi,
+       lo AS len_prefix, hi - lo AS len_middle, n_tokens - hi AS len_suffix,
+       CASE WHEN h1 % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode,
+       md5(coalesce(array_to_string(list_slice(ws, lo + 1, hi), ' '), '')) AS middle_fp
+FROM c
+""",
+)
+def tp06_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle splits: two deterministic uniform cut points
+    per doc (Knuth hash of the id — a new doc never moves an existing
+    split, unlike an RNG transform) + the PSM/SPM mode flag from the
+    hash parity. Pure column expressions: zero exchanges, fuses into
+    the export scan; the middle segment's md5 makes the split itself
+    value-checked, not just the lengths."""
+    from ntripmonitor_spark.operators import sampling
+
+    return sampling.fim_split(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# an08 — lag-k autocorrelation of the hourly series
+# ---------------------------------------------------------------------------
+
+
+def _an08_leg(k: int) -> str:
+    return f"""
+SELECT event_type, {k} AS lag,
+       CAST(sum(CASE WHEN x_lead{k} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       round(CAST(sum(CASE WHEN x_lead{k} IS NOT NULL
+                  THEN CAST(round((x - mu) * (x_lead{k} - mu), 9) AS DECIMAL(38,9)) END) AS DOUBLE)
+             / CAST(sum(CAST(round((x - mu) * (x - mu), 9) AS DECIMAL(38,9))) AS DOUBLE), 6) AS acf
+FROM led GROUP BY 1"""
+
+
+@register(
+    "an08_autocorrelation",
+    tags=("timeseries",),
+    oracle=f"""
+WITH series AS (
+    SELECT event_type, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bkt,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS x
+    FROM events GROUP BY 1, 2
+),
+mu_rel AS (
+    SELECT event_type,
+           CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mu
+    FROM series GROUP BY 1
+),
+led AS (
+    SELECT s.event_type, s.bkt, s.x, m.mu,
+           lead(s.x, 1) OVER w AS x_lead1,
+           lead(s.x, 2) OVER w AS x_lead2,
+           lead(s.x, 3) OVER w AS x_lead3
+    FROM series s JOIN mu_rel m USING (event_type)
+    WINDOW w AS (PARTITION BY s.event_type ORDER BY s.bkt)
+)
+{_an08_leg(1)} UNION ALL {_an08_leg(2)} UNION ALL {_an08_leg(3)}
+""",
+)
+def an08_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/2/3 autocorrelation of each event type's hourly mean
+    series — the ACF read before trusting an EWMA or seasonal model.
+    The bucket aggregate collapses the corpus first; all three lags
+    come from ONE keyed window pass (one lead per lag on the shared
+    sort); deviation products ride 9-dp DECIMAL so the quotients are
+    summation-order-free."""
+    return timeseries_ops.autocorrelation(table(spark, sf_dir, "events"),
+                                          lags=(1, 2, 3), bucket_s=3600)
+
+
+# ---------------------------------------------------------------------------
+# tk02 — tokenizer fertility by (source, lang)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tk02_fertility",
+    tags=("text",),
+    oracle=f"""
+WITH t AS (
+    SELECT source, lang,
+           len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_ws,
+           len(regexp_extract_all(lower(text), '{text.BPE_PATTERN}')) AS n_bpe
+    FROM documents
+)
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+       round(CAST(sum(n_bpe) AS BIGINT) / CAST(sum(n_ws) AS DOUBLE), 6) AS fertility
+FROM t GROUP BY 1, 2
+""",
+)
+def tk02_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokens per whitespace word by (source, lang) — the cost
+    model that prices token budgets for mixing (a high-fertility slice
+    consumes more budget per word). One scan of column expressions +
+    one small keyed aggregate; integer totals divide once per row."""
+    return text.tokenizer_fertility(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# er05 — golden-record survivorship over er02's entity clusters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "er05_golden_record",
+    tags=("dedup", "linkage"),
+    oracle="""
+WITH RECURSIVE s AS (
+    SELECT c_custkey AS rec_id, c_name AS nm,
+           substring(c_name, 1, length(c_name) - 2) AS blk,
+           c_acctbal, c_mktsegment, c_nationkey
+    FROM customer
+),
+e AS (
+    SELECT a.rec_id AS ra, b.rec_id AS rb
+    FROM s a JOIN s b ON a.blk = b.blk AND a.rec_id < b.rec_id
+    WHERE levenshtein(a.nm, b.nm) <= 1
+),
+edges AS (SELECT ra AS a, rb AS b FROM e UNION ALL SELECT rb, ra FROM e),
+reach(id, r) AS (
+    SELECT rec_id, rec_id FROM s
+    UNION
+    SELECT reach.id, ed.b FROM reach JOIN edges ed ON reach.r = ed.a
+),
+cl AS (SELECT id AS rec_id, min(r) AS entity_id FROM reach GROUP BY 1),
+m AS (
+    SELECT cl.entity_id, cl.rec_id, s.nm, s.c_acctbal, s.c_mktsegment, s.c_nationkey
+    FROM cl JOIN s ON s.rec_id = cl.rec_id
+),
+base AS (
+    SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
+           max(CASE WHEN rec_id = entity_id THEN nm END) AS canonical_name,
+           round(max(c_acctbal), 2) AS max_acctbal,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+    FROM m GROUP BY 1
+),
+segc AS (SELECT entity_id, c_mktsegment, count(*) AS n_seg FROM m GROUP BY 1, 2),
+modal AS (
+    SELECT entity_id, c_mktsegment AS segment FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY entity_id ORDER BY n_seg DESC, c_mktsegment ASC
+        ) AS rn FROM segc
+    ) WHERE rn = 1
+)
+SELECT base.entity_id, base.n_records, base.canonical_name,
+       base.max_acctbal, modal.segment, base.n_nations
+FROM base JOIN modal USING (entity_id)
+""",
+)
+def er05_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged master row per resolved entity: canonical name from
+    the min-id member, MAX balance, MAJORITY market segment (ties →
+    lexicographic), distinct-nation count as a conflict flag — the
+    survivorship step after er02's clustering, under explicit
+    deterministic rules instead of 'first record wins'. Same blocked
+    edges + pointer-doubling CC; everything after is entity-keyed."""
+    return dedup.golden_record(table(spark, sf_dir, "customer"))

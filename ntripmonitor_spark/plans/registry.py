@@ -60,7 +60,8 @@ def bench_queries() -> dict[str, Query]:
 #     dd14_cdc_chunks), never-checked and so ranked above the stale
 #     backfill they displaced (ss01/ss02 rotate back out; the other
 #     seven wave-6 queries are pre-rotated and queue for round 8,
-#     as are the five wave-7 registrations an07/gr06/in06/q30/ss17).
+#     as are the five wave-7 registrations an07/gr06/in06/q30/ss17
+#     and the four wave-8 registrations an08/er05/tk02/tp06).
 # Everything else (fresh r5/r6-green rows, plus the r1-era tx01-tx07 /
 # q20 / dd05 / sp01 batch and the r3-era q-family that no longer fits -
 # queued first for round 8) is exposed under an ``x_`` alias (sorts past
@@ -77,6 +78,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "an04_ewma_drift",
         "an05_seasonal_decompose",
         "an07_mean_excess",
+        "an08_autocorrelation",
         "bm01_bm25_topk",
         "bp01_bpe_train",
         "cm01_countmin_heavy_hitters",
@@ -107,6 +109,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "er02_entity_clusters",
         "er03_blocking_profile",
         "er04_blocking_compare",
+        "er05_golden_record",
         "fn01_conversion_funnel",
         "fn02_cohort_retention",
         "fn03_user_growth",
@@ -201,9 +204,11 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "ss17_radius_search",
         "st01_sourcetable",
         "tk01_bpe_encode",
+        "tk02_fertility",
         "tp01_sequence_pack",
         "tp02_sorted_pack",
         "tp04_pack_utilization",
+        "tp06_fim_split",
         "ts01_gap_fill",
         "ts02_ohlc_downsample",
         "tx01_language_id",

@@ -39,6 +39,8 @@ QUERIES = [
     "tx18_lexical_diversity",
     # round-7 wave 7: decimal-carried excess means and RANGE-frame sums
     "an07_mean_excess", "q30_range_frame",
+    # round-7 wave 8: decimal-carried ACF quotients, fertility ratios
+    "an08_autocorrelation", "tk02_fertility",
 ]
 
 
@@ -77,6 +79,8 @@ AQE_QUERIES = [
     "gr05_triangle_stats", "dd14_cdc_chunks", "in05_proximity_rank",
     # round-7 wave 7: iterative semi-join peeling, IVF cell radius join
     "gr06_kcore", "ss17_radius_search",
+    # round-7 wave 8: CC + majority-vote join survivorship
+    "er05_golden_record",
 ]
 
 

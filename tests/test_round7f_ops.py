@@ -394,3 +394,79 @@ def test_q30_range_frame_is_time_bounded(spark):
     got = {r["event_id"]: r["n"] for r in
            staged.select("event_id", F.count(F.lit(1)).over(w).alias("n")).collect()}
     assert got == {0: 1, 1: 2, 2: 3, 3: 3, 9: 1}
+
+
+# ---------------------------------------------------------------------------
+# wave 8: tp06 an08 tk02 er05
+# ---------------------------------------------------------------------------
+
+
+def test_tp06_fim_reassembly_conservation(spark):
+    """Segment lengths tile the doc exactly; cut points are stable
+    under corpus growth (adding docs never moves existing cuts); the
+    middle fingerprint matches a locally recomputed split."""
+    import hashlib
+
+    from ntripmonitor_spark.operators import sampling
+
+    texts = {1: "a b c d e f g h", 2: "x y z", 7: " ".join(f"t{i}" for i in range(50))}
+    out1 = {r["doc_id"]: r for r in
+            sampling.fim_split(_docs(spark, list(texts.items()))).collect()}
+    for doc_id, r in out1.items():
+        n = len(texts[doc_id].split())
+        assert r["len_prefix"] + r["len_middle"] + r["len_suffix"] == n
+        assert 0 <= r["cut_lo"] <= r["cut_hi"] <= n
+        mid = " ".join(texts[doc_id].split()[r["cut_lo"]:r["cut_hi"]])
+        assert r["middle_fp"] == hashlib.md5(mid.encode()).hexdigest()
+    # growth stability: add a doc, existing cuts unchanged
+    texts2 = dict(texts); texts2[99] = "p q r s"
+    out2 = {r["doc_id"]: r for r in
+            sampling.fim_split(_docs(spark, list(texts2.items()))).collect()}
+    for doc_id in texts:
+        assert (out1[doc_id]["cut_lo"], out1[doc_id]["cut_hi"]) == \
+               (out2[doc_id]["cut_lo"], out2[doc_id]["cut_hi"])
+
+
+def test_an08_acf_signs(spark):
+    """A strict alternating series has lag-1 ACF ≈ −1 and lag-2 ≈ +1;
+    pair counts shrink by one per lag."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(h, base + datetime.timedelta(hours=h), 1, "a",
+             10.0 if h % 2 == 0 else -10.0) for h in range(40)]
+    out = {r["lag"]: r for r in
+           timeseries.autocorrelation(_events(spark, rows), lags=(1, 2, 3)).collect()}
+    assert out[1]["acf"] < -0.9 and out[2]["acf"] > 0.9 and out[3]["acf"] < -0.9
+    assert out[1]["n_pairs"] == 39 and out[2]["n_pairs"] == 38 and out[3]["n_pairs"] == 37
+
+
+def test_tk02_fertility_known_ratio(spark):
+    """'ab2cd ef' → ws tokens 2, BPE-ish tokens 4 (ab|2|cd, ef) —
+    fertility 2.0."""
+    r = text.tokenizer_fertility(_docs(spark, [(1, "ab2cd ef")])).collect()[0]
+    assert r["ws_tokens"] == 2 and r["bpe_tokens"] == 4
+    assert abs(r["fertility"] - 2.0) < 1e-9
+
+
+def test_er05_survivorship_rules(spark):
+    """Hand-built cluster: names within edit distance 1 in one block;
+    the golden record takes min-id name, max balance, majority
+    segment (tie → lexicographic), and counts nation conflicts."""
+    cust = spark.createDataFrame(
+        [
+            (1, "acme corp#A", 0, 100.0, "AUTO"),
+            (2, "acme corp#B", 1, 500.0, "BUILD"),
+            (3, "acme corp#Z", 0, 300.0, "AUTO"),
+            (9, "zzz unrelated", 2, 50.0, "FARM"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    out = {r["entity_id"]: r for r in dedup.golden_record(cust).collect()}
+    # block key = name minus last 2 chars = 'acme corp' for all three;
+    # each name pair is within edit distance 1 → one cluster; 9 is alone
+    assert out[1]["n_records"] == 3
+    assert out[1]["canonical_name"] == "acme corp#A"
+    assert out[1]["max_acctbal"] == 500.0
+    assert out[1]["segment"] == "AUTO"     # 2 AUTO vs 1 BUILD
+    assert out[1]["n_nations"] == 2
+    assert out[9]["n_records"] == 1 and out[9]["segment"] == "FARM"
