@@ -498,7 +498,7 @@ def cusum_changepoint(events: DataFrame, bucket_s: int = 3600,
             / F.sum(F.when(F.col("bkt") > F.col("cp_bkt"), 1)), 6,
         ).alias("mean_after"),
     )
-    return cp.join(around, key_col).select(
+    return cp.join(F.broadcast(around), key_col).select(
         key_col, "n_buckets", "cp_bkt",
         F.round("s_max", 6).alias("s_max"),
         "mean_before", "mean_after",
