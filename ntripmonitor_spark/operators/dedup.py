@@ -42,14 +42,22 @@ def word_shingles(words: Column, n: int = 3) -> Column:
 
 def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exploded DISTINCT (doc_id, shingle) relation — the blocking key
-    table every shingle-based dedup below builds on."""
+    table every shingle-based dedup below builds on.
+
+    "Distinct" here is per-document by construction (``id_col`` is in
+    the key), so it dedups ARRAY-SIDE (array_distinct before the
+    explode) instead of shuffling the corpus-scale (doc, string)
+    relation through a distinct exchange — same output relation, zero
+    exchanges."""
     from ntripmonitor_spark.tables import ensure_parallelism
 
     return (
         ensure_parallelism(docs)
         .select(id_col, normalized_words(F.col(text_col)).alias("_ws"))
-        .select(id_col, F.explode(word_shingles(F.col("_ws"), n)).alias("shingle"))
-        .distinct()
+        .select(
+            id_col,
+            F.explode(F.array_distinct(word_shingles(F.col("_ws"), n))).alias("shingle"),
+        )
     )
 
 
