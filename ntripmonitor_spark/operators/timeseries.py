@@ -562,3 +562,96 @@ def autocorrelation(events: DataFrame, lags: tuple[int, ...] = (1, 2, 3),
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7,
+                         ts_col: str = "ts",
+                         user_col: str = "user_id") -> DataFrame:
+    """Rolling N-day active users per day (WAU for N=7) plus same-day
+    actives and the DAU/WAU stickiness ratio. Distinct-over-sliding-
+    window does NOT decompose into daily distincts, so the standard
+    rewrite applies: dedup to (day, user) first, then each pair
+    CONTRIBUTES itself to the ``window_days`` window-end days via a
+    bounded sequence-explode, and one (day)-keyed count-distinct
+    finishes — linear work, shuffle-friendly, and crucially NO
+    range-condition join (which would plan as a nested-loop against
+    the day spine). Observed-day filtering is a broadcast semi-join
+    against the |days|-row spine.
+    """
+    day = F.floor(epoch_us(ts_col) / F.lit(86_400_000_000)).cast("long")
+    daily = events.select(day.alias("day"), F.col(user_col).alias("uid")).distinct()
+    spine = daily.select("day").distinct()
+    contrib = daily.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + (window_days - 1))).alias("obs_day"),
+        "day", "uid",
+    ).join(F.broadcast(spine.withColumnRenamed("day", "obs_day")), "obs_day", "left_semi")
+    return (
+        contrib.groupBy("obs_day")
+        .agg(
+            F.count_distinct("uid").alias("wau"),
+            F.count_distinct(F.when(F.col("day") == F.col("obs_day"), F.col("uid"))).alias("dau"),
+        )
+        .select(
+            F.col("obs_day").alias("day"), "dau", "wau",
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias("stickiness"),
+        )
+    )
+
+
+def theil_sen_trend(events: DataFrame, bucket_s: int = 3600,
+                    key_col: str = "event_type", ts_col: str = "ts",
+                    value_col: str = "value") -> DataFrame:
+    """Theil–Sen robust trend slope per key — the median of all
+    pairwise slopes of the bucket-mean series, alongside the OLS
+    slope for contrast (one outlier bucket drags OLS, moves the
+    median slope almost nothing). The pairwise self-join is keyed on
+    the series key and bounded by SERIES-length² (the bucket
+    aggregate collapses the corpus first — ~750² pairs per key at a
+    month of hourly buckets), never corpus². Slopes are 9-dp rounded
+    before the exact median so both engines interpolate identical
+    inputs; OLS comes from DECIMAL sufficient statistics with integer
+    bucket sums.
+    """
+    bkt_us = bucket_s * 1_000_000
+    series = (
+        events.select(
+            key_col,
+            F.floor(epoch_us(ts_col) / bkt_us).cast("long").alias("bkt"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy(key_col, "bkt")
+        .agg(F.round(
+            F.sum(F.col("v").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1)), 6,
+        ).alias("x"))
+    )
+    a = series.select(key_col, F.col("bkt").alias("bi"), F.col("x").alias("xi"))
+    b = series.select(key_col, F.col("bkt").alias("bj"), F.col("x").alias("xj"))
+    pairs = a.join(b, key_col).filter(F.col("bi") < F.col("bj")).select(
+        key_col,
+        F.round(
+            (F.col("xj") - F.col("xi")) / (F.col("bj") - F.col("bi")).cast("double"), 9,
+        ).alias("slope"),
+    )
+    ts = pairs.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("slope_theil"),
+    )
+    dx = F.col("x").cast("decimal(18,6)")
+    ols = series.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("bkt").alias("sb"),
+        F.sum(F.col("bkt") * F.col("bkt")).alias("sbb"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum((F.col("bkt").cast("decimal(18,0)") * dx).cast("decimal(38,6)"))
+        .cast("double").alias("sbx"),
+    ).select(
+        key_col, "n_buckets",
+        F.round(
+            (F.col("n_buckets") * F.col("sbx") - F.col("sb") * F.col("sx"))
+            / (F.col("n_buckets") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double"),
+            6,
+        ).alias("slope_ols"),
+    )
+    return ols.join(F.broadcast(ts), key_col).select(
+        key_col, "n_buckets", "n_pairs", "slope_theil", "slope_ols",
+    )

@@ -6183,3 +6183,43 @@ def er05_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic rules instead of 'first record wins'. Same blocked
     edges + pointer-doubling CC; everything after is entity-keyed."""
     return dedup.golden_record(table(spark, sf_dir, "customer"))
+
+
+# ---------------------------------------------------------------------------
+# fn08 — rolling 7-day active users (distinct-over-sliding-window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn08_rolling_dau",
+    tags=("funnel", "timeseries"),
+    oracle="""
+WITH daily AS (
+    SELECT DISTINCT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+           user_id AS uid
+    FROM events
+),
+spine AS (SELECT DISTINCT day FROM daily),
+contrib AS (
+    SELECT u.obs_day, d.day, d.uid
+    FROM daily d, unnest(generate_series(d.day, d.day + 6)) AS u(obs_day)
+    WHERE u.obs_day IN (SELECT day FROM spine)
+)
+SELECT obs_day AS day,
+       CAST(count(DISTINCT CASE WHEN day = obs_day THEN uid END) AS BIGINT) AS dau,
+       CAST(count(DISTINCT uid) AS BIGINT) AS wau,
+       round(count(DISTINCT CASE WHEN day = obs_day THEN uid END)
+             / CAST(count(DISTINCT uid) AS DOUBLE), 6) AS stickiness
+FROM contrib GROUP BY 1
+""",
+)
+def fn08_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day + DAU/WAU stickiness.
+    Distinct-over-sliding-window does not decompose into daily
+    distincts, so the plan dedups to (day, user) and lets each pair
+    CONTRIBUTE itself to its 7 window-end days via a bounded
+    sequence-explode — one (day)-keyed count-distinct finishes.
+    Linear, shuffle-friendly, and NO range-condition join (which
+    would plan as a nested loop against the day spine)."""
+    return timeseries_ops.rolling_active_users(table(spark, sf_dir, "events"),
+                                               window_days=7)

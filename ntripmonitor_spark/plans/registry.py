@@ -61,7 +61,7 @@ def bench_queries() -> dict[str, Query]:
 #     backfill they displaced (ss01/ss02 rotate back out; the other
 #     seven wave-6 queries are pre-rotated and queue for round 8,
 #     as are the five wave-7 registrations an07/gr06/in06/q30/ss17
-#     and the four wave-8 registrations an08/er05/tk02/tp06).
+#     and the wave-8/9 registrations an08/er05/tk02/tp06/an09/fn08).
 # Everything else (fresh r5/r6-green rows, plus the r1-era tx01-tx07 /
 # q20 / dd05 / sp01 batch and the r3-era q-family that no longer fits -
 # queued first for round 8) is exposed under an ``x_`` alias (sorts past
@@ -79,6 +79,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "an05_seasonal_decompose",
         "an07_mean_excess",
         "an08_autocorrelation",
+        "an09_theil_sen",
         "bm01_bm25_topk",
         "bp01_bpe_train",
         "cm01_countmin_heavy_hitters",
@@ -113,6 +114,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "fn01_conversion_funnel",
         "fn02_cohort_retention",
         "fn03_user_growth",
+        "fn08_rolling_dau",
         "gr01_cluster_sizes",
         "gr02_dup_degree",
         "gr05_triangle_stats",

@@ -401,3 +401,50 @@ def an06_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles through the cumsum."""
     return timeseries.cusum_changepoint(table(spark, sf_dir, "events"),
                                         bucket_s=3600, slack_k=0.25)
+
+
+@register(
+    "an09_theil_sen",
+    tags=("timeseries", "stats"),
+    oracle="""
+WITH series AS (
+    SELECT event_type, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bkt,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS x
+    FROM events GROUP BY 1, 2
+),
+p AS (
+    SELECT a.event_type,
+           round((b.x - a.x) / CAST(b.bkt - a.bkt AS DOUBLE), 9) AS slope
+    FROM series a
+    JOIN series b ON b.event_type = a.event_type AND a.bkt < b.bkt
+),
+ts AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) AS slope_theil
+    FROM p GROUP BY 1
+),
+ols AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+           sum(bkt) AS sb, sum(bkt * bkt) AS sbb,
+           CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+           CAST(sum(CAST(CAST(bkt AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,6))
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sbx
+    FROM series GROUP BY 1
+)
+SELECT ols.event_type, ols.n_buckets, ts.n_pairs, ts.slope_theil,
+       round((ols.n_buckets * ols.sbx - ols.sb * ols.sx)
+             / CAST(ols.n_buckets * ols.sbb - ols.sb * ols.sb AS DOUBLE), 6) AS slope_ols
+FROM ols JOIN ts USING (event_type)
+""",
+)
+def an09_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend slope per event type (median of all
+    pairwise bucket-mean slopes) next to the OLS slope — one outlier
+    bucket drags OLS, moves the median almost nothing. The pairwise
+    self-join is keyed on the type and bounded by SERIES-length²
+    (the bucket aggregate collapses the corpus first), never corpus²;
+    slopes round to 9 dp before the exact median so both engines
+    interpolate identical inputs; OLS derives from DECIMAL sufficient
+    statistics with exact integer bucket sums."""
+    return timeseries.theil_sen_trend(table(spark, sf_dir, "events"),
+                                      bucket_s=3600)

@@ -41,6 +41,8 @@ QUERIES = [
     "an07_mean_excess", "q30_range_frame",
     # round-7 wave 8: decimal-carried ACF quotients, fertility ratios
     "an08_autocorrelation", "tk02_fertility",
+    # round-7 wave 9: pairwise-slope median, exploded rolling distinct
+    "an09_theil_sen", "fn08_rolling_dau",
 ]
 
 

@@ -470,3 +470,52 @@ def test_er05_survivorship_rules(spark):
     assert out[1]["segment"] == "AUTO"     # 2 AUTO vs 1 BUILD
     assert out[1]["n_nations"] == 2
     assert out[9]["n_records"] == 1 and out[9]["segment"] == "FARM"
+
+
+# ---------------------------------------------------------------------------
+# wave 9: fn08 an09
+# ---------------------------------------------------------------------------
+
+
+def test_fn08_wau_is_union_not_sum(spark):
+    """Two users alternating days: every window day's WAU is 2 while
+    each DAU is 1 — the rolling distinct a sum of dailies would
+    double-count; days outside the observed spine never appear."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(10):
+        uid = 1 if d % 2 == 0 else 2
+        rows.append((d, base + datetime.timedelta(days=d), uid, "view", 1.0))
+    out = {r["day"]: r for r in
+           timeseries.rolling_active_users(_events(spark, rows), window_days=7).collect()}
+    day0 = min(out)
+    assert len(out) == 10
+    assert out[day0]["dau"] == 1 and out[day0]["wau"] == 1
+    for d in sorted(out)[1:]:
+        assert out[d]["dau"] == 1 and out[d]["wau"] == 2
+        assert abs(out[d]["stickiness"] - 0.5) < 1e-9
+
+
+def test_an09_outlier_moves_ols_not_theil(spark):
+    """A clean unit-slope series with one wrecked bucket: OLS slope
+    shifts visibly, the Theil-Sen median barely moves."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for h in range(48):
+        v = float(h)            # slope exactly 1 per bucket
+        if h == 40:
+            v = 500.0           # outlier bucket
+        rows.append((h, base + datetime.timedelta(hours=h), 1, "a", v))
+    r = timeseries.theil_sen_trend(_events(spark, rows)).collect()[0]
+    assert abs(r["slope_theil"] - 1.0) < 0.05
+    assert r["slope_ols"] > 1.5
+    assert r["n_buckets"] == 48 and r["n_pairs"] == 48 * 47 // 2
+
+
+def test_an09_exact_linear(spark):
+    """Pure linear series: both estimators agree at exactly 2.0."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(h, base + datetime.timedelta(hours=h), 1, "a", 2.0 * h)
+            for h in range(24)]
+    r = timeseries.theil_sen_trend(_events(spark, rows)).collect()[0]
+    assert r["slope_theil"] == 2.0 and r["slope_ols"] == 2.0
