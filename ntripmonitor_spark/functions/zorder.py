@@ -162,3 +162,91 @@ def pruning_stats(df: DataFrame, col_a: str, col_b: str,
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+def layout_matrix(df: DataFrame, col_a: str, col_b: str,
+                  preds: dict[str, tuple[float, float, float, float]],
+                  n_files: int = 64, bits: int = ZBITS,
+                  id_col: str = "event_id") -> DataFrame:
+    """The full layout-choice study `pruning_stats` is one cell of:
+    zone-map files-scanned for every (layout × predicate) pair, over
+    three write layouts — Z-ORDER(a,b), 1-D SORT(a), and insertion
+    order. This is the table that justifies the classic rule: a 1-D
+    sort wins on its own column and loses badly on the other; Z-order
+    is within ~2x of the 1-D sort on single-column predicates and far
+    ahead on 2-D boxes. Same fixed-width-bucket file model as
+    `pruning_stats` (deterministic, engine-reproducible; skew biases
+    against the clustered layouts, so gains are floors).
+
+    One scan per layout ending in an |files|-row zone-map aggregate;
+    predicates are evaluated as flag columns in the same pass, so
+    adding a predicate costs one column, not one scan.
+    """
+    zc = zorder_code(df, col_a, col_b, bits)
+    z_lo, z_hi, i_lo, i_hi, a_lo_v, a_hi_v = zc.agg(
+        F.min("z"), F.max("z"),
+        F.min(F.col(id_col).cast("long")), F.max(F.col(id_col).cast("long")),
+        F.min(F.col(col_a).cast("double")), F.max(F.col(col_a).cast("double")),
+    ).first()
+
+    def int_file(col: Column, lo: int, hi: int) -> Column:
+        span = max(int(hi) - int(lo) + 1, 1)
+        return F.least(
+            F.floor((col.cast("long") - F.lit(int(lo))) * F.lit(n_files) / F.lit(span)),
+            F.lit(n_files - 1),
+        ).cast("int")
+
+    a_span = (a_hi_v - a_lo_v) if a_hi_v > a_lo_v else 1.0
+    sort_file = F.least(
+        F.floor((F.col(col_a).cast("double") - F.lit(float(a_lo_v)))
+                * F.lit(n_files) / F.lit(float(a_span))),
+        F.lit(n_files - 1),
+    ).cast("int")
+
+    layouts = {
+        "zorder": int_file(F.col("z"), z_lo, z_hi),
+        "sort_a": sort_file,
+        "insertion": int_file(F.col(id_col), i_lo, i_hi),
+    }
+    legs = []
+    for layout, fcol in layouts.items():
+        hits = [
+            (F.col(col_a).cast("double") >= alo) & (F.col(col_a).cast("double") <= ahi)
+            & (F.col(col_b).cast("double") >= blo) & (F.col(col_b).cast("double") <= bhi)
+            for alo, ahi, blo, bhi in preds.values()
+        ]
+        per_file = (
+            zc.select(
+                fcol.alias("f"),
+                F.col(col_a).cast("double").alias("_a"),
+                F.col(col_b).cast("double").alias("_b"),
+                *[h.cast("int").alias(f"_hit{i}") for i, h in enumerate(hits)],
+            )
+            .groupBy("f")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("_a").alias("a_min"), F.max("_a").alias("a_max"),
+                F.min("_b").alias("b_min"), F.max("_b").alias("b_max"),
+                *[F.sum(f"_hit{i}").alias(f"m{i}") for i in range(len(hits))],
+            )
+        )
+        for i, (pname, (alo, ahi, blo, bhi)) in enumerate(preds.items()):
+            scanned = (
+                (F.col("a_max") >= alo) & (F.col("a_min") <= ahi)
+                & (F.col("b_max") >= blo) & (F.col("b_min") <= bhi)
+            )
+            legs.append(
+                per_file.agg(
+                    F.count(F.lit(1)).alias("n_files"),
+                    F.sum(scanned.cast("int")).alias("files_scanned"),
+                    F.sum(F.when(scanned, F.col("n_rows")).otherwise(0)).alias("rows_scanned"),
+                    F.sum(f"m{i}").alias("rows_matched"),
+                ).select(
+                    F.lit(layout).alias("layout"), F.lit(pname).alias("predicate"),
+                    "n_files", "files_scanned", "rows_scanned", "rows_matched",
+                )
+            )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -6223,3 +6223,155 @@ def fn08_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     would plan as a nested loop against the day spine)."""
     return timeseries_ops.rolling_active_users(table(spark, sf_dir, "events"),
                                                window_days=7)
+
+
+# ---------------------------------------------------------------------------
+# lo03 — layout × predicate pruning matrix (Z-order vs 1-D sort vs insertion)
+# ---------------------------------------------------------------------------
+
+_LO03_PREDS = {
+    "user_band": (30.0, 70.0, 0.0, 1e9),
+    "value_band": (0.0, 1e9, 50.0, 60.0),
+    "box": (30.0, 70.0, 50.0, 200.0),
+}
+
+_LO03_FEXPR = {
+    "zorder": ("least(CAST(floor((z.z - rng.zmin) * 64 "
+               "/ greatest(rng.zmax - rng.zmin + 1, 1)) AS BIGINT), 63)"),
+    "sort_a": ("least(CAST(floor((z.av - rng.alo) * 64 "
+               "/ (CASE WHEN rng.ahi > rng.alo THEN rng.ahi - rng.alo ELSE 1 END)) "
+               "AS BIGINT), 63)"),
+    "insertion": ("least(CAST(floor((z.event_id - rng.imin) * 64 "
+                  "/ greatest(rng.imax - rng.imin + 1, 1)) AS BIGINT), 63)"),
+}
+
+
+def _lo03_leg(layout: str, pred: str) -> str:
+    alo, ahi, blo, bhi = _LO03_PREDS[pred]
+    scan = f"a_max >= {alo} AND a_min <= {ahi} AND b_max >= {blo} AND b_min <= {bhi}"
+    hit = f"av >= {alo} AND av <= {ahi} AND bv >= {blo} AND bv <= {bhi}"
+    return f"""
+SELECT '{layout}' AS layout, '{pred}' AS predicate,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN {scan} THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       CAST(sum(CASE WHEN {scan} THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(sum(m) AS BIGINT) AS rows_matched
+FROM (
+    SELECT {_LO03_FEXPR[layout]} AS f, count(*) AS n_rows,
+           min(av) AS a_min, max(av) AS a_max, min(bv) AS b_min, max(bv) AS b_max,
+           sum(CASE WHEN {hit} THEN 1 ELSE 0 END) AS m
+    FROM z CROSS JOIN rng GROUP BY 1
+)"""
+
+
+@register(
+    "lo03_layout_matrix",
+    tags=("layout",),
+    oracle=f"""
+WITH s AS (
+    SELECT min(CAST(user_id AS DOUBLE)) AS loa, max(CAST(user_id AS DOUBLE)) AS hia,
+           min(CAST(value AS DOUBLE)) AS lob, max(CAST(value AS DOUBLE)) AS hib
+    FROM events
+),
+b AS (
+    SELECT event_id, CAST(user_id AS DOUBLE) AS av, CAST(value AS DOUBLE) AS bv,
+           CAST(floor(least(greatest((CAST(user_id AS DOUBLE) - s.loa)
+                / (CASE WHEN s.hia > s.loa THEN s.hia - s.loa ELSE 1 END), 0), 1) * 65535) AS BIGINT) AS xa,
+           CAST(floor(least(greatest((CAST(value AS DOUBLE) - s.lob)
+                / (CASE WHEN s.hib > s.lob THEN s.hib - s.lob ELSE 1 END), 0), 1) * 65535) AS BIGINT) AS xb
+    FROM events CROSS JOIN s
+),
+z AS (SELECT event_id, av, bv, {_Z_TERMS} AS z FROM b),
+rng AS (
+    SELECT min(z) AS zmin, max(z) AS zmax,
+           min(event_id) AS imin, max(event_id) AS imax,
+           min(av) AS alo, max(av) AS ahi
+    FROM z
+)
+{" UNION ALL ".join(_lo03_leg(layout, pred)
+                    for layout in ("zorder", "sort_a", "insertion")
+                    for pred in ("user_band", "value_band", "box"))}
+""",
+)
+def lo03_layout_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout-choice study lo02 is one cell of: files/rows scanned
+    for every (layout × predicate) pair over Z-ORDER(user, value),
+    1-D SORT(user), and insertion order — quantifying the classic
+    rule: the 1-D sort wins narrowly on its own column, collapses on
+    2-D boxes; Z-order stays near the sort on 1-D predicates and far
+    ahead on 2-D. One scan per layout; every predicate is a flag
+    column in the same per-file zone-map aggregate."""
+    from ntripmonitor_spark.functions.zorder import layout_matrix
+
+    return layout_matrix(table(spark, sf_dir, "events"), "user_id", "value",
+                         _LO03_PREDS, n_files=64)
+
+
+# ---------------------------------------------------------------------------
+# tp07 — curriculum ordering by quality tercile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tp07_curriculum_order",
+    tags=("packing", "sampling"),
+    oracle="""
+WITH w AS (
+    SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+q AS (
+    SELECT doc_id,
+           round(0.4 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text))
+               + 0.3 * (1 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+               + 0.2 * (CAST(len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE) / len(ws))
+               + 0.1 * (1 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)), 6) AS q
+    FROM w
+),
+thr AS (
+    SELECT round(quantile_cont(q, 0.3333333333), 6) AS p33,
+           round(quantile_cont(q, 0.6666666667), 6) AS p66
+    FROM q
+)
+SELECT q.doc_id, q.q AS quality,
+       CAST(CASE WHEN q.q < thr.p33 THEN 0
+                 WHEN q.q < thr.p66 THEN 1 ELSE 2 END AS INT) AS phase,
+       (q.doc_id * 2654435761) % 4294967296 AS order_key,
+       CAST(CASE WHEN q.q < thr.p33 THEN 0
+                 WHEN q.q < thr.p66 THEN 1 ELSE 2 END AS BIGINT) * 4294967296
+           + (q.doc_id * 2654435761) % 4294967296 AS position
+FROM q CROSS JOIN thr
+""",
+)
+def tp07_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: easy→hard training phases by quality
+    tercile (exact percentile thresholds, 6-dp rounded on both sides
+    of every comparison so the phase cut is cross-engine exact), with
+    a deterministic Knuth-hash shuffle WITHIN each phase — position =
+    phase·2³² + hash(id), one global sort key a writer can
+    repartitionByRange on. A new document lands in its phase without
+    moving any existing document (contrast RNG shuffles). One tiny
+    percentile aggregate broadcast back; everything else is column
+    arithmetic."""
+    from ntripmonitor_spark.operators.sampling import KNUTH
+    from ntripmonitor_spark.operators.text import quality_score_col
+
+    docs = table(spark, sf_dir, "documents")
+    q = docs.select("doc_id", quality_score_col(F.col("text")).alias("q"))
+    thr = q.agg(
+        F.round(F.expr("percentile(q, 0.3333333333)"), 6).alias("p33"),
+        F.round(F.expr("percentile(q, 0.6666666667)"), 6).alias("p66"),
+    )
+    j = q.crossJoin(F.broadcast(thr))
+    phase = (
+        F.when(F.col("q") < F.col("p33"), 0)
+        .when(F.col("q") < F.col("p66"), 1)
+        .otherwise(2)
+    )
+    okey = F.pmod(F.col("doc_id").cast("long") * F.lit(KNUTH), F.lit(1 << 32))
+    return j.select(
+        "doc_id", F.col("q").alias("quality"),
+        phase.cast("int").alias("phase"),
+        okey.alias("order_key"),
+        (phase.cast("long") * F.lit(1 << 32) + okey).alias("position"),
+    )

@@ -61,7 +61,8 @@ def bench_queries() -> dict[str, Query]:
 #     backfill they displaced (ss01/ss02 rotate back out; the other
 #     seven wave-6 queries are pre-rotated and queue for round 8,
 #     as are the five wave-7 registrations an07/gr06/in06/q30/ss17
-#     and the wave-8/9 registrations an08/er05/tk02/tp06/an09/fn08).
+#     and the wave-8..10 registrations an08/er05/tk02/tp06/an09/
+#     fn08/lo03/tp07).
 # Everything else (fresh r5/r6-green rows, plus the r1-era tx01-tx07 /
 # q20 / dd05 / sp01 batch and the r3-era q-family that no longer fits -
 # queued first for round 8) is exposed under an ``x_`` alias (sorts past
@@ -130,6 +131,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "ks01_source_drift",
         "lo01_zorder_code",
         "lo02_pruning_stats",
+        "lo03_layout_matrix",
         "lr01_grouped_regression",
         "lr02_logreg_quality",
         "mk01_event_transitions",
@@ -211,6 +213,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tp02_sorted_pack",
         "tp04_pack_utilization",
         "tp06_fim_split",
+        "tp07_curriculum_order",
         "ts01_gap_fill",
         "ts02_ohlc_downsample",
         "tx01_language_id",

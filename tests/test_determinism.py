@@ -43,6 +43,8 @@ QUERIES = [
     "an08_autocorrelation", "tk02_fertility",
     # round-7 wave 9: pairwise-slope median, exploded rolling distinct
     "an09_theil_sen", "fn08_rolling_dau",
+    # round-7 wave 10: percentile-threshold phase cut, zone-map floors
+    "tp07_curriculum_order", "lo03_layout_matrix",
 ]
 
 

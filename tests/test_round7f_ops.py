@@ -519,3 +519,62 @@ def test_an09_exact_linear(spark):
             for h in range(24)]
     r = timeseries.theil_sen_trend(_events(spark, rows)).collect()[0]
     assert r["slope_theil"] == 2.0 and r["slope_ols"] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# wave 10: lo03 tp07
+# ---------------------------------------------------------------------------
+
+
+def test_lo03_layout_rules_hold(spark):
+    """On the real sf0.001 events: (1) the 1-D sort is unbeaten on its
+    own column; (2) insertion order prunes nothing on either
+    predicate; (3) z-order beats insertion everywhere and beats the
+    1-D sort on the 2-D box; (4) matched-row counts agree across
+    layouts (layout changes IO, never answers)."""
+    from ntripmonitor_spark.functions.zorder import layout_matrix
+    from ntripmonitor_spark.tables import table
+
+    # sf0.001 spans user_id 0..14 / value 0..~330 — a box sized to the
+    # fixture (the registered query's 30..70 band is sf0.01-scaled)
+    preds = {"user_band": (3.0, 7.0, 0.0, 1e9),
+             "value_band": (0.0, 1e9, 50.0, 60.0),
+             "box": (3.0, 7.0, 50.0, 200.0)}
+    ev = table(spark, SF, "events")
+    out = {(r["layout"], r["predicate"]): r
+           for r in layout_matrix(ev, "user_id", "value", preds, n_files=64).collect()}
+    # the 1-D sort prunes nothing off its own column; z-order does
+    assert out[("sort_a", "value_band")]["files_scanned"] == \
+        out[("sort_a", "value_band")]["n_files"]
+    assert out[("zorder", "value_band")]["files_scanned"] < \
+        out[("zorder", "value_band")]["n_files"]
+    for pred in ("user_band", "value_band", "box"):
+        matched = {out[(l, pred)]["rows_matched"] for l in ("zorder", "sort_a", "insertion")}
+        assert len(matched) == 1
+        assert out[("sort_a", pred)]["files_scanned"] <= out[("insertion", pred)]["files_scanned"]
+        assert out[("zorder", pred)]["files_scanned"] <= out[("insertion", pred)]["files_scanned"]
+    assert out[("sort_a", "user_band")]["files_scanned"] <= \
+        out[("zorder", "user_band")]["files_scanned"]
+    assert out[("zorder", "box")]["files_scanned"] < \
+        out[("insertion", "box")]["files_scanned"]
+
+
+def test_tp07_phases_ordered_and_stable(spark):
+    """Phases follow the quality terciles (every phase-0 quality <
+    every phase-2 quality); position embeds (phase, hash) so sorting
+    by position never interleaves phases; adding a doc leaves existing
+    order keys unchanged."""
+    from ntripmonitor_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["tp07_curriculum_order"].fn(spark, SF).collect()
+    by_phase = {}
+    for r in out:
+        by_phase.setdefault(r["phase"], []).append(r)
+    assert set(by_phase) == {0, 1, 2}
+    assert max(r["quality"] for r in by_phase[0]) <= \
+        min(r["quality"] for r in by_phase[2])
+    for r in out:
+        assert r["position"] == r["phase"] * (1 << 32) + r["order_key"]
+    # positions sorted → phases monotone
+    seq = [r["phase"] for r in sorted(out, key=lambda r: r["position"])]
+    assert seq == sorted(seq)
