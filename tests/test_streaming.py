@@ -823,3 +823,67 @@ def test_streaming_profile_merge_equals_batch(spark, sf_dir, tmp_path):
             assert m["kmv_distinct"] == float(bk["n_sk"])
         else:
             assert m["kmv_distinct"] == round(63.0 * float(1 << 32) / bk["hk"], 4)
+
+
+def test_streaming_bucket_series_matches_batch(spark, sf_dir, tmp_path):
+    """The monitoring family's shared input (the per-(type, hour)
+    bucket-mean series an06/an08/an09 collapse the corpus into) is
+    incrementally maintainable: per-micro-batch DECIMAL (sum, count)
+    partials appended blindly per batch_id, merged on read, must
+    reproduce the batch series EXACTLY — decimal partials are what
+    make the merge order-free (double partials would drift)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ntripmonitor_spark.functions.timeutil import epoch_us
+
+    ev = table(spark, sf_dir, "events")
+    bkt = F.floor(epoch_us("ts") / F.lit(3_600_000_000)).cast("long")
+    batch_series = {
+        (r["event_type"], r["bkt"]): r["x"]
+        for r in ev.select("event_type", bkt.alias("bkt"), "value")
+        .groupBy("event_type", "bkt")
+        .agg(F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)), 6).alias("x"))
+        .collect()
+    }
+
+    src = str(tmp_path / "series_src")
+    ev.select("event_type", "ts", "value").repartition(4).write.parquet(src)
+    state = str(tmp_path / "series_state")
+
+    def write(batch_df, batch_id):
+        (
+            batch_df.select("event_type",
+                            F.floor(epoch_us("ts") / F.lit(3_600_000_000))
+                            .cast("long").alias("bkt"), "value")
+            .groupBy("event_type", "bkt")
+            .agg(F.sum(F.col("value").cast("decimal(38,6)")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(state, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(write)
+        .option("checkpointLocation", str(tmp_path / "series_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_batches = len([p for p in os.listdir(state) if p.startswith("batch_id=")])
+    assert n_batches > 1, "stream collapsed into one batch; merge path untested"
+
+    merged = {
+        (r["event_type"], r["bkt"]): r["x"]
+        for r in spark.read.parquet(state)
+        .groupBy("event_type", "bkt")
+        .agg(F.round(F.sum("s").cast("double") / F.sum("n"), 6).alias("x"))
+        .collect()
+    }
+    assert merged == batch_series
