@@ -1421,3 +1421,31 @@ def golden_record(df: DataFrame, id_col: str = "c_custkey",
         "entity_id", "n_records", "canonical_name", "max_acctbal",
         "segment", "n_nations",
     )
+
+
+def dup_token_inflation(docs: DataFrame, source_col: str = "source",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """What exact duplicates COST per source: the token share a
+    training run would spend re-seeing copies (survivor = min-id per
+    content fingerprint, `exact_duplicates`' rule). Cluster counts say
+    how many duplicates exist; this says how much compute they waste —
+    the budget-denominated number the dedup decision is made on. One
+    fingerprint-keyed window + one source-keyed aggregate."""
+    w = Window.partitionBy("fp")
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"),
+        F.md5(F.col(text_col).cast("binary")).alias("fp"),
+        F.size(normalized_words(F.col(text_col))).alias("n_toks"),
+    ).withColumn("keep_id", F.min("doc_id").over(w))
+    dup_tok = F.when(F.col("doc_id") != F.col("keep_id"), F.col("n_toks")).otherwise(0)
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("doc_id") != F.col("keep_id"), 1).otherwise(0)).alias("n_dup_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum(dup_tok).alias("dup_tokens"),
+            F.round(F.sum(dup_tok) / F.sum("n_toks").cast("double"), 6).alias("inflation"),
+        )
+    )

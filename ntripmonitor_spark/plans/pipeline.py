@@ -6375,3 +6375,117 @@ def tp07_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         okey.alias("order_key"),
         (phase.cast("long") * F.lit(1 << 32) + okey).alias("position"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cu06 — quality-gate threshold sweep (yield curve)
+# ---------------------------------------------------------------------------
+
+_CU06_THRESHOLDS = tuple(t / 10 for t in range(1, 10))
+
+_CU06_QSCORE = """
+    SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_toks,
+           round(0.4 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text))
+               + 0.3 * (1 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+               + 0.2 * (CAST(len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+                                             x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+                        / len(list_filter(string_split(lower(text), ' '), x -> x <> '')))
+               + 0.1 * (1 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)), 6) AS q
+    FROM documents
+"""
+
+
+@register(
+    "cu06_threshold_sweep",
+    tags=("curation",),
+    oracle=f"""
+WITH q AS ({_CU06_QSCORE}),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS total_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_toks,
+           {", ".join(
+               f"CAST(sum(CASE WHEN q >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS d{i},"
+               f" CAST(sum(CASE WHEN q >= {t} THEN n_toks ELSE 0 END) AS BIGINT) AS k{i}"
+               for i, t in enumerate(_CU06_THRESHOLDS))}
+    FROM q
+)
+{" UNION ALL ".join(
+    f'''SELECT {t} AS threshold, d{i} AS docs_kept, k{i} AS tokens_kept,
+       round(d{i} / CAST(total_docs AS DOUBLE), 6) AS doc_share,
+       round(k{i} / CAST(total_toks AS DOUBLE), 6) AS token_share
+FROM agg''' for i, t in enumerate(_CU06_THRESHOLDS))}
+""",
+)
+def cu06_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The yield curve read before fixing a quality gate: docs and
+    tokens surviving each candidate threshold 0.1..0.9, as shares of
+    the corpus. ONE corpus scan computes all nine thresholds (each is
+    a pair of flag sums in the same map-side-combined aggregate — a
+    threshold costs two columns, not a scan); the nine output rows
+    unpivot from that single-row aggregate."""
+    from ntripmonitor_spark.operators.dedup import normalized_words
+    from ntripmonitor_spark.operators.text import quality_score_col
+
+    docs = table(spark, sf_dir, "documents")
+    staged = docs.select(
+        F.size(normalized_words(F.col("text"))).alias("n_toks"),
+        quality_score_col(F.col("text")).alias("q"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("n_toks").alias("total_toks"),
+    ]
+    for i, t in enumerate(_CU06_THRESHOLDS):
+        aggs.append(F.sum(F.when(F.col("q") >= t, 1).otherwise(0)).alias(f"d{i}"))
+        aggs.append(F.sum(F.when(F.col("q") >= t, F.col("n_toks")).otherwise(0)).alias(f"k{i}"))
+    one = staged.agg(*aggs)
+    legs = [
+        one.select(
+            F.lit(t).alias("threshold"),
+            F.col(f"d{i}").alias("docs_kept"),
+            F.col(f"k{i}").alias("tokens_kept"),
+            F.round(F.col(f"d{i}") / F.col("total_docs").cast("double"), 6).alias("doc_share"),
+            F.round(F.col(f"k{i}") / F.col("total_toks").cast("double"), 6).alias("token_share"),
+        )
+        for i, t in enumerate(_CU06_THRESHOLDS)
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dd15 — duplicate token inflation per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd15_dup_inflation",
+    tags=("dedup",),
+    oracle="""
+WITH d AS (
+    SELECT doc_id, source, md5(text) AS fp,
+           len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_toks,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN doc_id <> keep_id THEN n_toks ELSE 0 END) AS BIGINT) AS dup_tokens,
+       round(sum(CASE WHEN doc_id <> keep_id THEN n_toks ELSE 0 END)
+             / CAST(sum(n_toks) AS DOUBLE), 6) AS inflation
+FROM d GROUP BY 1
+""",
+)
+def dd15_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What exact duplicates actually COST per source: the token share
+    a training run would spend re-seeing copies (survivor = min-id per
+    content fingerprint, dd01's rule). The budget-denominated report a
+    dedup decision is made on — cluster counts (dd01/dd06) say how
+    many, this says how much compute. One fp-keyed window + one
+    source-keyed aggregate."""
+    return dedup.dup_token_inflation(table(spark, sf_dir, "documents"))

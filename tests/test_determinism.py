@@ -45,6 +45,8 @@ QUERIES = [
     "an09_theil_sen", "fn08_rolling_dau",
     # round-7 wave 10: percentile-threshold phase cut, zone-map floors
     "tp07_curriculum_order", "lo03_layout_matrix",
+    # round-7 wave 11: one-scan threshold flags, fp-window inflation
+    "cu06_threshold_sweep", "dd15_dup_inflation",
 ]
 
 

@@ -578,3 +578,35 @@ def test_tp07_phases_ordered_and_stable(spark):
     # positions sorted → phases monotone
     seq = [r["phase"] for r in sorted(out, key=lambda r: r["position"])]
     assert seq == sorted(seq)
+
+
+# ---------------------------------------------------------------------------
+# wave 11: cu06 dd15
+# ---------------------------------------------------------------------------
+
+
+def test_cu06_yield_curve_monotone(spark):
+    """Raising the gate never keeps more: docs_kept and tokens_kept
+    are non-increasing in the threshold; shares are consistent with
+    the absolute counts."""
+    from ntripmonitor_spark.plans.registry import REGISTRY
+
+    rows = sorted(REGISTRY["cu06_threshold_sweep"].fn(spark, SF).collect(),
+                  key=lambda r: r["threshold"])
+    assert len(rows) == 9
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["docs_kept"] <= prev["docs_kept"]
+        assert cur["tokens_kept"] <= prev["tokens_kept"]
+    assert rows[0]["doc_share"] <= 1.0 and rows[-1]["doc_share"] >= 0.0
+
+
+def test_dd15_inflation_counts_copies_not_survivors(spark):
+    """Three copies of one doc: 2 dup docs, inflation = 2/3 of that
+    text's tokens over the corpus total; a unique doc adds none."""
+    t = "one two three four"
+    docs = _docs(spark, [(1, t), (2, t), (3, t), (4, "uniq doc")])
+    r = {x["source"]: x for x in dedup.dup_token_inflation(docs).collect()}["s"]
+    assert r["n_docs"] == 4 and r["n_dup_docs"] == 2
+    assert r["total_tokens"] == 3 * 4 + 2
+    assert r["dup_tokens"] == 2 * 4
+    assert abs(r["inflation"] - (8 / 14)) < 1e-6
