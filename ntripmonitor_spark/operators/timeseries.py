@@ -445,6 +445,11 @@ def cusum_changepoint(events: DataFrame, bucket_s: int = 3600,
             (F.col("x").cast("decimal(18,6)") * F.col("x").cast("decimal(18,6)"))
             .cast("decimal(38,12)")
         ).cast("double").alias("sx2"),
+    ).filter(
+        # a single-bucket series has no sample variance and no definable
+        # change point — drop it BEFORE the divisions (ANSI mode errors
+        # on /0 rather than yielding NaN)
+        F.col("n_buckets") >= 2
     ).withColumn(
         "sigma",
         F.sqrt(
@@ -553,8 +558,11 @@ def autocorrelation(events: DataFrame, lags: tuple[int, ...] = (1, 2, 3),
             staged.groupBy(key_col).agg(
                 F.sum(F.when(F.col(f"x_lead{k}").isNotNull(), 1).otherwise(0)).alias("n_pairs"),
                 F.round(
-                    F.sum(num_term).cast("double")
-                    / F.sum(denom_term).cast("double"), 6,
+                    F.when(
+                        F.sum(denom_term).cast("double") > 0,
+                        F.sum(num_term).cast("double")
+                        / F.sum(denom_term).cast("double"),
+                    ), 6,
                 ).alias("acf"),
             ).select(key_col, F.lit(k).alias("lag"), "n_pairs", "acf")
         )
@@ -644,7 +652,7 @@ def theil_sen_trend(events: DataFrame, bucket_s: int = 3600,
         F.sum(dx).cast("double").alias("sx"),
         F.sum((F.col("bkt").cast("decimal(18,0)") * dx).cast("decimal(38,6)"))
         .cast("double").alias("sbx"),
-    ).select(
+    ).filter(F.col("n_buckets") >= 2).select(
         key_col, "n_buckets",
         F.round(
             (F.col("n_buckets") * F.col("sbx") - F.col("sb") * F.col("sx"))

@@ -6052,9 +6052,10 @@ def _an08_leg(k: int) -> str:
     return f"""
 SELECT event_type, {k} AS lag,
        CAST(sum(CASE WHEN x_lead{k} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
-       round(CAST(sum(CASE WHEN x_lead{k} IS NOT NULL
+       round(CASE WHEN CAST(sum(CAST(round((x - mu) * (x - mu), 9) AS DECIMAL(38,9))) AS DOUBLE) > 0
+             THEN CAST(sum(CASE WHEN x_lead{k} IS NOT NULL
                   THEN CAST(round((x - mu) * (x_lead{k} - mu), 9) AS DECIMAL(38,9)) END) AS DOUBLE)
-             / CAST(sum(CAST(round((x - mu) * (x - mu), 9) AS DECIMAL(38,9))) AS DOUBLE), 6) AS acf
+             / CAST(sum(CAST(round((x - mu) * (x - mu), 9) AS DECIMAL(38,9))) AS DOUBLE) END, 6) AS acf
 FROM led GROUP BY 1"""
 
 

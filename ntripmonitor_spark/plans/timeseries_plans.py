@@ -340,7 +340,7 @@ st AS (
 ),
 st2 AS (
     SELECT *, sqrt((sx2 - n_buckets * mu * mu) / (n_buckets - 1.0)) AS sigma
-    FROM st
+    FROM st WHERE n_buckets >= 2
 ),
 y AS (
     SELECT s.event_type, s.bkt, s.x, st2.n_buckets,

@@ -309,3 +309,59 @@ def test_in04_unmatched_terms_yield_empty_not_error(spark):
     ).count() == 0
     got = boolean_search_postings(postings, must=["alpha"], must_not=["zeta"]).collect()
     assert len(got) == 1 and got[0].tf_0 == 1
+
+
+def test_round7_wave6plus_doc_ops_survive_empty_and_single(empty_docs, one_doc):
+    """Wave 6-11 document operators on an empty and a one-doc corpus:
+    no div-by-zero, no element_at on nothing, no collect()[0] crash."""
+    for docs, n in ((empty_docs, 0), (one_doc, 1)):
+        div = text.lexical_diversity(docs).collect()
+        assert len(div) == (1 if n else 0)
+        if n:
+            assert div[0].avg_ttr == 1.0  # all-unique tiny doc
+        assert retrieval.proximity_rank(docs, "one", "tiny").count() == (1 if n else 0)
+        assert dedup.cdc_chunk_stats(docs).count() == (1 if n else 0)
+        fim = sampling.fim_split(docs).collect()
+        assert len(fim) == n  # 5-token doc passes the >=3 gate
+        fert = text.tokenizer_fertility(docs).collect()
+        assert len(fert) == n
+        infl = dedup.dup_token_inflation(docs).collect()
+        assert len(infl) == n
+        if n:
+            assert infl[0].inflation == 0.0  # nothing to dedup
+
+
+def test_round7_wave6plus_event_ops_survive_empty_and_single(spark, empty_events):
+    """Wave 6-11 event operators on an empty stream and a single
+    event: CUSUM/ACF/Theil-Sen need >=2 buckets for a variance — they
+    must return empty or null stats, never raise."""
+    import datetime
+
+    one = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 1, "a", 5.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    for ev, n in ((empty_events, 0), (one, 1)):
+        assert timeseries.cusum_changepoint(ev).count() <= n
+        acf = timeseries.autocorrelation(ev).collect()
+        for r in acf:
+            assert r.n_pairs == 0 and r.acf is None
+        ts_rows = timeseries.theil_sen_trend(ev).collect()
+        assert len(ts_rows) == 0  # no pair, no slope row
+        wm = stats.winsorized_mean(ev).collect()
+        assert len(wm) == n
+        if n:
+            assert wm[0].mean_raw == wm[0].mean_winsor == 5.0
+        assert stats.benford_deviation(ev).count() == n
+        assert stats.mean_excess(ev).count() == 0  # nothing above p95
+        dau = timeseries.rolling_active_users(ev).collect()
+        assert len(dau) == n
+        if n:
+            assert dau[0].dau == dau[0].wau == 1
+
+
+def test_gr06_kcore_empty_graph_survives(spark):
+    """An edgeless graph peels to nothing — empty result, no error."""
+    edges = spark.createDataFrame([], "u long, v long")
+    assert dedup.kcore_peel(edges, k=3, rounds=3).count() == 0
