@@ -122,8 +122,10 @@ for n in ['sn01_user_sessions', 'aj01_asof_join', 'ts01_gap_fill',
           # round-7 waves 2-4 epoch-arithmetic members
           'fn05_window_funnel', 'fn06_linear_attribution',
           'fn07_rfm_segments', 'ts03_twap_locf', 'q27_pivot_daily',
-          # round-7 wave 6: hourly-bucket epoch arithmetic
-          'an06_cusum_shift']:
+          # round-7 waves 6-11: hourly/daily-bucket epoch arithmetic
+          # and the RANGE frame over epoch microseconds
+          'an06_cusum_shift', 'an08_autocorrelation', 'an09_theil_sen',
+          'fn08_rolling_dau', 'q30_range_frame']:
     e = n if n in qs else f'x_{n}'  # canonical name may be rotated out
     ok, msg = compare_query(spark, sf, n, qs[e], osql[e])
     assert ok, f'{n}: {msg[:500]}'
