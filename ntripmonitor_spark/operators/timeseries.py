@@ -663,3 +663,74 @@ def theil_sen_trend(events: DataFrame, bucket_s: int = 3600,
     return ols.join(F.broadcast(ts), key_col).select(
         key_col, "n_buckets", "n_pairs", "slope_theil", "slope_ols",
     )
+
+
+def runs_test(events: DataFrame, bucket_s: int = 3600,
+              key_col: str = "event_type", ts_col: str = "ts",
+              value_col: str = "value") -> DataFrame:
+    """Wald–Wolfowitz runs test per key: is the bucket-mean series
+    random noise around its median, or does it cluster (trend/regime)
+    — too FEW runs — or oscillate — too MANY? The nonparametric
+    companion to an08's ACF: no distributional assumption at all.
+
+    Signs come from x vs the exact per-key median (6-dp rounded on
+    both comparison sides; exact ties drop, the standard treatment);
+    the run count is a lag-compare window sum over the ordered signs;
+    E[R] and Var[R] are closed forms of the INTEGER counts (n_pos,
+    n_neg), so z is deterministic. Keys whose variance term is zero
+    (all one sign) report NULL z, never a division error.
+    """
+    bkt_us = bucket_s * 1_000_000
+    series = (
+        events.select(
+            key_col,
+            F.floor(epoch_us(ts_col) / bkt_us).cast("long").alias("bkt"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy(key_col, "bkt")
+        .agg(F.round(
+            F.sum(F.col("v").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1)), 6,
+        ).alias("x"))
+    )
+    med = series.groupBy(key_col).agg(
+        F.round(F.expr("percentile(x, 0.5)"), 6).alias("med")
+    )
+    signed = (
+        series.join(F.broadcast(med), key_col)
+        .filter(F.col("x") != F.col("med"))
+        .select(key_col, "bkt", (F.col("x") > F.col("med")).cast("int").alias("s"))
+    )
+    w = Window.partitionBy(key_col).orderBy("bkt")
+    runs = signed.withColumn(
+        "new_run",
+        F.when(F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")), 1)
+        .otherwise(0),
+    )
+    agg = runs.groupBy(key_col).agg(
+        F.sum("new_run").alias("n_runs"),
+        F.sum("s").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("s")).alias("n_neg"),
+    )
+    n1 = F.col("n_pos").cast("double")
+    n2 = F.col("n_neg").cast("double")
+    n = n1 + n2
+    e_r = F.lit(2.0) * n1 * n2 / n + F.lit(1.0)
+    var_r = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    # guard on the INTEGER counts, not on var_r itself — evaluating
+    # var_r's division is exactly what must not happen when n <= 1
+    # (ANSI /0); 2·n1·n2 > n1+n2 ⟺ Var[R] > 0 given n1,n2 ≥ 1
+    ok = (
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+        & (2 * F.col("n_pos") * F.col("n_neg") - F.col("n_pos") - F.col("n_neg") > 0)
+    )
+    return agg.select(
+        key_col, "n_runs", "n_pos", "n_neg",
+        F.round(F.when(F.col("n_pos") + F.col("n_neg") > 0, e_r), 6).alias("expected_runs"),
+        F.round(
+            F.when(ok, (F.col("n_runs").cast("double") - e_r) / F.sqrt(var_r)),
+            6,
+        ).alias("z"),
+    )

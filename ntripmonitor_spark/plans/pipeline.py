@@ -6490,3 +6490,61 @@ def dd15_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     many, this says how much compute. One fp-keyed window + one
     source-keyed aggregate."""
     return dedup.dup_token_inflation(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dq06 — referential-integrity audit across the star schema
+# ---------------------------------------------------------------------------
+
+_DQ06_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@register(
+    "dq06_referential_integrity",
+    tags=("quality",),
+    oracle=" UNION ALL ".join(
+        f"""
+SELECT '{edge}' AS fk_edge,
+       CAST(count(*) AS BIGINT) AS n_child,
+       CAST(sum(CASE WHEN p.{pkey} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       round(1.0 - sum(CASE WHEN p.{pkey} IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS fk_coverage
+FROM {child} c LEFT JOIN {parent} p ON p.{pkey} = c.{ckey}"""
+        for edge, child, ckey, parent, pkey in _DQ06_EDGES
+    ),
+)
+def dq06_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan audit over every FK edge of the star schema — the
+    load-order/late-arrival check a warehouse runs after ingest (the
+    reference trusts Postgres FKs; a lakehouse must ASSERT them). One
+    row per edge: child rows, orphans, coverage. Each edge is a left
+    join probing the parent key — dims broadcast, the fact-to-orders
+    edge hash-joins on the key; orphan counting rides the same join,
+    no second scan."""
+    legs = []
+    for edge, child, ckey, parent, pkey in _DQ06_EDGES:
+        c = table(spark, sf_dir, child).select(F.col(ckey).alias("_ck"))
+        p = table(spark, sf_dir, parent).select(F.col(pkey).alias("_pk")).distinct()
+        joined = c.join(p, c["_ck"] == p["_pk"], "left")
+        legs.append(
+            joined.agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0)).alias("n_orphans"),
+            ).select(
+                F.lit(edge).alias("fk_edge"), "n_child", "n_orphans",
+                F.round(
+                    F.lit(1.0) - F.col("n_orphans") / F.col("n_child").cast("double"), 6,
+                ).alias("fk_coverage"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -62,7 +62,7 @@ def bench_queries() -> dict[str, Query]:
 #     seven wave-6 queries are pre-rotated and queue for round 8,
 #     as are the five wave-7 registrations an07/gr06/in06/q30/ss17
 #     and the wave-8..10 registrations an08/er05/tk02/tp06/an09/
-#     fn08/lo03/tp07/cu06/dd15).
+#     fn08/lo03/tp07/cu06/dd15/an10/dq06).
 # Everything else (fresh r5/r6-green rows, plus the r1-era tx01-tx07 /
 # q20 / dd05 / sp01 batch and the r3-era q-family that no longer fits -
 # queued first for round 8) is exposed under an ``x_`` alias (sorts past
@@ -81,6 +81,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "an07_mean_excess",
         "an08_autocorrelation",
         "an09_theil_sen",
+        "an10_runs_test",
         "bm01_bm25_topk",
         "bp01_bpe_train",
         "cm01_countmin_heavy_hitters",
@@ -109,6 +110,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "dq01_table_profile",
         "dq02_profile_approx",
         "dq04_benford",
+        "dq06_referential_integrity",
         "er01_name_matching",
         "er02_entity_clusters",
         "er03_blocking_profile",

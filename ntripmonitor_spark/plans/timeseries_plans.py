@@ -448,3 +448,53 @@ def an09_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics with exact integer bucket sums."""
     return timeseries.theil_sen_trend(table(spark, sf_dir, "events"),
                                       bucket_s=3600)
+
+
+@register(
+    "an10_runs_test",
+    tags=("timeseries", "stats"),
+    oracle="""
+WITH series AS (
+    SELECT event_type, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS bkt,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS x
+    FROM events GROUP BY 1, 2
+),
+med AS (SELECT event_type, round(quantile_cont(x, 0.5), 6) AS med FROM series GROUP BY 1),
+signed AS (
+    SELECT s.event_type, s.bkt, CAST(s.x > m.med AS INT) AS s
+    FROM series s JOIN med m USING (event_type)
+    WHERE s.x <> m.med
+),
+runs AS (
+    SELECT event_type, s,
+           CASE WHEN lag(s) OVER w IS NULL OR lag(s) OVER w <> s THEN 1 ELSE 0 END AS new_run
+    FROM signed
+    WINDOW w AS (PARTITION BY event_type ORDER BY bkt)
+),
+agg AS (
+    SELECT event_type,
+           CAST(sum(new_run) AS BIGINT) AS n_runs,
+           CAST(sum(s) AS BIGINT) AS n_pos,
+           CAST(sum(1 - s) AS BIGINT) AS n_neg
+    FROM runs GROUP BY 1
+)
+SELECT event_type, n_runs, n_pos, n_neg,
+       round(CASE WHEN n_pos + n_neg > 0
+             THEN 2.0 * n_pos * n_neg / (n_pos + n_neg) + 1.0 END, 6) AS expected_runs,
+       round(CASE WHEN n_pos > 0 AND n_neg > 0
+                       AND 2 * n_pos * n_neg - n_pos - n_neg > 0
+             THEN (n_runs - (2.0 * n_pos * n_neg / (n_pos + n_neg) + 1.0))
+                  / sqrt(2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - n_pos - n_neg)
+                         / ((n_pos + n_neg) * (n_pos + n_neg) * (n_pos + n_neg - 1.0)))
+             END, 6) AS z
+FROM agg
+""",
+)
+def an10_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on each event type's hourly series vs
+    its median — the assumption-free randomness check next to an08's
+    ACF (too few runs = trending/clustered, too many = oscillating).
+    Integer run/sign counts feed closed-form E[R], Var[R]; exact-median
+    ties drop on 6-dp-rounded comparisons so both engines agree on the
+    sign sequence; an all-one-sign key reports NULL z, never /0."""
+    return timeseries.runs_test(table(spark, sf_dir, "events"), bucket_s=3600)

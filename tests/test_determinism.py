@@ -47,6 +47,8 @@ QUERIES = [
     "tp07_curriculum_order", "lo03_layout_matrix",
     # round-7 wave 11: one-scan threshold flags, fp-window inflation
     "cu06_threshold_sweep", "dd15_dup_inflation",
+    # round-7 wave 12: median-sign run counting, FK orphan audit
+    "an10_runs_test", "dq06_referential_integrity",
 ]
 
 

@@ -610,3 +610,61 @@ def test_dd15_inflation_counts_copies_not_survivors(spark):
     assert r["total_tokens"] == 3 * 4 + 2
     assert r["dup_tokens"] == 2 * 4
     assert abs(r["inflation"] - (8 / 14)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# wave 12: an10 dq06
+# ---------------------------------------------------------------------------
+
+
+def test_an10_runs_extremes(spark):
+    """A strictly alternating series has the maximum run count (every
+    bucket starts a run → z strongly positive); a step series has
+    exactly 2 runs (z strongly negative); counts are exact."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for h in range(40):  # alternating around its median
+        rows.append((h, base + datetime.timedelta(hours=h), 1, "alt",
+                     10.0 if h % 2 == 0 else -10.0))
+    for h in range(40):  # step: 20 low then 20 high
+        rows.append((100 + h, base + datetime.timedelta(hours=h), 1, "step",
+                     -10.0 if h < 20 else 10.0))
+    out = {r["event_type"]: r for r in
+           timeseries.runs_test(_events(spark, rows)).collect()}
+    assert out["alt"]["n_runs"] == 40 and out["alt"]["z"] > 5
+    assert out["step"]["n_runs"] == 2 and out["step"]["z"] < -5
+    for r in out.values():
+        assert r["n_pos"] == r["n_neg"] == 20
+
+
+def test_an10_one_sided_series_null_z(spark):
+    """All buckets above the median is impossible, but a two-bucket
+    series with one tie leaves one sign only → NULL z, no /0."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(0, base, 1, "a", 1.0), (1, base + datetime.timedelta(hours=1), 1, "a", 1.0),
+            (2, base + datetime.timedelta(hours=2), 1, "a", 5.0)]
+    out = timeseries.runs_test(_events(spark, rows)).collect()
+    assert len(out) == 1 and out[0]["z"] is None
+
+
+def test_dq06_detects_planted_orphan(spark, sf_dir):
+    """The registered audit is clean on the synthetic star schema; a
+    planted orphan child row is counted and lowers coverage."""
+    from ntripmonitor_spark.plans.registry import REGISTRY
+    from ntripmonitor_spark.tables import table as t
+
+    clean = {r["fk_edge"]: r for r in
+             REGISTRY["dq06_referential_integrity"].fn(spark, SF).collect()}
+    assert len(clean) == 6
+    assert all(r["n_orphans"] == 0 and r["fk_coverage"] == 1.0 for r in clean.values())
+
+    orders = t(spark, SF, "orders").select(F.col("o_custkey").alias("_ck")).limit(5)
+    cust = t(spark, SF, "customer").select(F.col("c_custkey").alias("_pk")).distinct()
+    planted = orders.unionByName(
+        spark.createDataFrame([(10**12,)], "_ck long"))
+    joined = planted.join(cust, planted["_ck"] == cust["_pk"], "left")
+    row = joined.agg(
+        F.count(F.lit(1)).alias("n_child"),
+        F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0)).alias("n_orphans"),
+    ).collect()[0]
+    assert row["n_child"] == 6 and row["n_orphans"] == 1
