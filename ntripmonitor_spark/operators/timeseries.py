@@ -734,3 +734,53 @@ def runs_test(events: DataFrame, bucket_s: int = 3600,
             6,
         ).alias("z"),
     )
+
+
+def sequence_nll(events: DataFrame, key_col: str = "user_id",
+                 ts_col: str = "ts", type_col: str = "event_type",
+                 min_steps: int = 5, k: int = 20) -> DataFrame:
+    """Behavioral-sequence anomaly scoring: each key's event-type
+    sequence scored under the corpus first-order Markov model
+    (`event_transitions`' matrix) — mean −log2 P(next | prev) per key,
+    top ``k`` most surprising keys with at least ``min_steps`` steps.
+    The sequence analog of tx07's unigram surprisal: flags users whose
+    TRANSITION pattern is unlike the population, not just their event
+    mix.
+
+    One lag window keyed by the sequence key (the only input-scaled
+    exchange — same pass shape as `event_transitions`), the |types|²
+    matrix broadcast back onto the steps, per-step surprisals 9-dp
+    rounded into DECIMAL sums, and a TakeOrderedAndProject cut.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    steps = (
+        events.select(
+            key_col,
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = steps.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    w_prev = Window.partitionBy("prev_type")
+    matrix = counts.select(
+        "prev_type", "next_type",
+        (F.col("n") / F.sum("n").over(w_prev)).alias("p"),
+    )
+    nll = F.round(-F.log2("p"), 9)
+    scored = (
+        steps.join(F.broadcast(matrix), ["prev_type", "next_type"])
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.round(
+                F.sum(nll.cast("decimal(38,9)")).cast("double") / F.count(F.lit(1)), 6,
+            ).alias("mean_nll"),
+        )
+        .filter(F.col("n_steps") >= min_steps)
+    )
+    topk = scored.orderBy(F.col("mean_nll").desc(), F.col(key_col).asc()).limit(k)
+    w_rank = Window.orderBy(F.col("mean_nll").desc(), F.col(key_col).asc())
+    return topk.withColumn("rank", F.row_number().over(w_rank)).select(
+        "rank", key_col, "n_steps", "mean_nll"
+    )

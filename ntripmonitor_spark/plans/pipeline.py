@@ -6548,3 +6548,152 @@ def dq06_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# mk02 — behavioral-sequence anomaly scoring under the Markov matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mk02_sequence_nll",
+    tags=("timeseries",),
+    oracle="""
+WITH s AS (
+    SELECT user_id, event_type AS next_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+               AS prev_type
+    FROM events
+),
+steps AS (SELECT user_id, prev_type, next_type FROM s WHERE prev_type IS NOT NULL),
+c AS (SELECT prev_type, next_type, count(*) AS n FROM steps GROUP BY 1, 2),
+m AS (
+    SELECT prev_type, next_type,
+           n / sum(n) OVER (PARTITION BY prev_type) AS p
+    FROM c
+),
+scored AS (
+    SELECT st.user_id, CAST(count(*) AS BIGINT) AS n_steps,
+           round(CAST(sum(CAST(round(-log2(m.p), 9) AS DECIMAL(38,9))) AS DOUBLE)
+                 / count(*), 6) AS mean_nll
+    FROM steps st JOIN m USING (prev_type, next_type)
+    GROUP BY 1 HAVING count(*) >= 5
+)
+SELECT row_number() OVER (ORDER BY mean_nll DESC, user_id ASC) AS rank,
+       user_id, n_steps, mean_nll
+FROM scored ORDER BY mean_nll DESC, user_id ASC LIMIT 20
+""",
+)
+def mk02_sequence_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users whose event-type SEQUENCE is most surprising under
+    the corpus transition matrix (mean −log2 P(next|prev)) — the
+    behavioral-anomaly complement of mk01's matrix itself. One lag
+    window keyed by user, the 25-row matrix broadcast back, per-step
+    surprisals 9-dp rounded into DECIMAL sums, TakeOrderedAndProject
+    cut on the rounded score."""
+    return timeseries_ops.sequence_nll(table(spark, sf_dir, "events"),
+                                       min_steps=5, k=20)
+
+
+# ---------------------------------------------------------------------------
+# cu07 — independent-gate ablation (unique vs shared removals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cu07_gate_ablation",
+    tags=("curation",),
+    oracle="""
+WITH w AS (
+    SELECT doc_id, text, source,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+flags AS (
+    SELECT doc_id,
+           CASE WHEN round(
+               0.4 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text))
+             + 0.3 * (1 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+             + 0.2 * (CAST(len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE) / len(ws))
+             + 0.1 * (1 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)), 6
+           ) < 0.5 THEN 1 ELSE 0 END AS g_quality,
+           CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS g_dup,
+           CASE WHEN len(ws) < 20 OR len(ws) > 400 THEN 1 ELSE 0 END AS g_length
+    FROM w
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN g_quality + g_dup + g_length > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed
+    FROM flags
+)
+SELECT g.gate, g.n_flagged, g.n_only, tot.n_docs, tot.n_removed FROM (
+    SELECT 'quality' AS gate,
+           CAST(sum(g_quality) AS BIGINT) AS n_flagged,
+           CAST(sum(CASE WHEN g_quality = 1 AND g_dup = 0 AND g_length = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_only
+    FROM flags
+    UNION ALL
+    SELECT 'dup',
+           CAST(sum(g_dup) AS BIGINT),
+           CAST(sum(CASE WHEN g_dup = 1 AND g_quality = 0 AND g_length = 0
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM flags
+    UNION ALL
+    SELECT 'length',
+           CAST(sum(g_length) AS BIGINT),
+           CAST(sum(CASE WHEN g_length = 1 AND g_quality = 0 AND g_dup = 0
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM flags
+) g CROSS JOIN tot
+""",
+)
+def cu07_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate ablation for the curation funnel: every gate evaluated
+    INDEPENDENTLY per doc (quality < 0.5, exact-dup non-survivor,
+    length outside 20..400 tokens), reporting per gate the total
+    flagged and — the ablation number — how many docs ONLY that gate
+    catches (drop it and exactly those documents leak back in).
+    cu04's first-drop audit shows funnel ORDER; this shows funnel
+    NECESSITY. One scan computes all flags (the dup flag is dd15's
+    fingerprint window); the three output rows unpivot from flag
+    sums."""
+    from ntripmonitor_spark.operators.dedup import normalized_words
+    from ntripmonitor_spark.operators.text import quality_score_col
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    nw = F.size(normalized_words(F.col("text")))
+    flags = docs.select(
+        "doc_id",
+        (quality_score_col(F.col("text")) < 0.5).cast("int").alias("g_quality"),
+        (F.col("doc_id") != F.min("doc_id").over(
+            W.partitionBy(F.md5(F.col("text").cast("binary")))
+        )).cast("int").alias("g_dup"),
+        ((nw < 20) | (nw > 400)).cast("int").alias("g_length"),
+    )
+    tot = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("g_quality") + F.col("g_dup") + F.col("g_length") > 0, 1)
+              .otherwise(0)).alias("n_removed"),
+    )
+    gates = ("quality", "dup", "length")
+    legs = []
+    for g in gates:
+        others = [f"g_{o}" for o in gates if o != g]
+        legs.append(
+            flags.agg(
+                F.sum(f"g_{g}").alias("n_flagged"),
+                F.sum(
+                    F.when((F.col(f"g_{g}") == 1)
+                           & (F.col(others[0]) == 0) & (F.col(others[1]) == 0), 1)
+                    .otherwise(0)
+                ).alias("n_only"),
+            ).select(F.lit(g).alias("gate"), "n_flagged", "n_only")
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.crossJoin(F.broadcast(tot)).select(
+        "gate", "n_flagged", "n_only", "n_docs", "n_removed"
+    )

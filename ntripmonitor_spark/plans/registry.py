@@ -62,7 +62,7 @@ def bench_queries() -> dict[str, Query]:
 #     seven wave-6 queries are pre-rotated and queue for round 8,
 #     as are the five wave-7 registrations an07/gr06/in06/q30/ss17
 #     and the wave-8..10 registrations an08/er05/tk02/tp06/an09/
-#     fn08/lo03/tp07/cu06/dd15/an10/dq06).
+#     fn08/lo03/tp07/cu06/dd15/an10/dq06/mk02/cu07).
 # Everything else (fresh r5/r6-green rows, plus the r1-era tx01-tx07 /
 # q20 / dd05 / sp01 batch and the r3-era q-family that no longer fits -
 # queued first for round 8) is exposed under an ``x_`` alias (sorts past
@@ -91,6 +91,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "cu04_drop_reasons",
         "cu05_ccnet_buckets",
         "cu06_threshold_sweep",
+        "cu07_gate_ablation",
         "dc01_decontamination",
         "dc02_decontamination_bloom",
         "dc03_thirteen_gram",
@@ -139,6 +140,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "lr01_grouped_regression",
         "lr02_logreg_quality",
         "mk01_event_transitions",
+        "mk02_sequence_nll",
         "mm01_decode_metadata",
         "mm02_feature_extract",
         "mm03_frame_sample",

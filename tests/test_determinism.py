@@ -49,6 +49,8 @@ QUERIES = [
     "cu06_threshold_sweep", "dd15_dup_inflation",
     # round-7 wave 12: median-sign run counting, FK orphan audit
     "an10_runs_test", "dq06_referential_integrity",
+    # round-7 wave 13: decimal-carried sequence surprisal, flag algebra
+    "mk02_sequence_nll", "cu07_gate_ablation",
 ]
 
 

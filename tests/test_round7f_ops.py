@@ -668,3 +668,40 @@ def test_dq06_detects_planted_orphan(spark, sf_dir):
         F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0)).alias("n_orphans"),
     ).collect()[0]
     assert row["n_child"] == 6 and row["n_orphans"] == 1
+
+
+# ---------------------------------------------------------------------------
+# wave 13: mk02 cu07
+# ---------------------------------------------------------------------------
+
+
+def test_mk02_flags_rare_transition_walker(spark):
+    """Two users walking a common a→b→a... loop and one user making
+    rare b→c jumps: the rare-transition user scores the highest mean
+    surprisal."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    for uid in (1, 2, 3, 4, 5):
+        for t in range(10):
+            rows.append((i, base + datetime.timedelta(minutes=t), uid, "a" if t % 2 == 0 else "b", 1.0))
+            i += 1
+    for t in range(10):  # user 9 alternates b / c — transitions the others never make
+        rows.append((i, base + datetime.timedelta(minutes=t), 9, "b" if t % 2 == 0 else "c", 1.0))
+        i += 1
+    out = timeseries.sequence_nll(_events(spark, rows), min_steps=5, k=10).collect()
+    assert out[0]["user_id"] == 9 and out[0]["rank"] == 1
+    assert out[0]["mean_nll"] > out[-1]["mean_nll"] or len(out) == 1
+
+
+def test_cu07_ablation_conservation(spark):
+    """Flag algebra holds on the real corpus: n_only <= n_flagged per
+    gate, and the union bound sum(n_only) <= n_removed <= sum(n_flagged)."""
+    from ntripmonitor_spark.plans.registry import REGISTRY
+
+    rows = {r["gate"]: r for r in REGISTRY["cu07_gate_ablation"].fn(spark, SF).collect()}
+    assert set(rows) == {"quality", "dup", "length"}
+    n_removed = next(iter(rows.values()))["n_removed"]
+    assert all(r["n_only"] <= r["n_flagged"] for r in rows.values())
+    assert sum(r["n_only"] for r in rows.values()) <= n_removed
+    assert n_removed <= sum(r["n_flagged"] for r in rows.values())
