@@ -784,3 +784,50 @@ def sequence_nll(events: DataFrame, key_col: str = "user_id",
     return topk.withColumn("rank", F.row_number().over(w_rank)).select(
         "rank", key_col, "n_steps", "mean_nll"
     )
+
+
+def downsample_extremes(events: DataFrame, bucket_s: int = 21600,
+                        key_col: str = "event_type", ts_col: str = "ts",
+                        value_col: str = "value") -> DataFrame:
+    """Spike-preserving downsampling for dashboard serving (the
+    parallel-friendly cousin of LTTB): per (key, bucket) emit the
+    bucket mean AND the single most extreme point (max |v − mean|,
+    ties → lowest event id) — a plain bucket average smooths away
+    exactly the spikes an operator monitors for; carrying the extreme
+    keeps them visible at any zoom level.
+
+    LTTB itself chains each bucket's pick to the previous one
+    (sequential, like CUSUM's recursion); fixing the reference to the
+    bucket mean removes the chain, so every bucket picks independently
+    — embarrassingly parallel, same visual intent. Two co-keyed
+    passes: the bucket aggregate and one join-back + rank on the SAME
+    (key, bucket) partitioning; deviations rank on their 9-dp rounding
+    so the pick is cross-engine exact.
+    """
+    bkt_us = bucket_s * 1_000_000
+    staged = events.select(
+        key_col, "event_id",
+        F.floor(epoch_us(ts_col) / bkt_us).cast("long").alias("bkt"),
+        F.col(value_col).alias("v"),
+    )
+    buckets = staged.groupBy(key_col, "bkt").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(38,6)")).cast("double") / F.count(F.lit(1)), 6,
+        ).alias("mean_v"),
+    )
+    joined = staged.join(buckets, [key_col, "bkt"])
+    w = Window.partitionBy(key_col, "bkt").orderBy(
+        F.round(F.abs(F.col("v") - F.col("mean_v")), 9).desc(),
+        F.col("event_id").asc(),
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            key_col, "bkt", "n_events", "mean_v",
+            F.col("event_id").alias("ext_event_id"),
+            F.round(F.col("v"), 6).alias("ext_value"),
+            F.round(F.abs(F.col("v") - F.col("mean_v")), 6).alias("ext_dev"),
+        )
+    )

@@ -62,7 +62,7 @@ def bench_queries() -> dict[str, Query]:
 #     seven wave-6 queries are pre-rotated and queue for round 8,
 #     as are the five wave-7 registrations an07/gr06/in06/q30/ss17
 #     and the wave-8..10 registrations an08/er05/tk02/tp06/an09/
-#     fn08/lo03/tp07/cu06/dd15/an10/dq06/mk02/cu07).
+#     fn08/lo03/tp07/cu06/dd15/an10/dq06/mk02/cu07/ts05).
 # Everything else (fresh r5/r6-green rows, plus the r1-era tx01-tx07 /
 # q20 / dd05 / sp01 batch and the r3-era q-family that no longer fits -
 # queued first for round 8) is exposed under an ``x_`` alias (sorts past
@@ -222,6 +222,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tp07_curriculum_order",
         "ts01_gap_fill",
         "ts02_ohlc_downsample",
+        "ts05_downsample_extremes",
         "tx01_language_id",
         "tx02_quality_score",
         "tx03_token_count",

@@ -498,3 +498,44 @@ def an10_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties drop on 6-dp-rounded comparisons so both engines agree on the
     sign sequence; an all-one-sign key reports NULL z, never /0."""
     return timeseries.runs_test(table(spark, sf_dir, "events"), bucket_s=3600)
+
+
+@register(
+    "ts05_downsample_extremes",
+    tags=("timeseries",),
+    oracle="""
+WITH staged AS (
+    SELECT event_type, event_id,
+           CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS bkt, value AS v
+    FROM events
+),
+b AS (
+    SELECT event_type, bkt, CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS mean_v
+    FROM staged GROUP BY 1, 2
+),
+j AS (
+    SELECT s.*, b.n_events, b.mean_v,
+           row_number() OVER (
+               PARTITION BY s.event_type, s.bkt
+               ORDER BY round(abs(s.v - b.mean_v), 9) DESC, s.event_id ASC
+           ) AS rn
+    FROM staged s JOIN b USING (event_type, bkt)
+)
+SELECT event_type, bkt, n_events, mean_v,
+       event_id AS ext_event_id,
+       round(v, 6) AS ext_value,
+       round(abs(v - mean_v), 6) AS ext_dev
+FROM j WHERE rn = 1
+""",
+)
+def ts05_downsample_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spike-preserving 6-hour downsampling: per (type, bucket) the
+    mean AND the most deviant point — what a dashboard should serve
+    instead of a plain bucket average that smooths away exactly the
+    spikes being monitored (the reference's Grafana panels average;
+    this keeps extremes visible at any zoom). Bucket-mean anchoring
+    makes every bucket's pick independent (LTTB's chained pick is
+    sequential), so the plan is two co-keyed passes."""
+    return timeseries.downsample_extremes(table(spark, sf_dir, "events"),
+                                          bucket_s=21600)

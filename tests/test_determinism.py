@@ -51,6 +51,8 @@ QUERIES = [
     "an10_runs_test", "dq06_referential_integrity",
     # round-7 wave 13: decimal-carried sequence surprisal, flag algebra
     "mk02_sequence_nll", "cu07_gate_ablation",
+    # round-7 wave 14: rounded-deviation pick in the downsampler
+    "ts05_downsample_extremes",
 ]
 
 

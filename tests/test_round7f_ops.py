@@ -705,3 +705,26 @@ def test_cu07_ablation_conservation(spark):
     assert all(r["n_only"] <= r["n_flagged"] for r in rows.values())
     assert sum(r["n_only"] for r in rows.values()) <= n_removed
     assert n_removed <= sum(r["n_flagged"] for r in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# wave 14: ts05
+# ---------------------------------------------------------------------------
+
+
+def test_ts05_keeps_the_spike(spark):
+    """A flat bucket with one spike: the extreme row IS the spike and
+    the mean still reflects the whole bucket; a constant bucket picks
+    its earliest event with zero deviation."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base + datetime.timedelta(minutes=i), 1, "a", 10.0) for i in range(10)]
+    rows.append((99, base + datetime.timedelta(minutes=30), 1, "a", 100.0))
+    rows += [(200 + i, base + datetime.timedelta(hours=12, minutes=i), 1, "a", 5.0)
+             for i in range(4)]
+    out = sorted(timeseries.downsample_extremes(_events(spark, rows)).collect(),
+                 key=lambda r: r["bkt"])
+    assert len(out) == 2
+    spike, flat = out[0], out[1]
+    assert spike["ext_event_id"] == 99 and spike["ext_value"] == 100.0
+    assert abs(spike["mean_v"] - (10 * 10 + 100) / 11) < 1e-6
+    assert flat["ext_event_id"] == 200 and flat["ext_dev"] == 0.0
