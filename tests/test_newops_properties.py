@@ -664,3 +664,56 @@ def test_sp07_epochs_permute_but_reproduce(spark, sf_dir):
     assert set(e1) == set(e2) and len(set(e1.values())) == len(e1)
     n_moved = sum(1 for d in e1 if e1[d] != e2[d])
     assert n_moved > len(e1) * 0.9, "epoch change barely permuted the order"
+
+
+def test_an06_window_identity_equals_recursion_random_series(spark):
+    """Property over pseudo-random series (deterministic LCG seeds,
+    three shapes: pure noise, noise+shift, noise+ramp): the CUSUM
+    window closed form S = C − min(0, run-min C) must equal the
+    sequential recursion S_i = max(0, S_{i-1} + y_i) replayed in
+    Python on the identical rounded bucket means — the identity an06
+    rests on, quantified beyond the single hand-built case."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    series = {}
+    for tname, seed, shift, ramp in (
+        ("noise", 12345, 0.0, 0.0),
+        ("shift", 67890, 12.0, 0.0),
+        ("ramp", 24680, 0.0, 0.3),
+    ):
+        x = seed
+        vals = []
+        for h in range(60):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            v = 50.0 + (x % 1000) / 100.0
+            if shift and h >= 40:
+                v += shift
+            v += ramp * h
+            v = round(v, 6)
+            vals.append(v)
+            rows.append((len(rows), base + datetime.timedelta(hours=h), 1, tname, v))
+        series[tname] = vals
+    out = {r["event_type"]: r for r in
+           timeseries.cusum_changepoint(_events_df(spark, rows), slack_k=0.25).collect()}
+    for tname, xs in series.items():
+        mu = sum(xs) / len(xs)
+        sigma = (sum((v - mu) ** 2 for v in xs) / (len(xs) - 1)) ** 0.5
+        s, smax = 0.0, 0.0
+        for v in xs:
+            s = max(0.0, s + (v - mu - 0.25 * sigma))
+            smax = max(smax, s)
+        assert abs(out[tname]["s_max"] - smax) < 1e-5, tname
+    # the planted shift is detected near its onset; pure noise peaks lower
+    assert out["shift"]["s_max"] > 3 * out["noise"]["s_max"]
+    bkt0 = int(base.timestamp() // 3600)
+    assert abs(out["shift"]["cp_bkt"] - (bkt0 + 39)) <= 3
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, u, et, v, "{}") for i, ts, u, et, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
