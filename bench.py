@@ -129,7 +129,11 @@ def main() -> None:
     # Dev-subset runs (SPARK_GRAFT_BENCH_ONLY) go to BENCH_FULL_DEV.json
     # so they can never clobber the archived full record.
     full_total = round(sum(timings.values()), 4)
-    full_name = "BENCH_FULL_DEV.json" if only else "BENCH_FULL.json"
+    # The archived record is the sf0.1 full-set run ONLY: a dev run at
+    # another SF (SPARK_GRAFT_SF_DIR=sf0.001) must not clobber it any
+    # more than a SPARK_GRAFT_BENCH_ONLY subset may.
+    is_dev = bool(only) or sf != 0.1
+    full_name = "BENCH_FULL_DEV.json" if is_dev else "BENCH_FULL.json"
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), full_name)
     with open(full_path, "w") as f:
         json.dump(
