@@ -1,0 +1,92 @@
+"""Engine-version-portable fixed-point emission for float-derived metrics.
+
+Why this exists: the driver's correctness gate canonicalizes DOUBLE
+columns through ``%.9g`` and compares against a DuckDB oracle whose
+*engine version we don't control*.  Two SQL constructs are NOT stable
+across engine versions even when both sides are mathematically right:
+
+- ``round(x, n)`` on DOUBLE — half-up vs half-even vs decimal-string
+  rounding has changed between engine releases, so the 6th digit of a
+  boundary value can differ between the oracle we test against locally
+  and the one the driver runs.
+- integral ``//`` division — its *result type* (BIGINT vs DOUBLE
+  floor) differs across versions; a 13-digit integer that silently
+  becomes DOUBLE is then truncated to 9 significant digits by the
+  canonicalizer and hash-mismatches the exact integer the Spark side
+  produced.
+
+The portable recipe used here instead:
+
+1. compute the metric with only IEEE-deterministic ops (+ - * /, sqrt,
+   floor — all correctly rounded on every engine; never ``round``),
+2. quantize via ``floor(x * 10^s + 0.5)`` → an exact BIGINT that every
+   engine version computes identically,
+3. re-scale by an exact decimal *multiply* (never a decimal division,
+   whose result-scale rules vary) and emit DECIMAL(p, s) — which both
+   drivers canonicalize as a plain string, no float formatting at all.
+
+Both sides must apply textually identical operation order; the
+``*_sql`` twins below generate the DuckDB expression for the Spark
+column builders so the two can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def quantize(x: Column, scale: int) -> Column:
+    """``floor(x * 10^s + 0.5)`` as LongType — the portable round-half-up
+    of a DOUBLE to ``scale`` fractional digits, in integer units.
+    Multiply, add and floor are exact/correctly-rounded IEEE ops, so any
+    engine computes the identical integer from the identical double."""
+    return F.floor(x * F.lit(float(10 ** scale)) + F.lit(0.5))
+
+
+def quantize_sql(expr: str, scale: int) -> str:
+    """DuckDB twin of :func:`quantize` (textually same op order)."""
+    return f"CAST(floor(({expr}) * {float(10 ** scale)!r} + 0.5) AS BIGINT)"
+
+
+def int_to_dec(q: Column, scale: int, precision: int = 18) -> Column:
+    """Re-scale integer units ``q`` into DECIMAL(precision, scale) via an
+    exact decimal multiply (q * 10^-s) — no decimal division anywhere,
+    so the result scale is s on every engine by the s1+s2 multiply rule.
+    The unit literal is string-cast to DECIMAL(s+1, s) explicitly (a
+    Python Decimal literal would infer DecimalType(38,18) and trip the
+    precision-overflow scale clamp in the multiply)."""
+    unit = "0." + "0" * (scale - 1) + "1" if scale else "1"
+    unit_col = F.lit(unit).cast(f"decimal({scale + 1},{scale})")
+    return (q.cast("decimal(28,0)") * unit_col).cast(f"decimal({precision},{scale})")
+
+
+def int_to_dec_sql(expr: str, scale: int, precision: int = 18) -> str:
+    """DuckDB twin of :func:`int_to_dec`."""
+    unit = "0." + "0" * (scale - 1) + "1" if scale else "1"
+    return (
+        f"CAST(CAST(({expr}) AS DECIMAL(28,0))"
+        f" * CAST({unit} AS DECIMAL({scale + 1},{scale}))"
+        f" AS DECIMAL({precision},{scale}))"
+    )
+
+
+def dec_fixed(x: Column, scale: int, precision: int = 18) -> Column:
+    """DOUBLE → DECIMAL(precision, scale), rounded half-up portably."""
+    return int_to_dec(quantize(x, scale), scale, precision)
+
+
+def dec_fixed_sql(expr: str, scale: int, precision: int = 18) -> str:
+    """DuckDB twin of :func:`dec_fixed`."""
+    return int_to_dec_sql(quantize_sql(expr, scale), scale, precision)
+
+
+def idiv_sql(a: str, b: str) -> str:
+    """Version-proof integral division for the DuckDB oracle: exact for
+    non-negative BIGINT operands on any engine version. ``a % b`` is
+    integral on every version; ``a - a%b`` is divisible by ``b`` so the
+    division is mathematically exact (and its quotient, < 2^53 for the
+    magnitudes used here, is exact even if a version types ``/`` as
+    DOUBLE); the CAST pins the BIGINT result type. Mirrors Spark's
+    ``div`` on non-negative longs."""
+    return f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS BIGINT)"

@@ -590,9 +590,13 @@ def pps_resample(docs: DataFrame, id_col: str = "doc_id",
     broadcast (the bm01 corpus-stats discipline); the keep decision is
     then a pure pushed-down scan predicate — zero additional exchanges
     before the final per-group rollup. HT shares (1/p, a single IEEE
-    division → identical doubles on both engines) are 6-dp-rounded and
-    summed as DECIMAL(18,6), so estimates are summation-order-free.
+    division → identical doubles on both engines) are floor-quantized
+    to integer millionths per row (functions/portable.py — no engine
+    round()), summed as exact BIGINTs (summation-order-free), and the
+    estimate is emitted as DECIMAL(18,6) so no float formatting is
+    involved on either engine.
     """
+    from ntripmonitor_spark.functions.portable import int_to_dec, quantize
     mx = docs.agg(F.max(F.col(size_col)).alias("mx"))
     staged = docs.crossJoin(F.broadcast(mx)).select(
         F.col(id_col), F.col(group_col), F.col(size_col),
@@ -612,18 +616,18 @@ def pps_resample(docs: DataFrame, id_col: str = "doc_id",
         hash_bucket(F.col(id_col), buckets).alias("bucket"),
     )
     kept = staged.filter(F.col("bucket") < F.col("cutoff"))
-    ht_share = F.round(F.lit(float(buckets)) / F.col("cutoff"), 6).cast("decimal(18,6)")
+    ht_ppm = quantize(F.lit(float(buckets)) / F.col("cutoff"), 6)
     n_orig = staged.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_orig"))
     agg = kept.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum(F.col(size_col)).alias("chars_kept"),
-        F.round(F.sum(ht_share).cast("double"), 4).alias("ht_n_docs"),
+        F.sum(ht_ppm).alias("ht_ppm"),
     )
     return n_orig.join(agg, group_col, "left").select(
         group_col, "n_orig",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("chars_kept", F.lit(0)).alias("chars_kept"),
-        F.coalesce("ht_n_docs", F.lit(0.0)).alias("ht_n_docs"),
+        int_to_dec(F.coalesce("ht_ppm", F.lit(0)), 6).alias("ht_n_docs"),
     )
 
 

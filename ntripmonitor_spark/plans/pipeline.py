@@ -19,6 +19,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ntripmonitor_spark.functions.portable import (
+    dec_fixed,
+    dec_fixed_sql,
+    idiv_sql,
+    int_to_dec,
+    int_to_dec_sql,
+    quantize,
+    quantize_sql,
+)
 from ntripmonitor_spark.operators import dedup, multimodal, simsearch, text
 from ntripmonitor_spark.operators import timeseries as timeseries_ops
 from ntripmonitor_spark.plans.registry import register
@@ -4913,14 +4922,13 @@ staged AS (
 kept AS (SELECT * FROM staged WHERE bucket < cutoff),
 agg AS (
     SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept,
-           round(CAST(sum(CAST(round(1000.0 / cutoff, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
-               AS ht_n_docs
+           sum({quantize_sql('1000.0 / cutoff', 6)}) AS ht_ppm
     FROM kept GROUP BY source
 )
 SELECT s.source, s.n_orig,
        coalesce(agg.n_kept, 0) AS n_kept,
        coalesce(agg.chars_kept, 0) AS chars_kept,
-       coalesce(agg.ht_n_docs, 0.0) AS ht_n_docs
+       {int_to_dec_sql('coalesce(agg.ht_ppm, 0)', 6)} AS ht_n_docs
 FROM (SELECT source, count(*) AS n_orig FROM staged GROUP BY source) s
 LEFT JOIN agg USING (source)
 """,
@@ -4932,7 +4940,9 @@ def sp10_pps_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbiased downsample-but-keep-estimates primitive. One corpus max
     rides as a one-row broadcast; the keep decision is a deterministic
     integer hash-cutoff scan predicate (no RNG state, reproducible
-    across retries); HT shares sum as DECIMAL(18,6)."""
+    across retries); HT shares are floor-quantized to integer
+    millionths, BIGINT-summed, and emitted DECIMAL(18,6) — the
+    engine-version-portable recipe of functions/portable.py."""
     from ntripmonitor_spark.operators import sampling
 
     return sampling.pps_resample(table(spark, sf_dir, "documents"))
@@ -4944,14 +4954,19 @@ def sp10_pps_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _PR_ITER(i: int) -> str:
     """One fixed-point PageRank round as two chained CTEs (message sum,
-    then rank update) — the SQL unroll of dedup.pagerank's loop."""
+    then rank update) — the SQL unroll of dedup.pagerank's loop.
+    Integral division is idiv_sql, not ``//``: some DuckDB versions type
+    ``//`` as a DOUBLE floor, and a 13-digit rank that rides as DOUBLE
+    gets truncated to 9 significant digits by the driver's float
+    canonicalizer — idiv_sql pins BIGINT on every version."""
     return f"""
 m{i} AS (
-    SELECT u.dst AS src, sum(p.pr // p.deg) AS s
+    SELECT u.dst AS src, sum({idiv_sql('p.pr', 'p.deg')}) AS s
     FROM und u JOIN pr{i - 1} p ON u.src = p.src GROUP BY u.dst
 ),
 pr{i} AS (
-    SELECT d.src, d.deg, d.n, (150000000000 // d.n) + ((85 * m{i}.s) // 100) AS pr
+    SELECT d.src, d.deg, d.n,
+           {idiv_sql('150000000000', 'd.n')} + {idiv_sql(f'85 * m{i}.s', '100')} AS pr
     FROM pr{i - 1} d JOIN m{i} ON m{i}.src = d.src
 )"""
 
@@ -4982,7 +4997,7 @@ und AS (
 deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
 nn AS (SELECT count(*) AS n FROM deg),
 pr0 AS (
-    SELECT d.src, d.deg, nn.n, 1000000000000 // nn.n AS pr
+    SELECT d.src, d.deg, nn.n, {idiv_sql('1000000000000', 'nn.n')} AS pr
     FROM deg d CROSS JOIN nn
 ),{_PR_ITER(1)},{_PR_ITER(2)},{_PR_ITER(3)}
 SELECT doc_id, degree, pr_e12,
@@ -5020,22 +5035,27 @@ def gr04_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_MX02_W_RAW = "CAST(sq_ppm AS DOUBLE) / CAST(t.z_ppm AS DOUBLE)"
+_MX02_E_RAW = (
+    f"2.0 * CAST(t.total AS DOUBLE) * ({_MX02_W_RAW})"
+    " / CAST(n_chars_total AS DOUBLE)"
+)
+
+
 @register(
     "mx02_mixture_epochs",
     tags=("sampling", "curation"),
-    oracle="""
-WITH s AS (SELECT source, sum(n_chars) AS n_chars_total FROM documents GROUP BY source),
-t AS (
-    SELECT sum(CAST(round(sqrt(CAST(n_chars_total AS DOUBLE)), 6) AS DECIMAL(38,6))) AS z,
-           sum(n_chars_total) AS total
-    FROM s
-)
+    oracle=f"""
+WITH s AS (
+    SELECT source, sum(n_chars) AS n_chars_total,
+           {quantize_sql('sqrt(CAST(sum(n_chars) AS DOUBLE))', 6)} AS sq_ppm
+    FROM documents GROUP BY source
+),
+t AS (SELECT sum(sq_ppm) AS z_ppm, sum(n_chars_total) AS total FROM s)
 SELECT source, n_chars_total,
-       round(round(sqrt(CAST(n_chars_total AS DOUBLE)), 6) / CAST(t.z AS DOUBLE), 6) AS weight,
-       round(2.0 * t.total * (round(sqrt(CAST(n_chars_total AS DOUBLE)), 6) / CAST(t.z AS DOUBLE))
-             / n_chars_total, 4) AS epochs,
-       CAST(round(2.0 * t.total * (round(sqrt(CAST(n_chars_total AS DOUBLE)), 6) / CAST(t.z AS DOUBLE))
-             / n_chars_total, 4) > 1.0 AS INT) AS needs_upsampling
+       {dec_fixed_sql(_MX02_W_RAW, 6)} AS weight,
+       {int_to_dec_sql(quantize_sql(_MX02_E_RAW, 4), 4)} AS epochs,
+       CAST({quantize_sql(_MX02_E_RAW, 4)} > 10000 AS INT) AS needs_upsampling
 FROM s CROSS JOIN t
 """,
 )
@@ -5047,27 +5067,34 @@ def mx02_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     that weight; epochs > 1 flags sources the loader must upsample
     (repeat) rather than subsample. Shape: one |sources|-row aggregate,
     corpus totals ride back as a one-row broadcast — two bounded
-    aggregates total, no shuffle scales with the corpus. Flattening
-    normalizer sums 6-dp-rounded sqrts as DECIMAL(38,6) so the weight
-    denominator is summation-order-free."""
+    aggregates total, no shuffle scales with the corpus. Arithmetic is
+    engine-version-portable (functions/portable.py): per-source sqrt is
+    floor-quantized to integer millionths, the flattening normalizer is
+    an exact BIGINT sum of those (order-free), and weight/epochs are
+    emitted as DECIMAL — no round(), no float formatting on either
+    engine."""
     docs = table(spark, sf_dir, "documents")
-    s = docs.groupBy("source").agg(F.sum("n_chars").alias("n_chars_total"))
-    sq = F.round(F.sqrt(F.col("n_chars_total").cast("double")), 6)
+    s = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("n_chars_total"),
+    ).withColumn(
+        "sq_ppm", quantize(F.sqrt(F.col("n_chars_total").cast("double")), 6)
+    )
     t = s.agg(
-        F.sum(sq.cast("decimal(38,6)")).alias("z"),
+        F.sum("sq_ppm").alias("z_ppm"),
         F.sum("n_chars_total").alias("total"),
     )
     j = s.crossJoin(F.broadcast(t))
-    w_raw = sq / F.col("z").cast("double")
-    epochs = F.round(
+    w_raw = F.col("sq_ppm").cast("double") / F.col("z_ppm").cast("double")
+    e_raw = (
         F.lit(2.0) * F.col("total").cast("double") * w_raw
-        / F.col("n_chars_total").cast("double"), 4,
+        / F.col("n_chars_total").cast("double")
     )
+    eq = quantize(e_raw, 4)
     return j.select(
         "source", "n_chars_total",
-        F.round(w_raw, 6).alias("weight"),
-        epochs.alias("epochs"),
-        (epochs > F.lit(1.0)).cast("int").alias("needs_upsampling"),
+        dec_fixed(w_raw, 6).alias("weight"),
+        int_to_dec(eq, 4).alias("epochs"),
+        (eq > F.lit(10000)).cast("int").alias("needs_upsampling"),
     )
 
 
@@ -5146,7 +5173,7 @@ def ss15_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dq03_key_skew_profile",
     tags=("profile", "skew"),
-    oracle="""
+    oracle=f"""
 WITH per_key AS (
     SELECT user_id, ((user_id * 2654435761) % 4294967296) % 32 AS partition_id,
            count(*) AS n
@@ -5161,8 +5188,8 @@ per_part AS (
 ),
 t AS (SELECT sum(n_rows) AS total FROM per_part)
 SELECT partition_id, n_keys, n_rows, max_key_rows,
-       round(CAST(n_rows AS DOUBLE) / t.total, 6) AS row_share,
-       round(CAST(n_rows AS DOUBLE) * 32 / t.total, 4) AS skew_vs_mean
+       {dec_fixed_sql('CAST(n_rows AS DOUBLE) / t.total', 6)} AS row_share,
+       {dec_fixed_sql('CAST(n_rows AS DOUBLE) * 32 / t.total', 4)} AS skew_vs_mean
 FROM per_part CROSS JOIN t
 """,
 )
@@ -5178,7 +5205,9 @@ def dq03_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions help). Shape: per-(key, partition) partial count, then a
     32-row rollup; the grand total rides back as a one-row broadcast —
     the profile costs one aggregation pass, far less than the shuffle
-    it de-risks."""
+    it de-risks. The share/skew ratios are emitted as DECIMAL via the
+    portable floor-quantize recipe (functions/portable.py) so no engine
+    version's round() or float formatting can move a digit."""
     ev = table(spark, sf_dir, "events")
     per_key = ev.groupBy(
         "user_id",
@@ -5193,8 +5222,8 @@ def dq03_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = per_part.agg(F.sum("n_rows").alias("total"))
     return per_part.crossJoin(F.broadcast(t)).select(
         "partition_id", "n_keys", "n_rows", "max_key_rows",
-        F.round(F.col("n_rows").cast("double") / F.col("total"), 6).alias("row_share"),
-        F.round(F.col("n_rows").cast("double") * 32 / F.col("total"), 4).alias("skew_vs_mean"),
+        dec_fixed(F.col("n_rows").cast("double") / F.col("total"), 6).alias("row_share"),
+        dec_fixed(F.col("n_rows").cast("double") * 32 / F.col("total"), 4).alias("skew_vs_mean"),
     )
 
 

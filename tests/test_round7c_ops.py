@@ -135,15 +135,15 @@ def test_mx02_sqrt_flattening_and_budget(spark):
     finally:
         pp.table = orig_table
     small, big = out["small"], out["big"]
-    assert abs(small["weight"] * 2 - big["weight"] * 1) < 3e-6  # 1:2 (6-dp rounded)
-    assert abs(small["weight"] + big["weight"] - 1.0) < 1e-6
+    assert abs(float(small["weight"]) * 2 - float(big["weight"])) < 3e-6  # 1:2
+    assert abs(float(small["weight"]) + float(big["weight"]) - 1.0) < 1e-6
     # budget = 2 * 5000 chars; scheduled = sum(epochs * chars)
-    scheduled = small["epochs"] * 1000 + big["epochs"] * 4000
+    scheduled = float(small["epochs"]) * 1000 + float(big["epochs"]) * 4000
     assert abs(scheduled - 10000) < 2.0
     assert small["needs_upsampling"] == 1
     # small gets 1/3 of a 2x budget over 1/5 of the chars -> epochs 10/3
-    assert abs(small["epochs"] - 10 / 3) < 1e-3
-    assert abs(big["epochs"] - 10 / 6) < 1e-3
+    assert abs(float(small["epochs"]) - 10 / 3) < 1e-3
+    assert abs(float(big["epochs"]) - 10 / 6) < 1e-3
 
 
 # ---------------------------------------------------------------------------
@@ -201,7 +201,7 @@ def test_dq03_row_conservation_and_hash_placement(spark):
 
     n_events = _table(spark, "/root/testdata/sf0.001", "events").count()
     assert sum(r["n_rows"] for r in rows) == n_events
-    assert abs(sum(r["row_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(float(sum(r["row_share"] for r in rows)) - 1.0) < 1e-4
     assert all(r["max_key_rows"] <= r["n_rows"] for r in rows)
     # mean of skew_vs_mean weighted by 1 partition each ~= populated share
     assert all(r["skew_vs_mean"] > 0 for r in rows)
