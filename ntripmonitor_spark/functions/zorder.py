@@ -65,6 +65,8 @@ def zorder_code(df: DataFrame, col_a: str, col_b: str,
         F.min(F.col(col_a).cast("double")), F.max(F.col(col_a).cast("double")),
         F.min(F.col(col_b).cast("double")), F.max(F.col(col_b).cast("double")),
     ).first()
+    if lo_a is None:  # empty input: any bounds work — there are no rows
+        lo_a, hi_a, lo_b, hi_b = 0.0, 1.0, 0.0, 1.0
     a = _clamp_scale(F.col(col_a), F.lit(float(lo_a)), F.lit(float(hi_a)), bits)
     b = _clamp_scale(F.col(col_b), F.lit(float(lo_b)), F.lit(float(hi_b)), bits)
     return df.withColumn("z", morton_interleave(a, b, bits))
@@ -110,6 +112,12 @@ def pruning_stats(df: DataFrame, col_a: str, col_b: str,
         F.min("z"), F.max("z"),
         F.min(F.col(id_col).cast("long")), F.max(F.col(id_col).cast("long")),
     ).first()
+    if z_lo is None:  # empty input: no files, no rows — not a TypeError
+        return zc.sparkSession.createDataFrame(
+            [],
+            "layout string, n_files bigint, files_scanned bigint,"
+            " rows_scanned bigint, rows_matched bigint",
+        )
 
     def file_of(col: Column, lo: int, hi: int) -> Column:
         span = max(int(hi) - int(lo) + 1, 1)
@@ -188,6 +196,12 @@ def layout_matrix(df: DataFrame, col_a: str, col_b: str,
         F.min(F.col(id_col).cast("long")), F.max(F.col(id_col).cast("long")),
         F.min(F.col(col_a).cast("double")), F.max(F.col(col_a).cast("double")),
     ).first()
+    if z_lo is None:  # empty input: no files, no rows — not a TypeError
+        return zc.sparkSession.createDataFrame(
+            [],
+            "layout string, predicate string, n_files bigint,"
+            " files_scanned bigint, rows_scanned bigint, rows_matched bigint",
+        )
 
     def int_file(col: Column, lo: int, hi: int) -> Column:
         span = max(int(hi) - int(lo) + 1, 1)

@@ -1447,6 +1447,10 @@ def dup_token_inflation(docs: DataFrame, source_col: str = "source",
             F.sum(F.when(F.col("doc_id") != F.col("keep_id"), 1).otherwise(0)).alias("n_dup_docs"),
             F.sum("n_toks").alias("total_tokens"),
             F.sum(dup_tok).alias("dup_tokens"),
-            F.round(F.sum(dup_tok) / F.sum("n_toks").cast("double"), 6).alias("inflation"),
+            # /0 guard (all-empty-text source): NULL on both engines
+            F.when(
+                F.sum("n_toks") > 0,
+                F.round(F.sum(dup_tok) / F.sum("n_toks").cast("double"), 6),
+            ).alias("inflation"),
         )
     )

@@ -386,9 +386,14 @@ def benford_deviation(events: DataFrame, group_col: str = "event_type",
 
     The digit is floor(v / 10^floor(log10(v))) — pure column math, so
     the whole operator is one map-side-combined aggregate on
-    (group, digit) followed by a |groups|×9 reduction. Counts are
-    exact integers; the chi-square sum runs over ≤9 rounded terms in
-    DECIMAL so it is summation-order-free.
+    (group, digit) followed by a |groups|×9 reduction. Each group is
+    joined against a literal 1..9 digit spine (missing counts coalesce
+    to 0), so the chi-square is the STANDARD 9-term statistic — an
+    unobserved digit contributes its full expected count, which is
+    exactly the signal for sparse/fabricated feeds. ``n_digits`` still
+    reports how many digits were actually observed. Counts are exact
+    integers; the chi-square sum runs over 9 rounded terms in DECIMAL
+    so it is summation-order-free.
     """
     v = F.col(value_col).cast("double")
     digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
@@ -399,7 +404,13 @@ def benford_deviation(events: DataFrame, group_col: str = "event_type",
         .agg(F.count(F.lit(1)).alias("n"))
     )
     tot = by_digit.groupBy(group_col).agg(F.sum("n").alias("n_tot"))
-    j = by_digit.join(F.broadcast(tot), group_col)
+    spine = tot.select(
+        group_col, "n_tot",
+        F.explode(F.array(*[F.lit(d) for d in range(1, 10)])).alias("digit"),
+    )
+    j = spine.join(by_digit, [group_col, "digit"], "left").withColumn(
+        "n", F.coalesce("n", F.lit(0))
+    )
     exp_n = F.col("n_tot").cast("double") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
     term = F.round(
         (F.col("n").cast("double") - exp_n) * (F.col("n").cast("double") - exp_n) / exp_n, 9
@@ -408,7 +419,7 @@ def benford_deviation(events: DataFrame, group_col: str = "event_type",
         j.groupBy(group_col)
         .agg(
             F.max("n_tot").alias("n_rows"),
-            F.count(F.lit(1)).alias("n_digits"),
+            F.sum(F.when(F.col("n") > 0, 1).otherwise(0)).alias("n_digits"),
             F.round(F.sum(term.cast("decimal(38,9)")).cast("double"), 6).alias("chi2"),
             F.max(F.when(F.col("digit") == 1,
                          F.round(F.col("n").cast("double") / F.col("n_tot"), 6))).alias("p_digit1"),

@@ -962,7 +962,11 @@ def tokenizer_fertility(docs: DataFrame, source_col: str = "source",
         )
         .select(
             "source", "lang", "n_docs", "ws_tokens", "bpe_tokens",
-            F.round(F.col("bpe_tokens") / F.col("ws_tokens").cast("double"), 6)
-            .alias("fertility"),
+            # /0 guard: ANSI Spark errors on x/0 while the oracle's
+            # engine yields NULL — emit NULL explicitly on both paths
+            F.when(
+                F.col("ws_tokens") > 0,
+                F.round(F.col("bpe_tokens") / F.col("ws_tokens").cast("double"), 6),
+            ).alias("fertility"),
         )
     )

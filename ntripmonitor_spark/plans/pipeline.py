@@ -5689,27 +5689,37 @@ WITH d AS (
     FROM events WHERE value > 0
 ),
 bd AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
-tt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_tot FROM bd GROUP BY 1)
-SELECT b.event_type,
-       CAST(max(t.n_tot) AS BIGINT) AS n_rows,
-       CAST(count(*) AS BIGINT) AS n_digits,
+tt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_tot FROM bd GROUP BY 1),
+sp AS (
+    SELECT t.event_type, t.n_tot, g.digit
+    FROM tt t CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) g
+),
+b AS (
+    SELECT sp.event_type, sp.n_tot, sp.digit, coalesce(bd.n, 0) AS n
+    FROM sp LEFT JOIN bd ON bd.event_type = sp.event_type AND bd.digit = sp.digit
+)
+SELECT event_type,
+       CAST(max(n_tot) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_digits,
        round(CAST(sum(CAST(round(
-           (CAST(b.n AS DOUBLE) - CAST(t.n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(b.digit AS DOUBLE)))
-           * (CAST(b.n AS DOUBLE) - CAST(t.n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(b.digit AS DOUBLE)))
-           / (CAST(t.n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(b.digit AS DOUBLE))), 9)
+           (CAST(n AS DOUBLE) - CAST(n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+           * (CAST(n AS DOUBLE) - CAST(n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+           / (CAST(n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 9)
            AS DECIMAL(38,9))) AS DOUBLE), 6) AS chi2,
-       max(CASE WHEN b.digit = 1
-                THEN round(CAST(b.n AS DOUBLE) / t.n_tot, 6) END) AS p_digit1
-FROM bd b JOIN tt t USING (event_type)
+       max(CASE WHEN digit = 1 THEN round(CAST(n AS DOUBLE) / n_tot, 6) END) AS p_digit1
+FROM b
 GROUP BY 1
 """,
 )
 def dq04_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-significant-digit histogram vs the Benford expectation,
     as a per-type chi-square — the fabricated/corrupted-feed screen
-    for financial-style columns. One map-side-combined (type, digit)
-    aggregate + a |types|×9 reduction; the chi-square terms are 9-dp
-    rounded and DECIMAL-summed (≤9 terms, order-free)."""
+    for financial-style columns. Each type joins a literal 1..9 digit
+    spine (missing counts 0), so chi2 is the standard 9-term statistic
+    even for sparse groups; n_digits reports the observed-digit count.
+    One map-side-combined (type, digit) aggregate + a |types|×9
+    reduction; the chi-square terms are 9-dp rounded and
+    DECIMAL-summed (9 terms, order-free)."""
     from ntripmonitor_spark.operators import stats
 
     return stats.benford_deviation(table(spark, sf_dir, "events"))
@@ -6539,13 +6549,18 @@ _DQ06_EDGES = (
     "dq06_referential_integrity",
     tags=("quality",),
     oracle=" UNION ALL ".join(
+        # the parent side is DISTINCT-projected to mirror the Spark
+        # plan's .distinct() exactly — without it the two engines only
+        # agree because TPC-H parent keys happen to be unique (a
+        # duplicated parent key would inflate n_child in a raw join)
         f"""
 SELECT '{edge}' AS fk_edge,
        CAST(count(*) AS BIGINT) AS n_child,
        CAST(sum(CASE WHEN p.{pkey} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
        round(1.0 - sum(CASE WHEN p.{pkey} IS NULL THEN 1 ELSE 0 END)
              / CAST(count(*) AS DOUBLE), 6) AS fk_coverage
-FROM {child} c LEFT JOIN {parent} p ON p.{pkey} = c.{ckey}"""
+FROM {child} c
+LEFT JOIN (SELECT DISTINCT {pkey} FROM {parent}) p ON p.{pkey} = c.{ckey}"""
         for edge, child, ckey, parent, pkey in _DQ06_EDGES
     ),
 )

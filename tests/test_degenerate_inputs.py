@@ -378,8 +378,9 @@ def test_round7_wave12plus_ops_survive_empty_and_single(spark, empty_events, emp
         " value double, props string",
     )
     for ev, n in ((empty_events, 0), (one_ev, 1)):
-        # single bucket: sign filter drops the (x == med) row → no runs row
-        assert timeseries.runs_test(ev).count() == 0 if n == 0 else True
+        if n == 0:
+            # single bucket: sign filter drops the (x == med) row → no runs row
+            assert timeseries.runs_test(ev).count() == 0
         rt = timeseries.runs_test(ev).collect()
         for r in rt:
             assert r.z is None

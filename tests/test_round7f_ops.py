@@ -138,7 +138,8 @@ def test_dq04_benford_sample_scores_low_uniform_high(spark):
     assert out["benford"]["chi2"] < 10.0
     assert out["constant"]["chi2"] > 1000.0
     assert out["constant"]["n_digits"] == 1
-    assert out["constant"]["p_digit1"] is None
+    # digit-1 spine row always exists; no observations → share 0.0
+    assert out["constant"]["p_digit1"] == 0.0
 
 
 def test_dq04_digit_extraction_spans_magnitudes(spark):
