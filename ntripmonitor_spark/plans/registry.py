@@ -43,45 +43,39 @@ def bench_queries() -> dict[str, Query]:
     return {n: q for n, q in REGISTRY.items() if q.bench}
 
 
-# Driver-window rotation (round 7, refreshed mid-round after the wave-2..5
-# registrations). The correctness driver records rows for the FIRST 50
-# registered names alphabetically. Priority order (same documented policy,
-# re-derived by tools/propose_rotation.py):
-#   * all 37 never-driver-graded queries - the 8 deferred since r5/r6
-#     (an02, an03, mm05, tp03, in03, mm12, mm13, gr03) plus the 29
-#     round-7 wave-2..5 registrations (dd12, dd13, dp02, dq03, fn04-fn07,
-#     gr04, in04, mm14, mx01, mx02, q25-q28, rc02, scd02, sp08-sp11,
-#     ss14-ss16, tp05, ts03, tx17);
-#   * the 11 changed-since-last-green queries: rt01-rt10 + q13 - their
-#     green rows are r3-era while r5 rerouted their epoch paths
-#     (functions/timeutil.epoch_us) and r6 moved rt01's timed path to the
-#     cached frame archive;
-#   * the first two wave-6 registrations (an06_cusum_shift,
-#     dd14_cdc_chunks), never-checked and so ranked above the stale
-#     backfill they displaced (ss01/ss02 rotate back out; the other
-#     seven wave-6 queries are pre-rotated and queue for round 8,
-#     as are the five wave-7 registrations an07/gr06/in06/q30/ss17
-#     and the wave-8..10 registrations an08/er05/tk02/tp06/an09/
-#     fn08/lo03/tp07/cu06/dd15/an10/dq06/mk02/cu07/ts05).
-# Everything else (fresh r5/r6-green rows, plus the r1-era tx01-tx07 /
-# q20 / dd05 / sp01 batch and the r3-era q-family that no longer fits -
-# queued first for round 8) is exposed under an ``x_`` alias (sorts past
-# the 50 canonical names, all < 'x'). Nothing is hidden - every query
-# stays registered under its canonical name for tests/bench and the local
-# DuckDB parity suite (tests/test_parity.py); cross-round coverage is
-# auto-derived by tools/coverage_report.py.
+# Driver-window rotation (round 8: retire ALL verification debt). The
+# correctness driver records rows for the FIRST 50 registered names
+# alphabetically. This round's window, re-derived by
+# tools/propose_rotation.py under the documented priority order:
+#   * the 4 queries whose r7 rows were hash-red (dq03, gr04, mx02,
+#     sp10) - their outputs are now engine-version-portable
+#     (functions/portable.py) and need re-proof;
+#   * all 27 never-driver-graded queries (the wave-6..14 registrations
+#     that landed after the r7 window froze: an07-an10, cu06-cu07,
+#     dd15, dq04, dq06, er05, fn08, gr05-gr06, in05-in06, lo02-lo03,
+#     mk02, q29-q30, qa04, ss17, tk02, tp06-tp07, ts05, tx18);
+#   * 19 stale-green backfill slots, oldest rows first - the full
+#     r1-era batch (ss01, ss02, tx01-tx06), the r2-era batch (dd05,
+#     mm01, mm02, mm04, q20, sp01, sp02) and the r3-era batch (dd01,
+#     dd03, dd06, mm03).
+# After this round every registered query has a driver row and no green
+# row predates r4. Everything else (fresh r5-r7 greens) is exposed under
+# an ``x_`` alias (sorts past the 50 canonical names, all < 'x').
+# Nothing is hidden - every query stays registered under its canonical
+# name for tests/bench and the local DuckDB parity suite
+# (tests/test_parity.py); cross-round coverage is auto-derived by
+# tools/coverage_report.py.
 DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
     {
         "aj01_asof_join",
         "aj02_asof_tolerance",
         "aj03_asof_nearest",
         "an01_rolling_zscore",
+        "an02_seasonal_anomalies",
+        "an03_mean_shift",
         "an04_ewma_drift",
         "an05_seasonal_decompose",
-        "an07_mean_excess",
-        "an08_autocorrelation",
-        "an09_theil_sen",
-        "an10_runs_test",
+        "an06_cusum_shift",
         "bm01_bm25_topk",
         "bp01_bpe_train",
         "cm01_countmin_heavy_hitters",
@@ -90,66 +84,60 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "cu03_full_pipeline",
         "cu04_drop_reasons",
         "cu05_ccnet_buckets",
-        "cu06_threshold_sweep",
-        "cu07_gate_ablation",
         "dc01_decontamination",
         "dc02_decontamination_bloom",
         "dc03_thirteen_gram",
-        "dd01_exact_dedup",
         "dd02_ngram_jaccard",
-        "dd03_minhash_lsh",
         "dd04_simhash",
-        "dd05_embedding_neardup",
-        "dd06_dup_clusters",
         "dd07_semantic_dedup",
         "dd08_lsh_delta",
         "dd09_block_dedup_rebuild",
         "dd10_containment",
         "dd11_bbit_minhash",
-        "dd15_dup_inflation",
+        "dd12_quality_survivor",
+        "dd13_lsh_calibration",
+        "dd14_cdc_chunks",
         "dp01_mean_drift",
+        "dp02_psi_drift",
         "dq01_table_profile",
         "dq02_profile_approx",
-        "dq04_benford",
-        "dq06_referential_integrity",
         "er01_name_matching",
         "er02_entity_clusters",
         "er03_blocking_profile",
         "er04_blocking_compare",
-        "er05_golden_record",
         "fn01_conversion_funnel",
         "fn02_cohort_retention",
         "fn03_user_growth",
-        "fn08_rolling_dau",
+        "fn04_conversion_latency",
+        "fn05_window_funnel",
+        "fn06_linear_attribution",
+        "fn07_rfm_segments",
         "gr01_cluster_sizes",
         "gr02_dup_degree",
-        "gr05_triangle_stats",
-        "gr06_kcore",
+        "gr03_lsh_clusters",
         "hs01_length_histogram",
         "ig01_dsir_weights",
         "ig02_loss_aware_mix",
         "in01_inverted_index",
         "in02_phrase_search",
-        "in05_proximity_rank",
-        "in06_prefix_probe",
+        "in03_phrase_probe",
+        "in04_boolean_probe",
         "kl01_source_divergence",
         "ks01_source_drift",
         "lo01_zorder_code",
-        "lo02_pruning_stats",
-        "lo03_layout_matrix",
         "lr01_grouped_regression",
         "lr02_logreg_quality",
         "mk01_event_transitions",
-        "mk02_sequence_nll",
-        "mm01_decode_metadata",
-        "mm02_feature_extract",
-        "mm03_frame_sample",
-        "mm04_resize",
+        "mm05_audio_energy",
         "mm06_phash_neardup",
         "mm07_patch_grid",
         "mm09_modality_census",
         "mm10_byte_entropy",
         "mm11_phash_16bit",
+        "mm12_media_manifest",
+        "mm13_phash_planted",
+        "mm14_scene_change",
+        "mx01_source_overlap",
         "q01_pricing_summary",
         "q02_tumbling_window",
         "q03_conditional_agg",
@@ -162,27 +150,40 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "q10_predicates",
         "q11_distinct",
         "q12_orderby_multi",
+        "q13_mod_latency",
         "q14_coalesce_duration",
         "q15_gap_spine",
         "q16_json_shred",
         "q17_latest_per_key",
         "q18_array_agg",
         "q19_mjd_bucket",
-        "q20_topk_per_group",
         "q21_rollup_hierarchy",
         "q22_no_order_customers",
         "q23_value_deciles",
         "q24_intersect_users",
-        "q29_grouping_sets",
-        "q30_range_frame",
+        "q25_except_users",
+        "q26_cube_report",
+        "q27_pivot_daily",
+        "q28_json_props",
         "qa01_quantile_thresholds",
         "qa02_percentile_normalize",
         "qa03_robust_outliers",
-        "qa04_winsorized_mean",
         "rc01_hybrid_rrf",
+        "rc02_ndcg_eval",
         "rj01_range_join",
         "rj02_interval_overlap",
+        "rt01_packages",
+        "rt02_observations",
+        "rt03_coordinates",
+        "rt04_text_messages",
+        "rt05_message_catalog",
+        "rt06_msm46_observations",
+        "rt07_all_constellations",
+        "rt08_legacy_observations",
+        "rt09_decode_throughput",
+        "rt10_msm123_observations",
         "scd01_history",
+        "scd02_asof_snapshot",
         "sd01_duplicate_spans",
         "sj01_salted_distinct",
         "sj02_salted_join",
@@ -191,15 +192,14 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "sn01_user_sessions",
         "sn02_reconnect_pairs",
         "sn03_native_sessions",
-        "sp01_stratified_sample",
-        "sp02_quota_per_source",
         "sp03_source_mixing",
         "sp04_stratified_ksample",
         "sp05_hash_split",
         "sp06_token_budget",
         "sp07_epoch_order",
-        "ss01_knn_bruteforce",
-        "ss02_ann_bucketed",
+        "sp08_cluster_split",
+        "sp09_cluster_split_lsh",
+        "sp11_temporal_split",
         "ss03_ann_lsh_multitable",
         "ss04_ivf_train_step",
         "ss05_pq_encode",
@@ -211,24 +211,19 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "ss11_ivfpq_search",
         "ss12_mips_topk",
         "ss13_sq8_recall",
-        "ss17_radius_search",
+        "ss14_mmr_rerank",
+        "ss15_power_iteration",
+        "ss16_nprobe_sweep",
         "st01_sourcetable",
         "tk01_bpe_encode",
-        "tk02_fertility",
         "tp01_sequence_pack",
         "tp02_sorted_pack",
+        "tp03_split_long_docs",
         "tp04_pack_utilization",
-        "tp06_fim_split",
-        "tp07_curriculum_order",
+        "tp05_sliding_chunks",
         "ts01_gap_fill",
         "ts02_ohlc_downsample",
-        "ts05_downsample_extremes",
-        "tx01_language_id",
-        "tx02_quality_score",
-        "tx03_token_count",
-        "tx04_fingerprint",
-        "tx05_repetition",
-        "tx06_pii_scrub",
+        "ts03_twap_locf",
         "tx07_unigram_surprisal",
         "tx08_bpe_pairs",
         "tx09_zipf_fit",
@@ -239,7 +234,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tx14_stupid_backoff",
         "tx15_novelty_score",
         "tx16_langid_confusion",
-        "tx18_lexical_diversity",
+        "tx17_vocab_coverage",
         "ws01_weighted_sample",
     }
 )
