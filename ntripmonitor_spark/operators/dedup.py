@@ -1454,3 +1454,44 @@ def dup_token_inflation(docs: DataFrame, source_col: str = "source",
             ).alias("inflation"),
         )
     )
+
+
+def soft_dedup_weights(docs: DataFrame, source_col: str = "source",
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Soft dedup: instead of DROPPING duplicates, weight every doc by
+    1/cluster_size so each content fingerprint contributes exactly one
+    doc's worth of training signal however many copies exist — the
+    down-weighting alternative (RefinedWeb-style repetition weighting)
+    to dd15's drop accounting, for loaders that sample by weight rather
+    than filter. Per source: raw docs, EFFECTIVE docs (sum of weights),
+    and the excess share the weighting removes.
+
+    Shape: one fingerprint-keyed window count (the dd15 exchange) +
+    one source-keyed rollup — no join, no pair space. Weights are
+    floor-quantized to integer millionths per doc and BIGINT-summed
+    (functions/portable.py), so the per-source totals are exact,
+    summation-order-free, and engine-version-portable."""
+    from ntripmonitor_spark.functions.portable import dec_fixed, int_to_dec, quantize
+
+    w = Window.partitionBy("fp")
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"),
+        F.md5(F.col(text_col).cast("binary")).alias("fp"),
+    ).withColumn("csize", F.count(F.lit(1)).over(w))
+    per = staged.select(
+        "source", quantize(F.lit(1.0) / F.col("csize"), 6).alias("w_ppm")
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w_ppm").alias("sum_ppm"),
+    )
+    excess = (
+        (F.col("n_docs").cast("double") * 1000000.0 - F.col("sum_ppm").cast("double"))
+        / (F.col("n_docs").cast("double") * 1000000.0)
+    )
+    return agg.select(
+        "source", "n_docs",
+        int_to_dec(F.col("sum_ppm"), 6).alias("eff_docs"),
+        dec_fixed(excess, 6).alias("excess_share"),
+    )

@@ -707,3 +707,47 @@ def fim_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.when(F.pmod(h1, F.lit(2)) == 0, F.lit("psm")).otherwise(F.lit("spm")).alias("mode"),
         F.md5(F.array_join(middle, " ").cast("binary")).alias("middle_fp"),
     )
+
+
+def systematic_sample(docs: DataFrame, k: int = 20,
+                      group_col: str = "source",
+                      id_col: str = "doc_id",
+                      size_col: str = "n_chars") -> DataFrame:
+    """Systematic 1-in-k sampling per group: order each group by the
+    Knuth hash of the id (a deterministic pseudo-random permutation)
+    and keep every k-th row — the survey-sampling primitive that
+    guarantees an EXACTLY even spread through the (pseudo-randomized)
+    frame, so per-group sample sizes are deterministic ceil(n/k)
+    rather than Binomial as in Bernoulli/hash-cutoff sampling (sp01).
+    Output is the per-group audit: frame size, kept count, and mean
+    kept length vs frame mean length (the self-weighting check —
+    systematic over a hash order is unbiased, so the two means agree
+    up to sampling noise).
+
+    Shape: one window rank per group key (the quota_per_group
+    exchange), then a keyed rollup — the modulo keep-decision costs a
+    filter, never a second shuffle. Means are floor-quantized to
+    integer thousandths and BIGINT-summed (functions/portable.py), so
+    the report is exact and engine-version-portable."""
+    from ntripmonitor_spark.functions.portable import int_to_dec, quantize
+
+    h = F.pmod(F.col(id_col).cast("long") * F.lit(KNUTH), F.lit(1 << 32))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    staged = docs.select(
+        group_col, F.col(id_col), F.col(size_col),
+        F.row_number().over(w).alias("rn"),
+    )
+    kept_sz = F.when((F.col("rn") - 1) % k == 0, F.col(size_col))
+    agg = staged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_frame"),
+        F.sum(((F.col("rn") - 1) % k == 0).cast("int")).alias("n_kept"),
+        F.sum(F.col(size_col)).alias("sz_frame"),
+        F.sum(kept_sz).alias("sz_kept"),
+    )
+    mean_frame = F.col("sz_frame").cast("double") / F.col("n_frame").cast("double")
+    mean_kept = F.col("sz_kept").cast("double") / F.col("n_kept").cast("double")
+    return agg.select(
+        group_col, "n_frame", "n_kept",
+        int_to_dec(quantize(mean_frame, 3), 3).alias("mean_chars_frame"),
+        int_to_dec(quantize(mean_kept, 3), 3).alias("mean_chars_kept"),
+    )

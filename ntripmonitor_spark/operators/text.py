@@ -970,3 +970,56 @@ def tokenizer_fertility(docs: DataFrame, source_col: str = "source",
             ).alias("fertility"),
         )
     )
+
+
+def readability(docs: DataFrame, source_col: str = "source",
+                text_col: str = "text") -> DataFrame:
+    """Flesch-reading-ease-style readability per source — the
+    quality-adjacent difficulty score a curriculum or mixing plan
+    stratifies on (score high = short words/sentences = easy text).
+    Per doc: words (whitespace tokens), sentences (terminator runs
+    [.!?]+, floor 1), syllables (vowel-group runs [aeiouy]+ — the
+    standard proxy; exact both engines since it is one regexp count),
+    then flesch = 206.835 - 1.015*(words/sentences)
+    - 84.6*(syllables/words), zero-guarded for empty docs.
+
+    Shape: three regexp/size column expressions fused into the corpus
+    scan + one |sources|-row rollup — no explode, no join, no second
+    scan. Per-doc scores are floor-quantized to integer thousandths
+    and BIGINT-summed (functions/portable.py) so the per-source means
+    are exact, order-free, and engine-version-portable."""
+    from ntripmonitor_spark.functions.portable import int_to_dec, quantize
+    from ntripmonitor_spark.operators.dedup import normalized_words
+
+    text = F.col(text_col)
+    n_words = F.size(normalized_words(text))
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit("[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    n_syll = F.size(F.regexp_extract_all(F.lower(text), F.lit("[aeiouy]+"), F.lit(0)))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    staged = docs.select(
+        F.col(source_col).alias("source"),
+        n_words.alias("n_words"),
+        F.when(n_words > 0, quantize(flesch, 3)).otherwise(F.lit(0)).alias("f_milli"),
+        F.when(n_words > 0, F.lit(1)).otherwise(F.lit(0)).alias("scored"),
+    )
+    agg = staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("scored").alias("n_scored"),
+        F.sum("f_milli").alias("f_sum"),
+        F.sum(((F.col("f_milli") >= 60000) & (F.col("scored") == 1)).cast("int"))
+        .alias("n_easy"),
+    )
+    mean_flesch = F.col("f_sum").cast("double") / F.col("n_scored").cast("double")
+    return agg.select(
+        "source", "n_docs", "n_scored", "n_easy",
+        F.when(
+            F.col("n_scored") > 0,
+            int_to_dec(quantize(mean_flesch / F.lit(1000.0), 3), 3),
+        ).alias("mean_flesch"),
+    )

@@ -6741,3 +6741,126 @@ def cu07_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.crossJoin(F.broadcast(tot)).select(
         "gate", "n_flagged", "n_only", "n_docs", "n_removed"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 wave: soft dedup, systematic sampling, readability.
+# ---------------------------------------------------------------------------
+
+_DD16_EXCESS = (
+    "(CAST(n_docs AS DOUBLE) * 1000000.0 - CAST(sum_ppm AS DOUBLE))"
+    " / (CAST(n_docs AS DOUBLE) * 1000000.0)"
+)
+
+
+@register(
+    "dd16_soft_dedup",
+    tags=("dedup", "sampling"),
+    oracle=f"""
+WITH c AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+s AS (SELECT fp, count(*) AS csize FROM c GROUP BY fp),
+j AS (SELECT c.source, {quantize_sql('1.0 / csize', 6)} AS w_ppm
+      FROM c JOIN s USING (fp)),
+a AS (SELECT source, count(*) AS n_docs, sum(w_ppm) AS sum_ppm
+      FROM j GROUP BY source)
+SELECT source, n_docs,
+       {int_to_dec_sql('sum_ppm', 6)} AS eff_docs,
+       {dec_fixed_sql(_DD16_EXCESS, 6)} AS excess_share
+FROM a
+""",
+)
+def dd16_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: weight every doc by 1/cluster_size instead of
+    dropping copies — the down-weighting alternative to dd15's drop
+    accounting, for loaders that sample by weight. Per source: raw
+    docs, effective docs (weight sum), excess share removed. One
+    fingerprint-keyed window + one source rollup, no join; weights
+    ride as exact integer millionths (functions/portable.py)."""
+    return dedup.soft_dedup_weights(table(spark, sf_dir, "documents"))
+
+
+_SP12_K = 20
+
+
+@register(
+    "sp12_systematic",
+    tags=("sampling",),
+    oracle=f"""
+WITH r AS (
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (PARTITION BY source
+               ORDER BY ((doc_id * 2654435761) % 4294967296) ASC, doc_id ASC) AS rn
+    FROM documents
+),
+a AS (
+    SELECT source, count(*) AS n_frame,
+           sum(CASE WHEN (rn - 1) % {_SP12_K} = 0 THEN 1 ELSE 0 END) AS n_kept,
+           sum(n_chars) AS sz_frame,
+           sum(CASE WHEN (rn - 1) % {_SP12_K} = 0 THEN n_chars END) AS sz_kept
+    FROM r GROUP BY source
+)
+SELECT source, n_frame, n_kept,
+       {int_to_dec_sql(quantize_sql('CAST(sz_frame AS DOUBLE) / CAST(n_frame AS DOUBLE)', 3), 3)}
+           AS mean_chars_frame,
+       {int_to_dec_sql(quantize_sql('CAST(sz_kept AS DOUBLE) / CAST(n_kept AS DOUBLE)', 3), 3)}
+           AS mean_chars_kept
+FROM a
+""",
+)
+def sp12_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-20 sampling per source over a deterministic
+    hash permutation: exactly ceil(n/20) kept per source (vs the
+    Binomial counts of Bernoulli/hash-cutoff sp01), evenly spread
+    through the frame. Output per-source audit: frame/kept counts and
+    mean kept length vs frame mean (the self-weighting check). One
+    window rank per source + one rollup; means ride as exact integer
+    thousandths (functions/portable.py)."""
+    from ntripmonitor_spark.operators import sampling
+
+    return sampling.systematic_sample(table(spark, sf_dir, "documents"), k=_SP12_K)
+
+
+_TX19_FLESCH = (
+    "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))"
+    " - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))"
+)
+
+
+@register(
+    "tx19_readability",
+    tags=("text", "curation"),
+    oracle=f"""
+WITH d AS (
+    SELECT source,
+           len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_words,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+           len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+    FROM documents
+),
+s AS (
+    SELECT source, n_words,
+           CASE WHEN n_words > 0 THEN {quantize_sql(_TX19_FLESCH, 3)}
+                ELSE 0 END AS f_milli,
+           CASE WHEN n_words > 0 THEN 1 ELSE 0 END AS scored
+    FROM d
+),
+a AS (
+    SELECT source, count(*) AS n_docs, sum(scored) AS n_scored,
+           sum(f_milli) AS f_sum,
+           sum(CASE WHEN f_milli >= 60000 AND scored = 1 THEN 1 ELSE 0 END) AS n_easy
+    FROM s GROUP BY source
+)
+SELECT source, n_docs, n_scored, n_easy,
+       CASE WHEN n_scored > 0 THEN
+           {int_to_dec_sql(quantize_sql('CAST(f_sum AS DOUBLE) / CAST(n_scored AS DOUBLE) / 1000.0', 3), 3)}
+       END AS mean_flesch
+FROM a
+""",
+)
+def tx19_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per source (vowel-group syllable proxy,
+    terminator-run sentences) — the difficulty score a curriculum or
+    mixing plan stratifies on. Three regexp column expressions fused
+    into one scan + a |sources|-row rollup; per-doc scores ride as
+    exact integer thousandths (functions/portable.py)."""
+    return text.readability(table(spark, sf_dir, "documents"))

@@ -97,6 +97,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "dd12_quality_survivor",
         "dd13_lsh_calibration",
         "dd14_cdc_chunks",
+        "dd16_soft_dedup",
         "dp01_mean_drift",
         "dp02_psi_drift",
         "dq01_table_profile",
@@ -192,6 +193,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "sn01_user_sessions",
         "sn02_reconnect_pairs",
         "sn03_native_sessions",
+        "st02_upsert_snapshot",
         "sp03_source_mixing",
         "sp04_stratified_ksample",
         "sp05_hash_split",
@@ -199,6 +201,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "sp07_epoch_order",
         "sp08_cluster_split",
         "sp09_cluster_split_lsh",
+        "sp12_systematic",
         "sp11_temporal_split",
         "ss03_ann_lsh_multitable",
         "ss04_ivf_train_step",
@@ -234,6 +237,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tx14_stupid_backoff",
         "tx15_novelty_score",
         "tx16_langid_confusion",
+        "tx19_readability",
         "tx17_vocab_coverage",
         "ws01_weighted_sample",
     }

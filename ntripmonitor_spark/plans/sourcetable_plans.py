@@ -82,3 +82,79 @@ def st01_sourcetable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn", "line_no")
     )
+
+
+@register(
+    "st02_upsert_snapshot",
+    tags=("sourcetable", "K3", "K4", "P19"),
+    oracle="""
+WITH e0 AS (
+    SELECT 'MP' || CAST(s_suppkey % 97 AS VARCHAR) AS mountpoint,
+           s_name AS identifier,
+           'GEN' || CAST(s_suppkey % 5 AS VARCHAR) AS generator,
+           0 AS fetch_epoch, s_suppkey AS line_no
+    FROM supplier WHERE s_suppkey % 7 <> 0
+),
+e1 AS (
+    SELECT 'MP' || CAST(s_suppkey % 97 AS VARCHAR) AS mountpoint,
+           'UPD-' || s_name AS identifier,
+           'GEN' || CAST((s_suppkey + 1) % 5 AS VARCHAR) AS generator,
+           1 AS fetch_epoch, s_suppkey AS line_no
+    FROM supplier WHERE s_suppkey % 7 <> 0 AND s_suppkey % 3 = 0
+),
+u AS (SELECT * FROM e0 UNION ALL SELECT * FROM e1),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY mountpoint
+                                 ORDER BY fetch_epoch DESC, line_no ASC) AS rn,
+           min(fetch_epoch) OVER (PARTITION BY mountpoint) AS ep_lo,
+           max(fetch_epoch) OVER (PARTITION BY mountpoint) AS ep_hi
+    FROM u
+)
+SELECT mountpoint, identifier, generator,
+       CAST(fetch_epoch AS INT) AS last_epoch,
+       CAST(ep_lo <> ep_hi AS INT) AS was_updated
+FROM r WHERE rn = 1
+""",
+)
+def st02_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sourcetable-constants upsert (K3/K4: ON CONFLICT (mountpoint)
+    DO UPDATE — reference src/databasehandling.py:185-218,
+    initdb/20-sourcetable_constants.sql) as a declarative snapshot:
+    two directory fetch epochs (epoch 1 re-fetches a third of the
+    mountpoints with changed identifier/generator), last-write-wins per
+    mountpoint with st01's first-wins line order INSIDE an epoch, plus
+    a was_updated audit flag. This is the MERGE a lakehouse mirror of
+    the upsert table runs per refresh; one window over the keyed
+    exchange, no join — the update batch unions into the base and the
+    rank picks the survivor, so the plan is insert-vs-update agnostic
+    (the same shape at 10^9 keys: one shuffle on the upsert key)."""
+    sup = table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    base = sup.filter(k % 7 != 0).select(
+        F.concat(F.lit("MP"), (k % 97).cast("string")).alias("mountpoint"),
+        F.col("s_name").alias("identifier"),
+        F.concat(F.lit("GEN"), (k % 5).cast("string")).alias("generator"),
+        F.lit(0).alias("fetch_epoch"), k.alias("line_no"),
+    )
+    upd = sup.filter((k % 7 != 0) & (k % 3 == 0)).select(
+        F.concat(F.lit("MP"), (k % 97).cast("string")).alias("mountpoint"),
+        F.concat(F.lit("UPD-"), F.col("s_name")).alias("identifier"),
+        F.concat(F.lit("GEN"), ((k + 1) % 5).cast("string")).alias("generator"),
+        F.lit(1).alias("fetch_epoch"), k.alias("line_no"),
+    )
+    u = base.unionByName(upd)
+    w = Window.partitionBy("mountpoint").orderBy(
+        F.col("fetch_epoch").desc(), F.col("line_no").asc()
+    )
+    we = Window.partitionBy("mountpoint")
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .withColumn("ep_lo", F.min("fetch_epoch").over(we))
+        .withColumn("ep_hi", F.max("fetch_epoch").over(we))
+        .filter(F.col("rn") == 1)
+        .select(
+            "mountpoint", "identifier", "generator",
+            F.col("fetch_epoch").cast("int").alias("last_epoch"),
+            (F.col("ep_lo") != F.col("ep_hi")).cast("int").alias("was_updated"),
+        )
+    )

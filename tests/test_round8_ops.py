@@ -1,0 +1,133 @@
+"""Round-8 wave operators: soft dedup weights (dd16), systematic
+sampling (sp12), readability (tx19), sourcetable upsert snapshot
+(st02). Planted-input semantics here; DuckDB value parity runs in
+tests/test_parity.py like every registered query."""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from ntripmonitor_spark.operators import sampling, text
+from ntripmonitor_spark.operators.dedup import soft_dedup_weights
+from ntripmonitor_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from ntripmonitor_spark.session import get_spark
+
+    return get_spark()
+
+
+# ---------------------------------------------------------------------------
+# dd16 — soft dedup weights
+# ---------------------------------------------------------------------------
+
+
+def test_dd16_triplicate_weights_to_one_doc(spark):
+    """3 copies of one text weigh 1/3 each: eff_docs sums the exact
+    quantized millionths (3 * 333333 ppm = 0.999999), excess ~ 2/3."""
+    docs = spark.createDataFrame(
+        [(1, "same text", "a"), (2, "same text", "a"), (3, "same text", "a"),
+         (4, "unique", "b")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in soft_dedup_weights(docs).collect()}
+    assert out["a"]["n_docs"] == 3
+    assert out["a"]["eff_docs"] == Decimal("0.999999")
+    assert abs(float(out["a"]["excess_share"]) - 2 / 3) < 1e-5
+    assert out["b"]["eff_docs"] == Decimal("1.000000")
+    assert out["b"]["excess_share"] == Decimal("0.000000")
+
+
+def test_dd16_all_unique_is_identity(spark):
+    docs = table(spark, SF, "documents")
+    rows = soft_dedup_weights(docs).collect()
+    for r in rows:
+        # eff_docs <= n_docs always; equals when no dup cluster spans
+        assert r["eff_docs"] <= r["n_docs"]
+        assert Decimal("0") <= r["excess_share"] <= Decimal("1")
+
+
+# ---------------------------------------------------------------------------
+# sp12 — systematic sampling
+# ---------------------------------------------------------------------------
+
+
+def test_sp12_exact_ceil_counts_and_mean_sanity(spark):
+    docs = table(spark, SF, "documents")
+    rows = sampling.systematic_sample(docs, k=20).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] == math.ceil(r["n_frame"] / 20)
+        if r["n_frame"] >= 100:
+            # self-weighting: kept mean tracks frame mean loosely
+            assert float(r["mean_chars_kept"]) > 0
+            assert float(r["mean_chars_frame"]) > 0
+
+
+def test_sp12_deterministic_across_partitionings(spark):
+    docs = table(spark, SF, "documents")
+    a = sorted(map(tuple, sampling.systematic_sample(docs).collect()))
+    b = sorted(map(tuple, sampling.systematic_sample(docs.repartition(7)).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# tx19 — readability
+# ---------------------------------------------------------------------------
+
+
+def test_tx19_hand_computed_flesch(spark):
+    """'the cat sat.' → 3 words, 1 sentence, 3 vowel groups:
+    flesch = 206.835 - 1.015*3 - 84.6*1 = 119.190."""
+    docs = spark.createDataFrame(
+        [(1, "the cat sat.", "a")], "doc_id long, text string, source string"
+    )
+    r = text.readability(docs).collect()[0]
+    assert r["n_docs"] == 1 and r["n_scored"] == 1
+    assert r["mean_flesch"] == Decimal("119.190")
+    assert r["n_easy"] == 1
+
+
+def test_tx19_empty_doc_unscored(spark):
+    docs = spark.createDataFrame(
+        [(1, "", "a"), (2, "the cat sat.", "a")],
+        "doc_id long, text string, source string",
+    )
+    r = text.readability(docs).collect()[0]
+    assert r["n_docs"] == 2 and r["n_scored"] == 1
+    assert r["mean_flesch"] == Decimal("119.190")
+
+
+# ---------------------------------------------------------------------------
+# st02 — upsert snapshot
+# ---------------------------------------------------------------------------
+
+
+def test_st02_update_wins_and_flags(spark):
+    from ntripmonitor_spark.plans.sourcetable_plans import (
+        st01_sourcetable,
+        st02_upsert_snapshot,
+    )
+
+    snap = {r["mountpoint"]: r for r in st02_upsert_snapshot(spark, SF).collect()}
+    base = {r["mountpoint"] for r in st01_sourcetable(spark, SF).collect()}
+    # upsert never invents keys the directory doesn't have
+    assert set(snap) == base
+    for mp, r in snap.items():
+        if r["was_updated"]:
+            assert r["last_epoch"] == 1
+            assert r["identifier"].startswith("UPD-")
+        else:
+            assert r["last_epoch"] == 0
+            assert not r["identifier"].startswith("UPD-")
+    # the synthesized epoch-1 batch is non-empty at this SF
+    assert any(r["was_updated"] for r in snap.values())
+    assert any(not r["was_updated"] for r in snap.values())
