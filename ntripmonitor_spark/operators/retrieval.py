@@ -401,3 +401,90 @@ def prefix_probe(postings: DataFrame, prefix: str, k: int = 15) -> DataFrame:
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "tf_prefix", "n_terms"
     )
+
+
+def tfidf_cosine_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
+                      k: int = 10) -> DataFrame:
+    """Top-``k`` docs per query under full tf-idf COSINE — the
+    length-normalized classic next to BM25's saturation model
+    (bm25_topk): w_td = (1 + ln tf) · ln(1 + N/df), score =
+    dot(d, q) / (||d|| · ||q||), query tf = 1.
+
+    Unlike BM25, the cosine needs ||d|| over ALL of a doc's terms, not
+    just the queried ones — so this is the honest three-exchange plan:
+    (1) vocab-keyed df aggregate (map-side combined, vocab-sized out),
+    (2) the one corpus-scale join terms⋈df on the same term key,
+    (3) a doc-keyed norm aggregate. Scoring then touches only
+    query-term postings (pushed filter + broadcast query dim) and
+    broadcasts the tiny (query,doc) dot table onto the norms. In
+    production ||d|| and df are silver tables amortized across query
+    batches; the plan here is the build + one serve.
+
+    Determinism: every squared/cross weight is floor-quantized to
+    integer millionths and summed exactly (functions/portable.py), so
+    dot and norms are BIGINT-exact at any partition count; the final
+    cosine is fixed-order IEEE over those exact integers, emitted
+    DECIMAL(18,6), and ranked on the quantized value (ties by doc_id).
+    """
+    from ntripmonitor_spark.functions.portable import dec_fixed, quantize
+
+    spark = docs.sparkSession
+    terms = doc_terms(docs)
+    dfd = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(F.count(F.lit(1)).alias("n_docs"))
+
+    idf = F.log(
+        F.lit(1.0) + F.col("n_docs").cast("double") / F.col("df").cast("double")
+    )
+    w_td = (F.lit(1.0) + F.log(F.col("tf").cast("double"))) * idf
+    tw = (
+        terms.join(dfd, "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", w_td.alias("w_td"), idf.alias("idf"))
+    )
+    norms = tw.groupBy("doc_id").agg(
+        F.sum(quantize(F.col("w_td") * F.col("w_td"), 6)).alias("nsq_ppm")
+    )
+
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts], "query_id int, term string"
+    )
+    qw = (
+        dfd.filter(F.col("term").isin(all_terms))
+        .crossJoin(F.broadcast(stats))
+        .select("term", idf.alias("idf"))
+    )
+    qnorm = (
+        F.broadcast(qdf).join(qw, "term")
+        .groupBy("query_id")
+        .agg(F.sum(quantize(F.col("idf") * F.col("idf"), 6)).alias("qn_ppm"))
+    )
+    dots = (
+        tw.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(quantize(F.col("w_td") * F.col("idf"), 6)).alias("dot_ppm"))
+    )
+    scored = (
+        norms.join(F.broadcast(dots), "doc_id")
+        .join(F.broadcast(qnorm), "query_id")
+    )
+    score_raw = (
+        (F.col("dot_ppm").cast("double") / F.lit(1000000.0))
+        / (
+            F.sqrt(F.col("nsq_ppm").cast("double") / F.lit(1000000.0))
+            * F.sqrt(F.col("qn_ppm").cast("double") / F.lit(1000000.0))
+        )
+    )
+    ranked = scored.select(
+        "query_id", "doc_id", dec_fixed(score_raw, 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

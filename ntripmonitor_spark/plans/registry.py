@@ -123,6 +123,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "in02_phrase_search",
         "in03_phrase_probe",
         "in04_boolean_probe",
+        "in07_tfidf_cosine",
         "kl01_source_divergence",
         "ks01_source_drift",
         "lo01_zorder_code",

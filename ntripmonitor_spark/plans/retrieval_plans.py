@@ -457,3 +457,77 @@ def in06_prefix_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     postings = spark.read.parquet(_posting_index_path(spark, sf_dir))
     return r.prefix_probe(postings, "s", k=15)
+
+
+# ---------------------------------------------------------------------------
+# in07 — full tf-idf cosine top-k (round-8 wave)
+# ---------------------------------------------------------------------------
+
+from ntripmonitor_spark.functions.portable import dec_fixed_sql, quantize_sql  # noqa: E402
+
+_IN07_IDF = "ln(1.0 + CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))"
+_IN07_SCORE = (
+    "(CAST(dot_ppm AS DOUBLE) / 1000000.0)"
+    " / (sqrt(CAST(nsq_ppm AS DOUBLE) / 1000000.0)"
+    " * sqrt(CAST(qn_ppm AS DOUBLE) / 1000000.0))"
+)
+
+
+@register(
+    "in07_tfidf_cosine",
+    tags=("retrieval",),
+    oracle=f"""
+WITH {_TOKS_CTE},
+dt AS (
+    SELECT doc_id, tok AS term, count(*) AS tf
+    FROM t, unnest(toks) AS u(tok)
+    GROUP BY 1, 2
+),
+dfd AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs FROM documents),
+tw AS (
+    SELECT doc_id, term,
+           (1.0 + ln(CAST(tf AS DOUBLE))) * {_IN07_IDF} AS w_td,
+           {_IN07_IDF} AS idf
+    FROM dt JOIN dfd USING (term) CROSS JOIN stats
+),
+norms AS (
+    SELECT doc_id, sum({quantize_sql('w_td * w_td', 6)}) AS nsq_ppm
+    FROM tw GROUP BY 1
+),
+q(query_id, term) AS (VALUES {_Q_VALUES}),
+qw AS (
+    SELECT term, {_IN07_IDF} AS idf
+    FROM dfd CROSS JOIN stats WHERE term IN ({_Q_TERMS})
+),
+qn AS (
+    SELECT query_id, sum({quantize_sql('idf * idf', 6)}) AS qn_ppm
+    FROM q JOIN qw USING (term) GROUP BY 1
+),
+dots AS (
+    SELECT q.query_id, tw.doc_id, sum({quantize_sql('w_td * idf', 6)}) AS dot_ppm
+    FROM tw JOIN q USING (term) GROUP BY 1, 2
+),
+sc AS (
+    SELECT query_id, doc_id, {dec_fixed_sql(_IN07_SCORE, 6)} AS score
+    FROM dots JOIN norms USING (doc_id) JOIN qn USING (query_id)
+)
+SELECT query_id, rank, doc_id, score FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+    ) AS rank FROM sc
+) WHERE rank <= 10
+""",
+)
+def in07_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full tf-idf cosine top-10 per query — the length-normalized
+    classic next to bm01's BM25 saturation model. The cosine needs
+    ||d|| over ALL of a doc's terms, so this is the honest
+    three-exchange plan (vocab df aggregate, terms⋈df on the same
+    key, doc-keyed norm aggregate); scoring then touches only
+    query-term postings. Dot/norm sums ride as exact integer
+    millionths (functions/portable.py); the rank cut is taken on the
+    DECIMAL score so it is cross-engine deterministic."""
+    return retrieval.tfidf_cosine_topk(
+        table(spark, sf_dir, "documents"), BM25_QUERIES, k=10
+    )

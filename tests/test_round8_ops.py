@@ -131,3 +131,39 @@ def test_st02_update_wins_and_flags(spark):
     # the synthesized epoch-1 batch is non-empty at this SF
     assert any(r["was_updated"] for r in snap.values())
     assert any(not r["was_updated"] for r in snap.values())
+
+
+# ---------------------------------------------------------------------------
+# in07 — tf-idf cosine
+# ---------------------------------------------------------------------------
+
+
+def test_in07_identical_vector_scores_one(spark):
+    """A doc whose tf-idf vector IS the query vector scores cosine
+    exactly 1.000000; a doc sharing only one term scores below it."""
+    from ntripmonitor_spark.operators.retrieval import tfidf_cosine_topk
+
+    docs = spark.createDataFrame(
+        [(1, "hash join"), (2, "hash hash scan")], "doc_id long, text string"
+    )
+    rows = tfidf_cosine_topk(docs, [(1, ["hash", "join"])], k=10).collect()
+    by_rank = {r["rank"]: r for r in rows}
+    assert by_rank[1]["doc_id"] == 1
+    assert by_rank[1]["score"] == Decimal("1.000000")
+    assert by_rank[2]["doc_id"] == 2
+    assert by_rank[2]["score"] < Decimal("1.000000")
+
+
+def test_in07_rank_contract(spark):
+    from ntripmonitor_spark.plans.retrieval_plans import in07_tfidf_cosine
+
+    rows = in07_tfidf_cosine(spark, SF).collect()
+    seen = {}
+    for r in rows:
+        seen.setdefault(r["query_id"], []).append((r["rank"], r["score"], r["doc_id"]))
+    for qid, rs in seen.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        # scores non-increasing down the ranking
+        assert all(rs[i][1] >= rs[i + 1][1] for i in range(len(rs) - 1))
+        assert all(Decimal("0") <= x[1] <= Decimal("1.000000") for x in rs)
