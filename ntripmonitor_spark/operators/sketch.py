@@ -278,3 +278,95 @@ def kmv_set_algebra(df: DataFrame, group_col: str = "event_type",
         union_est.alias("union_est"),
         inter_est.alias("inter_est"),
     )
+
+
+def kmv_jaccard(df: DataFrame, group_col: str = "event_type",
+                member_col: str = "user_id", k: int = 64) -> DataFrame:
+    """KMV set ALGEBRA between groups: for every group pair (a < b),
+    the sketch-estimated Jaccard and union cardinality of their member
+    sets, with the exact values alongside — the mergeable-sketch
+    operation that makes an |groups|² audience-overlap matrix cost
+    O(k·|groups|²) instead of |groups|² set intersections. The merged
+    sketch of a pair is the k smallest hashes of the UNION of the two
+    sketches (the KMV union rule); Jaccard ≈ |merged ∩ both sketches|
+    / k, union ≈ (k−1)·2³²/h_k(merged).
+
+    Determinism: the Knuth hash is odd-multiplier bijective mod 2³², so
+    member hashes are unique and every rank cut is tie-free; estimates
+    are exact integer ratios quantized to millionths
+    (functions/portable.py). Scale shape: the member-distinct reduce +
+    per-group top-k window are sk01's exchanges; everything after runs
+    on k·|groups| sketch rows (tiny), and the exact contrast is a
+    member-keyed self-join bounded by |groups| rows per member —
+    at true scale the exact legs are dropped and only sketches meet.
+    """
+    from ntripmonitor_spark.functions.portable import dec_fixed
+
+    d = (
+        df.select(group_col, member_col)
+        .distinct()
+        .withColumn(
+            "h", F.pmod(F.col(member_col).cast("long") * F.lit(KNUTH), F.lit(1 << 32))
+        )
+    )
+    wg = Window.partitionBy(group_col).orderBy(F.col("h").asc())
+    sk = (
+        d.withColumn("rk", F.row_number().over(wg))
+        .filter(F.col("rk") <= k)
+        .select(F.col(group_col).alias("g"), "h")
+    )
+    sizes = d.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_exact"))
+
+    ga = sizes.select(F.col(group_col).alias("ga"), F.col("n_exact").alias("na"))
+    gb = sizes.select(F.col(group_col).alias("gb"), F.col("n_exact").alias("nb"))
+    pairs = ga.join(gb, F.col("ga") < F.col("gb"))
+
+    ma = pairs.join(sk, sk["g"] == pairs["ga"]).select(
+        "ga", "gb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    mb = pairs.join(sk, sk["g"] == pairs["gb"]).select(
+        "ga", "gb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    merged = (
+        ma.unionByName(mb)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("ga", "gb").orderBy(F.col("h").asc())
+    top = merged.withColumn("rk", F.row_number().over(wp)).filter(F.col("rk") <= k)
+    est = top.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("m"),  # < k when the union is small
+        F.sum((F.col("in_a") + F.col("in_b") == 2).cast("int")).alias("overlap"),
+        F.max(F.when(F.col("rk") == k, F.col("h"))).alias("hk"),
+    )
+
+    # exact contrast: member-keyed self-join, bounded per member
+    da = d.select(F.col(group_col).alias("ga"), F.col(member_col).alias("m_id"))
+    db = d.select(F.col(group_col).alias("gb"), F.col(member_col).alias("m_id"))
+    inter = (
+        da.join(db, ["m_id"])
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+
+    out = (
+        pairs.join(est, ["ga", "gb"], "left")
+        .join(inter, ["ga", "gb"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+    )
+    exact_union = F.col("na") + F.col("nb") - F.col("n_inter")
+    kmv_j = F.col("overlap").cast("double") / F.col("m").cast("double")
+    est_union = F.when(
+        F.col("m") < k, F.col("m").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("hk").cast("double")
+    )
+    exact_j = F.col("n_inter").cast("double") / exact_union.cast("double")
+    return out.select(
+        F.col("ga").alias("group_a"), F.col("gb").alias("group_b"),
+        "n_inter", exact_union.alias("n_union"),
+        dec_fixed(exact_j, 6).alias("exact_jaccard"),
+        dec_fixed(kmv_j, 6).alias("kmv_jaccard"),
+        dec_fixed(est_union, 1, precision=24).alias("kmv_union"),
+    )

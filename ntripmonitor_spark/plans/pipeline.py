@@ -6864,3 +6864,86 @@ def tx19_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one scan + a |sources|-row rollup; per-doc scores ride as
     exact integer thousandths (functions/portable.py)."""
     return text.readability(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# sk02 — KMV set algebra: pairwise Jaccard/union between groups (round 8).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sk02_kmv_jaccard",
+    tags=("sketch",),
+    oracle=f"""
+WITH d AS (
+    SELECT DISTINCT event_type, user_id,
+           (user_id * 2654435761) % 4294967296 AS h
+    FROM events
+),
+sk AS (
+    SELECT event_type AS g, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rk
+        FROM d
+    ) WHERE rk <= 64
+),
+sizes AS (SELECT event_type, count(*) AS n_exact FROM d GROUP BY 1),
+pairs AS (
+    SELECT a.event_type AS ga, a.n_exact AS na, b.event_type AS gb, b.n_exact AS nb
+    FROM sizes a JOIN sizes b ON a.event_type < b.event_type
+),
+m AS (
+    SELECT ga, gb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        SELECT p.ga, p.gb, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.g = p.ga
+        UNION ALL
+        SELECT p.ga, p.gb, s.h, 0, 1
+        FROM pairs p JOIN sk s ON s.g = p.gb
+    ) GROUP BY 1, 2, 3
+),
+top AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h ASC) AS rk
+        FROM m
+    ) WHERE rk <= 64
+),
+est AS (
+    SELECT ga, gb, count(*) AS m,
+           sum(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) AS overlap,
+           max(CASE WHEN rk = 64 THEN h END) AS hk
+    FROM top GROUP BY 1, 2
+),
+inter AS (
+    SELECT a.event_type AS ga, b.event_type AS gb, count(*) AS n_inter
+    FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+),
+j AS (
+    SELECT p.ga, p.gb, p.na, p.nb, coalesce(i.n_inter, 0) AS n_inter,
+           e.m, e.overlap, e.hk
+    FROM pairs p
+    LEFT JOIN est e ON e.ga = p.ga AND e.gb = p.gb
+    LEFT JOIN inter i ON i.ga = p.ga AND i.gb = p.gb
+)
+SELECT ga AS group_a, gb AS group_b, n_inter,
+       na + nb - n_inter AS n_union,
+       {dec_fixed_sql('CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE)', 6)}
+           AS exact_jaccard,
+       {dec_fixed_sql('CAST(overlap AS DOUBLE) / CAST(m AS DOUBLE)', 6)} AS kmv_jaccard,
+       CASE WHEN m < 64 THEN {dec_fixed_sql('CAST(m AS DOUBLE)', 1, 24)}
+            ELSE {dec_fixed_sql('63.0 * 4294967296.0 / CAST(hk AS DOUBLE)', 1, 24)}
+       END AS kmv_union
+FROM j
+""",
+)
+def sk02_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra: sketch-estimated pairwise Jaccard and union
+    cardinality of the distinct-user sets of every event-type pair,
+    exact values alongside — the mergeable-sketch op that prices an
+    audience-overlap matrix at O(k·|groups|²) sketch rows instead of
+    |groups|² set intersections. Rank cuts are tie-free (bijective odd
+    Knuth multiplier mod 2^32); estimates are exact integer ratios
+    quantized portably (functions/portable.py)."""
+    from ntripmonitor_spark.operators.sketch import kmv_jaccard
+
+    return kmv_jaccard(table(spark, sf_dir, "events"), "event_type", "user_id", k=64)

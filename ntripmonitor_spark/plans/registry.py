@@ -190,6 +190,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "sj01_salted_distinct",
         "sj02_salted_join",
         "sk01_kmv_distinct",
+        "sk02_kmv_jaccard",
         "sk02_kmv_set_algebra",
         "sn01_user_sessions",
         "sn02_reconnect_pairs",

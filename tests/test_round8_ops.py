@@ -167,3 +167,59 @@ def test_in07_rank_contract(spark):
         # scores non-increasing down the ranking
         assert all(rs[i][1] >= rs[i + 1][1] for i in range(len(rs) - 1))
         assert all(Decimal("0") <= x[1] <= Decimal("1.000000") for x in rs)
+
+
+# ---------------------------------------------------------------------------
+# sk02 — KMV pairwise Jaccard
+# ---------------------------------------------------------------------------
+
+
+def test_sk02_disjoint_and_identical_sets(spark):
+    """Two identical member sets → Jaccard 1.0 exact AND by sketch;
+    disjoint sets → 0.0 on both estimators."""
+    from ntripmonitor_spark.operators.sketch import kmv_jaccard
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(1, 41):
+        for t in ("a", "b"):  # identical membership
+            rows.append((eid, base, u, t, 1.0, "{}")); eid += 1
+    for u in range(100, 140):
+        rows.append((eid, base, u, "c", 1.0, "{}")); eid += 1  # disjoint
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {(r["group_a"], r["group_b"]): r for r in kmv_jaccard(ev).collect()}
+    ab = out[("a", "b")]
+    assert ab["exact_jaccard"] == Decimal("1.000000")
+    assert ab["kmv_jaccard"] == Decimal("1.000000")
+    assert ab["n_union"] == 40 and ab["n_inter"] == 40
+    for pair in (("a", "c"), ("b", "c")):
+        assert out[pair]["exact_jaccard"] == Decimal("0.000000")
+        assert out[pair]["kmv_jaccard"] == Decimal("0.000000")
+        assert out[pair]["n_union"] == 80
+
+
+def test_sk02_small_union_estimate_exact(spark):
+    """Below k=64 members, the union estimate falls back to the exact
+    merged count (the standard KMV rule)."""
+    from ntripmonitor_spark.operators.sketch import kmv_jaccard
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base, u, t, 1.0, "{}")
+            for i, (u, t) in enumerate([(u, "a") for u in range(10)]
+                                       + [(u, "b") for u in range(5, 15)])]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = kmv_jaccard(ev).collect()[0]
+    assert r["n_inter"] == 5 and r["n_union"] == 15
+    assert r["kmv_union"] == Decimal("15.0")
+    assert r["exact_jaccard"] == r["kmv_jaccard"] == Decimal("0.333333")
