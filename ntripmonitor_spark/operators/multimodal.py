@@ -762,3 +762,68 @@ def gif_scene_deltas(media: DataFrame) -> DataFrame:
     """(doc_id, payload) GIF rows → per-transition mean-RGB deltas
     (see scene_delta_batch)."""
     return media.mapInPandas(scene_delta_batch, schema=SCENE_SCHEMA)
+
+
+SILENCE_THRESH = 64  # 8-bit sample below this counts as silence
+SILENCE_SCHEMA = (
+    "doc_id bigint, n_samples int, n_silent int, n_runs int,"
+    " max_run_len int, max_run_start int"
+)
+
+
+def silence_runs_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Silence segmentation stub: payload as 8-bit PCM, a sample is
+    'silent' when < SILENCE_THRESH; per doc emit the run-length
+    summary (count/total of silent runs, the longest run and its
+    earliest start). Pure integer outputs — bit-identical on every
+    engine; a real build swaps frombuffer for an audio decode on the
+    same batch shape (see wav_energy_batch)."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in
+               ("doc_id", "n_samples", "n_silent", "n_runs",
+                "max_run_len", "max_run_start")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            mask = arr < SILENCE_THRESH
+            n = len(arr)
+            n_silent = int(mask.sum())
+            if n_silent == 0:
+                runs = []
+            else:
+                edges = np.flatnonzero(
+                    np.diff(np.concatenate(([0], mask.view(np.int8), [0])))
+                )
+                starts, ends = edges[::2], edges[1::2]
+                runs = list(zip(starts.tolist(), (ends - starts).tolist()))
+            out["doc_id"].append(doc_id)
+            out["n_samples"].append(n)
+            out["n_silent"].append(n_silent)
+            out["n_runs"].append(len(runs))
+            if runs:
+                mx = max(ln for _, ln in runs)
+                out["max_run_len"].append(mx)
+                out["max_run_start"].append(min(s for s, ln in runs if ln == mx))
+            else:
+                out["max_run_len"].append(0)
+                out["max_run_start"].append(None)
+        yield pd.DataFrame(out)
+
+
+def silence_runs(docs: DataFrame) -> DataFrame:
+    """Per-doc silence-run segmentation over the binary payload
+    (Arrow-batched mapInPandas) + a portable silence-share column.
+    The gaps-and-islands computation is LOCAL per payload — zero
+    shuffles beyond the scan; the oracle replays it relationally
+    (position spine → run ids via i - row_number)."""
+    from ntripmonitor_spark.functions.portable import dec_fixed
+
+    base = binary_payloads(docs).mapInPandas(
+        silence_runs_batch, schema=SILENCE_SCHEMA
+    )
+    ratio = F.col("n_silent").cast("double") / F.col("n_samples").cast("double")
+    return base.withColumn(
+        "silence_ratio",
+        F.when(F.col("n_samples") > 0, dec_fixed(ratio, 6)),
+    )

@@ -6947,3 +6947,63 @@ def sk02_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntripmonitor_spark.operators.sketch import kmv_jaccard
 
     return kmv_jaccard(table(spark, sf_dir, "events"), "event_type", "user_id", k=64)
+
+
+# ---------------------------------------------------------------------------
+# mm15 — silence-run segmentation over binary payloads (round 8).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm15_silence_runs",
+    tags=("multimodal",),
+    oracle=f"""
+WITH {_BYTES_CTE},
+p0 AS (
+    SELECT doc_id, n, bts, unnest(range(0, n)) AS i0 FROM by
+),
+pos AS (
+    SELECT doc_id, n, CAST(i0 AS INT) AS i, bts[CAST(i0 AS INT) + 1] AS s
+    FROM p0
+),
+sil AS (
+    SELECT doc_id, i,
+           i - row_number() OVER (PARTITION BY doc_id ORDER BY i ASC) AS rid
+    FROM pos WHERE s < 64
+),
+rs AS (SELECT doc_id, rid, min(i) AS start, count(*) AS len FROM sil GROUP BY 1, 2),
+mx AS (SELECT doc_id, max(len) AS max_run_len FROM rs GROUP BY 1),
+st AS (
+    SELECT rs.doc_id, CAST(min(rs.start) AS INT) AS max_run_start
+    FROM rs JOIN mx ON rs.doc_id = mx.doc_id AND rs.len = mx.max_run_len
+    GROUP BY 1
+),
+agg AS (
+    SELECT doc_id, CAST(count(*) AS INT) AS n_runs,
+           CAST(sum(len) AS INT) AS n_silent
+    FROM rs GROUP BY 1
+)
+SELECT b.doc_id, CAST(b.n AS INT) AS n_samples,
+       coalesce(agg.n_silent, 0) AS n_silent,
+       coalesce(agg.n_runs, 0) AS n_runs,
+       CAST(coalesce(mx.max_run_len, 0) AS INT) AS max_run_len,
+       st.max_run_start AS max_run_start,
+       CASE WHEN b.n > 0 THEN
+           {dec_fixed_sql('CAST(coalesce(agg.n_silent, 0) AS DOUBLE) / CAST(b.n AS DOUBLE)', 6)}
+       END AS silence_ratio
+FROM by b
+LEFT JOIN agg ON agg.doc_id = b.doc_id
+LEFT JOIN mx ON mx.doc_id = b.doc_id
+LEFT JOIN st ON st.doc_id = b.doc_id
+""",
+)
+def mm15_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload silence segmentation ('audio' VAD shape): run-length
+    summary of samples below the silence threshold — count/total of
+    silent runs, the longest run and its earliest start, and the
+    silence share. The gaps-and-islands computation runs LOCALLY per
+    payload inside the Arrow batch (zero shuffles beyond the scan);
+    the oracle replays it relationally via a position spine and
+    i - row_number run ids. Integer outputs; the one ratio is
+    portable DECIMAL (functions/portable.py)."""
+    return multimodal.silence_runs(table(spark, sf_dir, "documents"))

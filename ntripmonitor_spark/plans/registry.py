@@ -139,6 +139,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "mm12_media_manifest",
         "mm13_phash_planted",
         "mm14_scene_change",
+        "mm15_silence_runs",
         "mx01_source_overlap",
         "q01_pricing_summary",
         "q02_tumbling_window",

@@ -223,3 +223,27 @@ def test_sk02_small_union_estimate_exact(spark):
     assert r["n_inter"] == 5 and r["n_union"] == 15
     assert r["kmv_union"] == Decimal("15.0")
     assert r["exact_jaccard"] == r["kmv_jaccard"] == Decimal("0.333333")
+
+
+# ---------------------------------------------------------------------------
+# mm15 — silence runs
+# ---------------------------------------------------------------------------
+
+
+def test_mm15_planted_runs(spark):
+    """Payload ' ab  c' (space=32 silent, letters loud): runs at
+    [0,1) and [3,5) → 2 runs, 3 silent, longest len 2 starting at 3."""
+    from ntripmonitor_spark.operators.multimodal import silence_runs
+
+    docs = spark.createDataFrame(
+        [(1, " ab  c"), (2, "zzz")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in silence_runs(docs).collect()}
+    r1 = out[1]
+    assert (r1["n_samples"], r1["n_silent"], r1["n_runs"]) == (6, 3, 2)
+    assert (r1["max_run_len"], r1["max_run_start"]) == (2, 3)
+    assert r1["silence_ratio"] == Decimal("0.500000")
+    r2 = out[2]
+    assert (r2["n_silent"], r2["n_runs"], r2["max_run_len"]) == (0, 0, 0)
+    assert r2["max_run_start"] is None
+    assert r2["silence_ratio"] == Decimal("0.000000")
