@@ -49,6 +49,16 @@ def quantize_sql(expr: str, scale: int) -> str:
     return f"CAST(floor(({expr}) * {float(10 ** scale)!r} + 0.5) AS BIGINT)"
 
 
+def _inner_precision(scale: int) -> int:
+    """Widest integer-units precision whose multiply with the
+    DECIMAL(s+1, s) unit stays within 38 digits on BOTH engines
+    (Spark result precision is p1+p2+1): p1 + (s+1) + 1 <= 38.
+    Capped at 28; at scale 9 this is 27 — scale 9 with inner 28
+    overflows on Spark and silently clamps the result to scale 8,
+    zeroing the last digit (caught by dp03's nano-bit sums)."""
+    return min(28, 36 - scale)
+
+
 def int_to_dec(q: Column, scale: int, precision: int = 18) -> Column:
     """Re-scale integer units ``q`` into DECIMAL(precision, scale) via an
     exact decimal multiply (q * 10^-s) — no decimal division anywhere,
@@ -58,14 +68,16 @@ def int_to_dec(q: Column, scale: int, precision: int = 18) -> Column:
     precision-overflow scale clamp in the multiply)."""
     unit = "0." + "0" * (scale - 1) + "1" if scale else "1"
     unit_col = F.lit(unit).cast(f"decimal({scale + 1},{scale})")
-    return (q.cast("decimal(28,0)") * unit_col).cast(f"decimal({precision},{scale})")
+    inner = _inner_precision(scale)
+    return (q.cast(f"decimal({inner},0)") * unit_col).cast(f"decimal({precision},{scale})")
 
 
 def int_to_dec_sql(expr: str, scale: int, precision: int = 18) -> str:
     """DuckDB twin of :func:`int_to_dec`."""
     unit = "0." + "0" * (scale - 1) + "1" if scale else "1"
+    inner = _inner_precision(scale)
     return (
-        f"CAST(CAST(({expr}) AS DECIMAL(28,0))"
+        f"CAST(CAST(({expr}) AS DECIMAL({inner},0))"
         f" * CAST({unit} AS DECIMAL({scale + 1},{scale}))"
         f" AS DECIMAL({precision},{scale}))"
     )

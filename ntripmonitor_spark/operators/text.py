@@ -1023,3 +1023,65 @@ def readability(docs: DataFrame, source_col: str = "source",
             int_to_dec(quantize(mean_flesch / F.lit(1000.0), 3), 3),
         ).alias("mean_flesch"),
     )
+
+
+def pairwise_js(docs: DataFrame, vocab_size: int = 24, k: float = 0.5,
+                text_col: str = "text",
+                group_col: str = "source") -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between every two
+    sources' unigram distributions — the SYMMETRIC source-similarity
+    matrix next to kl01's source-vs-corpus divergence: JS is bounded
+    [0, 1], symmetric, and defined even with disjoint support, which
+    makes it the right distance for clustering sources before
+    assigning mixing weights.
+
+    Same model and scale shape as source_divergence: closed top-
+    ``vocab_size`` vocabulary + <oov>, add-k smoothing, ONE map-side-
+    combined (source, symbol) aggregate as the only input-scaled
+    exchange; the |sources|² pair join runs on the (sources × V+1)
+    grid (tiny). Per-symbol JS terms are floor-quantized to integer
+    nano-bits and summed exactly (functions/portable.py), so the
+    matrix is summation-order-free and engine-version-portable."""
+    from ntripmonitor_spark.functions.portable import int_to_dec, quantize
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    exploded = docs.select(F.col(group_col), F.explode(toks).alias("tok"))
+    vocab_rows = (
+        exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab = [r["tok"] for r in vocab_rows]
+    v_plus = float(len(vocab) + 1)
+
+    sym = F.when(F.col("tok").isin(vocab), F.col("tok")).otherwise(F.lit("<oov>"))
+    sc = exploded.select(group_col, sym.alias("sym")).groupBy(group_col, "sym").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = sc.groupBy(group_col).agg(F.sum("c").alias("n_s"))
+    corpus_syms = sc.select("sym").distinct()
+    grid = (
+        totals.crossJoin(F.broadcast(corpus_syms))
+        .join(sc, [group_col, "sym"], "left")
+        .fillna(0, subset=["c"])
+    )
+    p = (F.col("c") + F.lit(k)) / (F.col("n_s") + F.lit(k * v_plus))
+    dist = grid.select(F.col(group_col).alias("src"), "sym", p.alias("p"))
+
+    a = dist.select(F.col("src").alias("source_a"), "sym", F.col("p").alias("p"))
+    b = dist.select(F.col("src").alias("source_b"), "sym", F.col("p").alias("q"))
+    pairs = a.join(b, ["sym"]).filter(F.col("source_a") < F.col("source_b"))
+    m = (F.col("p") + F.col("q")) / F.lit(2.0)
+    term = (
+        F.lit(0.5) * F.col("p") * F.log2(F.col("p") / m)
+        + F.lit(0.5) * F.col("q") * F.log2(F.col("q") / m)
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.sum(quantize(term, 9)).alias("js_nano"))
+        .select(
+            "source_a", "source_b",
+            int_to_dec(F.col("js_nano"), 9).alias("js_bits"),
+        )
+    )

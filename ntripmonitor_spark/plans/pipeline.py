@@ -7007,3 +7007,67 @@ def mm15_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     i - row_number run ids. Integer outputs; the one ratio is
     portable DECIMAL (functions/portable.py)."""
     return multimodal.silence_runs(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dp03 — pairwise Jensen-Shannon source-similarity matrix (round 8).
+# ---------------------------------------------------------------------------
+
+_DP03_TERM = (
+    "0.5 * p * log2(p / ((p + q) / 2.0))"
+    " + 0.5 * q * log2(q / ((p + q) / 2.0))"
+)
+
+
+@register(
+    "dp03_js_matrix",
+    tags=("text", "monitoring"),
+    oracle=f"""
+WITH toks AS (
+    SELECT source,
+           unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+    FROM documents
+),
+tc AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+vocab AS (
+    SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS rk FROM tc
+    ) WHERE rk <= 24
+),
+symed AS (
+    SELECT source,
+           CASE WHEN tok IN (SELECT tok FROM vocab) THEN tok
+                ELSE '<oov>' END AS sym
+    FROM toks
+),
+sc AS (SELECT source, sym, count(*) AS c FROM symed GROUP BY 1, 2),
+totals AS (SELECT source, sum(c) AS n_s FROM sc GROUP BY 1),
+syms AS (SELECT DISTINCT sym FROM sc),
+vp AS (SELECT count(*) + 1.0 AS v_plus FROM vocab),
+grid AS (
+    SELECT t.source, t.n_s, v.v_plus, sy.sym, coalesce(s.c, 0) AS c
+    FROM totals t CROSS JOIN vp v CROSS JOIN syms sy
+    LEFT JOIN sc s ON s.source = t.source AND s.sym = sy.sym
+),
+dist AS (
+    SELECT source, sym, (c + 0.5) / (n_s + 0.5 * v_plus) AS p FROM grid
+),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b, a.p AS p, b.p AS q
+    FROM dist a JOIN dist b ON a.sym = b.sym AND a.source < b.source
+)
+SELECT source_a, source_b,
+       {int_to_dec_sql(f'sum({quantize_sql(_DP03_TERM, 9)})', 9)} AS js_bits
+FROM pairs GROUP BY 1, 2
+""",
+)
+def dp03_js_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between every two
+    sources' smoothed unigram distributions — the bounded, symmetric
+    source-similarity matrix next to kl01's source-vs-corpus report;
+    the distance to cluster sources on before assigning mixing
+    weights. One (source, symbol) aggregate is the only input-scaled
+    exchange; the |sources|² pair join runs on the tiny smoothed grid,
+    and per-symbol terms ride as exact integer nano-bits
+    (functions/portable.py)."""
+    return text.pairwise_js(table(spark, sf_dir, "documents"), vocab_size=24)

@@ -100,6 +100,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "dd16_soft_dedup",
         "dp01_mean_drift",
         "dp02_psi_drift",
+        "dp03_js_matrix",
         "dq01_table_profile",
         "dq02_profile_approx",
         "er01_name_matching",

@@ -247,3 +247,27 @@ def test_mm15_planted_runs(spark):
     assert (r2["n_silent"], r2["n_runs"], r2["max_run_len"]) == (0, 0, 0)
     assert r2["max_run_start"] is None
     assert r2["silence_ratio"] == Decimal("0.000000")
+
+
+# ---------------------------------------------------------------------------
+# dp03 — pairwise JS divergence
+# ---------------------------------------------------------------------------
+
+
+def test_dp03_js_properties(spark):
+    """Identical token distributions → JS 0; disjoint vocabularies →
+    clearly positive (add-half smoothing over V+1 symbols flattens
+    tiny 3-token distributions, so the ceiling is far below 1 bit)."""
+    from ntripmonitor_spark.operators.text import pairwise_js
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "a"), (2, "alpha beta gamma", "b"),
+         (3, "delta epsilon zeta", "c")],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["source_a"], r["source_b"]): float(r["js_bits"])
+           for r in pairwise_js(docs, vocab_size=24).collect()}
+    assert out[("a", "b")] == 0.0
+    assert out[("a", "c")] > 0.1
+    assert out[("a", "c")] == out[("b", "c")]
+    assert all(0.0 <= v <= 1.0 for v in out.values())
