@@ -488,3 +488,50 @@ def tfidf_cosine_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+FUZZY_PROBES = ["hsah", "jion", "mrege", "streem", "windwo", "vectro",
+                "filter", "qqqq"]
+
+
+def fuzzy_probe(docs: DataFrame, probes: list[str] | None = None,
+                max_dist: int = 2, k: int = 3) -> DataFrame:
+    """'Did-you-mean' term suggestion over the corpus vocabulary: for
+    each probe term, the ``k`` closest vocabulary terms within
+    Levenshtein distance ``max_dist``, ranked by (distance, df desc,
+    term) — the query-rewrite primitive in front of exact posting
+    probes (in03/in04) when user queries contain typos.
+
+    Blocking (the er01 discipline — never all-pairs): candidates must
+    be within ``max_dist`` in LENGTH (a necessary condition of edit
+    distance) and share the first or last character (the standard
+    spell-checker heuristic; a bounded class of double-end edits is
+    deliberately out of recall — documented tradeoff, not a bug).
+    Plan: the probe list broadcasts onto the vocab relation (one
+    vocab-scale scan with a cheap predicate; JVM levenshtein runs only
+    on blocked candidates), then a per-probe top-k window over the few
+    surviving rows."""
+    probes = FUZZY_PROBES if probes is None else probes
+    spark = docs.sparkSession
+    vocab = doc_terms(docs).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    pdf = spark.createDataFrame([(p,) for p in probes], "probe string")
+    blocked = F.broadcast(pdf).join(
+        vocab,
+        (F.abs(F.length("term") - F.length("probe")) <= max_dist)
+        & (
+            (F.substring("term", 1, 1) == F.substring("probe", 1, 1))
+            | (F.substring("term", -1, 1) == F.substring("probe", -1, 1))
+        ),
+    )
+    cand = blocked.withColumn(
+        "distance", F.levenshtein("probe", "term")
+    ).filter(F.col("distance") <= max_dist)
+    w = Window.partitionBy("probe").orderBy(
+        F.col("distance").asc(), F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe", "rank", F.col("term").alias("suggestion"),
+                "distance", "df")
+    )

@@ -125,6 +125,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "in03_phrase_probe",
         "in04_boolean_probe",
         "in07_tfidf_cosine",
+        "in08_fuzzy_probe",
         "kl01_source_divergence",
         "ks01_source_drift",
         "lo01_zorder_code",

@@ -531,3 +531,44 @@ def in07_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.tfidf_cosine_topk(
         table(spark, sf_dir, "documents"), BM25_QUERIES, k=10
     )
+
+
+_IN08_PROBES = ", ".join(f"('{p}')" for p in retrieval.FUZZY_PROBES)
+
+
+@register(
+    "in08_fuzzy_probe",
+    tags=("retrieval",),
+    oracle=f"""
+WITH {_TOKS_CTE},
+dt AS (
+    SELECT doc_id, tok AS term, count(*) AS tf
+    FROM t, unnest(toks) AS u(tok)
+    GROUP BY 1, 2
+),
+vocab AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+p(probe) AS (VALUES {_IN08_PROBES}),
+cand AS (
+    SELECT p.probe, v.term, v.df, levenshtein(p.probe, v.term) AS distance
+    FROM p JOIN vocab v
+      ON abs(length(v.term) - length(p.probe)) <= 2
+     AND (substr(v.term, 1, 1) = substr(p.probe, 1, 1)
+          OR substr(v.term, length(v.term), 1) = substr(p.probe, length(p.probe), 1))
+    WHERE levenshtein(p.probe, v.term) <= 2
+)
+SELECT probe, rank, term AS suggestion, distance, CAST(df AS BIGINT) AS df
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY probe ORDER BY distance ASC, df DESC, term ASC
+    ) AS rank FROM cand
+) WHERE rank <= 3
+""",
+)
+def in08_fuzzy_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Did-you-mean' suggestions: top-3 vocabulary terms within edit
+    distance 2 of each probe, ranked by (distance, df desc, term) —
+    the typo-tolerant query-rewrite step in front of the exact posting
+    probes. Length-band + shared-end-character blocking keeps the JVM
+    levenshtein off the all-pairs space (er01's discipline applied to
+    the vocab)."""
+    return retrieval.fuzzy_probe(table(spark, sf_dir, "documents"))

@@ -271,3 +271,36 @@ def test_dp03_js_properties(spark):
     assert out[("a", "c")] > 0.1
     assert out[("a", "c")] == out[("b", "c")]
     assert all(0.0 <= v <= 1.0 for v in out.values())
+
+
+# ---------------------------------------------------------------------------
+# in08 — fuzzy vocab probe
+# ---------------------------------------------------------------------------
+
+
+def test_in08_typos_resolve_and_hopeless_probe_empty(spark):
+    from ntripmonitor_spark.operators.retrieval import fuzzy_probe
+
+    docs = spark.createDataFrame(
+        [(1, "hash join hash"), (2, "hash merge")], "doc_id long, text string"
+    )
+    rows = fuzzy_probe(docs, probes=["hsah", "jion", "zzzz"]).collect()
+    out = {(r["probe"], r["rank"]): r for r in rows}
+    assert out[("hsah", 1)]["suggestion"] == "hash"
+    assert out[("hsah", 1)]["distance"] == 2
+    assert out[("hsah", 1)]["df"] == 2  # docs containing 'hash'
+    assert out[("jion", 1)]["suggestion"] == "join"
+    assert not [r for r in rows if r["probe"] == "zzzz"]
+
+
+def test_in08_exact_match_ranks_first(spark):
+    from ntripmonitor_spark.operators.retrieval import fuzzy_probe
+
+    docs = spark.createDataFrame(
+        [(1, "scan scans scant")], "doc_id long, text string"
+    )
+    rows = sorted(
+        fuzzy_probe(docs, probes=["scan"]).collect(), key=lambda r: r["rank"]
+    )
+    assert rows[0]["suggestion"] == "scan" and rows[0]["distance"] == 0
+    assert {r["suggestion"] for r in rows} == {"scan", "scans", "scant"}
