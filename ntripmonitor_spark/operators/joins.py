@@ -415,3 +415,52 @@ def linear_attribution(events: DataFrame, touch_types: tuple[str, str] = ("view"
         F.sum("share").cast("double").alias("credit"),
         F.count(F.when(F.col("share") > 0, F.lit(1))).alias("n_conversions"),
     )
+
+
+def scd2_audit(hist: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """SCD2 history INTEGRITY audit — the check a warehouse runs after
+    every dimension-maintenance batch: per key, are the validity
+    intervals a clean chain (no overlaps, no gaps), is there exactly
+    one open (NULL valid_to) row, and does the open row come last?
+    Emits one corpus-rollup row per violation class so the report is
+    O(1) however large the dimension.
+
+    Shape: one window pass on the (key, valid_from) ordering — the
+    SAME partitioning the history build used, so run back-to-back the
+    audit reuses the exchange — then a per-key flag aggregate and a
+    bounded rollup. Per-key work is linear; a skewed key costs O(its
+    rows).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("valid_from").asc(), F.col("attr_value").asc()
+    )
+    flagged = hist.select(
+        key_col, "valid_from", "valid_to",
+        F.lag("valid_to").over(w).alias("prev_to"),
+        F.lead(F.lit(1)).over(w).isNull().alias("is_last"),
+    )
+    per_key = flagged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (F.col("prev_to").isNotNull()
+             & (F.col("valid_from") < F.col("prev_to"))).cast("int")
+        ).alias("n_overlaps"),
+        F.sum(
+            (F.col("prev_to").isNotNull()
+             & (F.col("valid_from") > F.col("prev_to"))).cast("int")
+        ).alias("n_gaps"),
+        F.sum(F.col("valid_to").isNull().cast("int")).alias("n_open"),
+        F.sum(
+            (F.col("valid_to").isNull() & ~F.col("is_last")).cast("int")
+        ).alias("n_open_not_last"),
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum((F.col("n_overlaps") > 0).cast("int")).alias("keys_with_overlap"),
+        F.sum((F.col("n_gaps") > 0).cast("int")).alias("keys_with_gap"),
+        F.sum("n_gaps").alias("total_gaps"),
+        F.sum((F.col("n_open") == 0).cast("int")).alias("keys_no_open_row"),
+        F.sum((F.col("n_open") > 1).cast("int")).alias("keys_multi_open"),
+        F.sum("n_open_not_last").alias("open_rows_not_last"),
+    )

@@ -516,3 +516,83 @@ def scd02_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)) / 3600000000.0, 4,
         ).alias("avg_state_age_h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# scd03 — SCD2 history integrity audit (round 8).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd03_history_audit",
+    tags=("joins", "warehouse", "quality"),
+    oracle="""
+WITH runs AS (
+    SELECT event_id, user_id, ts, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+changes AS (
+    SELECT * FROM runs WHERE prev IS NULL OR event_type <> prev
+),
+hist AS (
+    SELECT user_id, event_type AS attr_value, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM changes
+),
+kept AS (
+    SELECT * FROM hist
+    WHERE (user_id * 2654435761 + epoch_us(valid_from)) % 7 <> 0
+),
+flagged AS (
+    SELECT user_id, valid_from, valid_to,
+           lag(valid_to) OVER (PARTITION BY user_id
+                               ORDER BY valid_from ASC, attr_value ASC) AS prev_to,
+           lead(1) OVER (PARTITION BY user_id
+                         ORDER BY valid_from ASC, attr_value ASC) IS NULL AS is_last
+    FROM kept
+),
+per_key AS (
+    SELECT user_id, count(*) AS n_rows,
+           sum(CASE WHEN prev_to IS NOT NULL AND valid_from < prev_to
+                    THEN 1 ELSE 0 END) AS n_overlaps,
+           sum(CASE WHEN prev_to IS NOT NULL AND valid_from > prev_to
+                    THEN 1 ELSE 0 END) AS n_gaps,
+           sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_open,
+           sum(CASE WHEN valid_to IS NULL AND NOT is_last
+                    THEN 1 ELSE 0 END) AS n_open_not_last
+    FROM flagged GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN n_overlaps > 0 THEN 1 ELSE 0 END) AS BIGINT) AS keys_with_overlap,
+       CAST(sum(CASE WHEN n_gaps > 0 THEN 1 ELSE 0 END) AS BIGINT) AS keys_with_gap,
+       CAST(sum(n_gaps) AS BIGINT) AS total_gaps,
+       CAST(sum(CASE WHEN n_open = 0 THEN 1 ELSE 0 END) AS BIGINT) AS keys_no_open_row,
+       CAST(sum(CASE WHEN n_open > 1 THEN 1 ELSE 0 END) AS BIGINT) AS keys_multi_open,
+       CAST(sum(n_open_not_last) AS BIGINT) AS open_rows_not_last
+FROM per_key
+""",
+)
+def scd03_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity-chain integrity audit over a DELIBERATELY
+    corrupted history (a deterministic hash drops ~1/7 of the interval
+    rows, planting gaps and missing-open-row keys so the audit is
+    non-degenerate): per violation class — overlaps, gaps, keys with
+    zero/multiple open rows, open rows not last — one corpus-rollup
+    row. This is the post-merge dimension check a warehouse runs after
+    every SCD2 maintenance batch (the lakehouse mirror of trusting
+    Postgres constraints in the reference's schema,
+    initdb/30-connection_logger.sql's open/closed session rows). One
+    window pass on the same (key, valid_from) ordering the history
+    build used + a per-key flag aggregate + an O(1) rollup."""
+    from ntripmonitor_spark.functions.timeutil import epoch_us
+    from ntripmonitor_spark.operators.sampling import KNUTH
+
+    hist = joins.scd2_history(table(spark, sf_dir, "events"))
+    kept = hist.filter(
+        F.pmod(
+            F.col("user_id") * F.lit(KNUTH) + epoch_us("valid_from"), F.lit(7)
+        ) != 0
+    )
+    return joins.scd2_audit(kept)

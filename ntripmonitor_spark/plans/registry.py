@@ -189,6 +189,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "rt10_msm123_observations",
         "scd01_history",
         "scd02_asof_snapshot",
+        "scd03_history_audit",
         "sd01_duplicate_spans",
         "sj01_salted_distinct",
         "sj02_salted_join",

@@ -304,3 +304,37 @@ def test_in08_exact_match_ranks_first(spark):
     )
     assert rows[0]["suggestion"] == "scan" and rows[0]["distance"] == 0
     assert {r["suggestion"] for r in rows} == {"scan", "scans", "scant"}
+
+
+# ---------------------------------------------------------------------------
+# scd03 — SCD2 integrity audit
+# ---------------------------------------------------------------------------
+
+
+def test_scd03_audit_flags_planted_violations(spark):
+    """Hand-built history: key 1 clean; key 2 has an overlap; key 3 a
+    gap; key 4 two open rows; key 5 no open row."""
+    import datetime
+
+    from ntripmonitor_spark.operators.joins import scd2_audit
+
+    d = lambda day: datetime.datetime(2024, 1, day)
+    rows = [
+        (1, "a", d(1), d(5)), (1, "b", d(5), None),          # clean chain
+        (2, "a", d(1), d(6)), (2, "b", d(4), None),          # overlap
+        (3, "a", d(1), d(3)), (3, "b", d(5), None),          # gap
+        (4, "a", d(1), None), (4, "b", d(2), None),          # two open
+        (5, "a", d(1), d(4)),                                # no open row
+    ]
+    hist = spark.createDataFrame(
+        rows,
+        "user_id long, attr_value string, valid_from timestamp,"
+        " valid_to timestamp",
+    )
+    r = scd2_audit(hist).collect()[0]
+    assert r["n_keys"] == 5 and r["n_rows"] == 9
+    assert r["keys_with_overlap"] == 1
+    assert r["keys_with_gap"] == 1 and r["total_gaps"] == 1
+    assert r["keys_no_open_row"] == 1
+    assert r["keys_multi_open"] == 1
+    assert r["open_rows_not_last"] == 1  # key 4's first open row
