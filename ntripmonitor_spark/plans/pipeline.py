@@ -462,7 +462,7 @@ def mm02_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_BYTES_CTE}
 SELECT doc_id,
        CAST((n + 15) // 16 AS INT) AS n_frames,
-       array_to_string(list_transform(range(0, (n + 15) // 16), f ->
+       array_to_string(list_transform(range(0, CAST((n + 15) // 16 AS BIGINT)), f ->
            CAST(list_sum(list_transform(range(16*f, least(16*f + 16, CAST(n AS BIGINT))),
                                         i -> list_extract(bts, CAST(i + 1 AS INT)))) AS INT)
        ), ',') AS frame_sums
@@ -2554,7 +2554,7 @@ def ss10_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_BYTES_CTE},
 wins AS (
     SELECT doc_id,
-           unnest(list_transform(range(0, greatest((n - 32) // 16 + 1, 0)), w -> {{
+           unnest(list_transform(range(0, CAST(greatest((n - 32) // 16 + 1, 0) AS BIGINT)), w -> {{
                'win_idx': CAST(w AS INT),
                'ssq': CAST(list_sum(list_transform(range(16 * CAST(w AS INT) + 1,
                                                          16 * CAST(w AS INT) + 33),
@@ -3569,7 +3569,7 @@ dims AS (
 ),
 grid AS (
     SELECT doc_id, w, h,
-           unnest(list_transform(range(0, ((h + 7) // 8) * ((w + 7) // 8)), p -> {{
+           unnest(list_transform(range(0, CAST(((h + 7) // 8) * ((w + 7) // 8) AS BIGINT)), p -> {{
                'pr': CAST(p // ((w + 7) // 8) AS INT),
                'pc': CAST(p % ((w + 7) // 8) AS INT),
                'ps': CAST(list_sum(list_transform(range(0, 64), k ->
