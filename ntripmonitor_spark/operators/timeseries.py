@@ -831,3 +831,57 @@ def downsample_extremes(events: DataFrame, bucket_s: int = 21600,
             F.round(F.abs(F.col("v") - F.col("mean_v")), 6).alias("ext_dev"),
         )
     )
+
+
+def seasonal_strength(events: DataFrame,
+                      key_col: str = "event_type") -> DataFrame:
+    """Hyndman-style seasonal/trend STRENGTH per key from the additive
+    decomposition (seasonal_decompose): F_seasonal = max(0, 1 -
+    Var(resid)/Var(seasonal+resid)) and F_trend = max(0, 1 -
+    Var(resid)/Var(trend+resid)) — the one-number-per-series answer to
+    "is this series worth a seasonal model" that decides between an02's
+    seasonal baseline and an01's plain rolling window.
+
+    Determinism: the decomposition's 6-dp-rounded components are
+    re-quantized to exact integer millionths, every variance moment
+    (Σx, Σx²) is an exact integer sum (order-free at any partition
+    count), and the final ratios are fixed-order IEEE over those exact
+    integers, emitted as portable DECIMAL (functions/portable.py).
+    Shape: rides the decomposition's bounded (key, day) relation —
+    one additional |keys|-row aggregate, nothing corpus-scaled."""
+    from ntripmonitor_spark.functions.portable import dec_fixed, quantize
+
+    dec = seasonal_decompose(events, key_col=key_col).filter(
+        F.col("trend").isNotNull()
+    )
+    staged = dec.select(
+        key_col,
+        quantize(F.col("residual"), 6).alias("r"),
+        quantize(F.col("seasonal"), 6).alias("s"),
+        quantize(F.col("trend"), 6).alias("t"),
+    ).select(
+        key_col, "r",
+        (F.col("r") + F.col("s")).alias("q"),
+        (F.col("r") + F.col("t")).alias("u"),
+    )
+    g = staged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("sr"), F.sum(F.col("r") * F.col("r")).alias("sr2"),
+        F.sum("q").alias("sq"), F.sum(F.col("q") * F.col("q")).alias("sq2"),
+        F.sum("u").alias("su"), F.sum(F.col("u") * F.col("u")).alias("su2"),
+    )
+    n_d = F.col("n").cast("double")
+    vr = n_d * F.col("sr2").cast("double") - F.col("sr").cast("double") * F.col("sr").cast("double")
+    vq = n_d * F.col("sq2").cast("double") - F.col("sq").cast("double") * F.col("sq").cast("double")
+    vu = n_d * F.col("su2").cast("double") - F.col("su").cast("double") * F.col("su").cast("double")
+    v = g.select(
+        key_col, F.col("n").alias("n_days"),
+        vr.alias("vr"), vq.alias("vq"), vu.alias("vu"),
+    )
+    f_seas = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("vr") / F.col("vq"))
+    f_trend = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("vr") / F.col("vu"))
+    return v.select(
+        key_col, "n_days",
+        F.when(F.col("vq") > 0, dec_fixed(f_seas, 6)).alias("f_seasonal"),
+        F.when(F.col("vu") > 0, dec_fixed(f_trend, 6)).alias("f_trend"),
+    )

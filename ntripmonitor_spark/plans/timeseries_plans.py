@@ -539,3 +539,81 @@ def ts05_downsample_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential), so the plan is two co-keyed passes."""
     return timeseries.downsample_extremes(table(spark, sf_dir, "events"),
                                           bucket_s=21600)
+
+
+# ---------------------------------------------------------------------------
+# an11 — seasonal/trend strength (round 8).
+# ---------------------------------------------------------------------------
+
+from ntripmonitor_spark.functions.portable import dec_fixed_sql, quantize_sql  # noqa: E402
+
+
+@register(
+    "an11_seasonal_strength",
+    tags=("timeseries", "stats"),
+    oracle=f"""
+WITH d AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS x
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT *,
+           avg(x) OVER w AS ma, count(x) OVER w AS mn
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+t AS (
+    SELECT event_type, day, x,
+           CASE WHEN mn = 7 THEN ma END AS trend,
+           x - CASE WHEN mn = 7 THEN ma END AS detr
+    FROM m
+),
+s AS (
+    SELECT event_type, isodow(day) - 1 AS wd, avg(detr) AS seasonal
+    FROM t GROUP BY 1, 2
+),
+comp AS (
+    SELECT t.event_type,
+           {quantize_sql('round(t.detr - s.seasonal, 6)', 6)} AS r,
+           {quantize_sql('round(s.seasonal, 6)', 6)} AS sp,
+           {quantize_sql('round(t.trend, 6)', 6)} AS tp
+    FROM t JOIN s ON s.event_type = t.event_type AND s.wd = isodow(t.day) - 1
+    WHERE t.trend IS NOT NULL
+),
+g AS (
+    SELECT event_type, count(*) AS n,
+           sum(r) AS sr, sum(r * r) AS sr2,
+           sum(r + sp) AS sq, sum((r + sp) * (r + sp)) AS sq2,
+           sum(r + tp) AS su, sum((r + tp) * (r + tp)) AS su2
+    FROM comp GROUP BY 1
+),
+v AS (
+    SELECT event_type, n,
+           CAST(n AS DOUBLE) * CAST(sr2 AS DOUBLE)
+               - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) AS vr,
+           CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE)
+               - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) AS vq,
+           CAST(n AS DOUBLE) * CAST(su2 AS DOUBLE)
+               - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) AS vu
+    FROM g
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CASE WHEN vq > 0 THEN
+           {dec_fixed_sql('greatest(0.0, 1.0 - vr / vq)', 6)} END AS f_seasonal,
+       CASE WHEN vu > 0 THEN
+           {dec_fixed_sql('greatest(0.0, 1.0 - vr / vu)', 6)} END AS f_trend
+FROM v
+""",
+)
+def an11_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal and trend strength per event type (Hyndman's variance-
+    ratio measures over the an05 decomposition) — the one-number
+    triage that says whether a series deserves a seasonal model
+    (an02's baseline) or a plain rolling window (an01). Variance
+    moments are exact integer sums of re-quantized 6-dp components,
+    so the ratios are deterministic at any partition count and
+    version-portable (functions/portable.py); rides the decomposition's
+    bounded (key, day) relation with one extra |keys|-row aggregate."""
+    return timeseries.seasonal_strength(table(spark, sf_dir, "events"))

@@ -338,3 +338,34 @@ def test_scd03_audit_flags_planted_violations(spark):
     assert r["keys_no_open_row"] == 1
     assert r["keys_multi_open"] == 1
     assert r["open_rows_not_last"] == 1  # key 4's first open row
+
+
+# ---------------------------------------------------------------------------
+# an11 — seasonal strength
+# ---------------------------------------------------------------------------
+
+
+def test_an11_pure_weekly_cycle_scores_high(spark):
+    """A clean 7-day cycle with flat level: seasonal strength near 1,
+    trend strength near 0; white-noise-free so residuals vanish."""
+    import datetime
+
+    from ntripmonitor_spark.operators.timeseries import seasonal_strength
+
+    rows = []
+    eid = 0
+    for day in range(28):
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day)
+        val = 100.0 + [0, 10, 20, 30, 20, 10, 0][day % 7]
+        for _ in range(3):  # several events per day, same value
+            rows.append((eid, ts, 1, "cyc", val, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = seasonal_strength(ev).collect()[0]
+    assert float(r["f_seasonal"]) > 0.95
+    # flat level: trend+resid is constant -> zero variance -> undefined
+    assert r["f_trend"] is None
+    assert r["n_days"] == 28 - 6  # edge days lack the centered window
