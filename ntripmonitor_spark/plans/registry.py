@@ -59,7 +59,11 @@ def bench_queries() -> dict[str, Query]:
 #     mm01, mm02, mm04, q20, sp01, sp02) and the r3-era batch (dd01,
 #     dd03, dd06, mm03).
 # After this round every registered query has a driver row and no green
-# row predates r4. Everything else (fresh r5-r7 greens) is exposed under
+# row predates r4. The round-8 registrations (an11, dd16, dp03, in07,
+# in08, mm15, scd03, sk02, sp12, st02, tx19 — 11 new, all value-oracled
+# and locally verified at sf0.001/sf0.01) are PRE-ROTATED so they do not
+# displace this round's debt-retirement window; they queue first for the
+# round-9 window under the never-checked priority. Everything else (fresh r5-r7 greens) is exposed under
 # an ``x_`` alias (sorts past the 50 canonical names, all < 'x').
 # Nothing is hidden - every query stays registered under its canonical
 # name for tests/bench and the local DuckDB parity suite
