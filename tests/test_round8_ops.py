@@ -369,3 +369,38 @@ def test_an11_pure_weekly_cycle_scores_high(spark):
     # flat level: trend+resid is constant -> zero variance -> undefined
     assert r["f_trend"] is None
     assert r["n_days"] == 28 - 6  # edge days lack the centered window
+
+
+def test_sk02_sketch_is_mergeable(spark):
+    """The KMV property the pairwise algebra relies on: the k smallest
+    hashes of A ∪ B equal the k smallest of (sketch(A) ∪ sketch(B)) —
+    so per-batch partial sketches merge into exactly the batch sketch,
+    and sk02's pair estimates are valid over streamed/rolled-up state."""
+    from pyspark.sql import Window
+    from ntripmonitor_spark.operators.sampling import KNUTH
+    from ntripmonitor_spark.tables import table as _table
+
+    ev = _table(spark, SF, "events")
+    d = (
+        ev.select("event_type", "user_id").distinct()
+        .withColumn("h", F.pmod(F.col("user_id").cast("long") * F.lit(KNUTH),
+                                F.lit(1 << 32)))
+    )
+    k = 64
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+
+    def sketch(df):
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("event_type", "h")
+        )
+
+    batch = {tuple(r) for r in sketch(d).collect()}
+    # split into 3 deterministic sub-batches, sketch each, merge, re-cut
+    parts = [d.filter(F.pmod(F.col("user_id"), F.lit(3)) == i) for i in range(3)]
+    merged_members = sketch(parts[0]).unionByName(sketch(parts[1])).unionByName(
+        sketch(parts[2])
+    )
+    merged = {tuple(r) for r in sketch(merged_members).collect()}
+    assert merged == batch
