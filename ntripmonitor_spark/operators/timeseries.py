@@ -885,3 +885,67 @@ def seasonal_strength(events: DataFrame,
         F.when(F.col("vq") > 0, dec_fixed(f_seas, 6)).alias("f_seasonal"),
         F.when(F.col("vu") > 0, dec_fixed(f_trend, 6)).alias("f_trend"),
     )
+
+
+def gapfill_interpolate(events: DataFrame, bucket_s: int = 3600,
+                        key_col: str = "event_type", ts_col: str = "ts",
+                        value_col: str = "value") -> DataFrame:
+    """Dense hourly spine per key with LINEAR interpolation across
+    missing buckets — the ``time_bucket_gapfill`` + ``interpolate()``
+    leg of the reference's dashboard gap analytics (ts03's TWAP covers
+    the ``locf`` mode; the Grafana heatmap's empty buckets are exactly
+    the rows this fills). Edges are honest: buckets before the key's
+    first or after its last observation stay NULL, never extrapolated.
+
+    Shape: one exact-decimal bucket-mean aggregate, then the spine is
+    a per-key sequence explode over the key's OWN [min, max] bucket
+    range (|keys| + total-buckets rows — never a corpus-sized cross
+    join), one left join back, and ignore-nulls window walls on a
+    single keyed exchange. Interpolation is fixed-order IEEE over
+    integer bucket indexes and exact-decimal means; output rides
+    portable DECIMAL (functions/portable.py)."""
+    from ntripmonitor_spark.functions.portable import dec_fixed
+    from ntripmonitor_spark.functions.timeutil import epoch_us
+
+    unit = bucket_s * 1_000_000
+    obs = events.groupBy(
+        key_col,
+        F.floor(epoch_us(ts_col) / F.lit(unit)).alias("b"),
+    ).agg(
+        (F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("x")
+    )
+    span = obs.groupBy(key_col).agg(
+        F.min("b").alias("b_lo"), F.max("b").alias("b_hi")
+    )
+    spine = span.select(
+        key_col, F.explode(F.sequence(F.col("b_lo"), F.col("b_hi"))).alias("b")
+    )
+    j = spine.join(obs, [key_col, "b"], "left")
+    w = Window.partitionBy(key_col).orderBy("b")
+    wprev = w.rowsBetween(Window.unboundedPreceding, 0)
+    wnext = w.rowsBetween(0, Window.unboundedFollowing)
+    filled = j.select(
+        key_col, "b", "x",
+        F.last("x", ignorenulls=True).over(wprev).alias("pv"),
+        F.last(F.when(F.col("x").isNotNull(), F.col("b")), ignorenulls=True)
+        .over(wprev).alias("pb"),
+        F.first("x", ignorenulls=True).over(wnext).alias("nv"),
+        F.first(F.when(F.col("x").isNotNull(), F.col("b")), ignorenulls=True)
+        .over(wnext).alias("nb"),
+    )
+    interp = F.when(F.col("x").isNotNull(), F.col("x")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * ((F.col("b") - F.col("pb")).cast("double")
+           / (F.col("nb") - F.col("pb")).cast("double"))
+    )
+    return filled.select(
+        key_col,
+        F.col("b").alias("bucket_idx"),
+        F.col("x").isNotNull().cast("int").alias("observed"),
+        F.when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            dec_fixed(interp, 6),
+        ).alias("value"),
+    )

@@ -238,6 +238,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "ts01_gap_fill",
         "ts02_ohlc_downsample",
         "ts03_twap_locf",
+        "ts06_gapfill_interpolate",
         "tx07_unigram_surprisal",
         "tx08_bpe_pairs",
         "tx09_zipf_fit",

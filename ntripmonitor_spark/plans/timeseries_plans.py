@@ -617,3 +617,59 @@ def an11_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     version-portable (functions/portable.py); rides the decomposition's
     bounded (key, day) relation with one extra |keys|-row aggregate."""
     return timeseries.seasonal_strength(table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ts06 — gap-fill with linear interpolation (round 8).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts06_gapfill_interpolate",
+    tags=("timeseries",),
+    oracle=f"""
+WITH obs AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS b,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS x
+    FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(b) AS b_lo, max(b) AS b_hi FROM obs GROUP BY 1),
+spine AS (SELECT event_type, unnest(range(b_lo, b_hi + 1)) AS b FROM span),
+j AS (
+    SELECT s.event_type, s.b, o.x FROM spine s
+    LEFT JOIN obs o ON o.event_type = s.event_type AND o.b = s.b
+),
+filled AS (
+    SELECT event_type, b, x,
+           last_value(x IGNORE NULLS) OVER wp AS pv,
+           last_value(CASE WHEN x IS NOT NULL THEN b END IGNORE NULLS) OVER wp AS pb,
+           first_value(x IGNORE NULLS) OVER wn AS nv,
+           first_value(CASE WHEN x IS NOT NULL THEN b END IGNORE NULLS) OVER wn AS nb
+    FROM j
+    WINDOW wp AS (PARTITION BY event_type ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY event_type ORDER BY b
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, b AS bucket_idx,
+       CAST(x IS NOT NULL AS INT) AS observed,
+       CASE WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+           {dec_fixed_sql(
+               'CASE WHEN x IS NOT NULL THEN x ELSE '
+               'pv + (nv - pv) * (CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)) '
+               'END', 6)}
+       END AS value
+FROM filled
+""",
+)
+def ts06_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly spine per event type with LINEAR interpolation
+    across missing buckets — the time_bucket_gapfill + interpolate()
+    leg of the reference's Grafana gap analytics (ts03's TWAP is the
+    locf mode; the dashboard heatmap's empty buckets are the rows this
+    fills). Edges stay NULL (no extrapolation). Per-key sequence
+    spine over the key's own bucket range, ignore-nulls window walls
+    on one keyed exchange, fixed-order IEEE interpolation over integer
+    bucket indexes and exact-decimal means, portable DECIMAL out."""
+    return timeseries.gapfill_interpolate(table(spark, sf_dir, "events"))

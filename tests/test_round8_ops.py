@@ -404,3 +404,31 @@ def test_sk02_sketch_is_mergeable(spark):
     )
     merged = {tuple(r) for r in sketch(merged_members).collect()}
     assert merged == batch
+
+
+# ---------------------------------------------------------------------------
+# ts06 — gap-fill interpolate
+# ---------------------------------------------------------------------------
+
+
+def test_ts06_linear_fill_midpoint_and_edges(spark):
+    """Observations at hours 0 (v=10) and 2 (v=30): hour 1 is filled
+    at exactly 20; the spine covers only the observed span."""
+    import datetime
+
+    from ntripmonitor_spark.operators.timeseries import gapfill_interpolate
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "a", 10.0, "{}"),
+        (2, t0 + datetime.timedelta(hours=2), 1, "a", 30.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = sorted(gapfill_interpolate(ev).collect(), key=lambda r: r["bucket_idx"])
+    assert len(out) == 3
+    assert [r["observed"] for r in out] == [1, 0, 1]
+    assert [float(r["value"]) for r in out] == [10.0, 20.0, 30.0]
