@@ -535,3 +535,49 @@ def fuzzy_probe(docs: DataFrame, probes: list[str] | None = None,
         .select("probe", "rank", F.col("term").alias("suggestion"),
                 "distance", "df")
     )
+
+
+def mrr_eval(docs: DataFrame, queries: list[tuple[int, list[str]]],
+             k: int = 10) -> DataFrame:
+    """Mean-reciprocal-rank evaluation of the BM25 leg — the
+    first-relevant-hit metric next to ndcg_eval's graded gains: a doc
+    is 'fully relevant' when it contains ALL the query's terms (the
+    same self-labeling trick), RR = 1/rank of the first such doc in
+    the top-k (0 when none). Per query: the hit rank and its
+    reciprocal as portable DECIMAL.
+
+    Shape: rides the identical filtered posting scan as the BM25 leg;
+    everything past it moves O(queries x k) rows. The reciprocal is
+    one IEEE division of exact integers, quantized portably."""
+    from ntripmonitor_spark.functions.portable import dec_fixed
+
+    ranked = bm25_topk(docs, queries, k=k)
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts], "query_id int, term string"
+    )
+    nq = qdf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    rel = (
+        doc_terms(docs)
+        .filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("term").cast("int").alias("rel"))
+    )
+    full = rel.join(F.broadcast(nq), "query_id").filter(
+        F.col("rel") == F.col("n_terms")
+    ).select("query_id", "doc_id")
+    hit = (
+        ranked.join(full, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.min("rank").cast("int").alias("first_rank"))
+    )
+    qs = nq.select("query_id")
+    return qs.join(hit, "query_id", "left").select(
+        "query_id", "first_rank",
+        F.coalesce(
+            dec_fixed(F.lit(1.0) / F.col("first_rank").cast("double"), 6),
+            F.lit("0").cast("decimal(18,6)"),
+        ).alias("rr"),
+    )

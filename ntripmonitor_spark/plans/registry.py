@@ -180,6 +180,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "qa03_robust_outliers",
         "rc01_hybrid_rrf",
         "rc02_ndcg_eval",
+        "rc03_mrr_eval",
         "rj01_range_join",
         "rj02_interval_overlap",
         "rt01_packages",

@@ -572,3 +572,79 @@ def in08_fuzzy_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     levenshtein off the all-pairs space (er01's discipline applied to
     the vocab)."""
     return retrieval.fuzzy_probe(table(spark, sf_dir, "documents"))
+
+
+# rc03 rides a HARDER query set than bm01: query 4 demands six terms in
+# one doc (first hit deep or absent), query 5 contains a term outside
+# the corpus vocabulary (never fully relevant -> RR 0 leg exercised).
+MRR_QUERIES = BM25_QUERIES + [
+    (4, ["hash", "join", "merge", "stream", "window", "vector"]),
+    (5, ["scan", "zzznotaword"]),
+]
+_M_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in MRR_QUERIES for t in ts
+)
+_M_TERMS = ", ".join(sorted({f"'{t}'" for _, ts in MRR_QUERIES for t in ts}))
+
+
+@register(
+    "rc03_mrr_eval",
+    tags=("retrieval",),
+    oracle=f"""
+WITH {_TOKS_CTE},
+stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t),
+dt AS (
+    SELECT doc_id, tok AS term, count(*) AS tf, min(len(toks)) AS doc_len
+    FROM t, unnest(toks) AS u(tok)
+    WHERE tok IN ({_M_TERMS})
+    GROUP BY 1, 2
+),
+dfd AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+q(query_id, term) AS (VALUES {_M_VALUES}),
+sc AS (
+    SELECT q.query_id, dt.doc_id,
+           round(sum(
+               ln(1 + (stats.n_docs - dfd.df + 0.5) / (dfd.df + 0.5))
+               * (dt.tf * (1.2 + 1))
+               / (dt.tf + 1.2 * (0.25 + 0.75 * dt.doc_len / stats.avgdl))
+           ), 6) AS score
+    FROM dt JOIN dfd USING (term) JOIN q USING (term) CROSS JOIN stats
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, doc_id, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+        ) AS rank FROM sc
+    ) WHERE rank <= 10
+),
+nq AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY 1),
+rel AS (
+    SELECT q.query_id, dt.doc_id, count(DISTINCT dt.term) AS rel
+    FROM dt JOIN q USING (term) GROUP BY 1, 2
+),
+fullrel AS (
+    SELECT rel.query_id, rel.doc_id
+    FROM rel JOIN nq USING (query_id) WHERE rel.rel = nq.n_terms
+),
+hit AS (
+    SELECT r.query_id, CAST(min(r.rank) AS INT) AS first_rank
+    FROM ranked r JOIN fullrel f
+      ON f.query_id = r.query_id AND f.doc_id = r.doc_id
+    GROUP BY 1
+)
+SELECT nq.query_id, hit.first_rank,
+       coalesce({dec_fixed_sql('1.0 / CAST(hit.first_rank AS DOUBLE)', 6)},
+                CAST(0 AS DECIMAL(18,6))) AS rr
+FROM nq LEFT JOIN hit USING (query_id)
+""",
+)
+def rc03_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank of the BM25 leg per query (first doc in
+    the top-10 containing ALL query terms; RR 0 when none) — the
+    first-hit metric completing the eval family next to rc02's graded
+    nDCG. Uses a harder query set than bm01 (a six-term conjunction and
+    an out-of-vocabulary term) so the deep-hit and zero-RR legs are
+    exercised; rides the same filtered posting scan shape as bm01;
+    O(queries x k) rows past it; the reciprocal is quantized portably."""
+    return retrieval.mrr_eval(table(spark, sf_dir, "documents"), MRR_QUERIES, k=10)

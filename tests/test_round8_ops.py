@@ -432,3 +432,24 @@ def test_ts06_linear_fill_midpoint_and_edges(spark):
     assert len(out) == 3
     assert [r["observed"] for r in out] == [1, 0, 1]
     assert [float(r["value"]) for r in out] == [10.0, 20.0, 30.0]
+
+
+# ---------------------------------------------------------------------------
+# rc03 — MRR eval
+# ---------------------------------------------------------------------------
+
+
+def test_rc03_rr_legs(spark):
+    """Planted corpus: query hitting a fully-relevant doc at rank 1
+    (rr 1.0), and a query whose conjunction no doc satisfies (rr 0)."""
+    from ntripmonitor_spark.operators.retrieval import mrr_eval
+
+    docs = spark.createDataFrame(
+        [(1, "hash join"), (2, "hash scan"), (3, "scan scan")],
+        "doc_id long, text string",
+    )
+    out = {r["query_id"]: r for r in mrr_eval(
+        docs, [(1, ["hash", "join"]), (2, ["join", "scan"])], k=10
+    ).collect()}
+    assert out[1]["first_rank"] == 1 and out[1]["rr"] == Decimal("1.000000")
+    assert out[2]["first_rank"] is None and out[2]["rr"] == Decimal("0.000000")
