@@ -7071,3 +7071,69 @@ def dp03_js_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     and per-symbol terms ride as exact integer nano-bits
     (functions/portable.py)."""
     return text.pairwise_js(table(spark, sf_dir, "documents"), vocab_size=24)
+
+
+# ---------------------------------------------------------------------------
+# dq07 — functional-dependency audit over the star schema (round 8).
+# ---------------------------------------------------------------------------
+
+_DQ07_FDS = (
+    # (label, table, lhs, rhs) — a mix of true keys and deliberately
+    # false dependencies so both report legs carry signal
+    ("orders.o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("lineitem.l_orderkey->l_suppkey", "lineitem", "l_orderkey", "l_suppkey"),
+    ("lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+    ("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+)
+
+
+@register(
+    "dq07_fd_audit",
+    tags=("quality", "profile"),
+    oracle=" UNION ALL ".join(
+        f"""
+SELECT '{label}' AS fd,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(max(n_rhs) AS BIGINT) AS max_rhs,
+       CAST(max(n_rhs) = 1 AS INT) AS holds
+FROM (
+    SELECT {lhs}, count(DISTINCT {rhs}) AS n_rhs
+    FROM {tbl} GROUP BY {lhs}
+)"""
+        for label, tbl, lhs, rhs in _DQ07_FDS
+    ),
+)
+def dq07_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (the TANE-style profiling primitive)
+    over candidate FDs of the star schema — the check that validates a
+    column is safe to denormalize/derive before a pipeline relies on
+    it: per candidate lhs→rhs, the number of lhs groups, the groups
+    where rhs is NOT functionally determined, the worst group's
+    distinct-rhs count, and the verdict. The candidate set mixes true
+    keys with deliberately false dependencies so both legs carry
+    signal. One map-side-combined (lhs, rhs)-level aggregate per
+    candidate; the report is O(|candidates|) rows however large the
+    tables."""
+    legs = []
+    for label, tbl, lhs, rhs in _DQ07_FDS:
+        per = (
+            table(spark, sf_dir, tbl)
+            .groupBy(lhs)
+            .agg(F.count_distinct(rhs).alias("n_rhs"))
+        )
+        legs.append(
+            per.agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum((F.col("n_rhs") > 1).cast("int")).alias("n_violating"),
+                F.max("n_rhs").alias("max_rhs"),
+            ).select(
+                F.lit(label).alias("fd"), "n_groups", "n_violating", "max_rhs",
+                (F.col("max_rhs") == 1).cast("int").alias("holds"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -108,6 +108,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "dp03_js_matrix",
         "dq01_table_profile",
         "dq02_profile_approx",
+        "dq07_fd_audit",
         "er01_name_matching",
         "er02_entity_clusters",
         "er03_blocking_profile",

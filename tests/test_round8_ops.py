@@ -453,3 +453,19 @@ def test_rc03_rr_legs(spark):
     ).collect()}
     assert out[1]["first_rank"] == 1 and out[1]["rr"] == Decimal("1.000000")
     assert out[2]["first_rank"] is None and out[2]["rr"] == Decimal("0.000000")
+
+
+# ---------------------------------------------------------------------------
+# dq07 — FD audit
+# ---------------------------------------------------------------------------
+
+
+def test_dq07_true_key_holds_and_violations_counted(spark):
+    from ntripmonitor_spark.plans.pipeline import dq07_fd_audit
+
+    out = {r["fd"]: r for r in dq07_fd_audit(spark, SF).collect()}
+    key = out["orders.o_orderkey->o_custkey"]
+    assert key["holds"] == 1 and key["n_violating"] == 0 and key["max_rhs"] == 1
+    # the deliberately false FDs report violations
+    assert any(r["holds"] == 0 and r["n_violating"] > 0 for r in out.values())
+    assert len(out) == 5
