@@ -1085,3 +1085,50 @@ def pairwise_js(docs: DataFrame, vocab_size: int = 24, k: float = 0.5,
             int_to_dec(F.col("js_nano"), 9).alias("js_bits"),
         )
     )
+
+
+def zipf_slope(docs: DataFrame, top_k: int = 64,
+               text_col: str = "text",
+               group_col: str = "source") -> DataFrame:
+    """Zipf power-law diagnostics per source: the OLS slope of
+    log10(freq) on log10(rank) over the source's top-``top_k`` tokens
+    — natural text sits near -1; machine-generated/boilerplate
+    corpora flatten (slope toward 0) or steepen, making this a cheap
+    generation-artifact screen next to tx05's repetition ratios.
+
+    Determinism: ranks are tie-broken (freq desc, token asc); both
+    logs are floor-quantized to integer millionths, every regression
+    moment (Σx, Σy, Σxy, Σx²) is an exact integer sum over the
+    bounded top-k grid, and the closed-form slope is fixed-order IEEE
+    over those exact integers, emitted as portable DECIMAL. Shape:
+    one (source, token) map-side-combined aggregate (the only
+    input-scaled exchange) → per-source top-k window on the bounded
+    (source, token) counts → a |sources|-row closed form."""
+    from ntripmonitor_spark.functions.portable import dec_fixed, quantize
+    from ntripmonitor_spark.operators.dedup import normalized_words
+
+    toks = docs.select(
+        F.col(group_col).alias("source"),
+        F.explode(normalized_words(F.col(text_col))).alias("tok"),
+    )
+    tc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("tok").asc())
+    top = tc.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= top_k)
+    staged = top.select(
+        "source",
+        quantize(F.log10(F.col("rnk").cast("double")), 6).alias("x"),
+        quantize(F.log10(F.col("c").cast("double")), 6).alias("y"),
+    )
+    g = staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = n_d * F.col("sx2").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    return g.select(
+        "source", F.col("n").alias("n_top"),
+        F.when(den > 0, dec_fixed(num / den, 6)).alias("zipf_slope"),
+    )

@@ -7137,3 +7137,61 @@ def dq07_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# tx20 — Zipf slope per source (round 8).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx20_zipf_slope",
+    tags=("text", "quality"),
+    oracle=f"""
+WITH toks AS (
+    SELECT source,
+           unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+    FROM documents
+),
+tc AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+top AS (
+    SELECT source, c, rnk FROM (
+        SELECT source, c,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, tok ASC) AS rnk
+        FROM tc
+    ) WHERE rnk <= 64
+),
+staged AS (
+    SELECT source,
+           {quantize_sql('log10(CAST(rnk AS DOUBLE))', 6)} AS x,
+           {quantize_sql('log10(CAST(c AS DOUBLE))', 6)} AS y
+    FROM top
+),
+g AS (
+    SELECT source, count(*) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sx2
+    FROM staged GROUP BY 1
+),
+v AS (
+    SELECT source, n,
+           CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+           CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den
+    FROM g
+)
+SELECT source, CAST(n AS BIGINT) AS n_top,
+       CASE WHEN den > 0 THEN {dec_fixed_sql('num / den', 6)} END AS zipf_slope
+FROM v
+""",
+)
+def tx20_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS slope of log-frequency on log-rank over each source's top-64
+    tokens — the Zipf power-law screen (natural text near -1;
+    boilerplate/generated corpora flatten) next to tx05's repetition
+    ratios. One (source, token) aggregate is the only input-scaled
+    exchange; regression moments are exact integer sums of quantized
+    logs over the bounded top-k grid (functions/portable.py)."""
+    return text.zipf_slope(table(spark, sf_dir, "documents"))

@@ -252,6 +252,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tx15_novelty_score",
         "tx16_langid_confusion",
         "tx19_readability",
+        "tx20_zipf_slope",
         "tx17_vocab_coverage",
         "ws01_weighted_sample",
     }

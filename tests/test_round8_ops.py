@@ -469,3 +469,25 @@ def test_dq07_true_key_holds_and_violations_counted(spark):
     # the deliberately false FDs report violations
     assert any(r["holds"] == 0 and r["n_violating"] > 0 for r in out.values())
     assert len(out) == 5
+
+
+# ---------------------------------------------------------------------------
+# tx20 — Zipf slope
+# ---------------------------------------------------------------------------
+
+
+def test_tx20_planted_zipf_slope_near_minus_one(spark):
+    """A corpus built with freq(rank r) = round(1000/r) over 30 tokens
+    fits slope ~= -1; a uniform corpus fits ~= 0."""
+    words_z, words_u = [], []
+    for r in range(1, 31):
+        words_z += [f"w{r}"] * round(1000 / r)
+        words_u += [f"w{r}"] * 40
+    docs = spark.createDataFrame(
+        [(1, " ".join(words_z), "zipf"), (2, " ".join(words_u), "flat")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in text.zipf_slope(docs, top_k=30).collect()}
+    assert abs(float(out["zipf"]["zipf_slope"]) + 1.0) < 0.05
+    assert abs(float(out["flat"]["zipf_slope"])) < 0.01
+    assert out["zipf"]["n_top"] == out["flat"]["n_top"] == 30
