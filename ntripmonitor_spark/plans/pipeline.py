@@ -6867,12 +6867,12 @@ def tx19_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# sk02 — KMV set algebra: pairwise Jaccard/union between groups (round 8).
+# sk03 — KMV Jaccard: pairwise Jaccard/union between groups (round 8).
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "sk02_kmv_jaccard",
+    "sk03_kmv_jaccard",
     tags=("sketch",),
     oracle=f"""
 WITH d AS (
@@ -6936,7 +6936,7 @@ SELECT ga AS group_a, gb AS group_b, n_inter,
 FROM j
 """,
 )
-def sk02_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sk03_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV set algebra: sketch-estimated pairwise Jaccard and union
     cardinality of the distinct-user sets of every event-type pair,
     exact values alongside — the mergeable-sketch op that prices an

@@ -60,7 +60,7 @@ def bench_queries() -> dict[str, Query]:
 #     dd03, dd06, mm03).
 # After this round every registered query has a driver row and no green
 # row predates r4. The round-8 registrations (an11, dd16, dp03, in07,
-# in08, mm15, scd03, sk02, sp12, st02, tx19 — 11 new, all value-oracled
+# in08, mm15, scd03, sk03, sp12, st02, tx19 — 11 new, all value-oracled
 # and locally verified at sf0.001/sf0.01) are PRE-ROTATED so they do not
 # displace this round's debt-retirement window; they queue first for the
 # round-9 window under the never-checked priority. Everything else (fresh r5-r7 greens) is exposed under
@@ -201,7 +201,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "sj01_salted_distinct",
         "sj02_salted_join",
         "sk01_kmv_distinct",
-        "sk02_kmv_jaccard",
+        "sk03_kmv_jaccard",
         "sk02_kmv_set_algebra",
         "sn01_user_sessions",
         "sn02_reconnect_pairs",
