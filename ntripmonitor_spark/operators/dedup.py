@@ -249,8 +249,21 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     shingles of md5(i ‖ shingle). md5 hex strings compare like the
     underlying 128-bit value (fixed width), so lexicographic MIN is a
     valid random-permutation min-hash — and the oracle can recompute it.
-    One groupBy computes all K mins (single shuffle)."""
-    sh = doc_shingles(docs, n)
+    One groupBy computes all K mins (single shuffle).
+
+    The exploded shingle stream feeds the aggregate WITHOUT a distinct
+    pass: MIN over duplicates equals MIN over the distinct set, so the
+    (doc_id, shingle) dedup exchange doc_shingles pays is pure waste
+    here — the only exchange left is the groupBy(doc_id) itself, whose
+    map-side combine reduces each partition to one 9-min partial per
+    doc before anything shuffles."""
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    sh = (
+        ensure_parallelism(docs)
+        .select("doc_id", normalized_words(F.col("text")).alias("_ws"))
+        .select("doc_id", F.explode(word_shingles(F.col("_ws"), n)).alias("shingle"))
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(MINHASH_PERMS)
