@@ -1088,12 +1088,18 @@ def source_overlap(docs: DataFrame, n: int = 3,
     exactly once and no self-join ever forms. Per-source totals are
     a source-count-sized broadcast.
     """
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    # hash INSIDE the explode projection so the (src, shingle) dedup
+    # exchange moves 8-byte keys, not shingle text (the
+    # doc_shingles_hashed discipline)
     sh = (
-        docs.select(F.col(source_col).alias("src"),
-                    normalized_words(F.col("text")).alias("_ws"))
+        ensure_parallelism(docs)
+        .select(F.col(source_col).alias("src"),
+                normalized_words(F.col("text")).alias("_ws"))
         .select("src", F.explode(word_shingles(F.col("_ws"), n)).alias("shingle"))
-        .distinct()
         .select("src", F.xxhash64("shingle").alias("h"))
+        .distinct()
     )
     totals = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
     srcs = sh.groupBy("h").agg(F.sort_array(F.collect_set("src")).alias("srcs"))
