@@ -1247,6 +1247,54 @@ def lsh_calibration(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def lsh_recall(docs: DataFrame, n: int = 3, threshold: float = 0.6) -> DataFrame:
+    """Pair-level confusion of the LSH candidate generator against the
+    exact Jaccard join — THE go/no-go number before a corpus swaps
+    dd02's exact self-join for dd03's banding at scale: recall says
+    what fraction of true near-dup pairs (exact Jaccard ≥ threshold
+    over the DF-capped universe) the banding surfaces; precision says
+    what fraction of surfaced candidates survive verification (the
+    verify-stage cost multiplier). dd13 calibrates the ESTIMATOR on
+    candidates; this measures the CANDIDATE SET itself.
+
+    Shape: both legs are the existing blocking-first pipelines (no new
+    join pattern); the confusion is a full outer join on the pair key —
+    bounded by candidates + true pairs, never corpus-sized — collapsed
+    to one row. Ratios are emitted as portable DECIMAL
+    (functions/portable.py), zero-guarded for empty legs.
+    """
+    from ntripmonitor_spark.functions.portable import dec_fixed
+
+    exact = (
+        ngram_jaccard_pairs(docs, n, threshold)
+        .select("doc_a", "doc_b").withColumn("in_exact", F.lit(1))
+    )
+    cand = (
+        minhash_lsh_pairs(docs, n)
+        .select("doc_a", "doc_b").withColumn("in_lsh", F.lit(1))
+    )
+    # coalesce the sums: over an empty pair universe (degenerate corpus)
+    # both engines return one all-NULL aggregate row — report zeros
+    conf = exact.join(cand, ["doc_a", "doc_b"], "full").agg(
+        F.coalesce(F.sum(F.coalesce("in_exact", F.lit(0))), F.lit(0)).alias("n_exact_pairs"),
+        F.coalesce(F.sum(F.coalesce("in_lsh", F.lit(0))), F.lit(0)).alias("n_lsh_candidates"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull(), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_hits"),
+    )
+    rec = F.col("n_hits").cast("double") / F.col("n_exact_pairs").cast("double")
+    prec = F.col("n_hits").cast("double") / F.col("n_lsh_candidates").cast("double")
+    return conf.select(
+        "n_exact_pairs", "n_lsh_candidates", "n_hits",
+        F.when(F.col("n_exact_pairs") > 0, dec_fixed(rec, 6)).alias("recall"),
+        F.when(F.col("n_lsh_candidates") > 0, dec_fixed(prec, 6)).alias("precision"),
+    )
+
+
 def cdc_chunk_stats(docs: DataFrame, avg_bits: int = 3,
                     source_col: str = "source") -> DataFrame:
     """Content-defined-chunking dedup statistics (the FastCDC/rsync

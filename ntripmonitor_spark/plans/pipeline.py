@@ -6779,6 +6779,82 @@ def dd16_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.soft_dedup_weights(table(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# dd17 — LSH candidate recall/precision vs the exact Jaccard join (round 8).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd17_lsh_recall",
+    tags=("dedup",),
+    oracle=f"""
+WITH {_SH_CTE},
+shc AS (
+    SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh
+    ) WHERE df <= greatest(5, CAST(floor(0.01 * (SELECT count(DISTINCT doc_id) FROM sh)) AS BIGINT))
+),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+ex AS (
+    SELECT doc_a, doc_b FROM (
+        SELECT p.doc_a, p.doc_b,
+               CAST(p.n_inter AS DOUBLE) / (x.n_sh + y.n_sh - p.n_inter) AS jaccard
+        FROM p
+        JOIN sz x ON x.doc_id = p.doc_a
+        JOIN sz y ON y.doc_id = p.doc_b
+    ) WHERE jaccard >= 0.6
+),
+mh AS (
+    SELECT doc_id,
+           {_MH_MINS}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+    {_MH_BANDS}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+conf AS (
+    SELECT coalesce(sum(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS n_exact_pairs,
+           coalesce(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS n_lsh_candidates,
+           coalesce(sum(CASE WHEN e.doc_a IS NOT NULL AND c.doc_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS n_hits
+    FROM ex e
+    FULL JOIN cand c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+)
+SELECT CAST(n_exact_pairs AS BIGINT) AS n_exact_pairs,
+       CAST(n_lsh_candidates AS BIGINT) AS n_lsh_candidates,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CASE WHEN n_exact_pairs > 0 THEN
+           {dec_fixed_sql('CAST(n_hits AS DOUBLE) / CAST(n_exact_pairs AS DOUBLE)', 6)}
+       END AS recall,
+       CASE WHEN n_lsh_candidates > 0 THEN
+           {dec_fixed_sql('CAST(n_hits AS DOUBLE) / CAST(n_lsh_candidates AS DOUBLE)', 6)}
+       END AS precision
+FROM conf
+""",
+)
+def dd17_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level confusion of MinHash-LSH banding (dd03) against the
+    exact DF-capped Jaccard join (dd02) at threshold 0.6: recall = the
+    fraction of true near-dup pairs the banding surfaces (what a 100 TB
+    run silently loses by going approximate), precision = the fraction
+    of candidates that survive verification (the verify-stage cost
+    multiplier). dd13 calibrates the estimator VALUES; this measures
+    the candidate SET. Both legs are the existing blocking-first
+    pipelines; the confusion is a full outer join on the pair key,
+    bounded by candidates + true pairs, collapsed to one row with
+    portable DECIMAL ratios."""
+    return dedup.lsh_recall(table(spark, sf_dir, "documents"), n=3, threshold=0.6)
+
+
 _SP12_K = 20
 
 

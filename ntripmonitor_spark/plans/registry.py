@@ -59,8 +59,8 @@ def bench_queries() -> dict[str, Query]:
 #     mm01, mm02, mm04, q20, sp01, sp02) and the r3-era batch (dd01,
 #     dd03, dd06, mm03).
 # After this round every registered query has a driver row and no green
-# row predates r4. The round-8 registrations (an11, dd16, dp03, in07,
-# in08, mm15, scd03, sk03, sp12, st02, tx19 — 11 new, all value-oracled
+# row predates r4. The round-8 registrations (an11, dd16, dd17, dp03,
+# in07, in08, mm15, rt11, scd03, sk03, sp12, st02, tx19 — all value-oracled
 # and locally verified at sf0.001/sf0.01) are PRE-ROTATED so they do not
 # displace this round's debt-retirement window; they queue first for the
 # round-9 window under the never-checked priority. Everything else (fresh r5-r7 greens) is exposed under
@@ -103,6 +103,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "dd13_lsh_calibration",
         "dd14_cdc_chunks",
         "dd16_soft_dedup",
+        "dd17_lsh_recall",
         "dp01_mean_drift",
         "dp02_psi_drift",
         "dp03_js_matrix",
@@ -194,6 +195,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "rt08_legacy_observations",
         "rt09_decode_throughput",
         "rt10_msm123_observations",
+        "rt11_package_ledger",
         "scd01_history",
         "scd02_asof_snapshot",
         "scd03_history_audit",

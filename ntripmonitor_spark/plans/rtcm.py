@@ -944,3 +944,69 @@ def rt10_msm123_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     CNR/doppler, GLONASS −3 h shift — spec-correct decode of the
     low-rate MSM levels the reference routes but cannot scale."""
     return rtcm.observations(rtcm.decode_frames(_msm123_frames(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# rt11 — the K1 package ledger as a batch query: deterministic ids +
+# replay-idempotent insert accounting (round 8).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rt11_package_ledger",
+    tags=("rtcm", "sink"),
+    oracle=f"""
+WITH {_EV_CTE},
+pk AS (
+    SELECT mountpoint, receive_time, msg_type,
+           CAST(CASE WHEN msg_type = 1029 THEN 15 + strlen(props)
+                     WHEN msg_type = 1006 THEN 27
+                     ELSE (169 + nsat * 2 + nsat * 36
+                           + ncells * (CASE WHEN msg_type % 10 = 5 THEN 63 ELSE 80 END)
+                           + 7) // 8 + 6 END AS INT) AS msg_size
+    FROM t
+)
+SELECT mountpoint,
+       2 * count(*) AS n_delivered,
+       count(DISTINCT (receive_time, msg_type, msg_size)) AS n_inserted,
+       2 * count(*) - count(DISTINCT (receive_time, msg_type, msg_size)) AS n_replays_dropped
+FROM pk GROUP BY mountpoint
+""",
+)
+def rt11_package_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1's exactly-once package ledger (reference
+    src/databasehandling.py:131-160: INSERT ... RETURNING id ties each
+    batch to serial package ids; the engine replaces the round-trip
+    with a replay-stable hash, sinks.with_package_uid) proven as a
+    batch query: the decoded package envelope is delivered TWICE (a
+    replayed micro-batch after a watchdog restart — D6's failure mode)
+    and the ledger dedup must insert each package exactly once. Output
+    per mountpoint: rows delivered (2x), rows inserted (distinct
+    package_uid), and replays dropped. The oracle counts distinct
+    NATURAL keys — equal to distinct 64-bit uids absent an xxhash64
+    collision, so the value parity also pins collision-freedom on the
+    fixture corpus.
+
+    Scale shape: uid assignment is a pure column hash inside the scan;
+    the dedup is one map-side-combined aggregate keyed by
+    (mountpoint, uid) then a mountpoint-count-sized rollup — the same
+    two-exchange shape at any corpus size, and the first exchange
+    carries 8-byte uids, never payloads."""
+    from ntripmonitor_spark.sinks import with_package_uid
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    frames = ensure_parallelism(
+        spark.read.parquet(_frame_archive_path(spark, sf_dir))
+    )
+    pkgs = with_package_uid(rtcm.packages(rtcm.decode_frames(frames))).select(
+        "mountpoint", "package_uid"
+    )
+    delivered = pkgs.unionByName(pkgs)  # the replayed batch, re-delivered whole
+    ledger = delivered.groupBy("mountpoint", "package_uid").agg(
+        F.count(F.lit(1)).alias("n_dlv")
+    )
+    return ledger.groupBy("mountpoint").agg(
+        F.sum("n_dlv").alias("n_delivered"),
+        F.count(F.lit(1)).alias("n_inserted"),
+        (F.sum("n_dlv") - F.count(F.lit(1))).alias("n_replays_dropped"),
+    )

@@ -1,6 +1,7 @@
 """Round-8 wave operators: soft dedup weights (dd16), systematic
 sampling (sp12), readability (tx19), sourcetable upsert snapshot
-(st02). Planted-input semantics here; DuckDB value parity runs in
+(st02), LSH candidate confusion (dd17), package ledger (rt11).
+Planted-input semantics here; DuckDB value parity runs in
 tests/test_parity.py like every registered query."""
 
 from __future__ import annotations
@@ -491,3 +492,87 @@ def test_tx20_planted_zipf_slope_near_minus_one(spark):
     assert abs(float(out["zipf"]["zipf_slope"]) + 1.0) < 0.05
     assert abs(float(out["flat"]["zipf_slope"])) < 0.01
     assert out["zipf"]["n_top"] == out["flat"]["n_top"] == 30
+
+
+# ---------------------------------------------------------------------------
+# dd17 — LSH candidate recall/precision vs the exact join
+# ---------------------------------------------------------------------------
+
+
+def test_dd17_confusion_invariants(spark):
+    """Hits can never exceed either leg, and the ratios are the exact
+    decimal quotients of the reported counts."""
+    from ntripmonitor_spark.operators.dedup import lsh_recall
+
+    docs = table(spark, SF, "documents")
+    r = lsh_recall(docs).collect()[0]
+    assert r["n_hits"] <= r["n_exact_pairs"]
+    assert r["n_hits"] <= r["n_lsh_candidates"]
+    if r["n_exact_pairs"]:
+        expect = Decimal(math.floor(r["n_hits"] / r["n_exact_pairs"] * 10**6 + 0.5)) / 10**6
+        assert r["recall"] == expect.quantize(Decimal("0.000001"))
+    if r["n_lsh_candidates"]:
+        expect = Decimal(math.floor(r["n_hits"] / r["n_lsh_candidates"] * 10**6 + 0.5)) / 10**6
+        assert r["precision"] == expect.quantize(Decimal("0.000001"))
+
+
+def test_dd17_planted_perfect_recall(spark):
+    """Exact copies collide in every band, so a corpus whose only true
+    pairs are verbatim copies reports recall 1 and counts the copies."""
+    from ntripmonitor_spark.operators.dedup import lsh_recall
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "one two three four five six seven eight"),
+         (4, "nine ten eleven twelve thirteen fourteen fifteen sixteen")],
+        "doc_id long, text string",
+    )
+    r = lsh_recall(docs).collect()[0]
+    assert r["n_exact_pairs"] == 1 and r["n_hits"] == 1
+    assert r["recall"] == Decimal("1.000000")
+
+
+def test_dd17_empty_universe_reports_zeros(spark):
+    """Docs too short to shingle -> zero pairs on both legs, zero row
+    counts instead of NULLs (degenerate-input hardening)."""
+    from ntripmonitor_spark.operators.dedup import lsh_recall
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], "doc_id long, text string"
+    )
+    r = lsh_recall(docs).collect()[0]
+    assert (r["n_exact_pairs"], r["n_lsh_candidates"], r["n_hits"]) == (0, 0, 0)
+    assert r["recall"] is None and r["precision"] is None
+
+
+# ---------------------------------------------------------------------------
+# rt11 — package ledger (K1 exactly-once accounting)
+# ---------------------------------------------------------------------------
+
+
+def test_rt11_replay_is_idempotent(spark):
+    """Every package is delivered twice and inserted once; the uid hash
+    is collision-free on the fixture corpus (n_inserted == distinct
+    natural keys == half of delivered)."""
+    from ntripmonitor_spark.plans.rtcm import rt11_package_ledger
+
+    rows = rt11_package_ledger(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_delivered"] == 2 * r["n_inserted"]
+        assert r["n_replays_dropped"] == r["n_inserted"]
+
+
+def test_rt11_uid_is_replay_stable(spark):
+    """with_package_uid is a pure function of the natural key: two
+    independent runs over the same frames assign identical ids."""
+    from ntripmonitor_spark.plans.rtcm import _frame_archive_path
+    from ntripmonitor_spark.operators import rtcm as rtcm_ops
+    from ntripmonitor_spark.sinks import with_package_uid
+
+    frames = spark.read.parquet(_frame_archive_path(spark, SF))
+    a = with_package_uid(rtcm_ops.packages(rtcm_ops.decode_frames(frames)))
+    b = with_package_uid(rtcm_ops.packages(rtcm_ops.decode_frames(frames)))
+    ids_a = sorted(r["package_uid"] for r in a.select("package_uid").collect())
+    ids_b = sorted(r["package_uid"] for r in b.select("package_uid").collect())
+    assert ids_a == ids_b
