@@ -261,6 +261,40 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
 )
 
 
+# Queries whose PLAN changed in round 8 AFTER their last green driver
+# row (the shingle-pipeline restructure: doc_shingles_hashed /
+# _capped_shingles one-exchange layout, minhash_signatures distinct
+# removal, decontaminate/novelty/source_overlap hashed keys). Results
+# verified unchanged against every oracle locally (sf0.001 + sf0.01),
+# but per the rotation policy changed-since-green queries outrank
+# stale-green backfill for the next window: pass this set to
+# tools/propose_rotation.py --changed when cutting the round-9 window.
+# dd01/dd03/dd06/gr04 are already IN the round-8 window, so they
+# re-grade with the new plans this round and are excluded here.
+CHANGED_SINCE_GREEN_R8: frozenset[str] = frozenset(
+    {
+        "cu03_full_pipeline",
+        "cu04_drop_reasons",
+        "dc01_decontamination",
+        "dc02_decontamination_bloom",
+        "dc03_thirteen_gram",
+        "dd02_ngram_jaccard",
+        "dd08_lsh_delta",
+        "dd10_containment",
+        "dd11_bbit_minhash",
+        "dd12_quality_survivor",
+        "dd13_lsh_calibration",
+        "gr01_cluster_sizes",
+        "gr02_dup_degree",
+        "gr03_lsh_clusters",
+        "mx01_source_overlap",
+        "sp08_cluster_split",
+        "sp09_cluster_split_lsh",
+        "tx15_novelty_score",
+    }
+)
+
+
 def exposed_name(name: str) -> str:
     """Name under which the driver sees this query (see DRIVER_ROTATED_OUT)."""
     return f"x_{name}" if name in DRIVER_ROTATED_OUT else name
