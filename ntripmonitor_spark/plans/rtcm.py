@@ -975,10 +975,11 @@ FROM pk GROUP BY mountpoint
 )
 def rt11_package_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1's exactly-once package ledger (reference
-    src/databasehandling.py:131-160: INSERT ... RETURNING id ties each
-    batch to serial package ids; the engine replaces the round-trip
-    with a replay-stable hash, sinks.with_package_uid) proven as a
-    batch query: the decoded package envelope is delivered TWICE (a
+    src/databasehandling.py:175-190 calls
+    initdb/99-stored_procedures.sql:5-18 — INSERT ... RETURNING
+    rtcm_package_id ties each batch to serial package ids; the engine
+    replaces the round-trip with a replay-stable hash,
+    sinks.with_package_uid) proven as a batch query: the decoded package envelope is delivered TWICE (a
     replayed micro-batch after a watchdog restart — D6's failure mode)
     and the ledger dedup must insert each package exactly once. Output
     per mountpoint: rows delivered (2x), rows inserted (distinct
