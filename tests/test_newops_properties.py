@@ -717,3 +717,49 @@ def _events_df(spark, rows):
         "event_id long, ts timestamp, user_id long, event_type string,"
         " value double, props string",
     )
+
+
+def test_doc_shingles_hashed_matches_string_path(spark, sf_dir):
+    """The 8-byte shingle relation is set-identical (absent 64-bit
+    collisions) to hashing the string-keyed relation after its dedup,
+    in BOTH cluster modes — pins the round-8 restructure's semantics."""
+    from pyspark.sql import functions as F
+
+    from ntripmonitor_spark.operators.dedup import doc_shingles, doc_shingles_hashed
+    from ntripmonitor_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    want = sorted(
+        (r["doc_id"], r["h"])
+        for r in doc_shingles(docs)
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .collect()
+    )
+    for cluster in (False, True):
+        got = sorted(
+            (r["doc_id"], r["shingle_h"])
+            for r in doc_shingles_hashed(docs, cluster_by_hash=cluster).collect()
+        )
+        assert got == want, f"cluster_by_hash={cluster}"
+
+
+def test_minhash_signatures_duplicate_insensitive(spark):
+    """Repeating a shingle inside a doc cannot move any signature slot:
+    MIN over duplicates == MIN over the distinct support (the round-8
+    distinct-removal invariant)."""
+    from ntripmonitor_spark.operators.dedup import minhash_signatures
+
+    base = "red green blue cyan magenta yellow black white"
+    rep = base + " red green blue"  # re-emits existing 3-grams + 2 new ones at the seam
+    docs = spark.createDataFrame(
+        [(1, base + " " + base), (2, base + " " + base)],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r for r in minhash_signatures(docs).collect()}
+    # doc 1 and 2 are identical text -> identical signatures, and the
+    # doubled text (every interior shingle emitted twice) equals the
+    # single-copy signature of the same shingle SET
+    single = spark.createDataFrame([(3, base + " " + base)], "doc_id long, text string")
+    sig3 = minhash_signatures(single).collect()[0]
+    for i in range(9):
+        assert sigs[1][f"mh{i}"] == sigs[2][f"mh{i}"] == sig3[f"mh{i}"]
