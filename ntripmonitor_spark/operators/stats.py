@@ -73,6 +73,125 @@ def approx_quantiles(docs: DataFrame, value_col: str = "n_chars",
     return docs.groupBy(group_col).agg(*aggs)
 
 
+def histogram_quantiles(df: DataFrame, value_col: str = "value",
+                        group_col: str = "event_type", n_bins: int = 128,
+                        qs: tuple[float, ...] = QUANTILES) -> DataFrame:
+    """Quantiles from MERGEABLE fixed-grid histogram state, with the
+    exact quantiles alongside — the oracle-gradable form of the 100 TB
+    percentile path. `approx_quantiles` (approx_percentile) is the
+    builtin sketch but its state is engine-internal, so it can only be
+    tolerance-tested; this estimator's state is an integer bin-count
+    vector on a deterministic global grid — mergeable across
+    partitions, shards and days by plain addition (the sk01/cm01
+    sketch discipline), reproducible on any engine, and within one bin
+    width of the target-rank order statistic (the exact INTERPOLATED
+    quantile can sit further out in a sparse tail, where it walks
+    toward a next value bins away — property-pinned in tests). The
+    exact leg (per-group sort) is what a 100 TB run drops; the report
+    quantifies exactly what that costs.
+
+    Shape: one tiny global [min, max] aggregate rides back as a
+    broadcast to fix the grid; the bin counts are ONE map-side-combined
+    hash aggregate (output bounded by groups x n_bins); the cumulative
+    walk, quantile pick and interpolation all run on that bounded
+    relation. Nothing past the single input-scaled exchange grows with
+    the corpus. Estimates and exact values are emitted as portable
+    DECIMAL (functions/portable.py); all interpolation arithmetic is a
+    fixed chain of IEEE ops over identical inputs on both engines.
+    """
+    from ntripmonitor_spark.functions.portable import dec_fixed
+
+    ext = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("vmin"),
+        F.max(F.col(value_col).cast("double")).alias("vmax"),
+    )
+    v = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
+    ).crossJoin(F.broadcast(ext))
+    w = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
+    bin_idx = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("v") - F.col("vmin")) / w).cast("int"),
+            F.lit(n_bins - 1),
+        )
+    )
+    hist = (
+        v.select("g", "vmin", "vmax", bin_idx.alias("b"))
+        .groupBy("g", "vmin", "vmax", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    win = Window.partitionBy("g").orderBy("b")
+    # the bounded (groups x bins) cumulative relation feeds one pick per
+    # quantile — persist so the corpus aggregate runs once, not per leg
+    cum = hist.select(
+        "g", "vmin", "vmax", "b", "n",
+        F.sum("n").over(win).alias("cum"),
+        F.sum("n").over(Window.partitionBy("g")).alias("n_total"),
+    ).persist()
+    wd = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
+    out = None
+    for q in qs:
+        target = F.lit(q) * F.col("n_total").cast("double")
+        # first bin whose cumulative count reaches the target
+        pick = (
+            cum.filter(F.col("cum").cast("double") >= target)
+            .withColumn(
+                "_rk",
+                F.row_number().over(Window.partitionBy("g").orderBy("b")),
+            )
+            .filter(F.col("_rk") == 1)
+        )
+        est = F.when(F.col("vmax") == F.col("vmin"), F.col("vmin")).otherwise(
+            F.col("vmin") + F.col("b").cast("double") * wd
+            + wd * (target - (F.col("cum") - F.col("n")).cast("double"))
+            / F.col("n").cast("double")
+        )
+        leg = pick.select(
+            "g", "n_total", dec_fixed(est, 6, 24).alias(f"est_p{int(q * 100)}")
+        )
+        out = leg if out is None else out.join(
+            leg.drop("n_total"), "g"
+        )
+    # Exact leg: explicit rank-based linear interpolation rather than
+    # the engines' percentile()/quantile_cont() builtins — their
+    # interpolation formulas can differ by 1 ulp across engines, which
+    # the r7 portability reds showed is enough to flip a quantized
+    # digit. Here BOTH sides compute v[k] + (v[k+1]-v[k])*frac over the
+    # same ranked rows, so the double chains are textually identical.
+    # corpus-sized sorted relation probed by six rank filters (lo+hi per
+    # quantile) — persist so the per-group sort runs once; this is the
+    # cost the histogram leg exists to avoid at scale
+    ranked = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
+    ).select(
+        "g", "v",
+        F.row_number().over(Window.partitionBy("g").orderBy("v")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n_g"),
+    ).persist()
+    exact = None
+    for q in qs:
+        idx = F.lit(q) * (F.col("n_g") - 1).cast("double")
+        k = F.floor(idx).cast("long")
+        lo = ranked.filter(F.col("rk") == k + 1).select(
+            "g", F.col("v").alias("v_lo"), (idx - k.cast("double")).alias("frac")
+        )
+        hi = ranked.filter(F.col("rk") == k + 2).select(
+            "g", F.col("v").alias("v_hi")
+        )
+        ex = F.col("v_lo") + (
+            F.coalesce(F.col("v_hi"), F.col("v_lo")) - F.col("v_lo")
+        ) * F.col("frac")
+        leg = lo.join(hi, "g", "left").select(
+            "g", dec_fixed(ex, 6, 24).alias(f"exact_p{int(q * 100)}")
+        )
+        exact = leg if exact is None else exact.join(leg, "g")
+    cols = [F.col("g").alias(group_col), F.col("n_total").alias("n")]
+    for q in qs:
+        p = int(q * 100)
+        cols += [F.col(f"est_p{p}"), F.col(f"exact_p{p}")]
+    return out.join(exact, "g").select(*cols)
+
+
 def length_histogram(docs: DataFrame, value_col: str = "n_chars",
                      group_col: str = "lang", bin_width: int = 250) -> DataFrame:
     """Per-group equal-width histogram of a numeric metric: observed

@@ -5675,6 +5675,104 @@ def qa04_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# qa05 — quantiles from mergeable fixed-grid histogram state (round 8)
+# ---------------------------------------------------------------------------
+
+_QA05_BINS = 128
+_QA05_W = f"((vmax - vmin) / {float(_QA05_BINS)!r})"
+
+
+def _qa05_oracle(qs=(0.5, 0.9, 0.99)) -> str:
+    """Generate the DuckDB twin of stats.histogram_quantiles — every
+    double chain in textually identical op order to the Spark side."""
+    from ntripmonitor_spark.functions.portable import dec_fixed_sql
+
+    parts = [f"""
+ext AS (SELECT min(CAST(value AS DOUBLE)) AS vmin, max(CAST(value AS DOUBLE)) AS vmax FROM events),
+v AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v, vmin, vmax FROM events CROSS JOIN ext),
+h AS (
+    SELECT g, vmin, vmax,
+           CASE WHEN vmax = vmin THEN 0
+                ELSE least(CAST(floor((v - vmin) / {_QA05_W}) AS INT), {_QA05_BINS - 1}) END AS b,
+           count(*) AS n
+    FROM v GROUP BY 1, 2, 3, 4
+),
+c AS (
+    SELECT g, vmin, vmax, b, n,
+           sum(n) OVER (PARTITION BY g ORDER BY b) AS cum,
+           sum(n) OVER (PARTITION BY g) AS n_total
+    FROM h
+),
+r AS (
+    SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+           row_number() OVER (PARTITION BY event_type ORDER BY CAST(value AS DOUBLE)) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n_g
+    FROM events
+)"""]
+    sel = ["p50.g AS event_type", "p50.n_total AS n"]
+    joins = []
+    for q in qs:
+        p = int(q * 100)
+        target = f"{q!r} * CAST(n_total AS DOUBLE)"
+        est = (
+            f"CASE WHEN vmax = vmin THEN vmin ELSE "
+            f"vmin + CAST(b AS DOUBLE) * {_QA05_W} "
+            f"+ {_QA05_W} * ({target} - CAST(cum - n AS DOUBLE)) / CAST(n AS DOUBLE) END"
+        )
+        parts.append(f"""
+p{p} AS (
+    SELECT g, n_total, {dec_fixed_sql(est, 6, 24)} AS est_p{p}
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY g ORDER BY b) AS rk
+        FROM c WHERE CAST(cum AS DOUBLE) >= {target}
+    ) WHERE rk = 1
+)""")
+        k = f"CAST(floor({q!r} * CAST(n_g - 1 AS DOUBLE)) AS BIGINT)"
+        frac = f"({q!r} * CAST(n_g - 1 AS DOUBLE) - CAST({k} AS DOUBLE))"
+        parts.append(f"""
+lo{p} AS (SELECT g, v AS v_lo, {frac} AS frac FROM r WHERE rk = {k} + 1),
+hi{p} AS (SELECT g, v AS v_hi FROM r WHERE rk = {k} + 2),
+ex{p} AS (
+    SELECT lo{p}.g,
+           {dec_fixed_sql('v_lo + (coalesce(v_hi, v_lo) - v_lo) * frac', 6, 24)} AS exact_p{p}
+    FROM lo{p} LEFT JOIN hi{p} ON hi{p}.g = lo{p}.g
+)""")
+        sel += [f"p{p}.est_p{p}", f"ex{p}.exact_p{p}"]
+        if p != 50:
+            joins.append(f"JOIN p{p} ON p{p}.g = p50.g")
+        joins.append(f"JOIN ex{p} ON ex{p}.g = p50.g")
+    return (
+        "WITH " + ",".join(parts)
+        + "\nSELECT " + ", ".join(sel)
+        + "\nFROM p50 " + " ".join(joins)
+    )
+
+
+@register(
+    "qa05_histogram_quantiles",
+    tags=("stats", "sketch"),
+    oracle=_qa05_oracle(),
+)
+def qa05_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of event value per type from MERGEABLE fixed-grid
+    histogram state (128 bins on the global [min, max]), exact
+    quantiles alongside — the oracle-gradable form of the 100 TB
+    percentile path (stats.approx_quantiles wraps the builtin sketch
+    but its state is engine-internal, so it can only be
+    tolerance-tested; this estimator's integer bin vector merges across
+    partitions/shards/days by addition and reproduces on any engine).
+    One tiny [min,max] aggregate fixes the grid, one map-side-combined
+    hash aggregate builds the counts (output bounded by groups x 128);
+    everything after runs on that bounded relation. The exact leg is an
+    explicit rank-interpolation (NOT percentile()/quantile_cont(),
+    whose interpolation order can differ by 1 ulp across engines);
+    estimates ride portable DECIMAL."""
+    from ntripmonitor_spark.operators import stats
+
+    return stats.histogram_quantiles(table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
 # dq04 — Benford first-digit screen per event type
 # ---------------------------------------------------------------------------
 

@@ -178,6 +178,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "q27_pivot_daily",
         "q28_json_props",
         "qa01_quantile_thresholds",
+        "qa05_histogram_quantiles",
         "qa02_percentile_normalize",
         "qa03_robust_outliers",
         "rc01_hybrid_rrf",

@@ -576,3 +576,66 @@ def test_rt11_uid_is_replay_stable(spark):
     ids_a = sorted(r["package_uid"] for r in a.select("package_uid").collect())
     ids_b = sorted(r["package_uid"] for r in b.select("package_uid").collect())
     assert ids_a == ids_b
+
+
+# ---------------------------------------------------------------------------
+# qa05 — histogram quantiles (mergeable fixed-grid state)
+# ---------------------------------------------------------------------------
+
+
+def test_qa05_estimate_within_one_bin_of_target_rank(spark):
+    """The estimate lands inside the bin holding the target-rank order
+    statistic: |est - v_(ceil(q*n))| <= (vmax - vmin)/128 for every
+    group and quantile. (The exact INTERPOLATED quantile can stray
+    further in a sparse tail — it walks toward the next order
+    statistic, which may sit bins away — so the bound is stated
+    against the order statistic, not the interpolation.)"""
+    import math as _math
+
+    from ntripmonitor_spark.operators.stats import histogram_quantiles
+    from ntripmonitor_spark.tables import table
+
+    ev = table(spark, SF, "events")
+    lo, hi = ev.selectExpr("min(value)", "max(value)").first()
+    w = (hi - lo) / 128.0
+    vals = {}
+    for row in ev.select("event_type", "value").collect():
+        vals.setdefault(row["event_type"], []).append(row["value"])
+    for r in histogram_quantiles(ev).collect():
+        xs = sorted(vals[r["event_type"]])
+        for p in (50, 90, 99):
+            target = _math.ceil(p / 100 * len(xs))
+            stat = xs[target - 1]
+            err = abs(float(r[f"est_p{p}"]) - stat)
+            assert err <= w + 1e-9, (r["event_type"], p, err, w)
+
+
+def test_qa05_constant_column_degenerates_cleanly(spark):
+    """All-equal values -> vmax == vmin: one bin, est == exact == the
+    constant, no div-by-zero."""
+    from ntripmonitor_spark.operators.stats import histogram_quantiles
+
+    ev = spark.createDataFrame(
+        [(i, "a", 7.0) for i in range(10)] + [(i, "b", 7.0) for i in range(5)],
+        "event_id long, event_type string, value double",
+    )
+    for r in histogram_quantiles(ev).collect():
+        for p in (50, 90, 99):
+            assert float(r[f"est_p{p}"]) == 7.0
+            assert float(r[f"exact_p{p}"]) == 7.0
+
+
+def test_qa05_exact_leg_interpolates(spark):
+    """Four known values pin the rank-interpolation arithmetic:
+    p50 of [0, 10, 20, 30] = 15, p90 = 27."""
+    from decimal import Decimal
+
+    from ntripmonitor_spark.operators.stats import histogram_quantiles
+
+    ev = spark.createDataFrame(
+        [(i, "a", float(v)) for i, v in enumerate([0, 10, 20, 30])],
+        "event_id long, event_type string, value double",
+    )
+    r = histogram_quantiles(ev).collect()[0]
+    assert r["exact_p50"] == Decimal("15.000000")
+    assert r["exact_p90"] == Decimal("27.000000")
