@@ -40,6 +40,23 @@ def word_shingles(words: Column, n: int = 3) -> Column:
     return grams
 
 
+def exploded_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Raw exploded (id, shingle) stream — duplicates included, no
+    exchange. The ONE place the tokenizer + shingle construction lives:
+    doc_shingles / doc_shingles_hashed / minhash_signatures /
+    source_overlap all build on this, so a shingling change can never
+    silently diverge between the string and hashed paths (the
+    Spark-vs-oracle signature parity depends on all of them agreeing)."""
+    from ntripmonitor_spark.tables import ensure_parallelism
+
+    return (
+        ensure_parallelism(docs)
+        .select(id_col, normalized_words(F.col(text_col)).alias("_ws"))
+        .select(id_col, F.explode(word_shingles(F.col("_ws"), n)).alias("shingle"))
+    )
+
+
 def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exploded DISTINCT (doc_id, shingle) relation — the blocking key
     table every shingle-based dedup below builds on.
@@ -52,14 +69,7 @@ def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: 
     removing the distinct exchange also removes the materialization
     boundary downstream branch reuse cuts in on. The exchange shuffles
     the already-exploded relation once and every consumer reuses it."""
-    from ntripmonitor_spark.tables import ensure_parallelism
-
-    return (
-        ensure_parallelism(docs)
-        .select(id_col, normalized_words(F.col(text_col)).alias("_ws"))
-        .select(id_col, F.explode(word_shingles(F.col("_ws"), n)).alias("shingle"))
-        .distinct()
-    )
+    return exploded_shingles(docs, n, id_col, text_col).distinct()
 
 
 def doc_shingles_hashed(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
@@ -83,13 +93,8 @@ def doc_shingles_hashed(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     Semantics match doc_shingles + xxhash64 except under a 64-bit
     hash collision (odds ~2^-64 per pair: immaterial, and every
     consumer already keys on the hash)."""
-    from ntripmonitor_spark.tables import ensure_parallelism
-
-    exploded = (
-        ensure_parallelism(docs)
-        .select(id_col, normalized_words(F.col(text_col)).alias("_ws"))
-        .select(id_col, F.explode(word_shingles(F.col("_ws"), n)).alias("shingle"))
-        .select(id_col, F.xxhash64("shingle").alias("shingle_h"))
+    exploded = exploded_shingles(docs, n, id_col, text_col).select(
+        id_col, F.xxhash64("shingle").alias("shingle_h")
     )
     if cluster_by_hash:
         return exploded.repartition("shingle_h").distinct()
@@ -257,13 +262,7 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     here — the only exchange left is the groupBy(doc_id) itself, whose
     map-side combine reduces each partition to one 9-min partial per
     doc before anything shuffles."""
-    from ntripmonitor_spark.tables import ensure_parallelism
-
-    sh = (
-        ensure_parallelism(docs)
-        .select("doc_id", normalized_words(F.col("text")).alias("_ws"))
-        .select("doc_id", F.explode(word_shingles(F.col("_ws"), n)).alias("shingle"))
-    )
+    sh = exploded_shingles(docs, n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(MINHASH_PERMS)
@@ -1088,16 +1087,12 @@ def source_overlap(docs: DataFrame, n: int = 3,
     exactly once and no self-join ever forms. Per-source totals are
     a source-count-sized broadcast.
     """
-    from ntripmonitor_spark.tables import ensure_parallelism
-
     # hash INSIDE the explode projection so the (src, shingle) dedup
     # exchange moves 8-byte keys, not shingle text (the
     # doc_shingles_hashed discipline)
     sh = (
-        ensure_parallelism(docs)
-        .select(F.col(source_col).alias("src"),
-                normalized_words(F.col("text")).alias("_ws"))
-        .select("src", F.explode(word_shingles(F.col("_ws"), n)).alias("shingle"))
+        exploded_shingles(docs.select(F.col(source_col).alias("src"), "text"),
+                          n, id_col="src")
         .select("src", F.xxhash64("shingle").alias("h"))
         .distinct()
     )

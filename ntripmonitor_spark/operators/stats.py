@@ -101,6 +101,11 @@ def histogram_quantiles(df: DataFrame, value_col: str = "value",
     """
     from ntripmonitor_spark.functions.portable import dec_fixed
 
+    # NULL metric rows are excluded up front: min/max already ignore
+    # them, but floor(NULL/w) -> least(NULL, 127) would otherwise
+    # silently count every NULL in the TOP bin, and the two engines
+    # rank NULLs at opposite ends of an ORDER BY in the exact leg
+    df = df.filter(F.col(value_col).isNotNull())
     ext = df.agg(
         F.min(F.col(value_col).cast("double")).alias("vmin"),
         F.max(F.col(value_col).cast("double")).alias("vmax"),

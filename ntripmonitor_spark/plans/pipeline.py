@@ -5688,8 +5688,9 @@ def _qa05_oracle(qs=(0.5, 0.9, 0.99)) -> str:
     from ntripmonitor_spark.functions.portable import dec_fixed_sql
 
     parts = [f"""
-ext AS (SELECT min(CAST(value AS DOUBLE)) AS vmin, max(CAST(value AS DOUBLE)) AS vmax FROM events),
-v AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v, vmin, vmax FROM events CROSS JOIN ext),
+e0 AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+ext AS (SELECT min(CAST(value AS DOUBLE)) AS vmin, max(CAST(value AS DOUBLE)) AS vmax FROM e0),
+v AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v, vmin, vmax FROM e0 CROSS JOIN ext),
 h AS (
     SELECT g, vmin, vmax,
            CASE WHEN vmax = vmin THEN 0
@@ -5707,7 +5708,7 @@ r AS (
     SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
            row_number() OVER (PARTITION BY event_type ORDER BY CAST(value AS DOUBLE)) AS rk,
            count(*) OVER (PARTITION BY event_type) AS n_g
-    FROM events
+    FROM e0
 )"""]
     sel = ["p50.g AS event_type", "p50.n_total AS n"]
     joins = []

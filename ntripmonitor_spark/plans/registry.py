@@ -59,8 +59,11 @@ def bench_queries() -> dict[str, Query]:
 #     mm01, mm02, mm04, q20, sp01, sp02) and the r3-era batch (dd01,
 #     dd03, dd06, mm03).
 # After this round every registered query has a driver row and no green
-# row predates r4. The round-8 registrations (an11, dd16, dd17, dp03,
-# in07, in08, mm15, rt11, scd03, sk03, sp12, st02, tx19 — all value-oracled
+# row predates r4. The round-8 registrations (the post-freeze waves:
+# an11, dd16, dd17, dp03, dq07, in07, in08, mm15, qa05, rc03, rt11,
+# scd03, sk03, sp12, st02, ts06, tx19, tx20 — the authoritative list is
+# tools/coverage_report.py's "never-checked AND out of window" section,
+# not this comment — all value-oracled
 # and locally verified at sf0.001/sf0.01) are PRE-ROTATED so they do not
 # displace this round's debt-retirement window; they queue first for the
 # round-9 window under the never-checked priority. Everything else (fresh r5-r7 greens) is exposed under
@@ -275,7 +278,6 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
 CHANGED_SINCE_GREEN_R8: frozenset[str] = frozenset(
     {
         "cu03_full_pipeline",
-        "cu04_drop_reasons",
         "dc01_decontamination",
         "dc02_decontamination_bloom",
         "dc03_thirteen_gram",

@@ -639,3 +639,19 @@ def test_qa05_exact_leg_interpolates(spark):
     r = histogram_quantiles(ev).collect()[0]
     assert r["exact_p50"] == Decimal("15.000000")
     assert r["exact_p90"] == Decimal("27.000000")
+
+
+def test_qa05_null_values_excluded(spark):
+    """NULL metric rows must not bin (F.least(NULL, 127) would have
+    silently counted them in the TOP bin) and must not shift ranks."""
+    rows = [(i, "a", float(i)) for i in range(1, 101)]
+    with_nulls = rows + [(200 + i, "a", None) for i in range(50)]
+    schema = "event_id long, event_type string, value double"
+    from ntripmonitor_spark.operators.stats import histogram_quantiles
+
+    clean = histogram_quantiles(spark.createDataFrame(rows, schema)).collect()[0]
+    dirty = histogram_quantiles(spark.createDataFrame(with_nulls, schema)).collect()[0]
+    assert clean["n"] == dirty["n"] == 100
+    for p in (50, 90, 99):
+        assert clean[f"est_p{p}"] == dirty[f"est_p{p}"]
+        assert clean[f"exact_p{p}"] == dirty[f"exact_p{p}"]

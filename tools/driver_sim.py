@@ -35,6 +35,22 @@ def main() -> None:
     window = sorted(qs)[:50]
     if only:
         window = [n for n in window if n in only or n.removeprefix("x_") in only]
+        missed = [
+            n for n in only
+            if n not in window and f"x_{n}" not in qs and n not in qs
+        ]
+        outside = [
+            n for n in only
+            if n not in window
+            and (n in qs or f"x_{n}" in qs)
+        ]
+        if missed:
+            sys.exit(f"unknown names: {missed}")
+        if outside:
+            print(f"WARNING: not in the driver window (rotated out or past "
+                  f"slot 50), skipped: {outside}")
+        if not window:
+            sys.exit("no requested name is inside the 50-name driver window")
 
     spark = (
         SparkSession.builder.master("local[32]")
