@@ -516,9 +516,13 @@ def benford_deviation(events: DataFrame, group_col: str = "event_type",
     unobserved digit contributes its full expected count, which is
     exactly the signal for sparse/fabricated feeds. ``n_digits`` still
     reports how many digits were actually observed. Counts are exact
-    integers; the chi-square sum runs over 9 rounded terms in DECIMAL
-    so it is summation-order-free.
+    integers; each chi-square term is floor-quantized to integer
+    billionths and BIGINT-summed (functions/portable.py), so the
+    statistic is summation-order-free AND engine-version-portable —
+    no round() on either side (the r7 hash-red construct).
     """
+    from ntripmonitor_spark.functions.portable import dec_fixed, int_to_dec, quantize
+
     v = F.col(value_col).cast("double")
     digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
     by_digit = (
@@ -536,7 +540,7 @@ def benford_deviation(events: DataFrame, group_col: str = "event_type",
         "n", F.coalesce("n", F.lit(0))
     )
     exp_n = F.col("n_tot").cast("double") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
-    term = F.round(
+    term = quantize(
         (F.col("n").cast("double") - exp_n) * (F.col("n").cast("double") - exp_n) / exp_n, 9
     )
     return (
@@ -544,9 +548,9 @@ def benford_deviation(events: DataFrame, group_col: str = "event_type",
         .agg(
             F.max("n_tot").alias("n_rows"),
             F.sum(F.when(F.col("n") > 0, 1).otherwise(0)).alias("n_digits"),
-            F.round(F.sum(term.cast("decimal(38,9)")).cast("double"), 6).alias("chi2"),
+            int_to_dec(F.sum(term), 9, 24).alias("chi2"),
             F.max(F.when(F.col("digit") == 1,
-                         F.round(F.col("n").cast("double") / F.col("n_tot"), 6))).alias("p_digit1"),
+                         dec_fixed(F.col("n").cast("double") / F.col("n_tot").cast("double"), 6))).alias("p_digit1"),
         )
     )
 

@@ -1049,8 +1049,15 @@ def pairwise_js(docs: DataFrame, vocab_size: int = 24, k: float = 0.5,
 
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
     exploded = docs.select(F.col(group_col), F.explode(toks).alias("tok"))
+    # ONE corpus explode+aggregate; the vocab cut and the symbol
+    # re-aggregation both run on the bounded (source, token) relation
+    # (vocabulary-sized, never corpus-sized), so the corpus is scanned
+    # once — not once for the vocab and again for the counts
+    st = exploded.groupBy(group_col, "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()
     vocab_rows = (
-        exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        st.groupBy("tok").agg(F.sum("c").alias("c"))
         .orderBy(F.col("c").desc(), F.col("tok").asc())
         .limit(vocab_size)
         .collect()
@@ -1059,8 +1066,8 @@ def pairwise_js(docs: DataFrame, vocab_size: int = 24, k: float = 0.5,
     v_plus = float(len(vocab) + 1)
 
     sym = F.when(F.col("tok").isin(vocab), F.col("tok")).otherwise(F.lit("<oov>"))
-    sc = exploded.select(group_col, sym.alias("sym")).groupBy(group_col, "sym").agg(
-        F.count(F.lit(1)).alias("c")
+    sc = st.select(group_col, sym.alias("sym"), "c").groupBy(group_col, "sym").agg(
+        F.sum("c").alias("c")
     )
     totals = sc.groupBy(group_col).agg(F.sum("c").alias("n_s"))
     corpus_syms = sc.select("sym").distinct()

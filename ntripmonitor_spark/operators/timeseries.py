@@ -313,7 +313,7 @@ def ohlc_downsample(events: DataFrame, bucket_s: int = 3600,
 
 def seasonal_decompose(events: DataFrame, period_days: int = 7,
                        key_col: str = "event_type", ts_col: str = "ts",
-                       value_col: str = "value") -> DataFrame:
+                       value_col: str = "value", raw: bool = False) -> DataFrame:
     """Classical additive decomposition of each key's daily series:
     trend (centered moving average over one full period), weekday
     seasonal index (mean detrended value per (key, weekday)), residual
@@ -346,6 +346,18 @@ def seasonal_decompose(events: DataFrame, period_days: int = 7,
     out = det.withColumn("wd", F.weekday("day")).join(
         F.broadcast(seas), [key_col, "wd"]
     )
+    if raw:
+        # un-rounded components for downstream consumers that apply
+        # their own portable quantization (seasonal_strength) — feeding
+        # them round()ed values would re-introduce the engine-version
+        # round() dependence the portable layer exists to avoid
+        return out.select(
+            key_col, "day",
+            F.col("x").alias("day_mean"),
+            F.col("trend"),
+            F.col("seasonal"),
+            (F.col("detr") - F.col("seasonal")).alias("residual"),
+        )
     return out.select(
         key_col, "day",
         F.round("x", 6).alias("day_mean"),
@@ -842,16 +854,18 @@ def seasonal_strength(events: DataFrame,
     "is this series worth a seasonal model" that decides between an02's
     seasonal baseline and an01's plain rolling window.
 
-    Determinism: the decomposition's 6-dp-rounded components are
-    re-quantized to exact integer millionths, every variance moment
-    (Σx, Σx²) is an exact integer sum (order-free at any partition
-    count), and the final ratios are fixed-order IEEE over those exact
-    integers, emitted as portable DECIMAL (functions/portable.py).
-    Shape: rides the decomposition's bounded (key, day) relation —
-    one additional |keys|-row aggregate, nothing corpus-scaled."""
+    Determinism: the decomposition's RAW components are floor-quantized
+    to exact integer millionths (quantize — never round(), whose
+    half-up/half-even behavior varies across engine versions), every
+    variance moment (Σx, Σx²) is an exact integer sum (order-free at
+    any partition count), and the final ratios are fixed-order IEEE
+    over those exact integers, emitted as portable DECIMAL
+    (functions/portable.py). Shape: rides the decomposition's bounded
+    (key, day) relation — one additional |keys|-row aggregate, nothing
+    corpus-scaled."""
     from ntripmonitor_spark.functions.portable import dec_fixed, quantize
 
-    dec = seasonal_decompose(events, key_col=key_col).filter(
+    dec = seasonal_decompose(events, key_col=key_col, raw=True).filter(
         F.col("trend").isNotNull()
     )
     staged = dec.select(
@@ -894,8 +908,11 @@ def gapfill_interpolate(events: DataFrame, bucket_s: int = 3600,
     missing buckets — the ``time_bucket_gapfill`` + ``interpolate()``
     leg of the reference's dashboard gap analytics (ts03's TWAP covers
     the ``locf`` mode; the Grafana heatmap's empty buckets are exactly
-    the rows this fills). Edges are honest: buckets before the key's
-    first or after its last observation stay NULL, never extrapolated.
+    the rows this fills). The spine spans each key's OWN observed
+    [first, last] bucket range, so every spine row has an observation
+    on both sides by construction and interpolation is always defined
+    — nothing outside a key's observed span is ever emitted (and hence
+    never extrapolated).
 
     Shape: one exact-decimal bucket-mean aggregate, then the spine is
     a per-key sequence explode over the key's OWN [min, max] bucket
@@ -940,6 +957,11 @@ def gapfill_interpolate(events: DataFrame, bucket_s: int = 3600,
         * ((F.col("b") - F.col("pb")).cast("double")
            / (F.col("nb") - F.col("pb")).cast("double"))
     )
+    # the pv/nv guard is an invariant check, not a reachable edge case:
+    # the per-key spine's endpoints are observed buckets, so both walls
+    # exist for every row — it only matters if the spine ever widens to
+    # a global range (then out-of-span rows surface as NULL, not a
+    # miscomputed extrapolation)
     return filled.select(
         key_col,
         F.col("b").alias("bucket_idx"),

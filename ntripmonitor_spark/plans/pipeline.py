@@ -4922,7 +4922,7 @@ staged AS (
 kept AS (SELECT * FROM staged WHERE bucket < cutoff),
 agg AS (
     SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept,
-           sum({quantize_sql('1000.0 / cutoff', 6)}) AS ht_ppm
+           sum({quantize_sql('CAST(1000.0 AS DOUBLE) / cutoff', 6)}) AS ht_ppm
     FROM kept GROUP BY source
 )
 SELECT s.source, s.n_orig,
@@ -5781,7 +5781,7 @@ def qa05_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dq04_benford",
     tags=("quality",),
-    oracle="""
+    oracle=f"""
 WITH d AS (
     SELECT event_type,
            CAST(floor(value / pow(10.0, floor(log10(value)))) AS INT) AS digit
@@ -5800,12 +5800,13 @@ b AS (
 SELECT event_type,
        CAST(max(n_tot) AS BIGINT) AS n_rows,
        CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_digits,
-       round(CAST(sum(CAST(round(
-           (CAST(n AS DOUBLE) - CAST(n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
-           * (CAST(n AS DOUBLE) - CAST(n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
-           / (CAST(n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 9)
-           AS DECIMAL(38,9))) AS DOUBLE), 6) AS chi2,
-       max(CASE WHEN digit = 1 THEN round(CAST(n AS DOUBLE) / n_tot, 6) END) AS p_digit1
+       {int_to_dec_sql(
+           'sum(' + quantize_sql(
+               '(CAST(n AS DOUBLE) - CAST(n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))'
+               ' * (CAST(n AS DOUBLE) - CAST(n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))'
+               ' / (CAST(n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))', 9) + ')',
+           9, 24)} AS chi2,
+       max(CASE WHEN digit = 1 THEN {dec_fixed_sql('CAST(n AS DOUBLE) / CAST(n_tot AS DOUBLE)', 6)} END) AS p_digit1
 FROM b
 GROUP BY 1
 """,
@@ -5817,8 +5818,9 @@ def dq04_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine (missing counts 0), so chi2 is the standard 9-term statistic
     even for sparse groups; n_digits reports the observed-digit count.
     One map-side-combined (type, digit) aggregate + a |types|×9
-    reduction; the chi-square terms are 9-dp rounded and
-    DECIMAL-summed (9 terms, order-free)."""
+    reduction; the chi-square terms are floor-quantized to integer
+    billionths and BIGINT-summed, the statistic emitted as DECIMAL
+    (functions/portable.py — no round() on either engine)."""
     from ntripmonitor_spark.operators import stats
 
     return stats.benford_deviation(table(spark, sf_dir, "events"))
@@ -6858,7 +6860,7 @@ _DD16_EXCESS = (
     oracle=f"""
 WITH c AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
 s AS (SELECT fp, count(*) AS csize FROM c GROUP BY fp),
-j AS (SELECT c.source, {quantize_sql('1.0 / csize', 6)} AS w_ppm
+j AS (SELECT c.source, {quantize_sql('CAST(1.0 AS DOUBLE) / csize', 6)} AS w_ppm
       FROM c JOIN s USING (fp)),
 a AS (SELECT source, count(*) AS n_docs, sum(w_ppm) AS sum_ppm
       FROM j GROUP BY source)

@@ -576,9 +576,9 @@ s AS (
 ),
 comp AS (
     SELECT t.event_type,
-           {quantize_sql('round(t.detr - s.seasonal, 6)', 6)} AS r,
-           {quantize_sql('round(s.seasonal, 6)', 6)} AS sp,
-           {quantize_sql('round(t.trend, 6)', 6)} AS tp
+           {quantize_sql('t.detr - s.seasonal', 6)} AS r,
+           {quantize_sql('s.seasonal', 6)} AS sp,
+           {quantize_sql('t.trend', 6)} AS tp
     FROM t JOIN s ON s.event_type = t.event_type AND s.wd = isodow(t.day) - 1
     WHERE t.trend IS NOT NULL
 ),
