@@ -53,6 +53,11 @@ QUERIES = [
     "mk02_sequence_nll", "cu07_gate_ablation",
     # round-7 wave 14: rounded-deviation pick in the downsampler
     "ts05_downsample_extremes",
+    # round-8: histogram-quantile interpolation over double grids,
+    # LSH-vs-exact confusion ratios, variance-ratio strengths over raw
+    # quantized components, single-pass JS nano-bit sums, replay ledger
+    "qa05_histogram_quantiles", "dd17_lsh_recall", "an11_seasonal_strength",
+    "dp03_js_matrix", "rt11_package_ledger",
 ]
 
 
