@@ -522,6 +522,66 @@ def cusum_changepoint(events: DataFrame, bucket_s: int = 3600,
     )
 
 
+import math as _math
+
+# 7-point DFT weights for the weekly bin, computed ONCE in Python and
+# embedded as literals on BOTH engines (Spark expression and oracle SQL)
+# — cos/sin are not correctly-rounded in every libm, so calling the
+# engines' trig functions could differ by 1 ulp; identical literals
+# cannot (the an12 portability trick).
+W7_COS: tuple[float, ...] = tuple(_math.cos(2 * _math.pi * k / 7) for k in range(7))
+W7_SIN: tuple[float, ...] = tuple(_math.sin(2 * _math.pi * k / 7) for k in range(7))
+
+
+def period_power(events: DataFrame, key_col: str = "event_type",
+                 ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Weekly-periodicity amplitude per series: the period-7 Fourier
+    bin over each key's daily-mean series — C = Σ x·cos(2πwd/7),
+    S = Σ x·sin(2πwd/7), amplitude = 2·sqrt(C²+S²)/n — the direct
+    spectral answer to "does this series have a weekly cycle", next to
+    an08's ACF (correlation at fixed lags) and an11's variance-ratio
+    strength (requires the full decomposition). A flat series scores
+    ~0; a clean weekly cycle scores ~its peak-to-mean swing.
+
+    Portability: the 7 trig weights are Python-computed literals
+    embedded in BOTH the Spark plan and the oracle SQL, so no libm
+    enters the comparison; per-day products are floor-quantized to
+    integer millionths and BIGINT-summed (order-free); the amplitude
+    is a fixed-order IEEE chain over those exact integers, emitted as
+    portable DECIMAL. Shape: one corpus daily-mean aggregate (exact
+    decimal), then a |keys|-row reduction — nothing else scales."""
+    from ntripmonitor_spark.functions.portable import dec_fixed, quantize
+
+    day = F.to_date(F.col(ts_col).cast("timestamp_ltz"))
+    daily = events.groupBy(F.col(key_col), day.alias("day")).agg(
+        (F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+         / F.count(F.lit(1))).alias("x")
+    )
+    wd = F.weekday(F.col("day"))
+    cos_w = F.element_at(F.array(*[F.lit(w) for w in W7_COS]), wd + 1)
+    sin_w = F.element_at(F.array(*[F.lit(w) for w in W7_SIN]), wd + 1)
+    g = daily.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(quantize(F.col("x") * cos_w, 6)).alias("c_ppm"),
+        F.sum(quantize(F.col("x") * sin_w, 6)).alias("s_ppm"),
+        F.sum(quantize(F.col("x"), 6)).alias("x_ppm"),
+    )
+    c_d = F.col("c_ppm").cast("double")
+    s_d = F.col("s_ppm").cast("double")
+    n_d = F.col("n_days").cast("double")
+    amp = F.lit(2.0) * F.sqrt(c_d * c_d + s_d * s_d) / (n_d * F.lit(1000000.0))
+    mean = F.col("x_ppm").cast("double") / (n_d * F.lit(1000000.0))
+    return g.select(
+        key_col, "n_days",
+        dec_fixed(amp, 6).alias("weekly_amplitude"),
+        dec_fixed(mean, 6).alias("daily_mean"),
+        F.when(
+            F.col("x_ppm") != 0,  # integer-exact zero test on both engines
+            dec_fixed(amp / F.abs(mean), 6),
+        ).alias("relative_amplitude"),
+    )
+
+
 def autocorrelation(events: DataFrame, lags: tuple[int, ...] = (1, 2, 3),
                     bucket_s: int = 3600, key_col: str = "event_type",
                     ts_col: str = "ts", value_col: str = "value") -> DataFrame:

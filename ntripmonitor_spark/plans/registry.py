@@ -83,6 +83,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "an04_ewma_drift",
         "an05_seasonal_decompose",
         "an11_seasonal_strength",
+        "an12_period_power",
         "an06_cusum_shift",
         "bm01_bm25_topk",
         "bp01_bpe_train",

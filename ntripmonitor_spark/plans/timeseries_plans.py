@@ -673,3 +673,67 @@ def ts06_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     on one keyed exchange, fixed-order IEEE interpolation over integer
     bucket indexes and exact-decimal means, portable DECIMAL out."""
     return timeseries.gapfill_interpolate(table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# an12 — weekly-periodicity power (7-point Fourier bin) per series (round 8).
+# ---------------------------------------------------------------------------
+
+from ntripmonitor_spark.operators.timeseries import W7_COS, W7_SIN  # noqa: E402
+
+
+def _an12_oracle() -> str:
+    """DuckDB twin of timeseries.period_power — the 7 trig weights are
+    the SAME Python-computed literals the Spark plan embeds, so no
+    engine libm ever enters the comparison."""
+    cos_case = "CASE wd " + " ".join(
+        f"WHEN {k} THEN {w!r}" for k, w in enumerate(W7_COS)
+    ) + " END"
+    sin_case = "CASE wd " + " ".join(
+        f"WHEN {k} THEN {w!r}" for k, w in enumerate(W7_SIN)
+    ) + " END"
+    amp = ("2.0 * sqrt(CAST(c_ppm AS DOUBLE) * CAST(c_ppm AS DOUBLE)"
+           " + CAST(s_ppm AS DOUBLE) * CAST(s_ppm AS DOUBLE))"
+           " / (CAST(n_days AS DOUBLE) * 1000000.0)")
+    mean = "CAST(x_ppm AS DOUBLE) / (CAST(n_days AS DOUBLE) * 1000000.0)"
+    return f"""
+WITH d AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS x
+    FROM events GROUP BY 1, 2
+),
+w AS (SELECT event_type, isodow(day) - 1 AS wd, x FROM d),
+g AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           sum({quantize_sql(f'x * ({cos_case})', 6)}) AS c_ppm,
+           sum({quantize_sql(f'x * ({sin_case})', 6)}) AS s_ppm,
+           sum({quantize_sql('x', 6)}) AS x_ppm
+    FROM w GROUP BY 1
+)
+SELECT event_type, n_days,
+       {dec_fixed_sql(amp, 6)} AS weekly_amplitude,
+       {dec_fixed_sql(mean, 6)} AS daily_mean,
+       CASE WHEN x_ppm <> 0 THEN
+           {dec_fixed_sql(f'({amp}) / abs({mean})', 6)}
+       END AS relative_amplitude
+FROM g
+"""
+
+
+@register(
+    "an12_period_power",
+    tags=("timeseries", "stats"),
+    oracle=_an12_oracle(),
+)
+def an12_period_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-periodicity amplitude per event type: the period-7
+    Fourier bin over the daily-mean series (C/S weight sums, amplitude
+    2*sqrt(C^2+S^2)/n, plus the mean-relative form) — the direct
+    spectral 'does this series have a weekly cycle' probe next to
+    an08's lag ACF and an11's decomposition strengths. The 7 trig
+    weights are Python-computed literals embedded in BOTH engines (no
+    libm cos/sin can diverge); per-day products ride as exact integer
+    millionths (functions/portable.py). One corpus daily aggregate +
+    a |types|-row reduction."""
+    return timeseries.period_power(table(spark, sf_dir, "events"))

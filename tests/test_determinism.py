@@ -57,7 +57,7 @@ QUERIES = [
     # LSH-vs-exact confusion ratios, variance-ratio strengths over raw
     # quantized components, single-pass JS nano-bit sums, replay ledger
     "qa05_histogram_quantiles", "dd17_lsh_recall", "an11_seasonal_strength",
-    "dp03_js_matrix", "rt11_package_ledger",
+    "dp03_js_matrix", "rt11_package_ledger", "an12_period_power",
 ]
 
 

@@ -655,3 +655,56 @@ def test_qa05_null_values_excluded(spark):
     for p in (50, 90, 99):
         assert clean[f"est_p{p}"] == dirty[f"est_p{p}"]
         assert clean[f"exact_p{p}"] == dirty[f"exact_p{p}"]
+
+
+# ---------------------------------------------------------------------------
+# an12 — weekly-periodicity power
+# ---------------------------------------------------------------------------
+
+
+def test_an12_planted_weekly_cycle_scores_high_flat_scores_zero(spark):
+    """A series that IS cos(2*pi*wd/7) reports amplitude ~1 (the DFT
+    recovers its own basis function); a constant series reports
+    amplitude ~0 and NULL-free mean."""
+    import datetime
+    import math as m
+
+    from ntripmonitor_spark.operators.timeseries import period_power
+
+    base = datetime.datetime(2024, 1, 1)  # a Monday (weekday 0)
+    rows = []
+    eid = 0
+    for d in range(28):  # 4 full weeks
+        ts = base + datetime.timedelta(days=d)
+        wd = ts.weekday()
+        rows.append((eid, ts, 1, "cyclic", 100.0 + m.cos(2 * m.pi * wd / 7), "{}")); eid += 1
+        rows.append((eid, ts, 1, "flat", 42.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["event_type"]: r for r in period_power(ev).collect()}
+    assert abs(float(out["cyclic"]["weekly_amplitude"]) - 1.0) < 1e-3
+    assert abs(float(out["cyclic"]["daily_mean"]) - 100.0) < 1e-3
+    assert float(out["flat"]["weekly_amplitude"]) < 1e-3
+    assert float(out["flat"]["daily_mean"]) == 42.0
+
+
+def test_an12_zero_mean_guard(spark):
+    """An all-zero series reports NULL relative amplitude, not a /0."""
+    import datetime
+
+    from ntripmonitor_spark.operators.timeseries import period_power
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(d, base + datetime.timedelta(days=d), 1, "z", 0.0, "{}")
+            for d in range(14)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = period_power(ev).collect()[0]
+    assert float(r["weekly_amplitude"]) == 0.0
+    assert r["relative_amplitude"] is None
