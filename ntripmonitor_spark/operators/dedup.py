@@ -676,25 +676,37 @@ def decontaminate_bloom(docs: DataFrame, benchmark_pred, n: int = 3,
 
     Output: one row per corpus doc with ≥1 exactly-confirmed benchmark
     shingle: (doc_id, n_contaminated).
+
+    Round 8: ZERO corpus-scale exchanges. Unlike dc01, this report has
+    no per-doc denominator, so the corpus side needs no distinct at
+    all — the raw exploded shingle stream takes the Bloom predicate in
+    the scan, only the probable rows (true hits + ~3e-4 fpp) pay the
+    confirm join, and within-doc duplicate shingles collapse in the
+    final countDistinct, whose exchange carries the tiny confirmed set
+    only. The benchmark legs run on the pushed ``benchmark_pred``
+    filter (eval-suite-sized).
     """
-    # the shingle relation feeds three branches (benchmark side, bloom
-    # build, corpus probe) — persist once, same as dd02's silver table
-    sh = doc_shingles_hashed(docs, n, id_col=id_col).persist()
     bench_ids = docs.filter(benchmark_pred).select(id_col)
-    # three consumers (size count, bloom build, exact confirm join) —
-    # persist so the distinct-reduce runs once, not per action
+    # benchmark shingles: exploded from the (tiny, filter-pushed)
+    # benchmark docs only; persisted for its three consumers (size
+    # count, bloom build, exact confirm join)
     bench_sh = (
-        sh.join(F.broadcast(bench_ids), id_col).select("shingle_h").distinct().persist()
+        exploded_shingles(docs.filter(benchmark_pred), n, id_col=id_col)
+        .select(F.xxhash64("shingle").alias("shingle_h"))
+        .distinct()
+        .persist()
     )
     n_bench = bench_sh.count()
     words, m = bloom_filter_build(bench_sh, "shingle_h", n_bench, bits_per_key)
 
-    corpus_sh = sh.join(F.broadcast(bench_ids), id_col, "left_anti")
+    corpus_sh = exploded_shingles(docs, n, id_col=id_col).select(
+        id_col, F.xxhash64("shingle").alias("shingle_h")
+    ).join(F.broadcast(bench_ids), id_col, "left_anti")
     probable = corpus_sh.filter(bloom_might_contain(F.col("shingle_h"), words, m))
     return (
         probable.join(bench_sh, "shingle_h")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("int").alias("n_contaminated"))
+        .agg(F.countDistinct("shingle_h").cast("int").alias("n_contaminated"))
     )
 
 
