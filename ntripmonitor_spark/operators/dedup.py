@@ -1267,10 +1267,11 @@ def lsh_recall(docs: DataFrame, n: int = 3, threshold: float = 0.6) -> DataFrame
     Shape: both legs are the existing blocking-first pipelines (no new
     join pattern); the confusion is a full outer join on the pair key —
     bounded by candidates + true pairs, never corpus-sized — collapsed
-    to one row. Ratios are emitted as portable DECIMAL
-    (functions/portable.py), zero-guarded for empty legs.
+    to one row. Ratios are floor-quantized to integer millionths and
+    emitted as BIGINT recall_ppm / precision_ppm (functions/portable.py
+    — integer output only), zero-guarded for empty legs.
     """
-    from ntripmonitor_spark.functions.portable import dec_fixed
+    from ntripmonitor_spark.functions.portable import quantize
 
     exact = (
         ngram_jaccard_pairs(docs, n, threshold)
@@ -1297,8 +1298,8 @@ def lsh_recall(docs: DataFrame, n: int = 3, threshold: float = 0.6) -> DataFrame
     prec = F.col("n_hits").cast("double") / F.col("n_lsh_candidates").cast("double")
     return conf.select(
         "n_exact_pairs", "n_lsh_candidates", "n_hits",
-        F.when(F.col("n_exact_pairs") > 0, dec_fixed(rec, 6)).alias("recall"),
-        F.when(F.col("n_lsh_candidates") > 0, dec_fixed(prec, 6)).alias("precision"),
+        F.when(F.col("n_exact_pairs") > 0, quantize(rec, 6)).alias("recall_ppm"),
+        F.when(F.col("n_lsh_candidates") > 0, quantize(prec, 6)).alias("precision_ppm"),
     )
 
 
@@ -1572,9 +1573,10 @@ def soft_dedup_weights(docs: DataFrame, source_col: str = "source",
     Shape: one fingerprint-keyed window count (the dd15 exchange) +
     one source-keyed rollup — no join, no pair space. Weights are
     floor-quantized to integer millionths per doc and BIGINT-summed
-    (functions/portable.py), so the per-source totals are exact,
-    summation-order-free, and engine-version-portable."""
-    from ntripmonitor_spark.functions.portable import dec_fixed, int_to_dec, quantize
+    (functions/portable.py), and the totals are emitted AS those
+    BIGINT millionths (eff_docs_ppm / excess_share_ppm) — exact,
+    summation-order-free, integer-output engine-version-portable."""
+    from ntripmonitor_spark.functions.portable import quantize
 
     w = Window.partitionBy("fp")
     staged = docs.select(
@@ -1594,6 +1596,6 @@ def soft_dedup_weights(docs: DataFrame, source_col: str = "source",
     )
     return agg.select(
         "source", "n_docs",
-        int_to_dec(F.col("sum_ppm"), 6).alias("eff_docs"),
-        dec_fixed(excess, 6).alias("excess_share"),
+        F.col("sum_ppm").alias("eff_docs_ppm"),
+        quantize(excess, 6).alias("excess_share_ppm"),
     )

@@ -817,13 +817,13 @@ def silence_runs(docs: DataFrame) -> DataFrame:
     The gaps-and-islands computation is LOCAL per payload — zero
     shuffles beyond the scan; the oracle replays it relationally
     (position spine → run ids via i - row_number)."""
-    from ntripmonitor_spark.functions.portable import dec_fixed
+    from ntripmonitor_spark.functions.portable import quantize
 
     base = binary_payloads(docs).mapInPandas(
         silence_runs_batch, schema=SILENCE_SCHEMA
     )
     ratio = F.col("n_silent").cast("double") / F.col("n_samples").cast("double")
     return base.withColumn(
-        "silence_ratio",
-        F.when(F.col("n_samples") > 0, dec_fixed(ratio, 6)),
+        "silence_ratio_ppm",
+        F.when(F.col("n_samples") > 0, quantize(ratio, 6)),
     )

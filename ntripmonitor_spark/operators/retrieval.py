@@ -423,10 +423,11 @@ def tfidf_cosine_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
     Determinism: every squared/cross weight is floor-quantized to
     integer millionths and summed exactly (functions/portable.py), so
     dot and norms are BIGINT-exact at any partition count; the final
-    cosine is fixed-order IEEE over those exact integers, emitted
-    DECIMAL(18,6), and ranked on the quantized value (ties by doc_id).
+    cosine is fixed-order IEEE over those exact integers, emitted as
+    BIGINT millionths (score_ppm — integer output only), and ranked
+    on the quantized value (ties by doc_id).
     """
-    from ntripmonitor_spark.functions.portable import dec_fixed, quantize
+    from ntripmonitor_spark.functions.portable import quantize
 
     spark = docs.sparkSession
     terms = doc_terms(docs)
@@ -478,15 +479,15 @@ def tfidf_cosine_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
         )
     )
     ranked = scored.select(
-        "query_id", "doc_id", dec_fixed(score_raw, 6).alias("score")
+        "query_id", "doc_id", quantize(score_raw, 6).alias("score_ppm")
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
+        F.col("score_ppm").desc(), F.col("doc_id").asc()
     )
     return (
         ranked.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "score")
+        .select("query_id", "rank", "doc_id", "score_ppm")
     )
 
 
@@ -544,12 +545,12 @@ def mrr_eval(docs: DataFrame, queries: list[tuple[int, list[str]]],
     is 'fully relevant' when it contains ALL the query's terms (the
     same self-labeling trick), RR = 1/rank of the first such doc in
     the top-k (0 when none). Per query: the hit rank and its
-    reciprocal as portable DECIMAL.
+    reciprocal as BIGINT millionths (rr_ppm — integer output only).
 
     Shape: rides the identical filtered posting scan as the BM25 leg;
     everything past it moves O(queries x k) rows. The reciprocal is
     one IEEE division of exact integers, quantized portably."""
-    from ntripmonitor_spark.functions.portable import dec_fixed
+    from ntripmonitor_spark.functions.portable import quantize
 
     ranked = bm25_topk(docs, queries, k=k)
     all_terms = sorted({t for _, ts in queries for t in ts})
@@ -577,7 +578,7 @@ def mrr_eval(docs: DataFrame, queries: list[tuple[int, list[str]]],
     return qs.join(hit, "query_id", "left").select(
         "query_id", "first_rank",
         F.coalesce(
-            dec_fixed(F.lit(1.0) / F.col("first_rank").cast("double"), 6),
-            F.lit("0").cast("decimal(18,6)"),
-        ).alias("rr"),
+            quantize(F.lit(1.0) / F.col("first_rank").cast("double"), 6),
+            F.lit(0).cast("long"),
+        ).alias("rr_ppm"),
     )

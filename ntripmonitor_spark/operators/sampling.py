@@ -593,10 +593,11 @@ def pps_resample(docs: DataFrame, id_col: str = "doc_id",
     division → identical doubles on both engines) are floor-quantized
     to integer millionths per row (functions/portable.py — no engine
     round()), summed as exact BIGINTs (summation-order-free), and the
-    estimate is emitted as DECIMAL(18,6) so no float formatting is
-    involved on either engine.
+    estimate is emitted directly as that BIGINT millionths sum
+    (ht_n_docs_ppm) — integer output, so no DECIMAL canonicalization
+    or float formatting is involved on either engine.
     """
-    from ntripmonitor_spark.functions.portable import int_to_dec, quantize
+    from ntripmonitor_spark.functions.portable import quantize
     mx = docs.agg(F.max(F.col(size_col)).alias("mx"))
     staged = docs.crossJoin(F.broadcast(mx)).select(
         F.col(id_col), F.col(group_col), F.col(size_col),
@@ -627,7 +628,7 @@ def pps_resample(docs: DataFrame, id_col: str = "doc_id",
         group_col, "n_orig",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("chars_kept", F.lit(0)).alias("chars_kept"),
-        int_to_dec(F.coalesce("ht_ppm", F.lit(0)), 6).alias("ht_n_docs"),
+        F.coalesce("ht_ppm", F.lit(0)).alias("ht_n_docs_ppm"),
     )
 
 
@@ -727,9 +728,10 @@ def systematic_sample(docs: DataFrame, k: int = 20,
     Shape: one window rank per group key (the quota_per_group
     exchange), then a keyed rollup — the modulo keep-decision costs a
     filter, never a second shuffle. Means are floor-quantized to
-    integer thousandths and BIGINT-summed (functions/portable.py), so
-    the report is exact and engine-version-portable."""
-    from ntripmonitor_spark.functions.portable import int_to_dec, quantize
+    integer thousandths and emitted as BIGINT *_e3 columns
+    (functions/portable.py — integer output only), so the report is
+    exact and engine-version-portable."""
+    from ntripmonitor_spark.functions.portable import quantize
 
     h = F.pmod(F.col(id_col).cast("long") * F.lit(KNUTH), F.lit(1 << 32))
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
@@ -748,6 +750,6 @@ def systematic_sample(docs: DataFrame, k: int = 20,
     mean_kept = F.col("sz_kept").cast("double") / F.col("n_kept").cast("double")
     return agg.select(
         group_col, "n_frame", "n_kept",
-        int_to_dec(quantize(mean_frame, 3), 3).alias("mean_chars_frame"),
-        int_to_dec(quantize(mean_kept, 3), 3).alias("mean_chars_kept"),
+        quantize(mean_frame, 3).alias("mean_chars_frame_e3"),
+        quantize(mean_kept, 3).alias("mean_chars_kept_e3"),
     )

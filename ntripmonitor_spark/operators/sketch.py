@@ -293,14 +293,15 @@ def kmv_jaccard(df: DataFrame, group_col: str = "event_type",
 
     Determinism: the Knuth hash is odd-multiplier bijective mod 2³², so
     member hashes are unique and every rank cut is tie-free; estimates
-    are exact integer ratios quantized to millionths
+    are exact integer ratios quantized to millionths (tenths for the
+    union size) and emitted as BIGINT integer-units columns
     (functions/portable.py). Scale shape: the member-distinct reduce +
     per-group top-k window are sk01's exchanges; everything after runs
     on k·|groups| sketch rows (tiny), and the exact contrast is a
     member-keyed self-join bounded by |groups| rows per member —
     at true scale the exact legs are dropped and only sketches meet.
     """
-    from ntripmonitor_spark.functions.portable import dec_fixed
+    from ntripmonitor_spark.functions.portable import quantize
 
     d = (
         df.select(group_col, member_col)
@@ -366,7 +367,7 @@ def kmv_jaccard(df: DataFrame, group_col: str = "event_type",
     return out.select(
         F.col("ga").alias("group_a"), F.col("gb").alias("group_b"),
         "n_inter", exact_union.alias("n_union"),
-        dec_fixed(exact_j, 6).alias("exact_jaccard"),
-        dec_fixed(kmv_j, 6).alias("kmv_jaccard"),
-        dec_fixed(est_union, 1, precision=24).alias("kmv_union"),
+        quantize(exact_j, 6).alias("exact_jaccard_ppm"),
+        quantize(kmv_j, 6).alias("kmv_jaccard_ppm"),
+        quantize(est_union, 1).alias("kmv_union_e1"),
     )

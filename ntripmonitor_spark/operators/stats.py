@@ -95,11 +95,13 @@ def histogram_quantiles(df: DataFrame, value_col: str = "value",
     hash aggregate (output bounded by groups x n_bins); the cumulative
     walk, quantile pick and interpolation all run on that bounded
     relation. Nothing past the single input-scaled exchange grows with
-    the corpus. Estimates and exact values are emitted as portable
-    DECIMAL (functions/portable.py); all interpolation arithmetic is a
-    fixed chain of IEEE ops over identical inputs on both engines.
+    the corpus. Estimates and exact values are floor-quantized to
+    integer millionths and emitted as BIGINT *_ppm columns
+    (functions/portable.py — integer output only); all interpolation
+    arithmetic is a fixed chain of IEEE ops over identical inputs on
+    both engines.
     """
-    from ntripmonitor_spark.functions.portable import dec_fixed
+    from ntripmonitor_spark.functions.portable import quantize
 
     # NULL metric rows are excluded up front: min/max already ignore
     # them, but floor(NULL/w) -> least(NULL, 127) would otherwise
@@ -152,7 +154,7 @@ def histogram_quantiles(df: DataFrame, value_col: str = "value",
             / F.col("n").cast("double")
         )
         leg = pick.select(
-            "g", "n_total", dec_fixed(est, 6, 24).alias(f"est_p{int(q * 100)}")
+            "g", "n_total", quantize(est, 6).alias(f"est_p{int(q * 100)}_ppm")
         )
         out = leg if out is None else out.join(
             leg.drop("n_total"), "g"
@@ -187,13 +189,13 @@ def histogram_quantiles(df: DataFrame, value_col: str = "value",
             F.coalesce(F.col("v_hi"), F.col("v_lo")) - F.col("v_lo")
         ) * F.col("frac")
         leg = lo.join(hi, "g", "left").select(
-            "g", dec_fixed(ex, 6, 24).alias(f"exact_p{int(q * 100)}")
+            "g", quantize(ex, 6).alias(f"exact_p{int(q * 100)}_ppm")
         )
         exact = leg if exact is None else exact.join(leg, "g")
     cols = [F.col("g").alias(group_col), F.col("n_total").alias("n")]
     for q in qs:
         p = int(q * 100)
-        cols += [F.col(f"est_p{p}"), F.col(f"exact_p{p}")]
+        cols += [F.col(f"est_p{p}_ppm"), F.col(f"exact_p{p}_ppm")]
     return out.join(exact, "g").select(*cols)
 
 
@@ -515,31 +517,46 @@ def benford_deviation(events: DataFrame, group_col: str = "event_type",
     to 0), so the chi-square is the STANDARD 9-term statistic — an
     unobserved digit contributes its full expected count, which is
     exactly the signal for sparse/fabricated feeds. ``n_digits`` still
-    reports how many digits were actually observed. Counts are exact
+    reports how many digits were actually observed.
+
+    Engine portability (functions/portable.py): the digit comes from a
+    pure comparison spine against exact decimal literals d*10^e and the
+    nine Benford expectations ride as shortest-roundtrip double
+    literals — NO log10/pow anywhere, so libm (not correctly rounded
+    on every platform) never enters the comparison. Counts are exact
     integers; each chi-square term is floor-quantized to integer
-    billionths and BIGINT-summed (functions/portable.py), so the
-    statistic is summation-order-free AND engine-version-portable —
-    no round() on either side (the r7 hash-red construct).
+    billionths and BIGINT-summed, and the statistic is emitted AS that
+    BIGINT (``chi2_e9``) alongside ``p_digit1_ppm`` — integer output
+    columns only, the one emission class never driver-red.
     """
-    from ntripmonitor_spark.functions.portable import dec_fixed, int_to_dec, quantize
+    from ntripmonitor_spark.functions.portable import (
+        BENFORD_L10,
+        first_digit,
+        quantize,
+    )
 
     v = F.col(value_col).cast("double")
-    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
     by_digit = (
         events.filter(v > 0)
-        .select(group_col, digit.alias("digit"))
+        .select(group_col, first_digit(v).alias("digit"))
         .groupBy(group_col, "digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )
     tot = by_digit.groupBy(group_col).agg(F.sum("n").alias("n_tot"))
     spine = tot.select(
         group_col, "n_tot",
-        F.explode(F.array(*[F.lit(d) for d in range(1, 10)])).alias("digit"),
-    )
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(d).cast("int").alias("digit"),
+                F.lit(float(BENFORD_L10[d])).alias("l10"),
+            )
+            for d in range(1, 10)
+        ])).alias("dl"),
+    ).select(group_col, "n_tot", F.col("dl.digit").alias("digit"), F.col("dl.l10").alias("l10"))
     j = spine.join(by_digit, [group_col, "digit"], "left").withColumn(
         "n", F.coalesce("n", F.lit(0))
     )
-    exp_n = F.col("n_tot").cast("double") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    exp_n = F.col("n_tot").cast("double") * F.col("l10")
     term = quantize(
         (F.col("n").cast("double") - exp_n) * (F.col("n").cast("double") - exp_n) / exp_n, 9
     )
@@ -548,9 +565,9 @@ def benford_deviation(events: DataFrame, group_col: str = "event_type",
         .agg(
             F.max("n_tot").alias("n_rows"),
             F.sum(F.when(F.col("n") > 0, 1).otherwise(0)).alias("n_digits"),
-            int_to_dec(F.sum(term), 9, 24).alias("chi2"),
+            F.sum(term).alias("chi2_e9"),
             F.max(F.when(F.col("digit") == 1,
-                         dec_fixed(F.col("n").cast("double") / F.col("n_tot").cast("double"), 6))).alias("p_digit1"),
+                         quantize(F.col("n").cast("double") / F.col("n_tot").cast("double"), 6))).alias("p_digit1_ppm"),
         )
     )
 

@@ -988,10 +988,11 @@ def readability(docs: DataFrame, source_col: str = "source",
 
     Shape: three regexp/size column expressions fused into the corpus
     scan + one |sources|-row rollup — no explode, no join, no second
-    scan. Per-doc scores are floor-quantized to integer thousandths
-    and BIGINT-summed (functions/portable.py) so the per-source means
-    are exact, order-free, and engine-version-portable."""
-    from ntripmonitor_spark.functions.portable import int_to_dec, quantize
+    scan. Per-doc scores are floor-quantized to integer thousandths,
+    BIGINT-summed, and the mean emitted as a BIGINT thousandths column
+    (mean_flesch_e3; functions/portable.py — integer output only) so
+    the per-source means are exact, order-free, and portable."""
+    from ntripmonitor_spark.functions.portable import quantize
     from ntripmonitor_spark.operators.dedup import normalized_words
 
     text = F.col(text_col)
@@ -1023,8 +1024,8 @@ def readability(docs: DataFrame, source_col: str = "source",
         "source", "n_docs", "n_scored", "n_easy",
         F.when(
             F.col("n_scored") > 0,
-            int_to_dec(quantize(mean_flesch / F.lit(1000.0), 3), 3),
-        ).alias("mean_flesch"),
+            quantize(mean_flesch / F.lit(1000.0), 3),
+        ).alias("mean_flesch_e3"),
     )
 
 
@@ -1043,9 +1044,10 @@ def pairwise_js(docs: DataFrame, vocab_size: int = 24, k: float = 0.5,
     combined (source, symbol) aggregate as the only input-scaled
     exchange; the |sources|² pair join runs on the (sources × V+1)
     grid (tiny). Per-symbol JS terms are floor-quantized to integer
-    nano-bits and summed exactly (functions/portable.py), so the
-    matrix is summation-order-free and engine-version-portable."""
-    from ntripmonitor_spark.functions.portable import int_to_dec, quantize
+    nano-bits, summed exactly, and emitted AS that BIGINT nano-bits
+    sum (js_bits_e9; functions/portable.py — integer output only), so
+    the matrix is summation-order-free and engine-version-portable."""
+    from ntripmonitor_spark.functions.portable import quantize
 
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
     exploded = docs.select(F.col(group_col), F.explode(toks).alias("tok"))
@@ -1092,7 +1094,7 @@ def pairwise_js(docs: DataFrame, vocab_size: int = 24, k: float = 0.5,
         .agg(F.sum(quantize(term, 9)).alias("js_nano"))
         .select(
             "source_a", "source_b",
-            int_to_dec(F.col("js_nano"), 9).alias("js_bits"),
+            F.col("js_nano").alias("js_bits_e9"),
         )
     )
 
@@ -1114,7 +1116,7 @@ def zipf_slope(docs: DataFrame, top_k: int = 64,
     one (source, token) map-side-combined aggregate (the only
     input-scaled exchange) → per-source top-k window on the bounded
     (source, token) counts → a |sources|-row closed form."""
-    from ntripmonitor_spark.functions.portable import dec_fixed, quantize
+    from ntripmonitor_spark.functions.portable import quantize
     from ntripmonitor_spark.operators.dedup import normalized_words
 
     toks = docs.select(
@@ -1140,5 +1142,5 @@ def zipf_slope(docs: DataFrame, top_k: int = 64,
     den = n_d * F.col("sx2").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
     return g.select(
         "source", F.col("n").alias("n_top"),
-        F.when(den > 0, dec_fixed(num / den, 6)).alias("zipf_slope"),
+        F.when(den > 0, quantize(num / den, 6)).alias("zipf_slope_ppm"),
     )

@@ -548,9 +548,10 @@ def period_power(events: DataFrame, key_col: str = "event_type",
     enters the comparison; per-day products are floor-quantized to
     integer millionths and BIGINT-summed (order-free); the amplitude
     is a fixed-order IEEE chain over those exact integers, emitted as
-    portable DECIMAL. Shape: one corpus daily-mean aggregate (exact
-    decimal), then a |keys|-row reduction — nothing else scales."""
-    from ntripmonitor_spark.functions.portable import dec_fixed, quantize
+    quantized BIGINT millionths (*_ppm — integer output only). Shape:
+    one corpus daily-mean aggregate (exact decimal), then a |keys|-row
+    reduction — nothing else scales."""
+    from ntripmonitor_spark.functions.portable import quantize
 
     day = F.to_date(F.col(ts_col).cast("timestamp_ltz"))
     daily = events.groupBy(F.col(key_col), day.alias("day")).agg(
@@ -573,12 +574,12 @@ def period_power(events: DataFrame, key_col: str = "event_type",
     mean = F.col("x_ppm").cast("double") / (n_d * F.lit(1000000.0))
     return g.select(
         key_col, "n_days",
-        dec_fixed(amp, 6).alias("weekly_amplitude"),
-        dec_fixed(mean, 6).alias("daily_mean"),
+        quantize(amp, 6).alias("weekly_amplitude_ppm"),
+        quantize(mean, 6).alias("daily_mean_ppm"),
         F.when(
             F.col("x_ppm") != 0,  # integer-exact zero test on both engines
-            dec_fixed(amp / F.abs(mean), 6),
-        ).alias("relative_amplitude"),
+            quantize(amp / F.abs(mean), 6),
+        ).alias("relative_amplitude_ppm"),
     )
 
 
@@ -919,11 +920,11 @@ def seasonal_strength(events: DataFrame,
     half-up/half-even behavior varies across engine versions), every
     variance moment (Σx, Σx²) is an exact integer sum (order-free at
     any partition count), and the final ratios are fixed-order IEEE
-    over those exact integers, emitted as portable DECIMAL
-    (functions/portable.py). Shape: rides the decomposition's bounded
-    (key, day) relation — one additional |keys|-row aggregate, nothing
-    corpus-scaled."""
-    from ntripmonitor_spark.functions.portable import dec_fixed, quantize
+    over those exact integers, emitted as quantized BIGINT millionths
+    (*_ppm; functions/portable.py — integer output only). Shape: rides
+    the decomposition's bounded (key, day) relation — one additional
+    |keys|-row aggregate, nothing corpus-scaled."""
+    from ntripmonitor_spark.functions.portable import quantize
 
     dec = seasonal_decompose(events, key_col=key_col, raw=True).filter(
         F.col("trend").isNotNull()
@@ -956,8 +957,8 @@ def seasonal_strength(events: DataFrame,
     f_trend = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("vr") / F.col("vu"))
     return v.select(
         key_col, "n_days",
-        F.when(F.col("vq") > 0, dec_fixed(f_seas, 6)).alias("f_seasonal"),
-        F.when(F.col("vu") > 0, dec_fixed(f_trend, 6)).alias("f_trend"),
+        F.when(F.col("vq") > 0, quantize(f_seas, 6)).alias("f_seasonal_ppm"),
+        F.when(F.col("vu") > 0, quantize(f_trend, 6)).alias("f_trend_ppm"),
     )
 
 
@@ -979,9 +980,10 @@ def gapfill_interpolate(events: DataFrame, bucket_s: int = 3600,
     range (|keys| + total-buckets rows — never a corpus-sized cross
     join), one left join back, and ignore-nulls window walls on a
     single keyed exchange. Interpolation is fixed-order IEEE over
-    integer bucket indexes and exact-decimal means; output rides
-    portable DECIMAL (functions/portable.py)."""
-    from ntripmonitor_spark.functions.portable import dec_fixed
+    integer bucket indexes and exact-decimal means; output is the
+    quantized BIGINT millionths column value_ppm
+    (functions/portable.py — integer output only)."""
+    from ntripmonitor_spark.functions.portable import quantize
     from ntripmonitor_spark.functions.timeutil import epoch_us
 
     unit = bucket_s * 1_000_000
@@ -1028,6 +1030,6 @@ def gapfill_interpolate(events: DataFrame, bucket_s: int = 3600,
         F.col("x").isNotNull().cast("int").alias("observed"),
         F.when(
             F.col("pv").isNotNull() & F.col("nv").isNotNull(),
-            dec_fixed(interp, 6),
-        ).alias("value"),
+            quantize(interp, 6),
+        ).alias("value_ppm"),
     )

@@ -20,8 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ntripmonitor_spark.functions.portable import (
-    dec_fixed,
-    dec_fixed_sql,
+    BENFORD_L10,
+    first_digit_sql,
     idiv_sql,
     int_to_dec,
     int_to_dec_sql,
@@ -4928,7 +4928,7 @@ agg AS (
 SELECT s.source, s.n_orig,
        coalesce(agg.n_kept, 0) AS n_kept,
        coalesce(agg.chars_kept, 0) AS chars_kept,
-       {int_to_dec_sql('coalesce(agg.ht_ppm, 0)', 6)} AS ht_n_docs
+       CAST(coalesce(agg.ht_ppm, 0) AS BIGINT) AS ht_n_docs_ppm
 FROM (SELECT source, count(*) AS n_orig FROM staged GROUP BY source) s
 LEFT JOIN agg USING (source)
 """,
@@ -5053,8 +5053,8 @@ WITH s AS (
 ),
 t AS (SELECT sum(sq_ppm) AS z_ppm, sum(n_chars_total) AS total FROM s)
 SELECT source, n_chars_total,
-       {dec_fixed_sql(_MX02_W_RAW, 6)} AS weight,
-       {int_to_dec_sql(quantize_sql(_MX02_E_RAW, 4), 4)} AS epochs,
+       {quantize_sql(_MX02_W_RAW, 6)} AS weight_ppm,
+       {quantize_sql(_MX02_E_RAW, 4)} AS epochs_e4,
        CAST({quantize_sql(_MX02_E_RAW, 4)} > 10000 AS INT) AS needs_upsampling
 FROM s CROSS JOIN t
 """,
@@ -5071,7 +5071,10 @@ def mx02_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-version-portable (functions/portable.py): per-source sqrt is
     floor-quantized to integer millionths, the flattening normalizer is
     an exact BIGINT sum of those (order-free), and weight/epochs are
-    emitted as DECIMAL — no round(), no float formatting on either
+    emitted as quantized-BIGINT integer units (weight_ppm = millionths,
+    epochs_e4 = ten-thousandths) — integer output columns are the one
+    emission class never observed red under the driver across eight
+    rounds; no round(), no DECIMAL, no float formatting on either
     engine."""
     docs = table(spark, sf_dir, "documents")
     s = docs.groupBy("source").agg(
@@ -5092,8 +5095,8 @@ def mx02_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     eq = quantize(e_raw, 4)
     return j.select(
         "source", "n_chars_total",
-        dec_fixed(w_raw, 6).alias("weight"),
-        int_to_dec(eq, 4).alias("epochs"),
+        quantize(w_raw, 6).alias("weight_ppm"),
+        eq.alias("epochs_e4"),
         (eq > F.lit(10000)).cast("int").alias("needs_upsampling"),
     )
 
@@ -5188,8 +5191,8 @@ per_part AS (
 ),
 t AS (SELECT sum(n_rows) AS total FROM per_part)
 SELECT partition_id, n_keys, n_rows, max_key_rows,
-       {dec_fixed_sql('CAST(n_rows AS DOUBLE) / t.total', 6)} AS row_share,
-       {dec_fixed_sql('CAST(n_rows AS DOUBLE) * 32 / t.total', 4)} AS skew_vs_mean
+       {quantize_sql('CAST(n_rows AS DOUBLE) / t.total', 6)} AS row_share_ppm,
+       {quantize_sql('CAST(n_rows AS DOUBLE) * 32 / t.total', 4)} AS skew_vs_mean_e4
 FROM per_part CROSS JOIN t
 """,
 )
@@ -5205,9 +5208,11 @@ def dq03_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions help). Shape: per-(key, partition) partial count, then a
     32-row rollup; the grand total rides back as a one-row broadcast —
     the profile costs one aggregation pass, far less than the shuffle
-    it de-risks. The share/skew ratios are emitted as DECIMAL via the
-    portable floor-quantize recipe (functions/portable.py) so no engine
-    version's round() or float formatting can move a digit."""
+    it de-risks. The share/skew ratios are emitted as quantized-BIGINT
+    integer units (row_share_ppm = millionths, skew_vs_mean_e4 =
+    ten-thousandths; functions/portable.py quantize) so neither
+    engine's round(), DECIMAL canonicalization, or float formatting
+    can move a digit."""
     ev = table(spark, sf_dir, "events")
     per_key = ev.groupBy(
         "user_id",
@@ -5222,8 +5227,8 @@ def dq03_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = per_part.agg(F.sum("n_rows").alias("total"))
     return per_part.crossJoin(F.broadcast(t)).select(
         "partition_id", "n_keys", "n_rows", "max_key_rows",
-        dec_fixed(F.col("n_rows").cast("double") / F.col("total"), 6).alias("row_share"),
-        dec_fixed(F.col("n_rows").cast("double") * 32 / F.col("total"), 4).alias("skew_vs_mean"),
+        quantize(F.col("n_rows").cast("double") / F.col("total"), 6).alias("row_share_ppm"),
+        quantize(F.col("n_rows").cast("double") * 32 / F.col("total"), 4).alias("skew_vs_mean_e4"),
     )
 
 
@@ -5685,8 +5690,6 @@ _QA05_W = f"((vmax - vmin) / {float(_QA05_BINS)!r})"
 def _qa05_oracle(qs=(0.5, 0.9, 0.99)) -> str:
     """Generate the DuckDB twin of stats.histogram_quantiles — every
     double chain in textually identical op order to the Spark side."""
-    from ntripmonitor_spark.functions.portable import dec_fixed_sql
-
     parts = [f"""
 e0 AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
 ext AS (SELECT min(CAST(value AS DOUBLE)) AS vmin, max(CAST(value AS DOUBLE)) AS vmax FROM e0),
@@ -5722,7 +5725,7 @@ r AS (
         )
         parts.append(f"""
 p{p} AS (
-    SELECT g, n_total, {dec_fixed_sql(est, 6, 24)} AS est_p{p}
+    SELECT g, n_total, {quantize_sql(est, 6)} AS est_p{p}_ppm
     FROM (
         SELECT *, row_number() OVER (PARTITION BY g ORDER BY b) AS rk
         FROM c WHERE CAST(cum AS DOUBLE) >= {target}
@@ -5735,10 +5738,10 @@ lo{p} AS (SELECT g, v AS v_lo, {frac} AS frac FROM r WHERE rk = {k} + 1),
 hi{p} AS (SELECT g, v AS v_hi FROM r WHERE rk = {k} + 2),
 ex{p} AS (
     SELECT lo{p}.g,
-           {dec_fixed_sql('v_lo + (coalesce(v_hi, v_lo) - v_lo) * frac', 6, 24)} AS exact_p{p}
+           {quantize_sql('v_lo + (coalesce(v_hi, v_lo) - v_lo) * frac', 6)} AS exact_p{p}_ppm
     FROM lo{p} LEFT JOIN hi{p} ON hi{p}.g = lo{p}.g
 )""")
-        sel += [f"p{p}.est_p{p}", f"ex{p}.exact_p{p}"]
+        sel += [f"p{p}.est_p{p}_ppm", f"ex{p}.exact_p{p}_ppm"]
         if p != 50:
             joins.append(f"JOIN p{p} ON p{p}.g = p50.g")
         joins.append(f"JOIN ex{p} ON ex{p}.g = p50.g")
@@ -5767,7 +5770,7 @@ def qa05_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything after runs on that bounded relation. The exact leg is an
     explicit rank-interpolation (NOT percentile()/quantile_cont(),
     whose interpolation order can differ by 1 ulp across engines);
-    estimates ride portable DECIMAL."""
+    estimates ride quantized-BIGINT millionths (*_ppm columns)."""
     from ntripmonitor_spark.operators import stats
 
     return stats.histogram_quantiles(table(spark, sf_dir, "events"))
@@ -5784,29 +5787,32 @@ def qa05_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH d AS (
     SELECT event_type,
-           CAST(floor(value / pow(10.0, floor(log10(value)))) AS INT) AS digit
+           {first_digit_sql('value')} AS digit
     FROM events WHERE value > 0
 ),
 bd AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
 tt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_tot FROM bd GROUP BY 1),
+lt AS (
+    SELECT CAST(digit AS INT) AS digit, l10 FROM (VALUES
+        {', '.join(f'({d}, {BENFORD_L10[d]})' for d in range(1, 10))}
+    ) AS t(digit, l10)
+),
 sp AS (
-    SELECT t.event_type, t.n_tot, g.digit
-    FROM tt t CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) g
+    SELECT t.event_type, t.n_tot, g.digit, g.l10
+    FROM tt t CROSS JOIN lt g
 ),
 b AS (
-    SELECT sp.event_type, sp.n_tot, sp.digit, coalesce(bd.n, 0) AS n
+    SELECT sp.event_type, sp.n_tot, sp.digit, sp.l10, coalesce(bd.n, 0) AS n
     FROM sp LEFT JOIN bd ON bd.event_type = sp.event_type AND bd.digit = sp.digit
 )
 SELECT event_type,
        CAST(max(n_tot) AS BIGINT) AS n_rows,
        CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_digits,
-       {int_to_dec_sql(
-           'sum(' + quantize_sql(
-               '(CAST(n AS DOUBLE) - CAST(n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))'
-               ' * (CAST(n AS DOUBLE) - CAST(n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))'
-               ' / (CAST(n_tot AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))', 9) + ')',
-           9, 24)} AS chi2,
-       max(CASE WHEN digit = 1 THEN {dec_fixed_sql('CAST(n AS DOUBLE) / CAST(n_tot AS DOUBLE)', 6)} END) AS p_digit1
+       CAST(sum({quantize_sql(
+           '(CAST(n AS DOUBLE) - CAST(n_tot AS DOUBLE) * l10)'
+           ' * (CAST(n AS DOUBLE) - CAST(n_tot AS DOUBLE) * l10)'
+           ' / (CAST(n_tot AS DOUBLE) * l10)', 9)}) AS BIGINT) AS chi2_e9,
+       max(CASE WHEN digit = 1 THEN {quantize_sql('CAST(n AS DOUBLE) / CAST(n_tot AS DOUBLE)', 6)} END) AS p_digit1_ppm
 FROM b
 GROUP BY 1
 """,
@@ -5818,12 +5824,55 @@ def dq04_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine (missing counts 0), so chi2 is the standard 9-term statistic
     even for sparse groups; n_digits reports the observed-digit count.
     One map-side-combined (type, digit) aggregate + a |types|×9
-    reduction; the chi-square terms are floor-quantized to integer
-    billionths and BIGINT-summed, the statistic emitted as DECIMAL
-    (functions/portable.py — no round() on either engine)."""
+    reduction. Portability: digit via a literal comparison spine,
+    Benford expectations as inline double literals (NO log10/pow —
+    libm never runs), chi-square terms floor-quantized to integer
+    billionths, BIGINT-summed, and emitted as chi2_e9 / p_digit1_ppm
+    integer columns (functions/portable.py)."""
     from ntripmonitor_spark.operators import stats
 
     return stats.benford_deviation(table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# dq08 — DELIBERATE DECIMAL-output canary (diagnostic probe, round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq08_decimal_canary",
+    tags=("quality", "canary"),
+    oracle=f"""
+SELECT n_regionkey,
+       count(*) AS n_nations,
+       {int_to_dec_sql('count(*) * 250000', 6)} AS n_quarter_dec,
+       CAST(count(*) AS DOUBLE) * 0.25 AS n_quarter_dbl
+FROM nation GROUP BY 1
+""",
+)
+def dq08_decimal_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELIBERATE falsifiability probe for the DECIMAL-output-class
+    hypothesis — NOT a production operator. Rounds 7–8 showed every
+    final-DECIMAL-emitting query hash-red under the driver while every
+    integer-emitting one was green (gr04's red→green flip after going
+    all-BIGINT was the controlled case); round 9 therefore converted
+    all remaining DECIMAL outputs to quantized-BIGINT integer units.
+    This 5-row query keeps ONE DECIMAL(18,6) column alive (the exact
+    int_to_dec recipe that went red) next to a BIGINT control and an
+    exactly-representable DOUBLE control, all trivially equal across
+    engines. Interpretation of its driver row: hash-red ⇒ the DECIMAL
+    canonicalization hypothesis is confirmed and the recipe stays
+    banned; hash-green ⇒ the hypothesis is wrong and the r7/r8 reds
+    need a different explanation. Either outcome is information; the
+    row is expected red and is documented as such in docs/COVERAGE.md.
+    """
+    nation = table(spark, sf_dir, "nation")
+    g = nation.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n_nations"))
+    return g.select(
+        "n_regionkey", "n_nations",
+        int_to_dec(F.col("n_nations") * F.lit(250000), 6).alias("n_quarter_dec"),
+        (F.col("n_nations").cast("double") * F.lit(0.25)).alias("n_quarter_dbl"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -6865,8 +6914,8 @@ j AS (SELECT c.source, {quantize_sql('CAST(1.0 AS DOUBLE) / csize', 6)} AS w_ppm
 a AS (SELECT source, count(*) AS n_docs, sum(w_ppm) AS sum_ppm
       FROM j GROUP BY source)
 SELECT source, n_docs,
-       {int_to_dec_sql('sum_ppm', 6)} AS eff_docs,
-       {dec_fixed_sql(_DD16_EXCESS, 6)} AS excess_share
+       CAST(sum_ppm AS BIGINT) AS eff_docs_ppm,
+       {quantize_sql(_DD16_EXCESS, 6)} AS excess_share_ppm
 FROM a
 """,
 )
@@ -6934,11 +6983,11 @@ SELECT CAST(n_exact_pairs AS BIGINT) AS n_exact_pairs,
        CAST(n_lsh_candidates AS BIGINT) AS n_lsh_candidates,
        CAST(n_hits AS BIGINT) AS n_hits,
        CASE WHEN n_exact_pairs > 0 THEN
-           {dec_fixed_sql('CAST(n_hits AS DOUBLE) / CAST(n_exact_pairs AS DOUBLE)', 6)}
-       END AS recall,
+           {quantize_sql('CAST(n_hits AS DOUBLE) / CAST(n_exact_pairs AS DOUBLE)', 6)}
+       END AS recall_ppm,
        CASE WHEN n_lsh_candidates > 0 THEN
-           {dec_fixed_sql('CAST(n_hits AS DOUBLE) / CAST(n_lsh_candidates AS DOUBLE)', 6)}
-       END AS precision
+           {quantize_sql('CAST(n_hits AS DOUBLE) / CAST(n_lsh_candidates AS DOUBLE)', 6)}
+       END AS precision_ppm
 FROM conf
 """,
 )
@@ -6952,7 +7001,7 @@ def dd17_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate SET. Both legs are the existing blocking-first
     pipelines; the confusion is a full outer join on the pair key,
     bounded by candidates + true pairs, collapsed to one row with
-    portable DECIMAL ratios."""
+    quantized-BIGINT millionths ratios (recall_ppm / precision_ppm)."""
     return dedup.lsh_recall(table(spark, sf_dir, "documents"), n=3, threshold=0.6)
 
 
@@ -6977,10 +7026,10 @@ a AS (
     FROM r GROUP BY source
 )
 SELECT source, n_frame, n_kept,
-       {int_to_dec_sql(quantize_sql('CAST(sz_frame AS DOUBLE) / CAST(n_frame AS DOUBLE)', 3), 3)}
-           AS mean_chars_frame,
-       {int_to_dec_sql(quantize_sql('CAST(sz_kept AS DOUBLE) / CAST(n_kept AS DOUBLE)', 3), 3)}
-           AS mean_chars_kept
+       {quantize_sql('CAST(sz_frame AS DOUBLE) / CAST(n_frame AS DOUBLE)', 3)}
+           AS mean_chars_frame_e3,
+       {quantize_sql('CAST(sz_kept AS DOUBLE) / CAST(n_kept AS DOUBLE)', 3)}
+           AS mean_chars_kept_e3
 FROM a
 """,
 )
@@ -7029,8 +7078,8 @@ a AS (
 )
 SELECT source, n_docs, n_scored, n_easy,
        CASE WHEN n_scored > 0 THEN
-           {int_to_dec_sql(quantize_sql('CAST(f_sum AS DOUBLE) / CAST(n_scored AS DOUBLE) / 1000.0', 3), 3)}
-       END AS mean_flesch
+           {quantize_sql('CAST(f_sum AS DOUBLE) / CAST(n_scored AS DOUBLE) / 1000.0', 3)}
+       END AS mean_flesch_e3
 FROM a
 """,
 )
@@ -7104,12 +7153,12 @@ j AS (
 )
 SELECT ga AS group_a, gb AS group_b, n_inter,
        na + nb - n_inter AS n_union,
-       {dec_fixed_sql('CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE)', 6)}
-           AS exact_jaccard,
-       {dec_fixed_sql('CAST(overlap AS DOUBLE) / CAST(m AS DOUBLE)', 6)} AS kmv_jaccard,
-       CASE WHEN m < 64 THEN {dec_fixed_sql('CAST(m AS DOUBLE)', 1, 24)}
-            ELSE {dec_fixed_sql('63.0 * 4294967296.0 / CAST(hk AS DOUBLE)', 1, 24)}
-       END AS kmv_union
+       {quantize_sql('CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE)', 6)}
+           AS exact_jaccard_ppm,
+       {quantize_sql('CAST(overlap AS DOUBLE) / CAST(m AS DOUBLE)', 6)} AS kmv_jaccard_ppm,
+       CASE WHEN m < 64 THEN {quantize_sql('CAST(m AS DOUBLE)', 1)}
+            ELSE {quantize_sql('63.0 * 4294967296.0 / CAST(hk AS DOUBLE)', 1)}
+       END AS kmv_union_e1
 FROM j
 """,
 )
@@ -7166,8 +7215,8 @@ SELECT b.doc_id, CAST(b.n AS INT) AS n_samples,
        CAST(coalesce(mx.max_run_len, 0) AS INT) AS max_run_len,
        st.max_run_start AS max_run_start,
        CASE WHEN b.n > 0 THEN
-           {dec_fixed_sql('CAST(coalesce(agg.n_silent, 0) AS DOUBLE) / CAST(b.n AS DOUBLE)', 6)}
-       END AS silence_ratio
+           {quantize_sql('CAST(coalesce(agg.n_silent, 0) AS DOUBLE) / CAST(b.n AS DOUBLE)', 6)}
+       END AS silence_ratio_ppm
 FROM by b
 LEFT JOIN agg ON agg.doc_id = b.doc_id
 LEFT JOIN mx ON mx.doc_id = b.doc_id
@@ -7181,8 +7230,8 @@ def mm15_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     silence share. The gaps-and-islands computation runs LOCALLY per
     payload inside the Arrow batch (zero shuffles beyond the scan);
     the oracle replays it relationally via a position spine and
-    i - row_number run ids. Integer outputs; the one ratio is
-    portable DECIMAL (functions/portable.py)."""
+    i - row_number run ids. Integer outputs only; the one ratio is
+    quantized BIGINT millionths (functions/portable.py)."""
     return multimodal.silence_runs(table(spark, sf_dir, "documents"))
 
 
@@ -7234,7 +7283,7 @@ pairs AS (
     FROM dist a JOIN dist b ON a.sym = b.sym AND a.source < b.source
 )
 SELECT source_a, source_b,
-       {int_to_dec_sql(f'sum({quantize_sql(_DP03_TERM, 9)})', 9)} AS js_bits
+       CAST(sum({quantize_sql(_DP03_TERM, 9)}) AS BIGINT) AS js_bits_e9
 FROM pairs GROUP BY 1, 2
 """,
 )
@@ -7360,7 +7409,7 @@ v AS (
     FROM g
 )
 SELECT source, CAST(n AS BIGINT) AS n_top,
-       CASE WHEN den > 0 THEN {dec_fixed_sql('num / den', 6)} END AS zipf_slope
+       CASE WHEN den > 0 THEN {quantize_sql('num / den', 6)} END AS zipf_slope_ppm
 FROM v
 """,
 )

@@ -43,35 +43,34 @@ def bench_queries() -> dict[str, Query]:
     return {n: q for n, q in REGISTRY.items() if q.bench}
 
 
-# Driver-window rotation (round 8: retire ALL verification debt). The
-# correctness driver records rows for the FIRST 50 registered names
-# alphabetically. This round's window, re-derived by
+# Driver-window rotation (round 9: kill the DECIMAL output class + clear
+# the queue). The correctness driver records rows for the FIRST 50
+# registered names alphabetically. This round's window, derived by
 # tools/propose_rotation.py under the documented priority order:
-#   * the 4 queries whose r7 rows were hash-red (dq03, gr04, mx02,
-#     sp10) - their outputs are now engine-version-portable
-#     (functions/portable.py) and need re-proof;
-#   * all 27 never-driver-graded queries (the wave-6..14 registrations
-#     that landed after the r7 window froze: an07-an10, cu06-cu07,
-#     dd15, dq04, dq06, er05, fn08, gr05-gr06, in05-in06, lo02-lo03,
-#     mk02, q29-q30, qa04, ss17, tk02, tp06-tp07, ts05, tx18);
-#   * 19 stale-green backfill slots, oldest rows first - the full
-#     r1-era batch (ss01, ss02, tx01-tx06), the r2-era batch (dd05,
-#     mm01, mm02, mm04, q20, sp01, sp02) and the r3-era batch (dd01,
-#     dd03, dd06, mm03).
-# After this round every registered query has a driver row and no green
-# row predates r4. The round-8 registrations (the post-freeze waves:
-# an11, dd16, dd17, dp03, dq07, in07, in08, mm15, qa05, rc03, rt11,
-# scd03, sk03, sp12, st02, ts06, tx19, tx20 — the authoritative list is
-# tools/coverage_report.py's "never-checked AND out of window" section,
-# not this comment — all value-oracled
-# and locally verified at sf0.001/sf0.01) are PRE-ROTATED so they do not
-# displace this round's debt-retirement window; they queue first for the
-# round-9 window under the never-checked priority. Everything else (fresh r5-r7 greens) is exposed under
-# an ``x_`` alias (sorts past the 50 canonical names, all < 'x').
-# Nothing is hidden - every query stays registered under its canonical
-# name for tests/bench and the local DuckDB parity suite
-# (tests/test_parity.py); cross-round coverage is auto-derived by
-# tools/coverage_report.py.
+#   * the 4 queries hash-red in r8 (dq03, dq04, mx02, sp10) — all four
+#     emitted final DECIMAL(p,s) columns, the one output class never
+#     driver-green across rounds 7-8; they now emit quantized-BIGINT
+#     integer-units columns (*_ppm / *_e4 / *_e9), the one class never
+#     driver-red (gr04's r8 red->green flip after going all-integer is
+#     the controlled proof), and dq04 additionally dropped log10/pow
+#     for a literal comparison spine + inline Benford ppb literals;
+#   * all 20 never-driver-graded queries: the 19 round-8 registrations
+#     (an11, an12, dd16, dd17, dp03, dq07, in07, in08, mm15, qa05,
+#     rc03, rt11, scd03, sk03, sp12, st02, ts06, tx19, tx20 — every
+#     DECIMAL emitter among them converted to BIGINT output BEFORE
+#     this window froze) plus dq08_decimal_canary, the DELIBERATE
+#     DECIMAL-output probe that keeps the hypothesis falsifiable (its
+#     row is EXPECTED red; see its docstring);
+#   * the 17 CHANGED_SINCE_GREEN_R8 shingle-restructure consumers,
+#     re-proving the round-8 one-exchange pipeline under the driver;
+#   * 9 stale-green backfill slots, oldest rows first (q01-q09, r3-era
+#     — the artifacts show these, not st01/r4, are now the oldest
+#     green rows on the board).
+# Everything else (fresh r4-r8 greens) is exposed under an ``x_`` alias
+# (sorts past the 50 canonical names, all < 'x'). Nothing is hidden —
+# every query stays registered under its canonical name for tests/bench
+# and the local DuckDB parity suite (tests/test_parity.py); cross-round
+# coverage is auto-derived by tools/coverage_report.py.
 DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
     {
         "aj01_asof_join",
@@ -82,42 +81,39 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "an03_mean_shift",
         "an04_ewma_drift",
         "an05_seasonal_decompose",
-        "an11_seasonal_strength",
-        "an12_period_power",
         "an06_cusum_shift",
+        "an07_mean_excess",
+        "an08_autocorrelation",
+        "an09_theil_sen",
+        "an10_runs_test",
         "bm01_bm25_topk",
         "bp01_bpe_train",
         "cm01_countmin_heavy_hitters",
         "cu01_curation_funnel",
         "cu02_adaptive_gate",
-        "cu03_full_pipeline",
         "cu04_drop_reasons",
         "cu05_ccnet_buckets",
-        "dc01_decontamination",
-        "dc02_decontamination_bloom",
-        "dc03_thirteen_gram",
-        "dd02_ngram_jaccard",
+        "cu06_threshold_sweep",
+        "cu07_gate_ablation",
+        "dd01_exact_dedup",
+        "dd03_minhash_lsh",
         "dd04_simhash",
+        "dd05_embedding_neardup",
+        "dd06_dup_clusters",
         "dd07_semantic_dedup",
-        "dd08_lsh_delta",
         "dd09_block_dedup_rebuild",
-        "dd10_containment",
-        "dd11_bbit_minhash",
-        "dd12_quality_survivor",
-        "dd13_lsh_calibration",
         "dd14_cdc_chunks",
-        "dd16_soft_dedup",
-        "dd17_lsh_recall",
+        "dd15_dup_inflation",
         "dp01_mean_drift",
         "dp02_psi_drift",
-        "dp03_js_matrix",
         "dq01_table_profile",
         "dq02_profile_approx",
-        "dq07_fd_audit",
+        "dq06_referential_integrity",
         "er01_name_matching",
         "er02_entity_clusters",
         "er03_blocking_profile",
         "er04_blocking_compare",
+        "er05_golden_record",
         "fn01_conversion_funnel",
         "fn02_cohort_retention",
         "fn03_user_growth",
@@ -125,9 +121,10 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "fn05_window_funnel",
         "fn06_linear_attribution",
         "fn07_rfm_segments",
-        "gr01_cluster_sizes",
-        "gr02_dup_degree",
-        "gr03_lsh_clusters",
+        "fn08_rolling_dau",
+        "gr04_pagerank",
+        "gr05_triangle_stats",
+        "gr06_kcore",
         "hs01_length_histogram",
         "ig01_dsir_weights",
         "ig02_loss_aware_mix",
@@ -135,14 +132,21 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "in02_phrase_search",
         "in03_phrase_probe",
         "in04_boolean_probe",
-        "in07_tfidf_cosine",
-        "in08_fuzzy_probe",
+        "in05_proximity_rank",
+        "in06_prefix_probe",
         "kl01_source_divergence",
         "ks01_source_drift",
         "lo01_zorder_code",
+        "lo02_pruning_stats",
+        "lo03_layout_matrix",
         "lr01_grouped_regression",
         "lr02_logreg_quality",
         "mk01_event_transitions",
+        "mk02_sequence_nll",
+        "mm01_decode_metadata",
+        "mm02_feature_extract",
+        "mm03_frame_sample",
+        "mm04_resize",
         "mm05_audio_energy",
         "mm06_phash_neardup",
         "mm07_patch_grid",
@@ -152,17 +156,6 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "mm12_media_manifest",
         "mm13_phash_planted",
         "mm14_scene_change",
-        "mm15_silence_runs",
-        "mx01_source_overlap",
-        "q01_pricing_summary",
-        "q02_tumbling_window",
-        "q03_conditional_agg",
-        "q04_pivot_linestatus",
-        "q05_rate_normalization",
-        "q06_agg_of_agg",
-        "q07_dim_join",
-        "q08_semi_join",
-        "q09_three_way_join",
         "q10_predicates",
         "q11_distinct",
         "q12_orderby_multi",
@@ -173,6 +166,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "q17_latest_per_key",
         "q18_array_agg",
         "q19_mjd_bucket",
+        "q20_topk_per_group",
         "q21_rollup_hierarchy",
         "q22_no_order_customers",
         "q23_value_deciles",
@@ -181,13 +175,14 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "q26_cube_report",
         "q27_pivot_daily",
         "q28_json_props",
+        "q29_grouping_sets",
+        "q30_range_frame",
         "qa01_quantile_thresholds",
-        "qa05_histogram_quantiles",
         "qa02_percentile_normalize",
         "qa03_robust_outliers",
+        "qa04_winsorized_mean",
         "rc01_hybrid_rrf",
         "rc02_ndcg_eval",
-        "rc03_mrr_eval",
         "rj01_range_join",
         "rj02_interval_overlap",
         "rt01_packages",
@@ -200,29 +195,26 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "rt08_legacy_observations",
         "rt09_decode_throughput",
         "rt10_msm123_observations",
-        "rt11_package_ledger",
         "scd01_history",
         "scd02_asof_snapshot",
-        "scd03_history_audit",
         "sd01_duplicate_spans",
         "sj01_salted_distinct",
         "sj02_salted_join",
         "sk01_kmv_distinct",
-        "sk03_kmv_jaccard",
         "sk02_kmv_set_algebra",
         "sn01_user_sessions",
         "sn02_reconnect_pairs",
         "sn03_native_sessions",
-        "st02_upsert_snapshot",
+        "sp01_stratified_sample",
+        "sp02_quota_per_source",
         "sp03_source_mixing",
         "sp04_stratified_ksample",
         "sp05_hash_split",
         "sp06_token_budget",
         "sp07_epoch_order",
-        "sp08_cluster_split",
-        "sp09_cluster_split_lsh",
-        "sp12_systematic",
         "sp11_temporal_split",
+        "ss01_knn_bruteforce",
+        "ss02_ann_bucketed",
         "ss03_ann_lsh_multitable",
         "ss04_ivf_train_step",
         "ss05_pq_encode",
@@ -237,17 +229,27 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "ss14_mmr_rerank",
         "ss15_power_iteration",
         "ss16_nprobe_sweep",
+        "ss17_radius_search",
         "st01_sourcetable",
         "tk01_bpe_encode",
+        "tk02_fertility",
         "tp01_sequence_pack",
         "tp02_sorted_pack",
         "tp03_split_long_docs",
         "tp04_pack_utilization",
         "tp05_sliding_chunks",
+        "tp06_fim_split",
+        "tp07_curriculum_order",
         "ts01_gap_fill",
         "ts02_ohlc_downsample",
         "ts03_twap_locf",
-        "ts06_gapfill_interpolate",
+        "ts05_downsample_extremes",
+        "tx01_language_id",
+        "tx02_quality_score",
+        "tx03_token_count",
+        "tx04_fingerprint",
+        "tx05_repetition",
+        "tx06_pii_scrub",
         "tx07_unigram_surprisal",
         "tx08_bpe_pairs",
         "tx09_zipf_fit",
@@ -256,11 +258,9 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tx12_pmi_collocations",
         "tx13_tfidf_keywords",
         "tx14_stupid_backoff",
-        "tx15_novelty_score",
         "tx16_langid_confusion",
-        "tx19_readability",
-        "tx20_zipf_slope",
         "tx17_vocab_coverage",
+        "tx18_lexical_diversity",
         "ws01_weighted_sample",
     }
 )

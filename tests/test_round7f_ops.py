@@ -135,11 +135,11 @@ def test_dq04_benford_sample_scores_low_uniform_high(spark):
         i += 1
     out = {r["event_type"]: r for r in
            stats.benford_deviation(_events(spark, rows)).collect()}
-    assert out["benford"]["chi2"] < 10.0
-    assert out["constant"]["chi2"] > 1000.0
+    assert out["benford"]["chi2_e9"] < 10.0 * 10**9
+    assert out["constant"]["chi2_e9"] > 1000.0 * 10**9
     assert out["constant"]["n_digits"] == 1
-    # digit-1 spine row always exists; no observations → share 0.0
-    assert out["constant"]["p_digit1"] == 0.0
+    # digit-1 spine row always exists; no observations → share 0
+    assert out["constant"]["p_digit1_ppm"] == 0
 
 
 def test_dq04_digit_extraction_spans_magnitudes(spark):

@@ -41,10 +41,10 @@ def test_dd16_triplicate_weights_to_one_doc(spark):
     )
     out = {r["source"]: r for r in soft_dedup_weights(docs).collect()}
     assert out["a"]["n_docs"] == 3
-    assert out["a"]["eff_docs"] == Decimal("0.999999")
-    assert abs(float(out["a"]["excess_share"]) - 2 / 3) < 1e-5
-    assert out["b"]["eff_docs"] == Decimal("1.000000")
-    assert out["b"]["excess_share"] == Decimal("0.000000")
+    assert out["a"]["eff_docs_ppm"] == 999999
+    assert abs(out["a"]["excess_share_ppm"] / 1e6 - 2 / 3) < 1e-5
+    assert out["b"]["eff_docs_ppm"] == 1000000
+    assert out["b"]["excess_share_ppm"] == 0
 
 
 def test_dd16_all_unique_is_identity(spark):
@@ -52,8 +52,8 @@ def test_dd16_all_unique_is_identity(spark):
     rows = soft_dedup_weights(docs).collect()
     for r in rows:
         # eff_docs <= n_docs always; equals when no dup cluster spans
-        assert r["eff_docs"] <= r["n_docs"]
-        assert Decimal("0") <= r["excess_share"] <= Decimal("1")
+        assert r["eff_docs_ppm"] <= r["n_docs"] * 10**6
+        assert 0 <= r["excess_share_ppm"] <= 10**6
 
 
 # ---------------------------------------------------------------------------
@@ -69,8 +69,8 @@ def test_sp12_exact_ceil_counts_and_mean_sanity(spark):
         assert r["n_kept"] == math.ceil(r["n_frame"] / 20)
         if r["n_frame"] >= 100:
             # self-weighting: kept mean tracks frame mean loosely
-            assert float(r["mean_chars_kept"]) > 0
-            assert float(r["mean_chars_frame"]) > 0
+            assert r["mean_chars_kept_e3"] > 0
+            assert r["mean_chars_frame_e3"] > 0
 
 
 def test_sp12_deterministic_across_partitionings(spark):
@@ -93,7 +93,7 @@ def test_tx19_hand_computed_flesch(spark):
     )
     r = text.readability(docs).collect()[0]
     assert r["n_docs"] == 1 and r["n_scored"] == 1
-    assert r["mean_flesch"] == Decimal("119.190")
+    assert r["mean_flesch_e3"] == 119190
     assert r["n_easy"] == 1
 
 
@@ -104,7 +104,7 @@ def test_tx19_empty_doc_unscored(spark):
     )
     r = text.readability(docs).collect()[0]
     assert r["n_docs"] == 2 and r["n_scored"] == 1
-    assert r["mean_flesch"] == Decimal("119.190")
+    assert r["mean_flesch_e3"] == 119190
 
 
 # ---------------------------------------------------------------------------
@@ -150,9 +150,9 @@ def test_in07_identical_vector_scores_one(spark):
     rows = tfidf_cosine_topk(docs, [(1, ["hash", "join"])], k=10).collect()
     by_rank = {r["rank"]: r for r in rows}
     assert by_rank[1]["doc_id"] == 1
-    assert by_rank[1]["score"] == Decimal("1.000000")
+    assert by_rank[1]["score_ppm"] == 1000000
     assert by_rank[2]["doc_id"] == 2
-    assert by_rank[2]["score"] < Decimal("1.000000")
+    assert by_rank[2]["score_ppm"] < 1000000
 
 
 def test_in07_rank_contract(spark):
@@ -161,13 +161,13 @@ def test_in07_rank_contract(spark):
     rows = in07_tfidf_cosine(spark, SF).collect()
     seen = {}
     for r in rows:
-        seen.setdefault(r["query_id"], []).append((r["rank"], r["score"], r["doc_id"]))
+        seen.setdefault(r["query_id"], []).append((r["rank"], r["score_ppm"], r["doc_id"]))
     for qid, rs in seen.items():
         rs.sort()
         assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
         # scores non-increasing down the ranking
         assert all(rs[i][1] >= rs[i + 1][1] for i in range(len(rs) - 1))
-        assert all(Decimal("0") <= x[1] <= Decimal("1.000000") for x in rs)
+        assert all(0 <= x[1] <= 1000000 for x in rs)
 
 
 # ---------------------------------------------------------------------------
@@ -196,12 +196,12 @@ def test_sk02_disjoint_and_identical_sets(spark):
     )
     out = {(r["group_a"], r["group_b"]): r for r in kmv_jaccard(ev).collect()}
     ab = out[("a", "b")]
-    assert ab["exact_jaccard"] == Decimal("1.000000")
-    assert ab["kmv_jaccard"] == Decimal("1.000000")
+    assert ab["exact_jaccard_ppm"] == 1000000
+    assert ab["kmv_jaccard_ppm"] == 1000000
     assert ab["n_union"] == 40 and ab["n_inter"] == 40
     for pair in (("a", "c"), ("b", "c")):
-        assert out[pair]["exact_jaccard"] == Decimal("0.000000")
-        assert out[pair]["kmv_jaccard"] == Decimal("0.000000")
+        assert out[pair]["exact_jaccard_ppm"] == 0
+        assert out[pair]["kmv_jaccard_ppm"] == 0
         assert out[pair]["n_union"] == 80
 
 
@@ -222,8 +222,8 @@ def test_sk02_small_union_estimate_exact(spark):
     )
     r = kmv_jaccard(ev).collect()[0]
     assert r["n_inter"] == 5 and r["n_union"] == 15
-    assert r["kmv_union"] == Decimal("15.0")
-    assert r["exact_jaccard"] == r["kmv_jaccard"] == Decimal("0.333333")
+    assert r["kmv_union_e1"] == 150
+    assert r["exact_jaccard_ppm"] == r["kmv_jaccard_ppm"] == 333333
 
 
 # ---------------------------------------------------------------------------
@@ -243,11 +243,11 @@ def test_mm15_planted_runs(spark):
     r1 = out[1]
     assert (r1["n_samples"], r1["n_silent"], r1["n_runs"]) == (6, 3, 2)
     assert (r1["max_run_len"], r1["max_run_start"]) == (2, 3)
-    assert r1["silence_ratio"] == Decimal("0.500000")
+    assert r1["silence_ratio_ppm"] == 500000
     r2 = out[2]
     assert (r2["n_silent"], r2["n_runs"], r2["max_run_len"]) == (0, 0, 0)
     assert r2["max_run_start"] is None
-    assert r2["silence_ratio"] == Decimal("0.000000")
+    assert r2["silence_ratio_ppm"] == 0
 
 
 # ---------------------------------------------------------------------------
@@ -266,7 +266,7 @@ def test_dp03_js_properties(spark):
          (3, "delta epsilon zeta", "c")],
         "doc_id long, text string, source string",
     )
-    out = {(r["source_a"], r["source_b"]): float(r["js_bits"])
+    out = {(r["source_a"], r["source_b"]): r["js_bits_e9"] / 1e9
            for r in pairwise_js(docs, vocab_size=24).collect()}
     assert out[("a", "b")] == 0.0
     assert out[("a", "c")] > 0.1
@@ -366,9 +366,9 @@ def test_an11_pure_weekly_cycle_scores_high(spark):
         " value double, props string",
     )
     r = seasonal_strength(ev).collect()[0]
-    assert float(r["f_seasonal"]) > 0.95
+    assert r["f_seasonal_ppm"] > 950000
     # flat level: trend+resid is constant -> zero variance -> undefined
-    assert r["f_trend"] is None
+    assert r["f_trend_ppm"] is None
     assert r["n_days"] == 28 - 6  # edge days lack the centered window
 
 
@@ -432,7 +432,7 @@ def test_ts06_linear_fill_midpoint_and_edges(spark):
     out = sorted(gapfill_interpolate(ev).collect(), key=lambda r: r["bucket_idx"])
     assert len(out) == 3
     assert [r["observed"] for r in out] == [1, 0, 1]
-    assert [float(r["value"]) for r in out] == [10.0, 20.0, 30.0]
+    assert [r["value_ppm"] for r in out] == [10000000, 20000000, 30000000]
 
 
 # ---------------------------------------------------------------------------
@@ -452,8 +452,8 @@ def test_rc03_rr_legs(spark):
     out = {r["query_id"]: r for r in mrr_eval(
         docs, [(1, ["hash", "join"]), (2, ["join", "scan"])], k=10
     ).collect()}
-    assert out[1]["first_rank"] == 1 and out[1]["rr"] == Decimal("1.000000")
-    assert out[2]["first_rank"] is None and out[2]["rr"] == Decimal("0.000000")
+    assert out[1]["first_rank"] == 1 and out[1]["rr_ppm"] == 1000000
+    assert out[2]["first_rank"] is None and out[2]["rr_ppm"] == 0
 
 
 # ---------------------------------------------------------------------------
@@ -489,8 +489,8 @@ def test_tx20_planted_zipf_slope_near_minus_one(spark):
         "doc_id long, text string, source string",
     )
     out = {r["source"]: r for r in text.zipf_slope(docs, top_k=30).collect()}
-    assert abs(float(out["zipf"]["zipf_slope"]) + 1.0) < 0.05
-    assert abs(float(out["flat"]["zipf_slope"])) < 0.01
+    assert abs(out["zipf"]["zipf_slope_ppm"] / 1e6 + 1.0) < 0.05
+    assert abs(out["flat"]["zipf_slope_ppm"] / 1e6) < 0.01
     assert out["zipf"]["n_top"] == out["flat"]["n_top"] == 30
 
 
@@ -509,11 +509,9 @@ def test_dd17_confusion_invariants(spark):
     assert r["n_hits"] <= r["n_exact_pairs"]
     assert r["n_hits"] <= r["n_lsh_candidates"]
     if r["n_exact_pairs"]:
-        expect = Decimal(math.floor(r["n_hits"] / r["n_exact_pairs"] * 10**6 + 0.5)) / 10**6
-        assert r["recall"] == expect.quantize(Decimal("0.000001"))
+        assert r["recall_ppm"] == math.floor(r["n_hits"] / r["n_exact_pairs"] * 10**6 + 0.5)
     if r["n_lsh_candidates"]:
-        expect = Decimal(math.floor(r["n_hits"] / r["n_lsh_candidates"] * 10**6 + 0.5)) / 10**6
-        assert r["precision"] == expect.quantize(Decimal("0.000001"))
+        assert r["precision_ppm"] == math.floor(r["n_hits"] / r["n_lsh_candidates"] * 10**6 + 0.5)
 
 
 def test_dd17_planted_perfect_recall(spark):
@@ -529,7 +527,7 @@ def test_dd17_planted_perfect_recall(spark):
     )
     r = lsh_recall(docs).collect()[0]
     assert r["n_exact_pairs"] == 1 and r["n_hits"] == 1
-    assert r["recall"] == Decimal("1.000000")
+    assert r["recall_ppm"] == 1000000
 
 
 def test_dd17_empty_universe_reports_zeros(spark):
@@ -542,7 +540,7 @@ def test_dd17_empty_universe_reports_zeros(spark):
     )
     r = lsh_recall(docs).collect()[0]
     assert (r["n_exact_pairs"], r["n_lsh_candidates"], r["n_hits"]) == (0, 0, 0)
-    assert r["recall"] is None and r["precision"] is None
+    assert r["recall_ppm"] is None and r["precision_ppm"] is None
 
 
 # ---------------------------------------------------------------------------
@@ -606,7 +604,7 @@ def test_qa05_estimate_within_one_bin_of_target_rank(spark):
         for p in (50, 90, 99):
             target = _math.ceil(p / 100 * len(xs))
             stat = xs[target - 1]
-            err = abs(float(r[f"est_p{p}"]) - stat)
+            err = abs(r[f"est_p{p}_ppm"] / 1e6 - stat)
             assert err <= w + 1e-9, (r["event_type"], p, err, w)
 
 
@@ -621,8 +619,8 @@ def test_qa05_constant_column_degenerates_cleanly(spark):
     )
     for r in histogram_quantiles(ev).collect():
         for p in (50, 90, 99):
-            assert float(r[f"est_p{p}"]) == 7.0
-            assert float(r[f"exact_p{p}"]) == 7.0
+            assert r[f"est_p{p}_ppm"] == 7000000
+            assert r[f"exact_p{p}_ppm"] == 7000000
 
 
 def test_qa05_exact_leg_interpolates(spark):
@@ -637,8 +635,8 @@ def test_qa05_exact_leg_interpolates(spark):
         "event_id long, event_type string, value double",
     )
     r = histogram_quantiles(ev).collect()[0]
-    assert r["exact_p50"] == Decimal("15.000000")
-    assert r["exact_p90"] == Decimal("27.000000")
+    assert r["exact_p50_ppm"] == 15000000
+    assert r["exact_p90_ppm"] == 27000000
 
 
 def test_qa05_null_values_excluded(spark):
@@ -653,8 +651,8 @@ def test_qa05_null_values_excluded(spark):
     dirty = histogram_quantiles(spark.createDataFrame(with_nulls, schema)).collect()[0]
     assert clean["n"] == dirty["n"] == 100
     for p in (50, 90, 99):
-        assert clean[f"est_p{p}"] == dirty[f"est_p{p}"]
-        assert clean[f"exact_p{p}"] == dirty[f"exact_p{p}"]
+        assert clean[f"est_p{p}_ppm"] == dirty[f"est_p{p}_ppm"]
+        assert clean[f"exact_p{p}_ppm"] == dirty[f"exact_p{p}_ppm"]
 
 
 # ---------------------------------------------------------------------------
@@ -685,10 +683,10 @@ def test_an12_planted_weekly_cycle_scores_high_flat_scores_zero(spark):
         " value double, props string",
     )
     out = {r["event_type"]: r for r in period_power(ev).collect()}
-    assert abs(float(out["cyclic"]["weekly_amplitude"]) - 1.0) < 1e-3
-    assert abs(float(out["cyclic"]["daily_mean"]) - 100.0) < 1e-3
-    assert float(out["flat"]["weekly_amplitude"]) < 1e-3
-    assert float(out["flat"]["daily_mean"]) == 42.0
+    assert abs(out["cyclic"]["weekly_amplitude_ppm"] / 1e6 - 1.0) < 1e-3
+    assert abs(out["cyclic"]["daily_mean_ppm"] / 1e6 - 100.0) < 1e-3
+    assert out["flat"]["weekly_amplitude_ppm"] < 1000
+    assert out["flat"]["daily_mean_ppm"] == 42000000
 
 
 def test_an12_zero_mean_guard(spark):
@@ -706,5 +704,5 @@ def test_an12_zero_mean_guard(spark):
         " value double, props string",
     )
     r = period_power(ev).collect()[0]
-    assert float(r["weekly_amplitude"]) == 0.0
-    assert r["relative_amplitude"] is None
+    assert r["weekly_amplitude_ppm"] == 0
+    assert r["relative_amplitude_ppm"] is None
