@@ -1599,3 +1599,65 @@ def soft_dedup_weights(docs: DataFrame, source_col: str = "source",
         F.col("sum_ppm").alias("eff_docs_ppm"),
         quantize(excess, 6).alias("excess_share_ppm"),
     )
+
+
+def quality_dup_matrix(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       source_col: str = "source") -> DataFrame:
+    """Quality x duplication contingency per source — the curation
+    diagnostic that says whether duplicated documents are
+    disproportionately LOW quality (phi < 0: dedup and the quality
+    gate remove overlapping mass, so running both buys less than
+    their solo drop rates suggest) or independent (phi ~ 0: the
+    passes compose). Real 100 TB stacks check this before budgeting
+    a pass order; the reference has no analog (it trusts one feed).
+
+    Quality flag = the two exact-integer Gopher gates (word count in
+    [20, 80] AND >= 2 stopword hits — no float, no round());
+    duplication flag = exact-fingerprint cluster size > 1 (the
+    dd15/dd16 window exchange). The 2x2 cells are exact integer
+    counts; the phi coefficient is one fixed-order IEEE chain (sqrt
+    is correctly rounded) over those integers, emitted as
+    quantized-BIGINT millionths (phi_ppm — integer output only,
+    functions/portable.py), NULL when any margin is empty.
+
+    Shape: one fingerprint-keyed window count + one |sources|-row
+    rollup — the same single input-scaled exchange as dd16, reusing
+    its fingerprint discipline; nothing else scales with the corpus.
+    """
+    from ntripmonitor_spark.functions.portable import quantize
+    from ntripmonitor_spark.operators.text import GOPHER_STOPWORDS, stopword_count
+
+    words = normalized_words(F.col(text_col))
+    n_words = F.size(words)
+    keep = (
+        (n_words >= 20) & (n_words <= 80)
+        & (stopword_count(words, GOPHER_STOPWORDS) >= 2)
+    ).cast("int")
+    w = Window.partitionBy("fp")
+    staged = docs.select(
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col).cast("binary")).alias("fp"),
+        keep.alias("keep"),
+    ).withColumn("is_dup", (F.count(F.lit(1)).over(w) > 1).cast("int"))
+    g = staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_dup") * F.col("keep")).alias("n_dup_keep"),
+        F.sum(F.col("is_dup") * (1 - F.col("keep"))).alias("n_dup_drop"),
+        F.sum((1 - F.col("is_dup")) * F.col("keep")).alias("n_uniq_keep"),
+    )
+    g = g.withColumn(
+        "n_uniq_drop",
+        F.col("n_docs") - F.col("n_dup_keep") - F.col("n_dup_drop") - F.col("n_uniq_keep"),
+    )
+    n11 = F.col("n_dup_keep").cast("double")
+    n10 = F.col("n_dup_drop").cast("double")
+    n01 = F.col("n_uniq_keep").cast("double")
+    n00 = F.col("n_uniq_drop").cast("double")
+    num = n11 * n00 - n10 * n01
+    den = F.sqrt((n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00))
+    return g.select(
+        "source", "n_docs", "n_dup_keep", "n_dup_drop",
+        "n_uniq_keep", "n_uniq_drop",
+        F.when(den > 0, quantize(num / den, 6)).alias("phi_ppm"),
+    )

@@ -1144,3 +1144,118 @@ def zipf_slope(docs: DataFrame, top_k: int = 64,
         "source", F.col("n").alias("n_top"),
         F.when(den > 0, quantize(num / den, 6)).alias("zipf_slope_ppm"),
     )
+
+
+def gate_agreement(docs: DataFrame, group_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Cohen's kappa between two independent document quality gates
+    (the word-count gate and the stopword gate from the Gopher rule
+    set, tx11) per source — the inter-rater-agreement diagnostic a
+    curation pipeline runs before trusting a cheap gate as a proxy for
+    an expensive one: kappa ~ 0 says the gates fire independently
+    (keep both), kappa ~ 1 says one is redundant. Reference framing:
+    the reference trusts one hand-tuned gate; a 100 TB curation stack
+    must QUANTIFY gate overlap before dropping a pass.
+
+    Both gates are exact integer predicates (word count in [20, 80];
+    >= 2 stopword hits), so the 2x2 contingency is exact-integer all
+    the way; po/pe/kappa are fixed-order IEEE chains over those exact
+    integers, emitted as quantized-BIGINT millionths (po_ppm,
+    kappa_ppm — integer output only, functions/portable.py). The
+    kappa denominator guard is an exact comparison of the SAME double
+    both engines computed.
+
+    Shape: one corpus scan with pure column expressions into a
+    map-side-combined |sources|-row aggregate — the contingency costs
+    one exchange of |sources| rows; nothing else scales. At extreme
+    per-source counts (n > 2^26) the double products stay exact far
+    past any realistic source count (exact to 2^53), and beyond that
+    both engines round identically (IEEE multiply of identical
+    inputs)."""
+    from ntripmonitor_spark.functions.portable import quantize
+    from ntripmonitor_spark.operators.dedup import normalized_words
+
+    words = normalized_words(F.col(text_col))
+    n_words = F.size(words)
+    stop_hits = stopword_count(words, GOPHER_STOPWORDS)
+    ga = ((n_words >= 20) & (n_words <= 80)).cast("int")
+    gb = (stop_hits >= 2).cast("int")
+    staged = docs.select(
+        F.col(group_col).alias("source"), ga.alias("ga"), gb.alias("gb")
+    )
+    g = staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("ga") * F.col("gb")).alias("n11"),
+        F.sum(F.col("ga") * (1 - F.col("gb"))).alias("n10"),
+        F.sum((1 - F.col("ga")) * F.col("gb")).alias("n01"),
+    )
+    g = g.withColumn(
+        "n00", F.col("n") - F.col("n11") - F.col("n10") - F.col("n01")
+    )
+    n_d = F.col("n").cast("double")
+    pe_num = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01")).cast("double")
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00")).cast("double")
+    )
+    num = n_d * (F.col("n11") + F.col("n00")).cast("double") - pe_num
+    den = n_d * n_d - pe_num
+    return g.select(
+        "source", "n", "n11", "n10", "n01", "n00",
+        quantize((F.col("n11") + F.col("n00")).cast("double") / n_d, 6)
+        .alias("po_ppm"),
+        F.when(den != 0, quantize(num / den, 6)).alias("kappa_ppm"),
+    )
+
+
+def term_burstiness(docs: DataFrame, top_k: int = 20,
+                    text_col: str = "text") -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio of per-doc counts,
+    zeros included) for the corpus's top-k terms — Church & Gale's
+    burstiness: D ~ 1 means a term scatters Poisson-like (function
+    word), D >> 1 means it clumps into few documents (topical or
+    boilerplate/template term — the signal a dedup/quality pass uses
+    to spot injected templates a plain frequency cut misses).
+
+    D = (N*sum(c^2) - (sum c)^2) / (N * sum c) over all N docs (docs
+    not containing the term contribute c = 0, which the identity
+    absorbs — no dense zero-fill materializes). All moments are exact
+    BIGINT sums; D is one fixed-order IEEE chain over those integers,
+    emitted as quantized-BIGINT thousandths (burstiness_e3 — integer
+    output only, functions/portable.py).
+
+    Shape: one corpus explode into a map-side-combined (doc, term)
+    aggregate, re-aggregated to the vocabulary-bounded term relation;
+    the corpus doc count rides back as a one-row broadcast and the
+    top-k cut is orderBy+limit (TakeOrdered — a distributed heap, no
+    single-partition window over the vocabulary; the rank window runs
+    on the k surviving rows only, the gr04 pattern) — exactly one
+    input-scaled exchange (the dd02 discipline)."""
+    from ntripmonitor_spark.functions.portable import quantize
+    from ntripmonitor_spark.operators.dedup import normalized_words
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col("doc_id"), F.explode(normalized_words(F.col(text_col))).alias("tok")
+    )
+    per_doc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_term = per_doc.groupBy("tok").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    j = per_term.crossJoin(F.broadcast(nd))
+    n_d = F.col("n_docs").cast("double")
+    num = n_d * F.col("sum_c2").cast("double") - F.col("total").cast("double") * F.col("total").cast("double")
+    den = n_d * F.col("total").cast("double")
+    top = j.orderBy(F.col("total").desc(), F.col("tok").asc()).limit(top_k)
+    w = Window.orderBy(F.col("total").desc(), F.col("tok").asc())
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select(
+            "rnk", "tok", "total", "df",
+            quantize(num / den, 3).alias("burstiness_e3"),
+        )
+    )

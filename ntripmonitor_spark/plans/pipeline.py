@@ -7421,3 +7421,153 @@ def tx20_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange; regression moments are exact integer sums of quantized
     logs over the bounded top-k grid (functions/portable.py)."""
     return text.zipf_slope(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Round-9 wave: gate agreement, term burstiness, quality x dup matrix.
+# All emit integer-units BIGINT columns only (the round-9 standing
+# decision, docs/OPERATORS.md) — no DECIMAL, no round(), no libm.
+# ---------------------------------------------------------------------------
+
+_R9_WS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+_R9_STOPHITS = f"len(list_filter(ws, x -> list_contains({_GOPHER_SW}, x)))"
+
+
+@register(
+    "qa06_gate_agreement",
+    tags=("quality", "curation"),
+    oracle=f"""
+WITH w AS (SELECT source, {_R9_WS} AS ws FROM documents),
+f AS (
+    SELECT source,
+           CASE WHEN len(ws) BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS ga,
+           CASE WHEN {_R9_STOPHITS} >= 2 THEN 1 ELSE 0 END AS gb
+    FROM w
+),
+g AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(ga * gb) AS BIGINT) AS n11,
+           CAST(sum(ga * (1 - gb)) AS BIGINT) AS n10,
+           CAST(sum((1 - ga) * gb) AS BIGINT) AS n01
+    FROM f GROUP BY 1
+),
+h AS (SELECT *, n - n11 - n10 - n01 AS n00 FROM g),
+v AS (
+    SELECT *,
+           CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+               + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE) AS pe_num
+    FROM h
+)
+SELECT source, n, n11, n10, n01, CAST(n00 AS BIGINT) AS n00,
+       {quantize_sql('CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)', 6)} AS po_ppm,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - pe_num <> 0 THEN
+           {quantize_sql('(CAST(n AS DOUBLE) * CAST(n11 + n00 AS DOUBLE) - pe_num)'
+                         ' / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - pe_num)', 6)}
+       END AS kappa_ppm
+FROM v
+""",
+)
+def qa06_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the word-count gate and the stopword gate
+    (tx11's exact-integer Gopher rules) per source — quantifies gate
+    redundancy before a curation stack drops a pass. Exact-integer 2x2
+    contingency in one |sources|-row aggregate; kappa rides a
+    fixed-order IEEE chain over the exact cells, emitted as BIGINT
+    millionths (po_ppm / kappa_ppm)."""
+    return text.gate_agreement(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "tx21_burstiness",
+    tags=("text",),
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, unnest({_R9_WS}) AS tok FROM documents
+),
+pd AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+pt AS (
+    SELECT tok, CAST(sum(c) AS BIGINT) AS total,
+           CAST(sum(c * c) AS BIGINT) AS sum_c2,
+           CAST(count(*) AS BIGINT) AS df
+    FROM pd GROUP BY 1
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+r AS (
+    SELECT *, row_number() OVER (ORDER BY total DESC, tok ASC) AS rnk
+    FROM pt CROSS JOIN nd
+)
+SELECT CAST(rnk AS INT) AS rnk, tok, total, df,
+       {quantize_sql(
+           '(CAST(n_docs AS DOUBLE) * CAST(sum_c2 AS DOUBLE)'
+           ' - CAST(total AS DOUBLE) * CAST(total AS DOUBLE))'
+           ' / (CAST(n_docs AS DOUBLE) * CAST(total AS DOUBLE))', 3)} AS burstiness_e3
+FROM r WHERE rnk <= 20
+""",
+)
+def tx21_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean dispersion (Church-Gale burstiness, zeros
+    included via the moment identity) of the corpus top-20 terms —
+    separates Poisson-scattered function words (D ~ 1) from clumping
+    topical/template terms (D >> 1). One corpus explode-aggregate is
+    the only input-scaled exchange; the top-k window runs on the
+    vocabulary-bounded term relation; burstiness_e3 is BIGINT
+    thousandths."""
+    return text.term_burstiness(table(spark, sf_dir, "documents"))
+
+
+_CU08_PHI_NUM = (
+    "CAST(n_dup_keep AS DOUBLE) * CAST(n_uniq_drop AS DOUBLE)"
+    " - CAST(n_dup_drop AS DOUBLE) * CAST(n_uniq_keep AS DOUBLE)"
+)
+_CU08_PHI_DEN = (
+    "sqrt((CAST(n_dup_keep AS DOUBLE) + CAST(n_dup_drop AS DOUBLE))"
+    " * (CAST(n_uniq_keep AS DOUBLE) + CAST(n_uniq_drop AS DOUBLE))"
+    " * (CAST(n_dup_keep AS DOUBLE) + CAST(n_uniq_keep AS DOUBLE))"
+    " * (CAST(n_dup_drop AS DOUBLE) + CAST(n_uniq_drop AS DOUBLE)))"
+)
+
+
+@register(
+    "cu08_quality_dup_matrix",
+    tags=("curation", "dedup", "quality"),
+    oracle=f"""
+WITH b AS (SELECT source, text, {_R9_WS} AS ws FROM documents),
+f AS (
+    SELECT source, md5(text) AS fp,
+           CASE WHEN len(ws) BETWEEN 20 AND 80
+                     AND {_R9_STOPHITS} >= 2
+                THEN 1 ELSE 0 END AS keep
+    FROM b
+),
+d AS (
+    SELECT source, keep,
+           CASE WHEN count(*) OVER (PARTITION BY fp) > 1 THEN 1 ELSE 0 END AS is_dup
+    FROM f
+),
+g AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_dup * keep) AS BIGINT) AS n_dup_keep,
+           CAST(sum(is_dup * (1 - keep)) AS BIGINT) AS n_dup_drop,
+           CAST(sum((1 - is_dup) * keep) AS BIGINT) AS n_uniq_keep
+    FROM d GROUP BY 1
+),
+h AS (
+    SELECT *, n_docs - n_dup_keep - n_dup_drop - n_uniq_keep AS n_uniq_drop
+    FROM g
+)
+SELECT source, n_docs, n_dup_keep, n_dup_drop, n_uniq_keep,
+       CAST(n_uniq_drop AS BIGINT) AS n_uniq_drop,
+       CASE WHEN {_CU08_PHI_DEN} > 0 THEN
+           {quantize_sql(f'({_CU08_PHI_NUM}) / ({_CU08_PHI_DEN})', 6)}
+       END AS phi_ppm
+FROM h
+""",
+)
+def cu08_quality_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality x duplication contingency + phi coefficient per source —
+    whether dedup and the quality gate remove OVERLAPPING mass (phi <
+    0 means the passes share victims; ~0 means they compose). Reuses
+    dd16's single fingerprint-window exchange; the gate is the exact-
+    integer Gopher pair (no float in any flag); phi_ppm is BIGINT
+    millionths."""
+    return dedup.quality_dup_matrix(table(spark, sf_dir, "documents"))

@@ -95,6 +95,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "cu05_ccnet_buckets",
         "cu06_threshold_sweep",
         "cu07_gate_ablation",
+        "cu08_quality_dup_matrix",
         "dd01_exact_dedup",
         "dd03_minhash_lsh",
         "dd04_simhash",
@@ -181,6 +182,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "qa02_percentile_normalize",
         "qa03_robust_outliers",
         "qa04_winsorized_mean",
+        "qa06_gate_agreement",
         "rc01_hybrid_rrf",
         "rc02_ndcg_eval",
         "rj01_range_join",
@@ -261,6 +263,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tx16_langid_confusion",
         "tx17_vocab_coverage",
         "tx18_lexical_diversity",
+        "tx21_burstiness",
         "ws01_weighted_sample",
     }
 )

@@ -184,34 +184,35 @@ def test_concurrent_queries_one_session(spark):
     assert concurrent == serial
 
 
-def test_round8_driver_window_is_frozen():
+def test_round9_driver_window_is_frozen():
     """The driver grades the first 50 exposed names alphabetically; the
-    round-8 window was cut to retire ALL verification debt (4 hash-red
-    + 27 never-graded + 19 stalest greens) and must not shift under
+    round-9 window was cut to kill the DECIMAL output class (4 hash-red
+    re-proofs + 20 never-graded incl. the deliberate decimal canary +
+    17 changed-since-green + 9 stalest greens) and must not shift under
     late registrations — new queries go to DRIVER_ROTATED_OUT (x_
-    alias) until the round-9 rotation. A failure here means a
-    registration displaced a debt slot."""
+    alias) until the round-10 rotation. A failure here means a
+    registration displaced a frozen slot."""
     import __spark_entry__ as entry
 
     window = sorted(entry.queries())[:50]
     assert window == [
-        "an07_mean_excess", "an08_autocorrelation", "an09_theil_sen",
-        "an10_runs_test", "cu06_threshold_sweep", "cu07_gate_ablation",
-        "dd01_exact_dedup", "dd03_minhash_lsh", "dd05_embedding_neardup",
-        "dd06_dup_clusters", "dd15_dup_inflation", "dq03_key_skew_profile",
-        "dq04_benford", "dq06_referential_integrity", "er05_golden_record",
-        "fn08_rolling_dau", "gr04_pagerank", "gr05_triangle_stats",
-        "gr06_kcore", "in05_proximity_rank", "in06_prefix_probe",
-        "lo02_pruning_stats", "lo03_layout_matrix", "mk02_sequence_nll",
-        "mm01_decode_metadata", "mm02_feature_extract", "mm03_frame_sample",
-        "mm04_resize", "mx02_mixture_epochs", "q20_topk_per_group",
-        "q29_grouping_sets", "q30_range_frame", "qa04_winsorized_mean",
-        "sp01_stratified_sample", "sp02_quota_per_source", "sp10_pps_resample",
-        "ss01_knn_bruteforce", "ss02_ann_bucketed", "ss17_radius_search",
-        "tk02_fertility", "tp06_fim_split", "tp07_curriculum_order",
-        "ts05_downsample_extremes", "tx01_language_id", "tx02_quality_score",
-        "tx03_token_count", "tx04_fingerprint", "tx05_repetition",
-        "tx06_pii_scrub", "tx18_lexical_diversity",
+        "an11_seasonal_strength", "an12_period_power", "cu03_full_pipeline",
+        "dc01_decontamination", "dc02_decontamination_bloom", "dc03_thirteen_gram",
+        "dd02_ngram_jaccard", "dd08_lsh_delta", "dd10_containment",
+        "dd11_bbit_minhash", "dd12_quality_survivor", "dd13_lsh_calibration",
+        "dd16_soft_dedup", "dd17_lsh_recall", "dp03_js_matrix",
+        "dq03_key_skew_profile", "dq04_benford", "dq07_fd_audit",
+        "dq08_decimal_canary", "gr01_cluster_sizes", "gr02_dup_degree",
+        "gr03_lsh_clusters", "in07_tfidf_cosine", "in08_fuzzy_probe",
+        "mm15_silence_runs", "mx01_source_overlap", "mx02_mixture_epochs",
+        "q01_pricing_summary", "q02_tumbling_window", "q03_conditional_agg",
+        "q04_pivot_linestatus", "q05_rate_normalization", "q06_agg_of_agg",
+        "q07_dim_join", "q08_semi_join", "q09_three_way_join",
+        "qa05_histogram_quantiles", "rc03_mrr_eval", "rt11_package_ledger",
+        "scd03_history_audit", "sk03_kmv_jaccard", "sp08_cluster_split",
+        "sp09_cluster_split_lsh", "sp10_pps_resample", "sp12_systematic",
+        "st02_upsert_snapshot", "ts06_gapfill_interpolate", "tx15_novelty_score",
+        "tx19_readability", "tx20_zipf_slope",
     ]
 
 

@@ -1,0 +1,170 @@
+"""Round-9 wave operators (qa06 gate agreement, tx21 burstiness,
+cu08 quality x dup matrix): hand-computed planted cases + invariants.
+Every operator is also oracle-parity-checked by tests/test_parity.py
+like every registered query."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def _doc(n_words: int, stops: int, tag: str) -> str:
+    """A text with exactly ``n_words`` words, ``stops`` of them the
+    stopword 'the', the rest unique non-stopword fillers."""
+    words = ["the"] * stops + [f"{tag}{i}" for i in range(n_words - stops)]
+    return " ".join(words)
+
+
+# ---------------------------------------------------------------------------
+# qa06 — Cohen's kappa between the two exact-integer gates
+# ---------------------------------------------------------------------------
+
+
+def test_qa06_independent_gates_score_zero(spark):
+    """One doc in each 2x2 cell -> po == pe == 0.5 -> kappa exactly 0."""
+    from ntripmonitor_spark.operators.text import gate_agreement
+
+    docs = spark.createDataFrame(
+        [
+            (1, _doc(25, 2, "a"), "s"),   # ga=1 (25 words), gb=1 (2 stops)
+            (2, _doc(25, 0, "b"), "s"),   # ga=1, gb=0
+            (3, _doc(10, 2, "c"), "s"),   # ga=0, gb=1
+            (4, _doc(5, 0, "d"), "s"),    # ga=0, gb=0
+        ],
+        "doc_id long, text string, source string",
+    )
+    r = gate_agreement(docs).collect()[0]
+    assert (r["n"], r["n11"], r["n10"], r["n01"], r["n00"]) == (4, 1, 1, 1, 1)
+    assert r["po_ppm"] == 500000
+    assert r["kappa_ppm"] == 0
+
+
+def test_qa06_perfect_agreement_scores_one(spark):
+    """Gates always co-fire (both margins vary) -> kappa exactly 1."""
+    from ntripmonitor_spark.operators.text import gate_agreement
+
+    docs = spark.createDataFrame(
+        [
+            (1, _doc(25, 2, "a"), "s"), (2, _doc(30, 3, "b"), "s"),  # both pass
+            (3, _doc(5, 0, "c"), "s"), (4, _doc(8, 1, "d"), "s"),    # both fail
+        ],
+        "doc_id long, text string, source string",
+    )
+    r = gate_agreement(docs).collect()[0]
+    assert (r["n11"], r["n00"], r["n10"], r["n01"]) == (2, 2, 0, 0)
+    assert r["po_ppm"] == 1000000
+    assert r["kappa_ppm"] == 1000000
+
+
+def test_qa06_degenerate_margin_is_null(spark):
+    """All docs pass both gates: pe == 1, denominator 0 -> NULL kappa
+    (agreement is undefined when a gate never varies)."""
+    from ntripmonitor_spark.operators.text import gate_agreement
+
+    docs = spark.createDataFrame(
+        [(i, _doc(25, 2, f"t{i}x"), "s") for i in range(4)],
+        "doc_id long, text string, source string",
+    )
+    r = gate_agreement(docs).collect()[0]
+    assert r["n11"] == 4 and r["po_ppm"] == 1000000
+    assert r["kappa_ppm"] is None
+
+
+# ---------------------------------------------------------------------------
+# tx21 — term burstiness (variance-to-mean over per-doc counts)
+# ---------------------------------------------------------------------------
+
+
+def test_tx21_clumped_vs_scattered(spark):
+    """'aaa' 4x in one of 4 docs: D = (4*16-16)/(4*4) = 3.0; 'bbb'
+    once per doc: D = 0 (deterministic term). Zero-count docs enter
+    through the moment identity, no dense fill."""
+    from ntripmonitor_spark.operators.text import term_burstiness
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa aaa aaa aaa bbb", "s"),
+            (2, "bbb x1", "s"),
+            (3, "bbb x2", "s"),
+            (4, "bbb x3", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["tok"]: r for r in term_burstiness(docs, top_k=20).collect()}
+    assert out["aaa"]["burstiness_e3"] == 3000
+    assert out["aaa"]["df"] == 1 and out["aaa"]["total"] == 4
+    assert out["bbb"]["burstiness_e3"] == 0
+    assert out["bbb"]["df"] == 4 and out["bbb"]["total"] == 4
+
+
+def test_tx21_topk_rank_contract(spark):
+    """Ranks are 1..k, ordered by total desc then token asc; ties
+    break deterministically."""
+    from ntripmonitor_spark.operators.text import term_burstiness
+    from ntripmonitor_spark.tables import table
+
+    rows = term_burstiness(table(spark, SF, "documents"), top_k=10).collect()
+    rows.sort(key=lambda r: r["rnk"])
+    assert [r["rnk"] for r in rows] == list(range(1, 11))
+    totals = [r["total"] for r in rows]
+    assert totals == sorted(totals, reverse=True)
+    for a, b in zip(rows, rows[1:]):
+        if a["total"] == b["total"]:
+            assert a["tok"] < b["tok"]
+
+
+def test_tx21_partitioning_invariance(spark):
+    """Exact integer moments: identical output at 1 vs 16 partitions."""
+    from ntripmonitor_spark.operators.text import term_burstiness
+    from ntripmonitor_spark.tables import table
+
+    docs = table(spark, SF, "documents")
+    a = sorted(map(tuple, term_burstiness(docs.coalesce(1)).collect()))
+    b = sorted(map(tuple, term_burstiness(docs.repartition(16)).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# cu08 — quality x duplication contingency
+# ---------------------------------------------------------------------------
+
+
+def test_cu08_planted_negative_association(spark):
+    """Duplicates are all junk, uniques all pass the gate -> phi = -1
+    exactly (the passes remove disjoint mass -> strongest overlap
+    signal the statistic can emit is the sign)."""
+    from ntripmonitor_spark.operators.dedup import quality_dup_matrix
+
+    junk = _doc(5, 0, "j")  # fails both gates
+    docs = spark.createDataFrame(
+        [
+            (1, junk, "s"), (2, junk, "s"),                # dup + drop
+            (3, _doc(25, 2, "a"), "s"), (4, _doc(30, 3, "b"), "s"),  # uniq + keep
+        ],
+        "doc_id long, text string, source string",
+    )
+    r = quality_dup_matrix(docs).collect()[0]
+    assert (r["n_dup_keep"], r["n_dup_drop"], r["n_uniq_keep"], r["n_uniq_drop"]) == (0, 2, 2, 0)
+    assert r["phi_ppm"] == -1000000
+
+
+def test_cu08_cells_partition_the_corpus(spark):
+    """The four cells sum to n_docs per source on the real table, and
+    phi is NULL only when a margin is empty."""
+    from ntripmonitor_spark.operators.dedup import quality_dup_matrix
+    from ntripmonitor_spark.tables import table
+
+    rows = quality_dup_matrix(table(spark, SF, "documents")).collect()
+    assert rows
+    for r in rows:
+        total = r["n_dup_keep"] + r["n_dup_drop"] + r["n_uniq_keep"] + r["n_uniq_drop"]
+        assert total == r["n_docs"]
+        margins = [
+            r["n_dup_keep"] + r["n_dup_drop"], r["n_uniq_keep"] + r["n_uniq_drop"],
+            r["n_dup_keep"] + r["n_uniq_keep"], r["n_dup_drop"] + r["n_uniq_drop"],
+        ]
+        if all(m > 0 for m in margins):
+            assert r["phi_ppm"] is not None
+            assert -1000000 <= r["phi_ppm"] <= 1000000
+        else:
+            assert r["phi_ppm"] is None
