@@ -1661,3 +1661,79 @@ def quality_dup_matrix(docs: DataFrame, id_col: str = "doc_id",
         "n_uniq_keep", "n_uniq_drop",
         F.when(den > 0, quantize(num / den, 6)).alias("phi_ppm"),
     )
+
+
+def fuzzy_decontaminate(docs: DataFrame, benchmark_pred, n: int = 3,
+                        min_matches: int = 5, id_col: str = "doc_id",
+                        source_col: str = "source") -> DataFrame:
+    """FUZZY train/test decontamination: MinHash-LSH candidate
+    generation between the corpus and the benchmark set, scored by
+    signature slot agreement — catches paraphrased/reformatted eval
+    leakage that dc01–dc03's exact n-gram membership misses (the
+    near-duplicate contamination class; a doc sharing 6 of 9 minhash
+    slots with an eval item is ~2/3-Jaccard-similar without a single
+    13-gram surviving verbatim). ``min_matches`` of MINHASH_PERMS
+    slots flags a doc (5/9 ~ estimated Jaccard 0.56).
+
+    All-integer output (no float anywhere — slot matches ARE the
+    statistic): per source, corpus docs scanned, docs with any LSH
+    candidate, candidate pairs, flagged docs, and the best slot-match
+    count.
+
+    Scale shape: signatures are ONE corpus exchange (minhash_signatures
+    — shared with dd03's path); the benchmark side is eval-suite-sized,
+    so its signatures AND bands broadcast; the corpus band relation
+    never self-joins — it map-side equi-joins the broadcast benchmark
+    bands, candidates are bounded by true near-dups, and the verify
+    join touches candidate signatures only. The per-source rollup is a
+    |sources|-row aggregate.
+    """
+    sig = minhash_signatures(docs, n).persist()
+    bench_ids = docs.filter(benchmark_pred).select(id_col)
+    bsig = sig.join(F.broadcast(bench_ids), id_col)
+    csig = sig.join(F.broadcast(bench_ids), id_col, "left_anti")
+
+    cband = _lsh_bands(csig).select(
+        F.col("doc_id").alias("corpus_id"), "band_id", "band_hash"
+    )
+    bband = _lsh_bands(bsig).select(
+        F.col("doc_id").alias("bench_id"), "band_id", "band_hash"
+    )
+    cand = (
+        cband.join(F.broadcast(bband), ["band_id", "band_hash"])
+        .select("corpus_id", "bench_id")
+        .distinct()
+    )
+    xa = csig.select(
+        F.col(id_col).alias("corpus_id"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(MINHASH_PERMS)],
+    )
+    yb = bsig.select(
+        F.col(id_col).alias("bench_id"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MINHASH_PERMS)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_PERMS)
+    )
+    per_doc = (
+        cand.join(xa, "corpus_id")
+        .join(F.broadcast(yb), "bench_id")
+        .select("corpus_id", matches.alias("m"))
+        .groupBy("corpus_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("m").alias("max_m"),
+        )
+    )
+    base = docs.join(F.broadcast(bench_ids), id_col, "left_anti").select(
+        F.col(source_col).alias("source"), F.col(id_col).alias("corpus_id")
+    )
+    j = base.join(per_doc, "corpus_id", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_pairs").isNotNull().cast("int")).alias("n_candidate_docs"),
+        F.sum(F.coalesce("n_pairs", F.lit(0))).alias("n_candidate_pairs"),
+        F.sum((F.coalesce("max_m", F.lit(0)) >= min_matches).cast("int")).alias("n_flagged"),
+        F.max(F.coalesce("max_m", F.lit(0))).cast("int").alias("max_slot_matches"),
+    )

@@ -753,3 +753,48 @@ def systematic_sample(docs: DataFrame, k: int = 20,
         quantize(mean_frame, 3).alias("mean_chars_frame_e3"),
         quantize(mean_kept, 3).alias("mean_chars_kept_e3"),
     )
+
+
+def padding_waste(docs: DataFrame, bucket_tokens: int = 16,
+                  text_col: str = "text",
+                  source_col: str = "source") -> DataFrame:
+    """Padding-waste accounting for length-bucketed batching — the
+    UNPACKED counterpart of pack_utilization (tp04): when a loader
+    pads every sequence up to its bucket boundary instead of packing,
+    the wasted-token share per bucket is what decides the bucket
+    width. Per bucket: padded length, docs, real tokens, pad tokens,
+    and the waste share.
+
+    padded = (n + B-1) - (n + B-1) % B — pure integer arithmetic
+    (ceil to the bucket multiple without division), identical on both
+    engines; counts are exact BIGINT sums and the one ratio is
+    quantized-BIGINT millionths (waste_ppm — integer output only,
+    functions/portable.py).
+
+    Shape: one corpus scan of column expressions into a map-side-
+    combined aggregate keyed by (bucket, source) — output bounded by
+    buckets x sources; nothing else scales with the corpus."""
+    from ntripmonitor_spark.functions.portable import quantize
+    from ntripmonitor_spark.operators.dedup import normalized_words
+
+    n_tok = F.size(normalized_words(F.col(text_col)))
+    bump = n_tok + F.lit(bucket_tokens - 1)
+    padded = bump - bump % bucket_tokens
+    staged = docs.select(
+        F.col(source_col).alias("source"),
+        n_tok.alias("n_tok"),
+        padded.alias("padded"),
+    )
+    g = staged.groupBy("source", "padded").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tokens_sum"),
+    )
+    pad_sum = F.col("padded") * F.col("n_docs") - F.col("tokens_sum")
+    waste = pad_sum.cast("double") / (F.col("padded") * F.col("n_docs")).cast("double")
+    return g.select(
+        "source",
+        F.col("padded").alias("padded_len"),
+        "n_docs", "tokens_sum",
+        pad_sum.alias("pad_sum"),
+        quantize(waste, 6).alias("waste_ppm"),
+    )

@@ -7571,3 +7571,112 @@ def cu08_quality_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer Gopher pair (no float in any flag); phi_ppm is BIGINT
     millionths."""
     return dedup.quality_dup_matrix(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dc04 — FUZZY decontamination (MinHash-LSH vs the eval set) + tp08 padding.
+# ---------------------------------------------------------------------------
+
+def _mh_bands_sql(tbl: str) -> str:
+    return "\n    UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id,"
+        f" md5(mh{b * 3} || '|' || mh{b * 3 + 1} || '|' || mh{b * 3 + 2}) AS band_hash"
+        f" FROM {tbl}"
+        for b in range(dedup.MINHASH_BANDS)
+    )
+
+
+@register(
+    "dc04_fuzzy_decontamination",
+    tags=("dedup", "text", "curation"),
+    oracle=f"""
+WITH {_SH_CTE},
+mh AS (
+    SELECT doc_id,
+           {_MH_MINS}
+    FROM sh GROUP BY doc_id
+),
+bmh AS (SELECT * FROM mh WHERE doc_id < 20),
+cmh AS (SELECT * FROM mh WHERE doc_id >= 20),
+cb AS (
+    {_mh_bands_sql('cmh')}
+),
+bb AS (
+    {_mh_bands_sql('bmh')}
+),
+cand AS (
+    SELECT DISTINCT c.doc_id AS corpus_id, b.doc_id AS bench_id
+    FROM cb c JOIN bb b ON c.band_id = b.band_id AND c.band_hash = b.band_hash
+),
+scored AS (
+    SELECT cand.corpus_id, {_MH_MATCHES} AS m
+    FROM cand
+    JOIN cmh x ON x.doc_id = cand.corpus_id
+    JOIN bmh y ON y.doc_id = cand.bench_id
+),
+perdoc AS (
+    SELECT corpus_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           max(m) AS max_m
+    FROM scored GROUP BY 1
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN p.corpus_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_candidate_docs,
+       CAST(sum(coalesce(p.n_pairs, 0)) AS BIGINT) AS n_candidate_pairs,
+       CAST(sum(CASE WHEN coalesce(p.max_m, 0) >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(max(coalesce(p.max_m, 0)) AS INT) AS max_slot_matches
+FROM (SELECT doc_id, source FROM documents WHERE doc_id >= 20) d
+LEFT JOIN perdoc p ON p.corpus_id = d.doc_id
+GROUP BY 1
+""",
+)
+def dc04_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy eval-leakage scrub: MinHash-LSH band collisions between
+    the corpus (doc_id >= 20) and the benchmark set (doc_id < 20),
+    scored by signature slot agreement — the near-duplicate
+    contamination class dc01–dc03's exact n-gram membership misses.
+    All-integer output (slot matches ARE the statistic). Benchmark
+    signatures AND bands broadcast; the corpus never self-joins."""
+    return dedup.fuzzy_decontaminate(
+        table(spark, sf_dir, "documents"), F.col("doc_id") < 20, n=3
+    )
+
+
+@register(
+    "tp08_padding_waste",
+    tags=("sampling",),
+    oracle=f"""
+WITH s AS (
+    SELECT source,
+           len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tok
+    FROM documents
+),
+p AS (
+    SELECT source, n_tok,
+           (n_tok + 15) - (n_tok + 15) % 16 AS padded
+    FROM s
+),
+g AS (
+    SELECT source, padded AS padded_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_sum
+    FROM p GROUP BY 1, 2
+)
+SELECT source, padded_len, n_docs, tokens_sum,
+       CAST(padded_len * n_docs - tokens_sum AS BIGINT) AS pad_sum,
+       {quantize_sql(
+           'CAST(padded_len * n_docs - tokens_sum AS DOUBLE)'
+           ' / CAST(padded_len * n_docs AS DOUBLE)', 6)} AS waste_ppm
+FROM g
+""",
+)
+def tp08_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste accounting for length-bucketed batching (bucket
+    width 16 tokens) — the unpacked counterpart of tp04's packing
+    utilization: per (source, bucket), docs, real tokens, pad tokens
+    and the waste share. Integer ceil-to-bucket arithmetic, exact
+    BIGINT sums, one map-side-combined aggregate bounded by
+    buckets x sources; waste_ppm is quantized BIGINT millionths."""
+    from ntripmonitor_spark.operators import sampling
+
+    return sampling.padding_waste(table(spark, sf_dir, "documents"))

@@ -96,6 +96,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "cu06_threshold_sweep",
         "cu07_gate_ablation",
         "cu08_quality_dup_matrix",
+        "dc04_fuzzy_decontamination",
         "dd01_exact_dedup",
         "dd03_minhash_lsh",
         "dd04_simhash",
@@ -242,6 +243,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tp05_sliding_chunks",
         "tp06_fim_split",
         "tp07_curriculum_order",
+        "tp08_padding_waste",
         "ts01_gap_fill",
         "ts02_ohlc_downsample",
         "ts03_twap_locf",

@@ -168,3 +168,108 @@ def test_cu08_cells_partition_the_corpus(spark):
             assert -1000000 <= r["phi_ppm"] <= 1000000
         else:
             assert r["phi_ppm"] is None
+
+
+# ---------------------------------------------------------------------------
+# dc04 — fuzzy (MinHash-LSH) decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_dc04_verbatim_copy_flagged_unrelated_clean(spark):
+    """A corpus doc that IS a benchmark doc matches all 9 signature
+    slots (flagged); a doc sharing no 3-gram produces no candidate."""
+    from pyspark.sql import functions as F
+
+    from ntripmonitor_spark.operators.dedup import fuzzy_decontaminate
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, bench, "s"), (20, bench, "s"), (21, other, "s")],
+        "doc_id long, text string, source string",
+    )
+    r = fuzzy_decontaminate(docs, F.col("doc_id") < 20).collect()[0]
+    assert r["n_docs"] == 2
+    assert r["n_candidate_docs"] == 1 and r["n_candidate_pairs"] == 1
+    assert r["n_flagged"] == 1
+    assert r["max_slot_matches"] == 9
+
+
+def test_dc04_near_duplicate_partial_slots(spark):
+    """A one-word edit mid-document keeps most shingles intact: the
+    candidate surfaces with 0 < matches < 9 — the fuzzy class exact
+    n-gram membership (dc01) would only see as partial overlap and
+    LSH still catches via unchanged bands."""
+    from pyspark.sql import functions as F
+
+    from ntripmonitor_spark.operators.dedup import fuzzy_decontaminate
+
+    words = [f"w{i}" for i in range(24)]
+    bench = " ".join(words)
+    edited = " ".join(words[:12] + ["CHANGED"] + words[13:])
+    docs = spark.createDataFrame(
+        [(1, bench, "s"), (20, edited, "s")],
+        "doc_id long, text string, source string",
+    )
+    r = fuzzy_decontaminate(docs, F.col("doc_id") < 20).collect()[0]
+    assert r["n_candidate_docs"] == 1
+    assert 1 <= r["max_slot_matches"] <= 9
+
+
+def test_dc04_corpus_never_self_matches(spark):
+    """Two identical CORPUS docs (both >= 20) must not produce
+    candidates — only corpus x benchmark pairs count."""
+    from pyspark.sql import functions as F
+
+    from ntripmonitor_spark.operators.dedup import fuzzy_decontaminate
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, "completely different benchmark text here now ok", "s"),
+         (20, text, "s"), (21, text, "s")],
+        "doc_id long, text string, source string",
+    )
+    r = fuzzy_decontaminate(docs, F.col("doc_id") < 20).collect()[0]
+    assert r["n_candidate_docs"] == 0 and r["n_flagged"] == 0
+
+
+# ---------------------------------------------------------------------------
+# tp08 — padding waste per length bucket
+# ---------------------------------------------------------------------------
+
+
+def test_tp08_hand_computed_buckets(spark):
+    """5 words pad to 16 (waste 11/16); exactly 16 words waste 0;
+    17 words pad to 32 (waste 15/32)."""
+    from ntripmonitor_spark.operators.sampling import padding_waste
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(5)), "s"),
+            (2, " ".join(f"b{i}" for i in range(16)), "s"),
+            (3, " ".join(f"c{i}" for i in range(17)), "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["padded_len"]: r for r in padding_waste(docs).collect()}
+    assert out[16]["n_docs"] == 2 and out[16]["tokens_sum"] == 21
+    assert out[16]["pad_sum"] == 11
+    # 11 / 32 = 0.34375 -> 343750 ppm
+    assert out[16]["waste_ppm"] == 343750
+    assert out[32]["pad_sum"] == 15
+    assert out[32]["waste_ppm"] == 468750
+
+
+def test_tp08_conservation(spark):
+    """tokens_sum + pad_sum == padded_len * n_docs in every bucket, and
+    buckets partition the corpus."""
+    from ntripmonitor_spark.operators.sampling import padding_waste
+    from ntripmonitor_spark.tables import table
+
+    docs = table(spark, SF, "documents")
+    rows = padding_waste(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert r["tokens_sum"] + r["pad_sum"] == r["padded_len"] * r["n_docs"]
+        assert r["padded_len"] % 16 == 0
+        assert 0 <= r["waste_ppm"] < 1000000
