@@ -271,16 +271,21 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
 )
 
 
-# Queries whose PLAN changed in round 8 AFTER their last green driver
-# row (the shingle-pipeline restructure: doc_shingles_hashed /
-# _capped_shingles one-exchange layout, minhash_signatures distinct
-# removal, decontaminate/novelty/source_overlap hashed keys). Results
-# verified unchanged against every oracle locally (sf0.001 + sf0.01),
-# but per the rotation policy changed-since-green queries outrank
-# stale-green backfill for the next window: pass this set to
-# tools/propose_rotation.py --changed when cutting the round-9 window.
-# dd01/dd03/dd06/gr04 are already IN the round-8 window, so they
-# re-grade with the new plans this round and are excluded here.
+# Queries whose PLAN changed in round 9 AFTER their last green driver
+# row — pass to tools/propose_rotation.py --changed when cutting the
+# round-10 window. Empty by construction: every round-9 code change
+# (the BIGINT emission conversion and the dq04 libm removal) touched
+# only queries that are IN the round-9 window (error-latest or
+# never-checked), so they all get fresh rows this round; the six new
+# registrations are never-checked and queue under that (higher)
+# priority instead.
+CHANGED_SINCE_GREEN_R9: frozenset[str] = frozenset()
+
+
+# CONSUMED (historical): queries whose plan changed in round 8 after
+# their last green row — the shingle-pipeline restructure. All 17 are
+# in the round-9 window above and re-grade this round; kept for the
+# audit trail only.
 CHANGED_SINCE_GREEN_R8: frozenset[str] = frozenset(
     {
         "cu03_full_pipeline",
