@@ -1663,6 +1663,48 @@ def quality_dup_matrix(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def bench_match_scores(csig: DataFrame, bsig: DataFrame) -> DataFrame:
+    """(corpus_id, n_pairs, max_m) for MinHash-LSH band collisions
+    between a corpus signature relation and a small (broadcastable)
+    benchmark signature relation — the shared scoring unit of
+    fuzzy_decontaminate (batch) and the streaming decontamination
+    path (streaming/decontam_stream.py). Both signature relations
+    come from :func:`minhash_signatures` (doc_id + mh0..mhK)."""
+    cband = _lsh_bands(csig).select(
+        F.col("doc_id").alias("corpus_id"), "band_id", "band_hash"
+    )
+    bband = _lsh_bands(bsig).select(
+        F.col("doc_id").alias("bench_id"), "band_id", "band_hash"
+    )
+    cand = (
+        cband.join(F.broadcast(bband), ["band_id", "band_hash"])
+        .select("corpus_id", "bench_id")
+        .distinct()
+    )
+    xa = csig.select(
+        F.col("doc_id").alias("corpus_id"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(MINHASH_PERMS)],
+    )
+    yb = bsig.select(
+        F.col("doc_id").alias("bench_id"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MINHASH_PERMS)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_PERMS)
+    )
+    return (
+        cand.join(xa, "corpus_id")
+        .join(F.broadcast(yb), "bench_id")
+        .select("corpus_id", matches.alias("m"))
+        .groupBy("corpus_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("m").alias("max_m"),
+        )
+    )
+
+
 def fuzzy_decontaminate(docs: DataFrame, benchmark_pred, n: int = 3,
                         min_matches: int = 5, id_col: str = "doc_id",
                         source_col: str = "source") -> DataFrame:
@@ -1692,40 +1734,7 @@ def fuzzy_decontaminate(docs: DataFrame, benchmark_pred, n: int = 3,
     bench_ids = docs.filter(benchmark_pred).select(id_col)
     bsig = sig.join(F.broadcast(bench_ids), id_col)
     csig = sig.join(F.broadcast(bench_ids), id_col, "left_anti")
-
-    cband = _lsh_bands(csig).select(
-        F.col("doc_id").alias("corpus_id"), "band_id", "band_hash"
-    )
-    bband = _lsh_bands(bsig).select(
-        F.col("doc_id").alias("bench_id"), "band_id", "band_hash"
-    )
-    cand = (
-        cband.join(F.broadcast(bband), ["band_id", "band_hash"])
-        .select("corpus_id", "bench_id")
-        .distinct()
-    )
-    xa = csig.select(
-        F.col(id_col).alias("corpus_id"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(MINHASH_PERMS)],
-    )
-    yb = bsig.select(
-        F.col(id_col).alias("bench_id"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(MINHASH_PERMS)],
-    )
-    matches = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(MINHASH_PERMS)
-    )
-    per_doc = (
-        cand.join(xa, "corpus_id")
-        .join(F.broadcast(yb), "bench_id")
-        .select("corpus_id", matches.alias("m"))
-        .groupBy("corpus_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.max("m").alias("max_m"),
-        )
-    )
+    per_doc = bench_match_scores(csig, bsig)
     base = docs.join(F.broadcast(bench_ids), id_col, "left_anti").select(
         F.col(source_col).alias("source"), F.col(id_col).alias("corpus_id")
     )

@@ -316,3 +316,59 @@ def test_dq08_canary_values_are_trivially_stable(spark):
     for r in rows:
         assert r["n_quarter_dec"] == Decimal(r["n_nations"]) * Decimal("0.250000")
         assert r["n_quarter_dbl"] == r["n_nations"] * 0.25
+
+
+# ---------------------------------------------------------------------------
+# streaming fuzzy decontamination == batch scoring
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_fuzzy_decontam_matches_batch(spark, tmp_path):
+    """Multi-trigger replay of the corpus through the streaming
+    decontamination scorer produces exactly the batch
+    bench_match_scores rows — per-doc scoring against fixed benchmark
+    state has no cross-batch interaction, so the equivalence is
+    exact."""
+    from pyspark.sql import functions as F
+
+    from ntripmonitor_spark.operators.dedup import (
+        bench_match_scores,
+        minhash_signatures,
+    )
+    from ntripmonitor_spark.streaming.decontam_stream import (
+        start_fuzzy_decontam_stream,
+    )
+    from ntripmonitor_spark.tables import table
+
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+
+    src = str(tmp_path / "decontam_src")
+    for i in range(3):
+        corpus.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_fuzzy_decontam_stream(
+        stream, bench,
+        scores_path=str(tmp_path / "scores"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["max_slot_matches"], r["flagged"])
+        for r in spark.read.parquet(str(tmp_path / "scores")).collect()
+    }
+    want = {
+        r["corpus_id"]: (r["n_pairs"], r["max_m"], r["max_m"] >= 5)
+        for r in bench_match_scores(
+            minhash_signatures(corpus), minhash_signatures(bench)
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
