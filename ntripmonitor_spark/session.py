@@ -57,7 +57,20 @@ def get_spark(app_name: str = "ntripmonitor_spark", shuffle_partitions: int | No
         # 1.2 s -> 0.5 s with the cache sized to the query set).
         .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.sql.warehouse.dir", os.path.join(scratch, "warehouse"))
-        .config("spark.driver.extraJavaOptions", f"-Dderby.system.home={scratch}")
+        # The 10000-entry generated-class cache above keeps thousands of
+        # compiled classes live; their JIT-compiled native code must fit
+        # the JVM CODE cache, whose 240 MB default fills mid-sweep on a
+        # 100+-query session — the compiler then disables itself and
+        # codegen-heavy queries fall back to the interpreter (measured:
+        # rt02 2.5 s -> 5.7 s after ONE full 114-query pass, compounding
+        # to 30+ s over bench's five passes; flat at 3.8 s with a 1 GiB
+        # code cache + flushing). A long-lived serving cluster runs with
+        # exactly this pairing.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={scratch}"
+            " -XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     spark = builder.getOrCreate()
     # extraJavaOptions only takes effect when THIS builder launches the
