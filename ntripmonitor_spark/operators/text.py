@@ -975,6 +975,45 @@ def tokenizer_fertility(docs: DataFrame, source_col: str = "source",
     )
 
 
+def doc_readability(docs: DataFrame, source_col: str = "source",
+                    text_col: str = "text",
+                    keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Per-doc readability stage shared by :func:`readability` (tx19)
+    and the round-10 localization probe (plans/probes.py: pb13):
+    (source, n_words, f_milli, scored) plus any ``keep_cols`` (e.g.
+    doc_id — Catalyst prunes it when the aggregate doesn't need it).
+    f_milli is the exact integer-rational round-half-up of flesch*1000
+    = (206835*s*w - 1015*w^2 - 84600*syll*s) / (s*w) in pure BIGINT
+    arithmetic (functions/portable.rational_rh)."""
+    from ntripmonitor_spark.functions.portable import rational_rh
+    from ntripmonitor_spark.operators.dedup import normalized_words
+
+    text = F.col(text_col)
+    n_words = F.size(normalized_words(text)).cast("long")
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit("[.!?]+"), F.lit(0))), F.lit(1)
+    ).cast("long")
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    # flesch * 1000 as an exact rational: numerator / (n_sents * n_words)
+    f_num = (
+        F.lit(206835) * n_sents * n_words
+        - F.lit(1015) * n_words * n_words
+        - F.lit(84600) * n_syll * n_sents
+    )
+    return docs.select(
+        *[F.col(c) for c in keep_cols],
+        F.col(source_col).alias("source"),
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+        F.when(n_words > 0, rational_rh(f_num, n_sents * n_words))
+        .otherwise(F.lit(0)).alias("f_milli"),
+        F.when(n_words > 0, F.lit(1)).otherwise(F.lit(0)).alias("scored"),
+    )
+
+
 def readability(docs: DataFrame, source_col: str = "source",
                 text_col: str = "text") -> DataFrame:
     """Flesch-reading-ease-style readability per source — the
@@ -988,30 +1027,19 @@ def readability(docs: DataFrame, source_col: str = "source",
 
     Shape: three regexp/size column expressions fused into the corpus
     scan + one |sources|-row rollup — no explode, no join, no second
-    scan. Per-doc scores are floor-quantized to integer thousandths,
-    BIGINT-summed, and the mean emitted as a BIGINT thousandths column
-    (mean_flesch_e3; functions/portable.py — integer output only) so
-    the per-source means are exact, order-free, and portable."""
-    from ntripmonitor_spark.functions.portable import quantize
-    from ntripmonitor_spark.operators.dedup import normalized_words
+    scan. Emission (round 10): flesch*1000 is an exact rational with
+    denominator n_sents*n_words —
+    (206835*s*w - 1015*w^2 - 84600*syll*s) / (s*w) — so the per-doc
+    score and the per-source mean are round-half-up INTEGER-RATIONAL
+    divisions in pure BIGINT arithmetic (functions/portable.rational_rh;
+    no double is ever constructed). The previous double-based quantize
+    had PROVEN 1-ulp floor-boundary ties on the sf0.01 data (VERDICT
+    r9: docs 16/108/481 at exactly 58408.0) that made the emitted
+    integer build-dependent; the rational form is tie-exact on every
+    engine."""
+    from ntripmonitor_spark.functions.portable import rational_rh
 
-    text = F.col(text_col)
-    n_words = F.size(normalized_words(text))
-    n_sents = F.greatest(
-        F.size(F.regexp_extract_all(text, F.lit("[.!?]+"), F.lit(0))), F.lit(1)
-    )
-    n_syll = F.size(F.regexp_extract_all(F.lower(text), F.lit("[aeiouy]+"), F.lit(0)))
-    flesch = (
-        F.lit(206.835)
-        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
-        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
-    )
-    staged = docs.select(
-        F.col(source_col).alias("source"),
-        n_words.alias("n_words"),
-        F.when(n_words > 0, quantize(flesch, 3)).otherwise(F.lit(0)).alias("f_milli"),
-        F.when(n_words > 0, F.lit(1)).otherwise(F.lit(0)).alias("scored"),
-    )
+    staged = doc_readability(docs, source_col=source_col, text_col=text_col)
     agg = staged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("scored").alias("n_scored"),
@@ -1019,12 +1047,11 @@ def readability(docs: DataFrame, source_col: str = "source",
         F.sum(((F.col("f_milli") >= 60000) & (F.col("scored") == 1)).cast("int"))
         .alias("n_easy"),
     )
-    mean_flesch = F.col("f_sum").cast("double") / F.col("n_scored").cast("double")
     return agg.select(
         "source", "n_docs", "n_scored", "n_easy",
         F.when(
             F.col("n_scored") > 0,
-            quantize(mean_flesch / F.lit(1000.0), 3),
+            rational_rh(F.col("f_sum"), F.col("n_scored")),
         ).alias("mean_flesch_e3"),
     )
 

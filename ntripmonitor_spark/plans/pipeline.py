@@ -27,6 +27,8 @@ from ntripmonitor_spark.functions.portable import (
     int_to_dec_sql,
     quantize,
     quantize_sql,
+    rational_rh,
+    rational_rh_sql,
 )
 from ntripmonitor_spark.operators import dedup, multimodal, simsearch, text
 from ntripmonitor_spark.operators import timeseries as timeseries_ops
@@ -4915,14 +4917,14 @@ WITH mx AS (SELECT max(n_chars) AS mx FROM documents),
 staged AS (
     SELECT doc_id, source, n_chars,
            greatest(1, least(1000,
-               CAST(floor((n_chars * 1000) / mx.mx) AS BIGINT))) AS cutoff,
+               {idiv_sql('CAST(n_chars AS BIGINT) * 1000', 'mx.mx')})) AS cutoff,
            {_BUCKET_SQL} AS bucket
     FROM documents CROSS JOIN mx
 ),
 kept AS (SELECT * FROM staged WHERE bucket < cutoff),
 agg AS (
     SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept,
-           sum({quantize_sql('CAST(1000.0 AS DOUBLE) / cutoff', 6)}) AS ht_ppm
+           sum({rational_rh_sql('1000000000', 'cutoff')}) AS ht_ppm
     FROM kept GROUP BY source
 )
 SELECT s.source, s.n_orig,
@@ -4940,9 +4942,12 @@ def sp10_pps_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbiased downsample-but-keep-estimates primitive. One corpus max
     rides as a one-row broadcast; the keep decision is a deterministic
     integer hash-cutoff scan predicate (no RNG state, reproducible
-    across retries); HT shares are floor-quantized to integer
-    millionths, BIGINT-summed, and emitted DECIMAL(18,6) — the
-    engine-version-portable recipe of functions/portable.py."""
+    across retries). Round 10: the cutoff is pure BIGINT integral
+    division and each HT millionths share is an exact integer-rational
+    round-half-up (functions/portable.rational_rh) — VERDICT r9 proved
+    the prior DOUBLE floor sat exactly on the 1000.0 boundary for the
+    max-length doc, so no double is constructed anywhere anymore;
+    shares BIGINT-sum into ht_n_docs_ppm."""
     from ntripmonitor_spark.operators import sampling
 
     return sampling.pps_resample(table(spark, sf_dir, "documents"))
@@ -5035,11 +5040,13 @@ def gr04_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-_MX02_W_RAW = "CAST(sq_ppm AS DOUBLE) / CAST(t.z_ppm AS DOUBLE)"
-_MX02_E_RAW = (
-    f"2.0 * CAST(t.total AS DOUBLE) * ({_MX02_W_RAW})"
-    " / CAST(n_chars_total AS DOUBLE)"
-)
+# epochs_e4 = round-half-up(2 * total * 10^4 * sq_e3 / (z_e3 * chars)) —
+# an exact integer rational once the per-source sqrt is pinned to integer
+# thousandths. Magnitude budget: p = 20000 * total * sq_e3 ≈ 2.3e14 at
+# sf0.01 and ≈ 7e15 at sf0.1 — BIGINT-safe on Spark at both, and < 2^53
+# at the sf0.01 oracle scale (rational_rh_sql's DOUBLE-division bound).
+_MX02_E_NUM = "20000 * t.total * sq_e3"
+_MX02_E_DEN = "t.z_e3 * n_chars_total"
 
 
 @register(
@@ -5048,14 +5055,14 @@ _MX02_E_RAW = (
     oracle=f"""
 WITH s AS (
     SELECT source, sum(n_chars) AS n_chars_total,
-           {quantize_sql('sqrt(CAST(sum(n_chars) AS DOUBLE))', 6)} AS sq_ppm
+           {quantize_sql('sqrt(CAST(sum(n_chars) AS DOUBLE))', 3)} AS sq_e3
     FROM documents GROUP BY source
 ),
-t AS (SELECT sum(sq_ppm) AS z_ppm, sum(n_chars_total) AS total FROM s)
+t AS (SELECT sum(sq_e3) AS z_e3, sum(n_chars_total) AS total FROM s)
 SELECT source, n_chars_total,
-       {quantize_sql(_MX02_W_RAW, 6)} AS weight_ppm,
-       {quantize_sql(_MX02_E_RAW, 4)} AS epochs_e4,
-       CAST({quantize_sql(_MX02_E_RAW, 4)} > 10000 AS INT) AS needs_upsampling
+       {rational_rh_sql('sq_e3 * 1000000', 't.z_e3')} AS weight_ppm,
+       {rational_rh_sql(_MX02_E_NUM, _MX02_E_DEN)} AS epochs_e4,
+       CAST({rational_rh_sql(_MX02_E_NUM, _MX02_E_DEN)} > 10000 AS INT) AS needs_upsampling
 FROM s CROSS JOIN t
 """,
 )
@@ -5067,35 +5074,33 @@ def mx02_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     that weight; epochs > 1 flags sources the loader must upsample
     (repeat) rather than subsample. Shape: one |sources|-row aggregate,
     corpus totals ride back as a one-row broadcast — two bounded
-    aggregates total, no shuffle scales with the corpus. Arithmetic is
-    engine-version-portable (functions/portable.py): per-source sqrt is
-    floor-quantized to integer millionths, the flattening normalizer is
-    an exact BIGINT sum of those (order-free), and weight/epochs are
-    emitted as quantized-BIGINT integer units (weight_ppm = millionths,
-    epochs_e4 = ten-thousandths) — integer output columns are the one
-    emission class never observed red under the driver across eight
-    rounds; no round(), no DECIMAL, no float formatting on either
-    engine."""
+    aggregates total, no shuffle scales with the corpus. Round 10
+    emission: the ONLY double op left is the correctly-rounded sqrt,
+    pinned to integer thousandths (sq_e3) at the source level; the
+    flattening normalizer is an exact BIGINT sum of those, and
+    weight_ppm / epochs_e4 are exact integer-rational round-half-up
+    divisions in pure BIGINT arithmetic (functions/portable.rational_rh
+    — no round(), no DECIMAL, no double ratio on either engine). If
+    this query reds a fourth time, the pb06/pb07 probes attribute it."""
     docs = table(spark, sf_dir, "documents")
     s = docs.groupBy("source").agg(
         F.sum("n_chars").alias("n_chars_total"),
     ).withColumn(
-        "sq_ppm", quantize(F.sqrt(F.col("n_chars_total").cast("double")), 6)
+        "sq_e3", quantize(F.sqrt(F.col("n_chars_total").cast("double")), 3)
     )
     t = s.agg(
-        F.sum("sq_ppm").alias("z_ppm"),
+        F.sum("sq_e3").alias("z_e3"),
         F.sum("n_chars_total").alias("total"),
     )
     j = s.crossJoin(F.broadcast(t))
-    w_raw = F.col("sq_ppm").cast("double") / F.col("z_ppm").cast("double")
-    e_raw = (
-        F.lit(2.0) * F.col("total").cast("double") * w_raw
-        / F.col("n_chars_total").cast("double")
+    eq = rational_rh(
+        F.lit(20000) * F.col("total") * F.col("sq_e3"),
+        F.col("z_e3") * F.col("n_chars_total"),
     )
-    eq = quantize(e_raw, 4)
     return j.select(
         "source", "n_chars_total",
-        quantize(w_raw, 6).alias("weight_ppm"),
+        rational_rh(F.col("sq_e3") * F.lit(1000000), F.col("z_e3"))
+        .alias("weight_ppm"),
         eq.alias("epochs_e4"),
         (eq > F.lit(10000)).cast("int").alias("needs_upsampling"),
     )
@@ -5191,8 +5196,8 @@ per_part AS (
 ),
 t AS (SELECT sum(n_rows) AS total FROM per_part)
 SELECT partition_id, n_keys, n_rows, max_key_rows,
-       {quantize_sql('CAST(n_rows AS DOUBLE) / t.total', 6)} AS row_share_ppm,
-       {quantize_sql('CAST(n_rows AS DOUBLE) * 32 / t.total', 4)} AS skew_vs_mean_e4
+       {rational_rh_sql('n_rows * 1000000', 't.total')} AS row_share_ppm,
+       {rational_rh_sql('n_rows * 320000', 't.total')} AS skew_vs_mean_e4
 FROM per_part CROSS JOIN t
 """,
 )
@@ -5208,11 +5213,13 @@ def dq03_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions help). Shape: per-(key, partition) partial count, then a
     32-row rollup; the grand total rides back as a one-row broadcast —
     the profile costs one aggregation pass, far less than the shuffle
-    it de-risks. The share/skew ratios are emitted as quantized-BIGINT
-    integer units (row_share_ppm = millionths, skew_vs_mean_e4 =
-    ten-thousandths; functions/portable.py quantize) so neither
-    engine's round(), DECIMAL canonicalization, or float formatting
-    can move a digit."""
+    it de-risks. Round 10: the share/skew ratios are exact
+    integer-rational round-half-up divisions in pure BIGINT arithmetic
+    (row_share_ppm = rh(n_rows*10^6, total), skew_vs_mean_e4 =
+    rh(n_rows*32*10^4, total); functions/portable.rational_rh — no
+    double is constructed anywhere, eliminating the entire fp
+    hypothesis space on this query's third driver-red row; the pb01-03
+    probe family carries the attribution if it reds again)."""
     ev = table(spark, sf_dir, "events")
     per_key = ev.groupBy(
         "user_id",
@@ -5227,8 +5234,10 @@ def dq03_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = per_part.agg(F.sum("n_rows").alias("total"))
     return per_part.crossJoin(F.broadcast(t)).select(
         "partition_id", "n_keys", "n_rows", "max_key_rows",
-        quantize(F.col("n_rows").cast("double") / F.col("total"), 6).alias("row_share_ppm"),
-        quantize(F.col("n_rows").cast("double") * 32 / F.col("total"), 4).alias("skew_vs_mean_e4"),
+        rational_rh(F.col("n_rows") * F.lit(1000000), F.col("total"))
+        .alias("row_share_ppm"),
+        rational_rh(F.col("n_rows") * F.lit(320000), F.col("total"))
+        .alias("skew_vs_mean_e4"),
     )
 
 
@@ -5686,11 +5695,10 @@ def qa04_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QA05_BINS = 128
 _QA05_W = f"((vmax - vmin) / {float(_QA05_BINS)!r})"
 
-
-def _qa05_oracle(qs=(0.5, 0.9, 0.99)) -> str:
-    """Generate the DuckDB twin of stats.histogram_quantiles — every
-    double chain in textually identical op order to the Spark side."""
-    parts = [f"""
+# shared base CTEs (e0/ext/v/h/c/r) — also the spine of the round-10
+# probe decomposition (plans/probes.py: pb10/pb11/pb12), so the probes'
+# SQL is textually identical to qa05's
+QA05_BASE_CTES = f"""
 e0 AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
 ext AS (SELECT min(CAST(value AS DOUBLE)) AS vmin, max(CAST(value AS DOUBLE)) AS vmax FROM e0),
 v AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v, vmin, vmax FROM e0 CROSS JOIN ext),
@@ -5712,35 +5720,55 @@ r AS (
            row_number() OVER (PARTITION BY event_type ORDER BY CAST(value AS DOUBLE)) AS rk,
            count(*) OVER (PARTITION BY event_type) AS n_g
     FROM e0
-)"""]
-    sel = ["p50.g AS event_type", "p50.n_total AS n"]
-    joins = []
-    for q in qs:
-        p = int(q * 100)
-        target = f"{q!r} * CAST(n_total AS DOUBLE)"
-        est = (
-            f"CASE WHEN vmax = vmin THEN vmin ELSE "
-            f"vmin + CAST(b AS DOUBLE) * {_QA05_W} "
-            f"+ {_QA05_W} * ({target} - CAST(cum - n AS DOUBLE)) / CAST(n AS DOUBLE) END"
-        )
-        parts.append(f"""
+)"""
+
+
+def qa05_est_ppm_sql(q: float) -> str:
+    """The histogram-interpolation expression + target predicate pair
+    for one quantile over CTE ``c`` — shared with plans/probes.py."""
+    target = f"{q!r} * CAST(n_total AS DOUBLE)"
+    est = (
+        f"CASE WHEN vmax = vmin THEN vmin ELSE "
+        f"vmin + CAST(b AS DOUBLE) * {_QA05_W} "
+        f"+ {_QA05_W} * ({target} - CAST(cum - n AS DOUBLE)) / CAST(n AS DOUBLE) END"
+    )
+    p = int(q * 100)
+    return f"""
 p{p} AS (
     SELECT g, n_total, {quantize_sql(est, 6)} AS est_p{p}_ppm
     FROM (
         SELECT *, row_number() OVER (PARTITION BY g ORDER BY b) AS rk
         FROM c WHERE CAST(cum AS DOUBLE) >= {target}
     ) WHERE rk = 1
-)""")
-        k = f"CAST(floor({q!r} * CAST(n_g - 1 AS DOUBLE)) AS BIGINT)"
-        frac = f"({q!r} * CAST(n_g - 1 AS DOUBLE) - CAST({k} AS DOUBLE))"
-        parts.append(f"""
+)"""
+
+
+def qa05_exact_ppm_sql(q: float) -> str:
+    """The exact rank-interpolation CTE triplet for one quantile over
+    CTE ``r`` — shared with plans/probes.py."""
+    p = int(q * 100)
+    k = f"CAST(floor({q!r} * CAST(n_g - 1 AS DOUBLE)) AS BIGINT)"
+    frac = f"({q!r} * CAST(n_g - 1 AS DOUBLE) - CAST({k} AS DOUBLE))"
+    return f"""
 lo{p} AS (SELECT g, v AS v_lo, {frac} AS frac FROM r WHERE rk = {k} + 1),
 hi{p} AS (SELECT g, v AS v_hi FROM r WHERE rk = {k} + 2),
 ex{p} AS (
     SELECT lo{p}.g,
            {quantize_sql('v_lo + (coalesce(v_hi, v_lo) - v_lo) * frac', 6)} AS exact_p{p}_ppm
     FROM lo{p} LEFT JOIN hi{p} ON hi{p}.g = lo{p}.g
-)""")
+)"""
+
+
+def _qa05_oracle(qs=(0.5, 0.9, 0.99)) -> str:
+    """Generate the DuckDB twin of stats.histogram_quantiles — every
+    double chain in textually identical op order to the Spark side."""
+    parts = [QA05_BASE_CTES]
+    sel = ["p50.g AS event_type", "p50.n_total AS n"]
+    joins = []
+    for q in qs:
+        p = int(q * 100)
+        parts.append(qa05_est_ppm_sql(q))
+        parts.append(qa05_exact_ppm_sql(q))
         sel += [f"p{p}.est_p{p}_ppm", f"ex{p}.exact_p{p}_ppm"]
         if p != 50:
             joins.append(f"JOIN p{p} ON p{p}.g = p50.g")
@@ -7026,10 +7054,8 @@ a AS (
     FROM r GROUP BY source
 )
 SELECT source, n_frame, n_kept,
-       {quantize_sql('CAST(sz_frame AS DOUBLE) / CAST(n_frame AS DOUBLE)', 3)}
-           AS mean_chars_frame_e3,
-       {quantize_sql('CAST(sz_kept AS DOUBLE) / CAST(n_kept AS DOUBLE)', 3)}
-           AS mean_chars_kept_e3
+       {rational_rh_sql('sz_frame * 1000', 'n_frame')} AS mean_chars_frame_e3,
+       {rational_rh_sql('sz_kept * 1000', 'n_kept')} AS mean_chars_kept_e3
 FROM a
 """,
 )
@@ -7039,16 +7065,121 @@ def sp12_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Binomial counts of Bernoulli/hash-cutoff sp01), evenly spread
     through the frame. Output per-source audit: frame/kept counts and
     mean kept length vs frame mean (the self-weighting check). One
-    window rank per source + one rollup; means ride as exact integer
-    thousandths (functions/portable.py)."""
+    window rank per source + one rollup; round 10: the means are exact
+    integer-rational round-half-up divisions in pure BIGINT arithmetic
+    (functions/portable.rational_rh — no double constructed), closing
+    the last fp hypothesis on this query's third driver-red row."""
     from ntripmonitor_spark.operators import sampling
 
     return sampling.systematic_sample(table(spark, sf_dir, "documents"), k=_SP12_K)
 
 
-_TX19_FLESCH = (
-    "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))"
-    " - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))"
+# flesch * 1000 as an exact integer rational: numerator over n_sents*n_words
+@register(
+    "sp13_weighted_reservoir",
+    tags=("sampling",),
+    oracle=f"""
+WITH s AS (
+    SELECT source, doc_id, n_chars,
+           {idiv_sql('((doc_id * 2654435761) % 4294967296) * 1000000',
+                     'greatest(CAST(n_chars AS BIGINT), 1)')} AS key
+    FROM documents
+),
+r AS (
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY key ASC, doc_id ASC) AS rk
+    FROM s
+),
+a AS (
+    SELECT source, count(*) AS n_frame,
+           sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS n_kept,
+           sum(n_chars) AS sz_frame,
+           sum(CASE WHEN rk <= 10 THEN n_chars END) AS chars_kept
+    FROM r GROUP BY source
+)
+SELECT source, n_frame, n_kept, chars_kept,
+       {rational_rh_sql('sz_frame * 1000', 'n_frame')} AS mean_chars_frame_e3,
+       {rational_rh_sql('chars_kept * 1000', 'n_kept')} AS mean_chars_kept_e3
+FROM a
+""",
+)
+def sp13_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted reservoir (bottom-k of the integer priority
+    floor(hash * 10^6 / weight), k = 10) — the deterministic, libm-free
+    Efraimidis–Spirakis sibling of ws01's global ln(u)/w top-k: per
+    GROUP, exact-k, and every number in the draw is BIGINT (priority,
+    rank, counts, integer-rational means), so the whole operator sits
+    in the emission class the driver has never rejected. The audit
+    output inverts sp12's self-weighting check: a length-weighted draw
+    must skew long (mean_kept >> mean_frame). One window rank per
+    group + one rollup — the sp12/quota exchange shape."""
+    from ntripmonitor_spark.operators import sampling
+
+    return sampling.weighted_reservoir(table(spark, sf_dir, "documents"), k=10)
+
+
+@register(
+    "mx03_epoch_schedule",
+    tags=("sampling", "curation"),
+    oracle=f"""
+WITH s AS (SELECT source, sum(n_chars) AS chars FROM documents GROUP BY source),
+t AS (SELECT sum(chars) AS total FROM s),
+b AS (
+    SELECT source, chars,
+           {idiv_sql('chars * 1000', 't.total')} AS base_batches,
+           (chars * 1000) % t.total AS rem
+    FROM s CROSS JOIN t
+),
+lv AS (SELECT CAST(1000 - sum(base_batches) AS BIGINT) AS leftover FROM b),
+rk AS (
+    SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rrank FROM b
+)
+SELECT source, chars AS n_chars_total,
+       CAST(base_batches AS BIGINT) AS base_batches,
+       CAST(rrank AS INT) AS rem_rank,
+       CAST(rrank <= lv.leftover AS INT) AS extra,
+       CAST(base_batches + CAST(rrank <= lv.leftover AS INT) AS BIGINT) AS batches
+FROM rk CROSS JOIN lv
+""",
+)
+def mx03_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loader schedule mx02's weights become: largest-remainder
+    (Hamilton) apportionment of a 1000-batch epoch across sources by
+    exact character mass — base_i = floor(chars_i*1000/total) batches
+    each, then the leftover batches go to the largest remainders
+    (ties by source). Sum(batches) == 1000 EXACTLY (property-pinned) —
+    the guarantee proportional-rounding-per-source cannot give. All
+    arithmetic is BIGINT (integral div + mod + one rank); shape is two
+    bounded aggregates + a window over the |sources|-row relation (the
+    unpartitioned rank is over ~20 rows, never the corpus)."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.sum(F.col("n_chars").cast("long")).alias("chars"))
+    t = s.agg(F.sum("chars").alias("total"))
+    b = s.crossJoin(F.broadcast(t)).select(
+        "source", "chars",
+        F.call_function("div", F.col("chars") * F.lit(1000), F.col("total"))
+        .alias("base_batches"),
+        F.pmod(F.col("chars") * F.lit(1000), F.col("total")).alias("rem"),
+    )
+    lv = b.agg((F.lit(1000) - F.sum("base_batches")).alias("leftover"))
+    rk = b.withColumn(
+        "rrank",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), F.col("source").asc())),
+    )
+    extra = (F.col("rrank") <= F.col("leftover")).cast("int")
+    return rk.crossJoin(F.broadcast(lv)).select(
+        "source", F.col("chars").alias("n_chars_total"), "base_batches",
+        F.col("rrank").cast("int").alias("rem_rank"),
+        extra.alias("extra"),
+        (F.col("base_batches") + extra).alias("batches"),
+    )
+
+
+_TX19_F_NUM = (
+    "206835 * n_sents * n_words - 1015 * n_words * n_words"
+    " - 84600 * n_syll * n_sents"
 )
 
 
@@ -7058,14 +7189,14 @@ _TX19_FLESCH = (
     oracle=f"""
 WITH d AS (
     SELECT source,
-           len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_words,
-           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
-           len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+           CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_words,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sents,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll
     FROM documents
 ),
 s AS (
     SELECT source, n_words,
-           CASE WHEN n_words > 0 THEN {quantize_sql(_TX19_FLESCH, 3)}
+           CASE WHEN n_words > 0 THEN {rational_rh_sql(_TX19_F_NUM, 'n_sents * n_words')}
                 ELSE 0 END AS f_milli,
            CASE WHEN n_words > 0 THEN 1 ELSE 0 END AS scored
     FROM d
@@ -7077,8 +7208,7 @@ a AS (
     FROM s GROUP BY source
 )
 SELECT source, n_docs, n_scored, n_easy,
-       CASE WHEN n_scored > 0 THEN
-           {quantize_sql('CAST(f_sum AS DOUBLE) / CAST(n_scored AS DOUBLE) / 1000.0', 3)}
+       CASE WHEN n_scored > 0 THEN {rational_rh_sql('f_sum', 'n_scored')}
        END AS mean_flesch_e3
 FROM a
 """,
@@ -7087,8 +7217,12 @@ def tx19_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-style readability per source (vowel-group syllable proxy,
     terminator-run sentences) — the difficulty score a curriculum or
     mixing plan stratifies on. Three regexp column expressions fused
-    into one scan + a |sources|-row rollup; per-doc scores ride as
-    exact integer thousandths (functions/portable.py)."""
+    into one scan + a |sources|-row rollup. Round 10: per-doc score and
+    per-source mean are exact integer-rational round-half-up divisions
+    (functions/portable.rational_rh) — flesch*1000 is a rational with
+    denominator n_sents*n_words, and VERDICT r9 proved the double path
+    had exact floor-boundary ties on this data (docs 16/108/481), so
+    no double is constructed anywhere in this query anymore."""
     return text.readability(table(spark, sf_dir, "documents"))
 
 
@@ -7664,9 +7798,10 @@ g AS (
 )
 SELECT source, padded_len, n_docs, tokens_sum,
        CAST(padded_len * n_docs - tokens_sum AS BIGINT) AS pad_sum,
-       {quantize_sql(
-           'CAST(padded_len * n_docs - tokens_sum AS DOUBLE)'
-           ' / CAST(padded_len * n_docs AS DOUBLE)', 6)} AS waste_ppm
+       CASE WHEN padded_len * n_docs > 0 THEN
+           {rational_rh_sql('(padded_len * n_docs - tokens_sum) * 1000000',
+                            'padded_len * n_docs')}
+       END AS waste_ppm
 FROM g
 """,
 )
@@ -7676,7 +7811,10 @@ def tp08_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     utilization: per (source, bucket), docs, real tokens, pad tokens
     and the waste share. Integer ceil-to-bucket arithmetic, exact
     BIGINT sums, one map-side-combined aggregate bounded by
-    buckets x sources; waste_ppm is quantized BIGINT millionths."""
+    buckets x sources; waste_ppm is an exact integer-rational
+    round-half-up in BIGINT millionths, NULL-guarded for the
+    zero-token bucket (ADVICE r9: 0.0/0.0 would NaN on Spark but
+    NULL/error on the oracle)."""
     from ntripmonitor_spark.operators import sampling
 
     return sampling.padding_waste(table(spark, sf_dir, "documents"))

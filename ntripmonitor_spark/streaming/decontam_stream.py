@@ -42,8 +42,6 @@ def start_fuzzy_decontam_stream(doc_stream: DataFrame, bench_docs: DataFrame,
     static eval set (doc_id + text)."""
 
     def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # Benchmark signatures: tiny (eval-suite-sized) and
         # deterministic — recomputed per batch for simplicity; a
         # long-lived deployment would pin them as a silver table.
@@ -57,7 +55,13 @@ def start_fuzzy_decontam_stream(doc_stream: DataFrame, bench_docs: DataFrame,
         )
         (
             scores.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite").partitionBy("batch_id").parquet(scores_path)
+            .write.mode("overwrite")
+            # per-write option, NOT spark.conf.set on the shared session:
+            # a session-level partitionOverwriteMode=dynamic would leak
+            # past the stream and silently change overwrite semantics for
+            # unrelated writes (ADVICE r9)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(scores_path)
         )
 
     return (

@@ -184,35 +184,35 @@ def test_concurrent_queries_one_session(spark):
     assert concurrent == serial
 
 
-def test_round9_driver_window_is_frozen():
+def test_round10_driver_window_is_frozen():
     """The driver grades the first 50 exposed names alphabetically; the
-    round-9 window was cut to kill the DECIMAL output class (4 hash-red
-    re-proofs + 20 never-graded incl. the deliberate decimal canary +
-    17 changed-since-green + 9 stalest greens) and must not shift under
-    late registrations — new queries go to DRIVER_ROTATED_OUT (x_
-    alias) until the round-10 rotation. A failure here means a
-    registration displaced a frozen slot."""
+    round-10 window was cut to bisect the stable-but-red class (7
+    red-latest re-proofs incl. the decimal canary + the 5 queued r9
+    registrations + the 16-probe attribution matrix + 22 stalest
+    greens) and must not shift under late registrations — new queries
+    go to DRIVER_ROTATED_OUT (x_ alias) until the round-11 rotation. A
+    failure here means a registration displaced a frozen slot."""
     import __spark_entry__ as entry
 
     window = sorted(entry.queries())[:50]
     assert window == [
-        "an11_seasonal_strength", "an12_period_power", "cu03_full_pipeline",
-        "dc01_decontamination", "dc02_decontamination_bloom", "dc03_thirteen_gram",
-        "dd02_ngram_jaccard", "dd08_lsh_delta", "dd10_containment",
-        "dd11_bbit_minhash", "dd12_quality_survivor", "dd13_lsh_calibration",
-        "dd16_soft_dedup", "dd17_lsh_recall", "dp03_js_matrix",
-        "dq03_key_skew_profile", "dq04_benford", "dq07_fd_audit",
-        "dq08_decimal_canary", "gr01_cluster_sizes", "gr02_dup_degree",
-        "gr03_lsh_clusters", "in07_tfidf_cosine", "in08_fuzzy_probe",
-        "mm15_silence_runs", "mx01_source_overlap", "mx02_mixture_epochs",
-        "q01_pricing_summary", "q02_tumbling_window", "q03_conditional_agg",
-        "q04_pivot_linestatus", "q05_rate_normalization", "q06_agg_of_agg",
-        "q07_dim_join", "q08_semi_join", "q09_three_way_join",
-        "qa05_histogram_quantiles", "rc03_mrr_eval", "rt11_package_ledger",
-        "scd03_history_audit", "sk03_kmv_jaccard", "sp08_cluster_split",
-        "sp09_cluster_split_lsh", "sp10_pps_resample", "sp12_systematic",
-        "st02_upsert_snapshot", "ts06_gapfill_interpolate", "tx15_novelty_score",
-        "tx19_readability", "tx20_zipf_slope",
+        "aj03_asof_nearest", "an04_ewma_drift", "an05_seasonal_decompose",
+        "cu01_curation_funnel", "cu04_drop_reasons", "cu05_ccnet_buckets",
+        "cu08_quality_dup_matrix", "dc04_fuzzy_decontamination", "dd04_simhash",
+        "dp01_mean_drift", "dq03_key_skew_profile", "dq08_decimal_canary",
+        "mx02_mixture_epochs", "pb01_dq03_counts", "pb02_dq03_share_lit",
+        "pb03_dq03_share_join", "pb04_sp12_counts", "pb05_sp12_means",
+        "pb06_mx02_sqrt", "pb07_mx02_ratio", "pb08_const_values",
+        "pb09_nation_int", "pb10_qa05_bins", "pb11_qa05_exact",
+        "pb12_qa05_est", "pb13_tx19_docs", "pb14_sp10_docs",
+        "pb15_dq03_twin", "pb16_sp12_twin", "q10_predicates",
+        "q11_distinct", "q12_orderby_multi", "q14_coalesce_duration",
+        "q15_gap_spine", "q16_json_shred", "q17_latest_per_key",
+        "q18_array_agg", "q19_mjd_bucket", "q21_rollup_hierarchy",
+        "qa05_histogram_quantiles", "qa06_gate_agreement", "sk01_kmv_distinct",
+        "sp03_source_mixing", "sp10_pps_resample", "sp12_systematic",
+        "ss03_ann_lsh_multitable", "tp08_padding_waste", "tx07_unigram_surprisal",
+        "tx19_readability", "tx21_burstiness",
     ]
 
 

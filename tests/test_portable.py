@@ -31,6 +31,8 @@ from ntripmonitor_spark.functions.portable import (
     int_to_dec_sql,
     quantize,
     quantize_sql,
+    rational_rh,
+    rational_rh_sql,
 )
 
 
@@ -124,6 +126,74 @@ def test_idiv_sql_matches_spark_div(spark):
     ]
     con.close()
     assert got == duck == [a // b for a, b in rows]
+
+
+def _rh_true(p: int, q: int) -> int:
+    """Ground truth: floor(p/q + 1/2) in exact rational arithmetic."""
+    from fractions import Fraction
+
+    return math.floor(Fraction(p, q) + Fraction(1, 2))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=-(10 ** 15), max_value=10 ** 15),
+    st.integers(min_value=1, max_value=10 ** 14),
+)
+def test_rational_rh_sql_is_exact_round_half_up(p, q):
+    """The DuckDB twin equals exact-rational floor(p/q + 1/2) across the
+    full magnitude budget (|p| ≤ 1e15 < 2^53), including negatives and
+    exact-tie inputs the double-based quantize() cannot decide portably."""
+    con = duckdb.connect()
+    (got,) = con.execute(f"SELECT {rational_rh_sql(str(p), str(q))}").fetchone()
+    con.close()
+    assert got == _rh_true(p, q)
+
+
+def test_rational_rh_spark_matches_sql_on_ties(spark):
+    """Spark and DuckDB agree on the adversarial tie/boundary cases:
+    exact halves (2r == q), exact integers (r == 0), negatives, and the
+    tx19/sp10/mx02 magnitude classes."""
+    rows = [
+        (7, 2),            # 3.5 -> 4 (tie, rounds up)
+        (-7, 2),           # -3.5 -> -3 (floor(x+0.5) semantics)
+        (-8, 2),           # -4 exactly
+        (5, 2),            # 2.5 -> 3
+        (-5, 2),           # -2.5 -> -2
+        (58407500, 1000),  # the tx19 doc-16 class: exact half-thousandth
+        (1_000_000_000, 553),          # sp10 HT share magnitude
+        (2 * 10 ** 15 + 1, 4 * 10 ** 11),  # mx02 epochs magnitude
+        (0, 7),
+        (10 ** 15, 1),
+    ]
+    sdf = spark.createDataFrame(rows, "p long, q long")
+    got = [r[0] for r in sdf.select(rational_rh(F.col("p"), F.col("q"))).collect()]
+    con = duckdb.connect()
+    duck = [
+        con.execute(f"SELECT {rational_rh_sql(str(p), str(q))}").fetchone()[0]
+        for p, q in rows
+    ]
+    con.close()
+    want = [_rh_true(p, q) for p, q in rows]
+    assert got == want
+    assert duck == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10 ** 12), max_value=10 ** 12),
+            st.integers(min_value=1, max_value=10 ** 9),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_rational_rh_spark_is_exact_round_half_up(spark, pqs):
+    sdf = spark.createDataFrame(pqs, "p long, q long")
+    got = [r[0] for r in sdf.select(rational_rh(F.col("p"), F.col("q"))).collect()]
+    assert got == [_rh_true(p, q) for p, q in pqs]
 
 
 def test_dec_fixed_output_scale_is_stable(spark):

@@ -1,0 +1,246 @@
+"""Round-10 additions: the probe matrix (plans/probes.py), the exact
+integer-rational emission, and the two new operators (sp13 weighted
+reservoir, mx03 epoch schedule). Every registered query is also
+oracle-parity-checked by tests/test_parity.py."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+import math
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# mx03 — largest-remainder apportionment invariants
+# ---------------------------------------------------------------------------
+
+
+def test_mx03_batches_sum_exactly(spark):
+    """Hamilton apportionment: Sum(batches) == 1000 exactly, base <=
+    batches <= base + 1, and exactly `leftover` sources get the +1."""
+    from ntripmonitor_spark.plans import REGISTRY
+
+    rows = REGISTRY["mx03_epoch_schedule"].fn(spark, SF).collect()
+    assert sum(r["batches"] for r in rows) == 1000
+    for r in rows:
+        assert r["batches"] in (r["base_batches"], r["base_batches"] + 1)
+        assert r["extra"] in (0, 1)
+    total = sum(r["n_chars_total"] for r in rows)
+    base_sum = sum(r["n_chars_total"] * 1000 // total for r in rows)
+    assert sum(r["extra"] for r in rows) == 1000 - base_sum
+
+
+def test_mx03_proportionality(spark):
+    """Each source's batch count is within 1 of its exact entitlement
+    (the Hamilton quota property)."""
+    from ntripmonitor_spark.plans import REGISTRY
+
+    rows = REGISTRY["mx03_epoch_schedule"].fn(spark, SF).collect()
+    total = sum(r["n_chars_total"] for r in rows)
+    for r in rows:
+        quota = Fraction(r["n_chars_total"] * 1000, total)
+        assert math.floor(quota) <= r["batches"] <= math.floor(quota) + 1
+
+
+# ---------------------------------------------------------------------------
+# sp13 — weighted reservoir invariants
+# ---------------------------------------------------------------------------
+
+
+def test_sp13_exact_k_and_weight_skew(spark):
+    """Per source: n_kept == min(10, n_frame), and the length-weighted
+    draw skews long (kept mean > frame mean) in the aggregate."""
+    from ntripmonitor_spark.plans import REGISTRY
+
+    rows = REGISTRY["sp13_weighted_reservoir"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] == min(10, r["n_frame"])
+    skewed = sum(
+        r["mean_chars_kept_e3"] > r["mean_chars_frame_e3"] for r in rows
+    )
+    # weighted selection must skew long in the vast majority of groups
+    assert skewed >= len(rows) * 0.8
+
+
+def test_sp13_partitioning_invariance(spark):
+    """The draw is a pure function of ids/weights — repartitioning the
+    input cannot change a single output cell."""
+    from ntripmonitor_spark.operators.sampling import weighted_reservoir
+    from ntripmonitor_spark.tables import table
+
+    docs = table(spark, SF, "documents")
+    a = sorted(map(tuple, weighted_reservoir(docs).collect()))
+    b = sorted(map(tuple, weighted_reservoir(docs.repartition(7)).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# probe matrix — structural guarantees
+# ---------------------------------------------------------------------------
+
+
+def test_twin_probes_are_byte_identical():
+    """pb15/pb16 must forward to the SAME callable and carry the SAME
+    oracle string as their canonicals — anything less and a red/green
+    split stops meaning 'name-keyed driver state'."""
+    from ntripmonitor_spark.plans import REGISTRY
+
+    for canon, twin in [
+        ("dq03_key_skew_profile", "pb15_dq03_twin"),
+        ("sp12_systematic", "pb16_sp12_twin"),
+    ]:
+        assert REGISTRY[twin].oracle == REGISTRY[canon].oracle
+
+
+def test_twin_probe_results_match_canonical(spark):
+    """The twin's result set is cell-identical to the canonical's."""
+    from ntripmonitor_spark.plans import REGISTRY
+
+    for canon, twin in [
+        ("dq03_key_skew_profile", "pb15_dq03_twin"),
+        ("sp12_systematic", "pb16_sp12_twin"),
+    ]:
+        a = sorted(map(tuple, REGISTRY[canon].fn(spark, SF).collect()))
+        b = sorted(map(tuple, REGISTRY[twin].fn(spark, SF).collect()))
+        assert a == b, f"{twin} diverged from {canon}"
+
+
+def test_pb08_constant_probe_ground_truth(spark):
+    """The no-table probe's values against hand-computed ground truth —
+    if this ever moves, the quantize/rational_rh constructs moved."""
+    from ntripmonitor_spark.plans import REGISTRY
+    from ntripmonitor_spark.plans.probes import _PB08_ROWS
+
+    rows = {r["k"]: r for r in REGISTRY["pb08_const_values"].fn(spark, SF).collect()}
+    assert len(rows) == len(_PB08_ROWS)
+    for k, x in _PB08_ROWS:
+        r = rows[k]
+        assert r["x"] == x
+        assert r["q0"] == math.floor(x * 1.0 + 0.5)
+        assert r["q6"] == math.floor(x * 1e6 + 0.5)
+        assert r["r7_ppm"] == math.floor(Fraction(k * 1000000, 7) + Fraction(1, 2))
+        assert r["rneg_ppm"] == math.floor(Fraction(-k * 1000000, 7) + Fraction(1, 2))
+    # the deliberate ties decide the documented way
+    assert rows[2]["q0"] == 3      # floor(2.5 + 0.5)
+    assert rows[3]["q0"] == -2     # floor(-2.5 + 0.5) = floor(-2.0)
+
+
+def test_probe_decompositions_are_consistent_with_canonicals(spark):
+    """The probes must agree with the canonical queries they decompose
+    — e.g. pb01's counts are dq03's count columns, pb12's estimates are
+    qa05's est_* columns — otherwise a probe row says nothing about the
+    canonical's red."""
+    from ntripmonitor_spark.plans import REGISTRY
+
+    dq03 = {r["partition_id"]: r for r in
+            REGISTRY["dq03_key_skew_profile"].fn(spark, SF).collect()}
+    pb01 = {r["partition_id"]: r for r in
+            REGISTRY["pb01_dq03_counts"].fn(spark, SF).collect()}
+    assert set(dq03) == set(pb01)
+    for pid, r in pb01.items():
+        c = dq03[pid]
+        assert (r["n_keys"], r["n_rows"], r["max_key_rows"]) == (
+            c["n_keys"], c["n_rows"], c["max_key_rows"])
+
+    pb03 = {r["partition_id"]: r for r in
+            REGISTRY["pb03_dq03_share_join"].fn(spark, SF).collect()}
+    for pid, r in pb03.items():
+        assert r["row_share_ppm"] == dq03[pid]["row_share_ppm"]
+
+    qa05 = {r["event_type"]: r for r in
+            REGISTRY["qa05_histogram_quantiles"].fn(spark, SF).collect()}
+    pb12 = {r["event_type"]: r for r in
+            REGISTRY["pb12_qa05_est"].fn(spark, SF).collect()}
+    pb11 = {r["event_type"]: r for r in
+            REGISTRY["pb11_qa05_exact"].fn(spark, SF).collect()}
+    assert set(qa05) == set(pb12) == set(pb11)
+    for g, r in qa05.items():
+        for p in (50, 90, 99):
+            assert pb12[g][f"est_p{p}_ppm"] == r[f"est_p{p}_ppm"]
+            assert pb11[g][f"exact_p{p}_ppm"] == r[f"exact_p{p}_ppm"]
+
+
+def test_pb14_kept_set_matches_sp10_counts(spark):
+    """The per-doc keep flags aggregate to sp10's per-source kept
+    counts — the localizer and the canonical can't drift."""
+    from ntripmonitor_spark.plans import REGISTRY
+
+    per_doc = REGISTRY["pb14_sp10_docs"].fn(spark, SF).collect()
+    kept = {}
+    for r in per_doc:
+        kept[r["source"]] = kept.get(r["source"], 0) + r["kept"]
+    sp10 = {r["source"]: r["n_kept"] for r in
+            REGISTRY["sp10_pps_resample"].fn(spark, SF).collect()}
+    assert kept == {s: n for s, n in sp10.items()}
+
+
+def test_pb13_f_milli_matches_tx19_rollup(spark):
+    """Per-doc f_milli sums/counts reproduce tx19's per-source rollup."""
+    from ntripmonitor_spark.plans import REGISTRY
+
+    per_doc = REGISTRY["pb13_tx19_docs"].fn(spark, SF).collect()
+    agg: dict[str, list[int]] = {}
+    for r in per_doc:
+        a = agg.setdefault(r["source"], [0, 0, 0, 0])  # docs, scored, fsum, easy
+        a[0] += 1
+        scored = 1 if r["n_words"] > 0 else 0
+        a[1] += scored
+        a[2] += r["f_milli"]
+        a[3] += 1 if (r["f_milli"] >= 60000 and scored) else 0
+    tx19 = {r["source"]: r for r in
+            REGISTRY["tx19_readability"].fn(spark, SF).collect()}
+    assert set(agg) == set(tx19)
+    for s, (n_docs, n_scored, f_sum, n_easy) in agg.items():
+        r = tx19[s]
+        assert (n_docs, n_scored, n_easy) == (r["n_docs"], r["n_scored"], r["n_easy"])
+        want_mean = math.floor(Fraction(f_sum, n_scored) + Fraction(1, 2))
+        assert r["mean_flesch_e3"] == want_mean
+
+
+# ---------------------------------------------------------------------------
+# exact-rational emission — the tie class that broke tx19/sp10
+# ---------------------------------------------------------------------------
+
+
+def test_readability_exact_ties_are_deterministic(spark):
+    """A document engineered so flesch*1000 + 0.5 is an EXACT integer
+    in rational arithmetic (the VERDICT r9 failure class): 1 sentence,
+    16 words, syllables chosen so the rational has an exact .5 — the
+    integer-rational emission must round half UP, invariantly."""
+    from ntripmonitor_spark.operators.text import doc_readability
+
+    # f_milli_true = (206835*s*w - 1015*w^2 - 84600*syll*s) / (s*w)
+    # with s=1, w=16: (206835*16 - 1015*256 - 84600*syll) / 16
+    # numerator mod 16 == 8 gives an exact half: 206835*16 ≡ 0,
+    # 1015*256 ≡ 0 (mod 16), so need 84600*syll ≡ 8 (mod 16);
+    # 84600 ≡ 8 (mod 16) -> syll odd.
+    words = ["ba"] * 15 + ["xz."]  # 16 whitespace tokens, one '.' run
+    text = " ".join(words)  # syllables = count of [aeiouy]+ runs = 15 (odd)
+    docs = spark.createDataFrame([(1, text, "s")], "doc_id long, text string, source string")
+    row = doc_readability(docs).collect()[0]
+    s, w, syll = row["n_sents"], row["n_words"], row["n_syll"]
+    assert (s, w) == (1, 16) and syll % 2 == 1
+    num = 206835 * s * w - 1015 * w * w - 84600 * syll * s
+    want = math.floor(Fraction(num, s * w) + Fraction(1, 2))
+    frac = Fraction(num, s * w)
+    assert frac + Fraction(1, 2) == math.floor(frac) + 1  # genuinely a tie
+    assert row["f_milli"] == want
+
+
+def test_pps_cutoff_exact_at_max_doc(spark):
+    """The max-length doc's cutoff is EXACTLY buckets (the r9 boundary
+    case) via pure integer division — no double floor in the path."""
+    from ntripmonitor_spark.operators.sampling import pps_stage
+
+    docs = spark.createDataFrame(
+        [(i, "s", 100 + i) for i in range(1, 8)],
+        "doc_id long, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r for r in pps_stage(docs).collect()}
+    assert rows[7]["cutoff"] == 1000  # (107*1000) div 107 exactly
+    for i in range(1, 7):
+        assert rows[i]["cutoff"] == (100 + i) * 1000 // 107

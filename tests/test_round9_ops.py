@@ -5,6 +5,8 @@ like every registered query."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -258,6 +260,37 @@ def test_tp08_hand_computed_buckets(spark):
     assert out[16]["waste_ppm"] == 343750
     assert out[32]["pad_sum"] == 15
     assert out[32]["waste_ppm"] == 468750
+
+
+def test_tp08_zero_token_doc_yields_null_waste(spark):
+    """A zero-token doc pads to 0, so the waste share is undefined:
+    the guarded emission returns NULL (ADVICE r9 — an unguarded double
+    division would give NaN on Spark but NULL/error on the oracle)."""
+    from ntripmonitor_spark.operators.sampling import padding_waste
+
+    docs = spark.createDataFrame(
+        [(1, "", "s"), (2, "   ", "s"), (3, "one two", "s")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["padded_len"]: r for r in padding_waste(docs).collect()}
+    assert out[0]["n_docs"] == 2 and out[0]["waste_ppm"] is None
+    assert out[16]["waste_ppm"] == 875000  # 14/16
+
+
+def test_first_digit_domain_covers_events(spark):
+    """first_digit's comparison spine is exact only for v in
+    [1e-6, 9.999...e8] (values >= 1e9 would misclassify as 9 — ADVICE
+    r9); pin that the events table stays inside that domain."""
+    from ntripmonitor_spark.tables import table
+
+    ev = table(spark, SF, "events")
+    row = ev.agg(F.max(F.col("value")).alias("mx")).collect()[0]
+    assert row["mx"] < 9e8, "events.value outgrew first_digit's spine"
+    # dq04 filters value > 0; every surviving value must sit on the spine
+    row = ev.filter(F.col("value") > 0).agg(
+        F.min(F.col("value")).alias("mn")
+    ).collect()[0]
+    assert row["mn"] >= 1e-6, "positive events.value fell below the spine"
 
 
 def test_tp08_conservation(spark):
