@@ -582,3 +582,86 @@ def mrr_eval(docs: DataFrame, queries: list[tuple[int, list[str]]],
             F.lit(0).cast("long"),
         ).alias("rr_ppm"),
     )
+
+
+def maxscore_bound(docs: DataFrame, queries: list[tuple[int, list[str]]]) -> DataFrame:
+    """MaxScore/WAND pruning audit per query — the report run before
+    trusting upper-bound skipping at index scale: for each query term
+    the maximum single-document contribution (its "max score"), the
+    sum of those bounds (the WAND theta ceiling), the true top-1
+    additive tf-idf score, and how many candidate documents are
+    PRUNABLE at k=1 (their matched-term bound sum can never beat the
+    current top-1 — exactly the documents a MaxScore traversal skips
+    without scoring). A high prunable share certifies the index is
+    bound-skippable; a low one says the score mass is flat and
+    exhaustive scoring is honest.
+
+    The score model is the additive (un-normalized) tf-idf dot the
+    WAND family assumes; contributions are floor-quantized to integer
+    millionths ONCE per (doc, term) and every later number — per-term
+    maxima, theta, per-doc scores, bounds, counts — is exact BIGINT
+    arithmetic over those integers, so the whole report sits in the
+    integer emission class.
+
+    Shape: the vocab df aggregate and corpus terms⋈df join are the
+    in07 build (amortized as silver tables in production); everything
+    query-specific touches only the query-term postings (pushed isin
+    filter + broadcast query dim), and all reductions are bounded by
+    |queries| x candidates-per-query.
+    """
+    from ntripmonitor_spark.functions.portable import quantize
+
+    spark = docs.sparkSession
+    terms = doc_terms(docs)
+    dfd = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log(
+        F.lit(1.0) + F.col("n_docs").cast("double") / F.col("df").cast("double")
+    )
+    w_td = (F.lit(1.0) + F.log(F.col("tf").cast("double"))) * idf
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    c = (
+        terms.filter(F.col("term").isin(all_terms))
+        .join(dfd, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "term",
+            quantize(w_td * idf, 6).alias("c_ppm"),
+        )
+    )
+    ub = c.groupBy("term").agg(F.max("c_ppm").alias("ub_ppm"))
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts], "query_id int, term string"
+    )
+    th = (
+        F.broadcast(qdf).join(ub, "term")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("ub_ppm").alias("theta_ppm"),
+        )
+    )
+    cand = (
+        c.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(ub), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("c_ppm").alias("score_ppm"),
+            F.sum("ub_ppm").alias("bound_ppm"),
+        )
+    )
+    t1 = cand.groupBy("query_id").agg(F.max("score_ppm").alias("top1_ppm"))
+    return (
+        th.join(t1, "query_id")
+        .join(cand.select("query_id", "doc_id", "bound_ppm"), "query_id")
+        .groupBy("query_id", "n_terms", "theta_ppm", "top1_ppm")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("bound_ppm") < F.col("top1_ppm")).cast("int"))
+            .alias("n_prunable"),
+        )
+        .select(
+            "query_id", "n_terms", "n_candidates",
+            "theta_ppm", "top1_ppm", "n_prunable",
+        )
+    )

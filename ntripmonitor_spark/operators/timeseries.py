@@ -1033,3 +1033,84 @@ def gapfill_interpolate(events: DataFrame, bucket_s: int = 3600,
             quantize(interp, 6),
         ).alias("value_ppm"),
     )
+
+
+def lttb_downsample(events: DataFrame, k: int = 20,
+                    key_col: str = "event_type",
+                    ts_col: str = "ts",
+                    value_col: str = "value") -> DataFrame:
+    """Largest-Triangle downsampling of each key's series to ~k+2
+    points — the dashboard-rendering primitive (a 100 TB series can't
+    ship every point to a panel; LTTB keeps the points that preserve
+    visual shape). This is the ONE-BUCKET variant (LTOB): each point's
+    triangle uses its immediate neighbors rather than the previously
+    SELECTED point, which removes the sequential dependency and makes
+    the operator a pure two-window-pass column plan — the classic LTTB
+    recurrence cannot be parallelized, LTOB can, and the two are
+    near-identical on real series (Steinarsson 2013, §4.2).
+
+    Mechanics: rank each key's points by time; equal-count buckets
+    bucket_i = (rn-1)*k div n (pure integer); per point the triangle
+    area with its lag/lead neighbors, computed ENTIRELY in BIGINT —
+    x is epoch microseconds (exact long), y is the raw value quantized
+    once to integer milli-units (the only double op; no arithmetic
+    chain ever runs in floating point):
+
+        area = |(x_prev - x_next)*(y - y_prev) - (x_prev - x)*(y_next - y_prev)|
+
+    Argmax per (key, bucket) on (area DESC, event_id ASC); the series
+    endpoints are always kept (buckets -1 and k, the LTTB convention).
+
+    Shape: one key-ordered window exchange (rank + lag/lead fuse into
+    a single Window spec), then a bounded (keys x k) argmax — nothing
+    after the first exchange scales with the series. Output is
+    all-integer except the raw quantized value units.
+    """
+    from ntripmonitor_spark.functions.portable import quantize
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    base = events.select(
+        key_col, "event_id",
+        epoch_us(ts_col).alias("us"),
+        quantize(F.col(value_col), 3).alias("y_e3"),
+    )
+    staged = base.select(
+        key_col, "event_id", "us", "y_e3",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(key_col)).alias("n"),
+        F.lag("us").over(w).alias("xp"),
+        F.lag("y_e3").over(w).alias("yp"),
+        F.lead("us").over(w).alias("xn"),
+        F.lead("y_e3").over(w).alias("yn"),
+    )
+    area = F.abs(
+        (F.col("xp") - F.col("xn")) * (F.col("y_e3") - F.col("yp"))
+        - (F.col("xp") - F.col("us")) * (F.col("yn") - F.col("yp"))
+    )
+    bucket = F.call_function(
+        "div", (F.col("rn") - 1).cast("long") * k, F.col("n").cast("long")
+    ).cast("int")
+    interior = staged.filter((F.col("rn") > 1) & (F.col("rn") < F.col("n"))).select(
+        key_col, "event_id", "us", "y_e3",
+        bucket.alias("bucket"),
+        area.alias("area"),
+    )
+    rw = Window.partitionBy(key_col, "bucket").orderBy(
+        F.col("area").desc(), F.col("event_id").asc()
+    )
+    picks = (
+        interior.withColumn("_rk", F.row_number().over(rw))
+        .filter(F.col("_rk") == 1)
+        .select(key_col, "bucket", "event_id", "us", "y_e3", "area")
+    )
+    first = staged.filter(F.col("rn") == 1).select(
+        key_col, F.lit(-1).cast("int").alias("bucket"),
+        "event_id", "us", "y_e3", F.lit(None).cast("long").alias("area"),
+    )
+    last = staged.filter((F.col("rn") == F.col("n")) & (F.col("n") > 1)).select(
+        key_col, F.lit(k).cast("int").alias("bucket"),
+        "event_id", "us", "y_e3", F.lit(None).cast("long").alias("area"),
+    )
+    return picks.unionByName(first).unionByName(last)

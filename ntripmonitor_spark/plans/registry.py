@@ -151,6 +151,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "in06_prefix_probe",
         "in07_tfidf_cosine",
         "in08_fuzzy_probe",
+        "in09_maxscore_bound",
         "kl01_source_divergence",
         "ks01_source_drift",
         "lo01_zorder_code",
@@ -268,6 +269,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "ts02_ohlc_downsample",
         "ts03_twap_locf",
         "ts05_downsample_extremes",
+        "ts07_lttb_downsample",
         "ts06_gapfill_interpolate",
         "tx01_language_id",
         "tx02_quality_score",

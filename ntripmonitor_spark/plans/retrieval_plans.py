@@ -648,3 +648,62 @@ def rc03_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised; rides the same filtered posting scan shape as bm01;
     O(queries x k) rows past it; the reciprocal is quantized portably."""
     return retrieval.mrr_eval(table(spark, sf_dir, "documents"), MRR_QUERIES, k=10)
+
+
+@register(
+    "in09_maxscore_bound",
+    tags=("retrieval",),
+    oracle=f"""
+WITH {_TOKS_CTE},
+dt AS (
+    SELECT doc_id, tok AS term, count(*) AS tf
+    FROM t, unnest(toks) AS u(tok)
+    GROUP BY 1, 2
+),
+dfd AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs FROM documents),
+tw AS (
+    SELECT doc_id, term,
+           (1.0 + ln(CAST(tf AS DOUBLE))) * {_IN07_IDF} AS w_td,
+           {_IN07_IDF} AS idf
+    FROM dt JOIN dfd USING (term) CROSS JOIN stats
+    WHERE term IN ({_Q_TERMS})
+),
+c AS (SELECT doc_id, term, {quantize_sql('w_td * idf', 6)} AS c_ppm FROM tw),
+ub AS (SELECT term, max(c_ppm) AS ub_ppm FROM c GROUP BY 1),
+q(query_id, term) AS (VALUES {_Q_VALUES}),
+th AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(ub_ppm) AS BIGINT) AS theta_ppm
+    FROM q JOIN ub USING (term) GROUP BY 1
+),
+cand AS (
+    SELECT q.query_id, c.doc_id,
+           CAST(sum(c.c_ppm) AS BIGINT) AS score_ppm,
+           CAST(sum(ub.ub_ppm) AS BIGINT) AS bound_ppm
+    FROM c JOIN q USING (term) JOIN ub USING (term)
+    GROUP BY 1, 2
+),
+t1 AS (SELECT query_id, max(score_ppm) AS top1_ppm FROM cand GROUP BY 1)
+SELECT th.query_id, th.n_terms,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       th.theta_ppm,
+       CAST(t1.top1_ppm AS BIGINT) AS top1_ppm,
+       CAST(sum(CASE WHEN cand.bound_ppm < t1.top1_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_prunable
+FROM th JOIN t1 USING (query_id) JOIN cand USING (query_id)
+GROUP BY 1, 2, 4, 5
+""",
+)
+def in09_maxscore_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxScore/WAND pruning audit per BM25 query: per-term max
+    single-doc contribution, the summed theta ceiling, the true top-1
+    additive tf-idf score, and the count of candidates whose
+    matched-term bound sum can never beat it — exactly the documents a
+    bound-skipping traversal never scores. Certifies (or refutes) that
+    the index is upper-bound-skippable before deploying WAND at scale.
+    Contributions quantize to integer millionths once; every maximum,
+    sum and count after that is exact BIGINT arithmetic. Query-term
+    postings only past the amortizable df build (the in07 shape)."""
+    return retrieval.maxscore_bound(
+        table(spark, sf_dir, "documents"), BM25_QUERIES
+    )

@@ -737,3 +737,59 @@ def an12_period_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     millionths (functions/portable.py). One corpus daily aggregate +
     a |types|-row reduction."""
     return timeseries.period_power(table(spark, sf_dir, "events"))
+
+
+from ntripmonitor_spark.functions.portable import idiv_sql  # noqa: E402
+
+
+@register(
+    "ts07_lttb_downsample",
+    tags=("timeseries",),
+    oracle=f"""
+WITH base AS (
+    SELECT event_type, event_id, epoch_us(ts) AS us,
+           {quantize_sql('value', 3)} AS y_e3
+    FROM events
+),
+st AS (
+    SELECT event_type, event_id, us, y_e3,
+           row_number() OVER w AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n,
+           lag(us) OVER w AS xp,
+           lag(y_e3) OVER w AS yp,
+           lead(us) OVER w AS xn,
+           lead(y_e3) OVER w AS yn
+    FROM base
+    WINDOW w AS (PARTITION BY event_type ORDER BY us ASC, event_id ASC)
+),
+i AS (
+    SELECT event_type, event_id, us, y_e3,
+           CAST({idiv_sql('(rn - 1) * 20', 'n')} AS INT) AS bucket,
+           abs((xp - xn) * (y_e3 - yp) - (xp - us) * (yn - yp)) AS area
+    FROM st WHERE rn > 1 AND rn < n
+)
+SELECT event_type, bucket, event_id, us, y_e3, CAST(area AS BIGINT) AS area
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+              ORDER BY area DESC, event_id ASC) AS rk
+    FROM i
+) WHERE rk = 1
+UNION ALL
+SELECT event_type, CAST(-1 AS INT), event_id, us, y_e3, CAST(NULL AS BIGINT)
+FROM st WHERE rn = 1
+UNION ALL
+SELECT event_type, CAST(20 AS INT), event_id, us, y_e3, CAST(NULL AS BIGINT)
+FROM st WHERE rn = n AND n > 1
+""",
+)
+def ts07_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle (one-bucket / LTOB) downsampling of each event
+    type's series to ~22 shape-preserving points — what a dashboard
+    renders instead of shipping every raw point of a 100 TB series.
+    Equal-count buckets by pure integer division, triangle areas in
+    pure BIGINT arithmetic (x = epoch microseconds exactly; y quantized
+    ONCE to integer milli-units — no floating-point chain anywhere),
+    argmax per bucket on the integer area with id tie-break, endpoints
+    always kept. One key-ordered window exchange (rank + lag/lead fuse
+    into one Window spec), then a bounded (keys x buckets) argmax."""
+    return timeseries.lttb_downsample(table(spark, sf_dir, "events"), k=20)

@@ -79,6 +79,125 @@ def test_sp13_partitioning_invariance(spark):
 
 
 # ---------------------------------------------------------------------------
+# in09 — MaxScore/WAND bound invariants
+# ---------------------------------------------------------------------------
+
+
+def test_in09_bound_dominates_scores(spark):
+    """theta >= top1 (the ceiling property), and the top-1 doc itself
+    is never prunable, so n_prunable < n_candidates."""
+    from ntripmonitor_spark.plans import REGISTRY
+
+    rows = REGISTRY["in09_maxscore_bound"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["theta_ppm"] >= r["top1_ppm"]
+        assert 0 <= r["n_prunable"] < r["n_candidates"]
+
+
+def test_in09_prunable_matches_exhaustive(spark):
+    """The prunable count equals the brute-force recount: docs whose
+    matched-term upper-bound sum is strictly below the true top-1."""
+    from ntripmonitor_spark.operators.retrieval import doc_terms, maxscore_bound
+    from ntripmonitor_spark.plans.retrieval_plans import BM25_QUERIES
+    from ntripmonitor_spark.tables import table
+
+    docs = table(spark, SF, "documents")
+    got = {r["query_id"]: r for r in maxscore_bound(docs, BM25_QUERIES).collect()}
+
+    # brute-force in python over the same quantized contributions
+    terms = doc_terms(docs).collect()
+    n_docs = docs.count()
+    df: dict[str, int] = {}
+    for t in terms:
+        df[t["term"]] = df.get(t["term"], 0) + 1
+    allq = {t for _, ts in BM25_QUERIES for t in ts}
+    c = {}
+    for t in terms:
+        if t["term"] in allq:
+            idf = math.log(1.0 + n_docs / df[t["term"]])
+            w = (1.0 + math.log(t["tf"])) * idf
+            c[(t["doc_id"], t["term"])] = math.floor(w * idf * 1e6 + 0.5)
+    ub: dict[str, int] = {}
+    for (_, term), v in c.items():
+        ub[term] = max(ub.get(term, -1), v)
+    for qid, qts in BM25_QUERIES:
+        present = [t for t in qts if t in ub]
+        scores: dict[int, int] = {}
+        bounds: dict[int, int] = {}
+        for (doc, term), v in c.items():
+            if term in present:
+                scores[doc] = scores.get(doc, 0) + v
+                bounds[doc] = bounds.get(doc, 0) + ub[term]
+        top1 = max(scores.values())
+        r = got[qid]
+        assert r["n_terms"] == len(present)
+        assert r["theta_ppm"] == sum(ub[t] for t in present)
+        assert r["top1_ppm"] == top1
+        assert r["n_candidates"] == len(scores)
+        assert r["n_prunable"] == sum(1 for d, b in bounds.items() if b < top1)
+
+
+# ---------------------------------------------------------------------------
+# ts07 — LTOB downsample invariants
+# ---------------------------------------------------------------------------
+
+
+def test_ts07_output_shape_and_endpoints(spark):
+    """Per key: at most k+2 points, endpoints present with NULL area,
+    one pick per populated interior bucket."""
+    from ntripmonitor_spark.plans import REGISTRY
+
+    rows = REGISTRY["ts07_lttb_downsample"].fn(spark, SF).collect()
+    by_key: dict[str, list] = {}
+    for r in rows:
+        by_key.setdefault(r["event_type"], []).append(r)
+    assert by_key
+    for key, rs in by_key.items():
+        buckets = [r["bucket"] for r in rs]
+        assert len(buckets) == len(set(buckets)), f"{key}: duplicate bucket pick"
+        assert -1 in buckets and 20 in buckets, f"{key}: endpoints missing"
+        assert len(rs) <= 22
+        for r in rs:
+            if r["bucket"] in (-1, 20):
+                assert r["area"] is None
+            else:
+                assert r["area"] is not None and r["area"] >= 0
+
+
+def test_ts07_picks_max_area_point(spark):
+    """Hand-built series: a spike mid-bucket must be the selected
+    point of its bucket (largest triangle), endpoints always kept."""
+    import datetime as dt
+
+    from ntripmonitor_spark.operators.timeseries import lttb_downsample
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    for i in range(40):
+        v = 100.0 if i == 17 else 1.0 + (i % 3) * 0.1
+        rows.append((i, t0 + dt.timedelta(seconds=i), "k", v))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = lttb_downsample(events, k=4)
+    picked = {r["bucket"]: r["event_id"] for r in out.collect()}
+    # i=17 -> rn=18 -> bucket (18-1)*4 div 40 = 1
+    assert picked[1] == 17
+    assert picked[-1] == 0 and picked[4] == 39
+
+
+def test_ts07_partitioning_invariance(spark):
+    from ntripmonitor_spark.operators.timeseries import lttb_downsample
+    from ntripmonitor_spark.tables import table
+
+    ev = table(spark, SF, "events")
+    a = sorted(map(tuple, lttb_downsample(ev).collect()))
+    b = sorted(map(tuple, lttb_downsample(ev.repartition(13)).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
 # probe matrix — structural guarantees
 # ---------------------------------------------------------------------------
 
