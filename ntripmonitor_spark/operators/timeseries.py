@@ -1092,25 +1092,22 @@ def lttb_downsample(events: DataFrame, k: int = 20,
     bucket = F.call_function(
         "div", (F.col("rn") - 1).cast("long") * k, F.col("n").cast("long")
     ).cast("int")
-    interior = staged.filter((F.col("rn") > 1) & (F.col("rn") < F.col("n"))).select(
+    # single pass: endpoints ride as sentinel buckets -1 / k (alone in
+    # their bucket, NULL area) instead of union branches that would
+    # re-scan the series three times at 100 TB
+    tagged = staged.select(
         key_col, "event_id", "us", "y_e3",
-        bucket.alias("bucket"),
-        area.alias("area"),
+        F.when(F.col("rn") == 1, F.lit(-1))
+        .when(F.col("rn") == F.col("n"), F.lit(k))
+        .otherwise(bucket).cast("int").alias("bucket"),
+        F.when((F.col("rn") > 1) & (F.col("rn") < F.col("n")), area)
+        .alias("area"),
     )
     rw = Window.partitionBy(key_col, "bucket").orderBy(
         F.col("area").desc(), F.col("event_id").asc()
     )
-    picks = (
-        interior.withColumn("_rk", F.row_number().over(rw))
+    return (
+        tagged.withColumn("_rk", F.row_number().over(rw))
         .filter(F.col("_rk") == 1)
         .select(key_col, "bucket", "event_id", "us", "y_e3", "area")
     )
-    first = staged.filter(F.col("rn") == 1).select(
-        key_col, F.lit(-1).cast("int").alias("bucket"),
-        "event_id", "us", "y_e3", F.lit(None).cast("long").alias("area"),
-    )
-    last = staged.filter((F.col("rn") == F.col("n")) & (F.col("n") > 1)).select(
-        key_col, F.lit(k).cast("int").alias("bucket"),
-        "event_id", "us", "y_e3", F.lit(None).cast("long").alias("area"),
-    )
-    return picks.unionByName(first).unionByName(last)

@@ -764,9 +764,12 @@ st AS (
 ),
 i AS (
     SELECT event_type, event_id, us, y_e3,
-           CAST({idiv_sql('(rn - 1) * 20', 'n')} AS INT) AS bucket,
-           abs((xp - xn) * (y_e3 - yp) - (xp - us) * (yn - yp)) AS area
-    FROM st WHERE rn > 1 AND rn < n
+           CAST(CASE WHEN rn = 1 THEN -1
+                     WHEN rn = n THEN 20
+                     ELSE {idiv_sql('(rn - 1) * 20', 'n')} END AS INT) AS bucket,
+           CASE WHEN rn > 1 AND rn < n
+                THEN abs((xp - xn) * (y_e3 - yp) - (xp - us) * (yn - yp)) END AS area
+    FROM st
 )
 SELECT event_type, bucket, event_id, us, y_e3, CAST(area AS BIGINT) AS area
 FROM (
@@ -774,12 +777,6 @@ FROM (
               ORDER BY area DESC, event_id ASC) AS rk
     FROM i
 ) WHERE rk = 1
-UNION ALL
-SELECT event_type, CAST(-1 AS INT), event_id, us, y_e3, CAST(NULL AS BIGINT)
-FROM st WHERE rn = 1
-UNION ALL
-SELECT event_type, CAST(20 AS INT), event_id, us, y_e3, CAST(NULL AS BIGINT)
-FROM st WHERE rn = n AND n > 1
 """,
 )
 def ts07_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -790,6 +787,8 @@ def ts07_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure BIGINT arithmetic (x = epoch microseconds exactly; y quantized
     ONCE to integer milli-units — no floating-point chain anywhere),
     argmax per bucket on the integer area with id tie-break, endpoints
-    always kept. One key-ordered window exchange (rank + lag/lead fuse
-    into one Window spec), then a bounded (keys x buckets) argmax."""
+    always kept as sentinel buckets -1/20 (alone in their bucket, NULL
+    area — one pass, no union branches re-scanning the series). One
+    key-ordered window exchange (rank + lag/lead fuse into one Window
+    spec), then a bounded (keys x buckets) argmax."""
     return timeseries.lttb_downsample(table(spark, sf_dir, "events"), k=20)

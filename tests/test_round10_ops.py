@@ -320,6 +320,38 @@ def test_pb13_f_milli_matches_tx19_rollup(spark):
         assert r["mean_flesch_e3"] == want_mean
 
 
+def test_pb10_histogram_state_is_mergeable(spark):
+    """The headline claim of the qa05 estimator: its integer bin-count
+    state merges across shards by ADDITION. Split events into three
+    disjoint batches, bin each on the (fixed) global grid, add the
+    count vectors — the sum must equal pb10's full-corpus state
+    exactly."""
+    from ntripmonitor_spark.plans import REGISTRY
+    from ntripmonitor_spark.tables import table
+
+    full = {(r["event_type"], r["b"]): r["n"]
+            for r in REGISTRY["pb10_qa05_bins"].fn(spark, SF).collect()}
+
+    ev = table(spark, SF, "events").filter(F.col("value").isNotNull())
+    ext = ev.agg(
+        F.min(F.col("value").cast("double")).alias("vmin"),
+        F.max(F.col("value").cast("double")).alias("vmax"),
+    ).collect()[0]
+    vmin, vmax = ext["vmin"], ext["vmax"]
+    w = (vmax - vmin) / 128.0
+    merged: dict[tuple, int] = {}
+    for i in range(3):
+        batch = ev.filter(F.col("event_id") % 3 == i)
+        b = F.least(
+            F.floor((F.col("value").cast("double") - F.lit(vmin)) / F.lit(w)).cast("int"),
+            F.lit(127),
+        )
+        for r in batch.groupBy("event_type", b.alias("b")).count().collect():
+            k = (r["event_type"], r["b"])
+            merged[k] = merged.get(k, 0) + r["count"]
+    assert merged == full
+
+
 # ---------------------------------------------------------------------------
 # exact-rational emission — the tie class that broke tx19/sp10
 # ---------------------------------------------------------------------------
