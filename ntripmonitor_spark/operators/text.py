@@ -478,13 +478,16 @@ def gopher_rules(docs: DataFrame,
                  min_mean_len: float = 3.9, max_mean_len: float = 5.0,
                  max_symbol_ratio: float = 0.1,
                  min_alpha_word_ratio: float = 0.8,
-                 min_stop_hits: int = 2) -> DataFrame:
+                 min_stop_hits: int = 2,
+                 keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Rule-based quality gate: per-document word count, mean word
     length, symbol-to-word ratio, alpha-word fraction and stopword
     presence, each as a boolean flag plus the conjunction (``keep``).
     Pure column expressions over one scan — zero exchanges, and the
     flags are reusable as scan predicates by any downstream funnel
-    (same discipline as cu01's gate).
+    (same discipline as cu01's gate). ``keep_cols`` threads extra
+    input columns through for consumers (cu09's bias audit) — empty by
+    default, so tx11's emitted plan is unchanged.
     """
     text = F.lower(F.col("text"))
     words = normalized_words(text)
@@ -506,6 +509,7 @@ def gopher_rules(docs: DataFrame,
     stop_ok = stop_hits >= min_stop_hits
     return docs.select(
         "doc_id",
+        *[F.col(c) for c in keep_cols],
         n_words.alias("n_words"),
         F.round(mean_len, 6).alias("mean_word_len"),
         F.round(symbol_ratio, 6).alias("symbol_ratio"),
@@ -517,6 +521,60 @@ def gopher_rules(docs: DataFrame,
         alpha_ok.alias("alpha_ok"),
         stop_ok.alias("stop_ok"),
         (wc_ok & ml_ok & sym_ok & alpha_ok & stop_ok).alias("keep"),
+    )
+
+
+def selection_bias(docs: DataFrame, group_col: str = "source",
+                   size_col: str = "n_chars") -> DataFrame:
+    """Selection-bias audit of the Gopher quality gate — the report
+    that answers "what does my filter throw away?" per source BEFORE a
+    100 TB filtering run commits: kept/dropped counts and character
+    mass, kept/dropped mean lengths, and the length-bias ratio
+    mean_kept/mean_dropped. A bias far from 1 means the gate is a
+    covert length filter for that source and the mixture weights
+    computed downstream (mx02/mx03) are silently re-weighted.
+
+    A NULL gate verdict (empty doc — the mean-length flag is NULL)
+    counts as DROPPED via coalesce, so kept + dropped == total docs.
+
+    All emission is exact BIGINT: counts and sums directly, means as
+    integer-rational round-half-up, and the bias ratio cross-multiplied
+    into a single rational rh(chars_kept*n_dropped*10^6,
+    chars_dropped*n_kept) — no double division anywhere (the gate's
+    own double comparisons are tx11's, long driver-green).
+
+    Shape: the gate is pure column expressions fused into the scan;
+    one map-side-combined |sources|-row aggregate — one exchange total.
+    """
+    from ntripmonitor_spark.functions.portable import rational_rh
+
+    flags = gopher_rules(docs, keep_cols=(group_col, size_col))
+    kp = F.coalesce(F.col("keep"), F.lit(False))
+    agg = flags.groupBy(group_col).agg(
+        F.sum(kp.cast("int")).alias("n_kept"),
+        F.sum((~kp).cast("int")).alias("n_dropped"),
+        F.sum(F.when(kp, F.col(size_col).cast("long")).otherwise(F.lit(0)))
+        .alias("chars_kept"),
+        F.sum(F.when(kp, F.lit(0)).otherwise(F.col(size_col).cast("long")))
+        .alias("chars_dropped"),
+    )
+    return agg.select(
+        group_col, "n_kept", "n_dropped", "chars_kept", "chars_dropped",
+        F.when(
+            F.col("n_kept") > 0,
+            rational_rh(F.col("chars_kept") * F.lit(1000), F.col("n_kept")),
+        ).alias("mean_chars_kept_e3"),
+        F.when(
+            F.col("n_dropped") > 0,
+            rational_rh(F.col("chars_dropped") * F.lit(1000), F.col("n_dropped")),
+        ).alias("mean_chars_dropped_e3"),
+        F.when(
+            (F.col("n_kept") > 0) & (F.col("chars_dropped") > 0),
+            rational_rh(
+                F.col("chars_kept") * F.col("n_dropped") * F.lit(1000000),
+                F.col("chars_dropped") * F.col("n_kept"),
+            ),
+        ).alias("len_bias_ppm"),
     )
 
 

@@ -7707,6 +7707,68 @@ def cu08_quality_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.quality_dup_matrix(table(spark, sf_dir, "documents"))
 
 
+@register(
+    "cu09_selection_bias",
+    tags=("curation", "quality"),
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, source, n_chars, lower(text) AS lt,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+m AS (
+    SELECT source, n_chars,
+           len(ws) AS n_words,
+           CASE WHEN len(ws) > 0 THEN
+               list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws) END AS mwl,
+           CASE WHEN len(ws) > 0 THEN
+               length(regexp_replace(lt, '[a-z0-9 ]', '', 'g'))::DOUBLE / len(ws) END AS sym,
+           CASE WHEN len(ws) > 0 THEN
+               len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(ws) END AS alp,
+           len(list_filter(ws, x -> list_contains({_GOPHER_SW}, x))) AS stop_hits
+    FROM w
+),
+k AS (
+    SELECT source, n_chars,
+           coalesce((n_words BETWEEN 20 AND 80) AND mwl >= 3.9 AND mwl <= 5.0
+               AND sym <= 0.1 AND alp >= 0.8 AND stop_hits >= 2, false) AS kp
+    FROM m
+),
+a AS (
+    SELECT source,
+           CAST(sum(CASE WHEN kp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN kp THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN kp THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+           CAST(sum(CASE WHEN kp THEN 0 ELSE n_chars END) AS BIGINT) AS chars_dropped
+    FROM k GROUP BY source
+)
+SELECT source, n_kept, n_dropped, chars_kept, chars_dropped,
+       CASE WHEN n_kept > 0 THEN
+           {rational_rh_sql('chars_kept * 1000', 'n_kept')} END AS mean_chars_kept_e3,
+       CASE WHEN n_dropped > 0 THEN
+           {rational_rh_sql('chars_dropped * 1000', 'n_dropped')} END AS mean_chars_dropped_e3,
+       CASE WHEN n_kept > 0 AND chars_dropped > 0 THEN
+           {rational_rh_sql('chars_kept * n_dropped * 1000000',
+                            'chars_dropped * n_kept')}
+       END AS len_bias_ppm
+FROM a
+""",
+)
+def cu09_selection_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-bias audit of the Gopher gate per source: kept/dropped
+    counts + character mass, kept/dropped mean lengths, and the
+    length-bias ratio mean_kept/mean_dropped — the "what does my filter
+    throw away" report run BEFORE a 100 TB filtering pass commits
+    (a bias far from 1 means the gate is a covert length filter that
+    silently re-weights the downstream mixture). NULL gate verdicts
+    (empty docs) count as dropped, so kept + dropped == total docs.
+    The gate fuses into the scan; ONE |sources|-row aggregate follows;
+    every emitted number is exact BIGINT (counts, sums, integer-
+    rational means, and the bias cross-multiplied into a single
+    rational — no double division anywhere)."""
+    return text.selection_bias(table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # dc04 — FUZZY decontamination (MinHash-LSH vs the eval set) + tp08 padding.
 # ---------------------------------------------------------------------------

@@ -95,6 +95,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "cu03_full_pipeline",
         "cu06_threshold_sweep",
         "cu07_gate_ablation",
+        "cu09_selection_bias",
         "dc01_decontamination",
         "dc02_decontamination_bloom",
         "dc03_thirteen_gram",

@@ -79,6 +79,72 @@ def test_sp13_partitioning_invariance(spark):
 
 
 # ---------------------------------------------------------------------------
+# cu09 — selection-bias audit invariants
+# ---------------------------------------------------------------------------
+
+
+def test_cu09_partitions_the_corpus(spark):
+    """kept + dropped == total docs per source (NULL gate verdicts
+    count as dropped), and chars partition likewise."""
+    from ntripmonitor_spark.plans import REGISTRY
+    from ntripmonitor_spark.tables import table
+
+    docs = table(spark, SF, "documents")
+    totals = {r["source"]: (r["n"], r["c"]) for r in
+              docs.groupBy("source").agg(
+                  F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("c")
+              ).collect()}
+    rows = REGISTRY["cu09_selection_bias"].fn(spark, SF).collect()
+    assert {r["source"] for r in rows} == set(totals)
+    for r in rows:
+        n, c = totals[r["source"]]
+        assert r["n_kept"] + r["n_dropped"] == n
+        assert r["chars_kept"] + r["chars_dropped"] == c
+
+
+def test_cu09_bias_is_cross_multiplied_mean_ratio(spark):
+    """len_bias_ppm equals round-half-up of the exact rational
+    (chars_kept/n_kept) / (chars_dropped/n_dropped) in millionths."""
+    from ntripmonitor_spark.plans import REGISTRY
+
+    for r in REGISTRY["cu09_selection_bias"].fn(spark, SF).collect():
+        if r["n_kept"] > 0 and r["chars_dropped"] > 0:
+            want = math.floor(
+                Fraction(r["chars_kept"] * r["n_dropped"] * 10 ** 6,
+                         r["chars_dropped"] * r["n_kept"]) + Fraction(1, 2)
+            )
+            assert r["len_bias_ppm"] == want
+        else:
+            assert r["len_bias_ppm"] is None
+
+
+def test_cu09_planted_length_bias(spark):
+    """A source whose gate-passing docs are systematically longer must
+    show bias > 1e6; the gate verdicts come from the real gopher gate
+    (long gibberish docs fail the stopword rule, keepers pass)."""
+    from ntripmonitor_spark.operators.text import selection_bias
+
+    def keeper(i, n_words):
+        # gate-passing: 20-80 words, mean word len in [3.9, 5] (57x
+        # 4-char fillers + the/of/and = 3.93), stopword hits >= 2
+        words = ["the", "of", "and"] + ["abcd"] * (n_words - 3)
+        return (i, " ".join(words), "s", len(" ".join(words)))
+
+    def reject(i, n_words):
+        # no stopwords -> stop_ok fails regardless of length
+        words = [f"zzzz{j}" for j in range(n_words)]
+        return (i, " ".join(words), "s", len(" ".join(words)))
+
+    rows = [keeper(i, 60) for i in range(5)] + [reject(100 + i, 10) for i in range(5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    out = selection_bias(docs).collect()[0]
+    assert out["n_kept"] == 5 and out["n_dropped"] == 5
+    assert out["len_bias_ppm"] > 10 ** 6  # keepers are longer
+
+
+# ---------------------------------------------------------------------------
 # in09 — MaxScore/WAND bound invariants
 # ---------------------------------------------------------------------------
 
