@@ -125,7 +125,9 @@ for n in ['sn01_user_sessions', 'aj01_asof_join', 'ts01_gap_fill',
           # round-7 waves 6-11: hourly/daily-bucket epoch arithmetic
           # and the RANGE frame over epoch microseconds
           'an06_cusum_shift', 'an08_autocorrelation', 'an09_theil_sen',
-          'fn08_rolling_dau', 'q30_range_frame']:
+          'fn08_rolling_dau', 'q30_range_frame',
+          # round-10: LTOB x-coordinates are epoch microseconds
+          'ts07_lttb_downsample']:
     e = n if n in qs else f'x_{n}'  # canonical name may be rotated out
     ok, msg = compare_query(spark, sf, n, qs[e], osql[e])
     assert ok, f'{n}: {msg[:500]}'
