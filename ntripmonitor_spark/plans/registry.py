@@ -295,16 +295,22 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
 )
 
 
-# Queries whose PLAN changed in round 9 AFTER their last green driver
+# Queries whose PLAN changed in round 10 AFTER their last green driver
 # row — pass to tools/propose_rotation.py --changed when cutting the
-# round-10 window. Empty by construction: every round-9 code change
-# (the BIGINT emission conversion and the dq04 libm removal) touched
-# only queries that are IN the round-9 window (error-latest or
-# never-checked), so they all get fresh rows this round; of the six
-# new round-9 registrations, the five operator registrations (cu08,
-# dc04, qa06, tp08, tx21) are never-checked and queue under that
-# (higher) priority for round 10, while dq08_decimal_canary is already
-# in-window as the deliberate canary slot (ADVICE r9 wording fix).
+# round-11 window. Empty by construction: the round-10 emission
+# conversion (rational_rh) touched only the in-window red-latest
+# queries (dq03/sp12/mx02/sp10/tx19) and in-window never-checked tp08;
+# the qa05 leg refactor and the gopher_rules keep_cols parameter are
+# plan-identical for their green consumers (tx11's emitted plan is
+# unchanged — parity re-verified); and the five round-10 registrations
+# (sp13, mx03, in09, ts07, cu09) are never-checked and queue under
+# that (higher) priority instead.
+CHANGED_SINCE_GREEN_R10: frozenset[str] = frozenset()
+
+
+# CONSUMED (historical): round 9's ledger — empty by construction;
+# every round-9 change landed on in-window queries. Kept for the
+# audit trail only.
 CHANGED_SINCE_GREEN_R9: frozenset[str] = frozenset()
 
 
