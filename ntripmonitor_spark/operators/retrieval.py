@@ -620,6 +620,10 @@ def maxscore_bound(docs: DataFrame, queries: list[tuple[int, list[str]]]) -> Dat
     )
     w_td = (F.lit(1.0) + F.log(F.col("tf").cast("double"))) * idf
     all_terms = sorted({t for _, ts in queries for t in ts})
+    # persisted: the query-term contribution relation is bounded by the
+    # query terms' postings, and three legs (ub, cand, th via ub) read
+    # it — without the persist each leg replans the corpus scan (the
+    # plan audit showed 15 scans; with it the corpus is read once)
     c = (
         terms.filter(F.col("term").isin(all_terms))
         .join(dfd, "term")
@@ -628,6 +632,7 @@ def maxscore_bound(docs: DataFrame, queries: list[tuple[int, list[str]]]) -> Dat
             "doc_id", "term",
             quantize(w_td * idf, 6).alias("c_ppm"),
         )
+        .persist()
     )
     ub = c.groupBy("term").agg(F.max("c_ppm").alias("ub_ppm"))
     qdf = spark.createDataFrame(
