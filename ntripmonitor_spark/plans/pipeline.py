@@ -4929,7 +4929,7 @@ agg AS (
 )
 SELECT s.source, s.n_orig,
        coalesce(agg.n_kept, 0) AS n_kept,
-       coalesce(agg.chars_kept, 0) AS chars_kept,
+       CAST(coalesce(agg.chars_kept, 0) AS BIGINT) AS chars_kept,
        CAST(coalesce(agg.ht_ppm, 0) AS BIGINT) AS ht_n_docs_ppm
 FROM (SELECT source, count(*) AS n_orig FROM staged GROUP BY source) s
 LEFT JOIN agg USING (source)
@@ -5059,7 +5059,7 @@ WITH s AS (
     FROM documents GROUP BY source
 ),
 t AS (SELECT sum(sq_e3) AS z_e3, sum(n_chars_total) AS total FROM s)
-SELECT source, n_chars_total,
+SELECT source, CAST(n_chars_total AS BIGINT) AS n_chars_total,
        {rational_rh_sql('sq_e3 * 1000000', 't.z_e3')} AS weight_ppm,
        {rational_rh_sql(_MX02_E_NUM, _MX02_E_DEN)} AS epochs_e4,
        CAST({rational_rh_sql(_MX02_E_NUM, _MX02_E_DEN)} > 10000 AS INT) AS needs_upsampling
@@ -5195,7 +5195,7 @@ per_part AS (
     FROM per_key GROUP BY 1
 ),
 t AS (SELECT sum(n_rows) AS total FROM per_part)
-SELECT partition_id, n_keys, n_rows, max_key_rows,
+SELECT partition_id, n_keys, CAST(n_rows AS BIGINT) AS n_rows, max_key_rows,
        {rational_rh_sql('n_rows * 1000000', 't.total')} AS row_share_ppm,
        {rational_rh_sql('n_rows * 320000', 't.total')} AS skew_vs_mean_e4
 FROM per_part CROSS JOIN t
@@ -5763,7 +5763,7 @@ def _qa05_oracle(qs=(0.5, 0.9, 0.99)) -> str:
     """Generate the DuckDB twin of stats.histogram_quantiles — every
     double chain in textually identical op order to the Spark side."""
     parts = [QA05_BASE_CTES]
-    sel = ["p50.g AS event_type", "p50.n_total AS n"]
+    sel = ["p50.g AS event_type", "CAST(p50.n_total AS BIGINT) AS n"]
     joins = []
     for q in qs:
         p = int(q * 100)
@@ -6629,7 +6629,7 @@ agg AS (
     FROM q
 )
 {" UNION ALL ".join(
-    f'''SELECT {t} AS threshold, d{i} AS docs_kept, k{i} AS tokens_kept,
+    f'''SELECT CAST({t} AS DOUBLE) AS threshold, d{i} AS docs_kept, k{i} AS tokens_kept,
        round(d{i} / CAST(total_docs AS DOUBLE), 6) AS doc_share,
        round(k{i} / CAST(total_toks AS DOUBLE), 6) AS token_share
 FROM agg''' for i, t in enumerate(_CU06_THRESHOLDS))}
@@ -7053,7 +7053,7 @@ a AS (
            sum(CASE WHEN (rn - 1) % {_SP12_K} = 0 THEN n_chars END) AS sz_kept
     FROM r GROUP BY source
 )
-SELECT source, n_frame, n_kept,
+SELECT source, n_frame, CAST(n_kept AS BIGINT) AS n_kept,
        {rational_rh_sql('sz_frame * 1000', 'n_frame')} AS mean_chars_frame_e3,
        {rational_rh_sql('sz_kept * 1000', 'n_kept')} AS mean_chars_kept_e3
 FROM a
@@ -7097,7 +7097,8 @@ a AS (
            sum(CASE WHEN rk <= 10 THEN n_chars END) AS chars_kept
     FROM r GROUP BY source
 )
-SELECT source, n_frame, n_kept, chars_kept,
+SELECT source, n_frame, CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(chars_kept AS BIGINT) AS chars_kept,
        {rational_rh_sql('sz_frame * 1000', 'n_frame')} AS mean_chars_frame_e3,
        {rational_rh_sql('chars_kept * 1000', 'n_kept')} AS mean_chars_kept_e3
 FROM a
@@ -7134,7 +7135,7 @@ lv AS (SELECT CAST(1000 - sum(base_batches) AS BIGINT) AS leftover FROM b),
 rk AS (
     SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rrank FROM b
 )
-SELECT source, chars AS n_chars_total,
+SELECT source, CAST(chars AS BIGINT) AS n_chars_total,
        CAST(base_batches AS BIGINT) AS base_batches,
        CAST(rrank AS INT) AS rem_rank,
        CAST(rrank <= lv.leftover AS INT) AS extra,
@@ -7207,7 +7208,8 @@ a AS (
            sum(CASE WHEN f_milli >= 60000 AND scored = 1 THEN 1 ELSE 0 END) AS n_easy
     FROM s GROUP BY source
 )
-SELECT source, n_docs, n_scored, n_easy,
+SELECT source, n_docs, CAST(n_scored AS BIGINT) AS n_scored,
+       CAST(n_easy AS BIGINT) AS n_easy,
        CASE WHEN n_scored > 0 THEN {rational_rh_sql('f_sum', 'n_scored')}
        END AS mean_flesch_e3
 FROM a

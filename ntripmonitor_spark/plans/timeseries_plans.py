@@ -749,7 +749,7 @@ from ntripmonitor_spark.functions.portable import idiv_sql  # noqa: E402
 WITH base AS (
     SELECT event_type, event_id, epoch_us(ts) AS us,
            {quantize_sql('value', 3)} AS y_e3
-    FROM events
+    FROM events WHERE value IS NOT NULL
 ),
 st AS (
     SELECT event_type, event_id, us, y_e3,
@@ -771,10 +771,11 @@ i AS (
                 THEN abs((xp - xn) * (y_e3 - yp) - (xp - us) * (yn - yp)) END AS area
     FROM st
 )
-SELECT event_type, bucket, event_id, us, y_e3, CAST(area AS BIGINT) AS area
+SELECT event_type, bucket, event_id, us, y_e3,
+       CAST(coalesce(area, -1) AS BIGINT) AS area
 FROM (
     SELECT *, row_number() OVER (PARTITION BY event_type, bucket
-              ORDER BY area DESC, event_id ASC) AS rk
+              ORDER BY area DESC NULLS LAST, event_id ASC) AS rk
     FROM i
 ) WHERE rk = 1
 """,

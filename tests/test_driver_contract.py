@@ -186,35 +186,36 @@ def test_concurrent_queries_one_session(spark):
     assert concurrent == serial
 
 
-def test_round10_driver_window_is_frozen():
+def test_round11_driver_window_is_frozen():
     """The driver grades the first 50 exposed names alphabetically; the
-    round-10 window was cut to bisect the stable-but-red class (7
-    red-latest re-proofs incl. the decimal canary + the 5 queued r9
-    registrations + the 16-probe attribution matrix + 22 stalest
-    greens) and must not shift under late registrations — new queries
-    go to DRIVER_ROTATED_OUT (x_ alias) until the round-11 rotation. A
+    round-11 window cashes in the round-10 root cause (6 re-cast
+    red-latest canonicals + the 5 queued r10 registrations + the 10
+    rt decode rows changed since their r7 green + 29 stalest r4
+    greens; the 16 pb probes and the dq08 canary are retired to x_
+    aliases) and must not shift under late registrations — new queries
+    go to DRIVER_ROTATED_OUT (x_ alias) until the round-12 rotation. A
     failure here means a registration displaced a frozen slot."""
     import __spark_entry__ as entry
 
     window = sorted(entry.queries())[:50]
     assert window == [
-        "aj03_asof_nearest", "an04_ewma_drift", "an05_seasonal_decompose",
-        "cu01_curation_funnel", "cu04_drop_reasons", "cu05_ccnet_buckets",
-        "cu08_quality_dup_matrix", "dc04_fuzzy_decontamination", "dd04_simhash",
-        "dp01_mean_drift", "dq03_key_skew_profile", "dq08_decimal_canary",
-        "mx02_mixture_epochs", "pb01_dq03_counts", "pb02_dq03_share_lit",
-        "pb03_dq03_share_join", "pb04_sp12_counts", "pb05_sp12_means",
-        "pb06_mx02_sqrt", "pb07_mx02_ratio", "pb08_const_values",
-        "pb09_nation_int", "pb10_qa05_bins", "pb11_qa05_exact",
-        "pb12_qa05_est", "pb13_tx19_docs", "pb14_sp10_docs",
-        "pb15_dq03_twin", "pb16_sp12_twin", "q10_predicates",
-        "q11_distinct", "q12_orderby_multi", "q14_coalesce_duration",
-        "q15_gap_spine", "q16_json_shred", "q17_latest_per_key",
-        "q18_array_agg", "q19_mjd_bucket", "q21_rollup_hierarchy",
-        "qa05_histogram_quantiles", "qa06_gate_agreement", "sk01_kmv_distinct",
-        "sp03_source_mixing", "sp10_pps_resample", "sp12_systematic",
-        "ss03_ann_lsh_multitable", "tp08_padding_waste", "tx07_unigram_surprisal",
-        "tx19_readability", "tx21_burstiness",
+        "cu09_selection_bias", "dq01_table_profile", "dq03_key_skew_profile",
+        "er01_name_matching", "er02_entity_clusters", "er03_blocking_profile",
+        "fn03_user_growth", "ig02_loss_aware_mix", "in02_phrase_search",
+        "in09_maxscore_bound", "kl01_source_divergence", "ks01_source_drift",
+        "mm06_phash_neardup", "mm07_patch_grid", "mm09_modality_census",
+        "mm10_byte_entropy", "mx02_mixture_epochs", "mx03_epoch_schedule",
+        "q23_value_deciles", "qa02_percentile_normalize", "qa03_robust_outliers",
+        "qa05_histogram_quantiles", "rj02_interval_overlap", "rt01_packages",
+        "rt02_observations", "rt03_coordinates", "rt04_text_messages",
+        "rt05_message_catalog", "rt06_msm46_observations", "rt07_all_constellations",
+        "rt08_legacy_observations", "rt09_decode_throughput", "rt10_msm123_observations",
+        "sj01_salted_distinct", "sj02_salted_join", "sk02_kmv_set_algebra",
+        "sn03_native_sessions", "sp06_token_budget", "sp07_epoch_order",
+        "sp10_pps_resample", "sp12_systematic", "sp13_weighted_reservoir",
+        "ss12_mips_topk", "ss13_sq8_recall", "st01_sourcetable",
+        "tp01_sequence_pack", "tp02_sorted_pack", "tp04_pack_utilization",
+        "ts07_lttb_downsample", "tx19_readability",
     ]
 
 

@@ -210,8 +210,11 @@ def test_in09_prunable_matches_exhaustive(spark):
 
 
 def test_ts07_output_shape_and_endpoints(spark):
-    """Per key: at most k+2 points, endpoints present with NULL area,
-    one pick per populated interior bucket."""
+    """Per key: at most k+2 points, endpoints present with the -1
+    sentinel area (round 11: NULL would make the BIGINT column widen
+    to float64 in a pandas fetch, truncating 17-digit areas past 2^53
+    — the fetchdf-leg corollary of the HUGEINT class), one pick per
+    populated interior bucket."""
     from ntripmonitor_spark.plans import REGISTRY
 
     rows = REGISTRY["ts07_lttb_downsample"].fn(spark, SF).collect()
@@ -226,7 +229,7 @@ def test_ts07_output_shape_and_endpoints(spark):
         assert len(rs) <= 22
         for r in rs:
             if r["bucket"] in (-1, 20):
-                assert r["area"] is None
+                assert r["area"] == -1
             else:
                 assert r["area"] is not None and r["area"] >= 0
 
