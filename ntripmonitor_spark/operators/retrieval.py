@@ -589,7 +589,8 @@ def mrr_eval(docs: DataFrame, queries: list[tuple[int, list[str]]],
     )
 
 
-def maxscore_bound(docs: DataFrame, queries: list[tuple[int, list[str]]]) -> DataFrame:
+def maxscore_bound(docs: DataFrame, queries: list[tuple[int, list[str]]],
+                   eager_release: bool = True) -> DataFrame:
     """MaxScore/WAND pruning audit per query — the report run before
     trusting upper-bound skipping at index scale: for each query term
     the maximum single-document contribution (its "max score"), the
@@ -682,6 +683,11 @@ def maxscore_bound(docs: DataFrame, queries: list[tuple[int, list[str]]]) -> Dat
     # bench sweep (round-10 ADVICE; the SCALE.md §8 sweep-inflation
     # failure mode). localCheckpoint would pin the result RDD in the
     # cache instead — same leak, smaller; this leaves cache state clean.
+    # eager_release=False keeps the full lazy plan (for .explain /
+    # tools/plan_audit.py) at the cost of the persisted relation
+    # living until the session drops it.
+    if not eager_release:
+        return out
     rows = out.collect()
     schema = out.schema
     c.unpersist()

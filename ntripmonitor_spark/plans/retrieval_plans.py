@@ -703,7 +703,12 @@ def in09_maxscore_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index is upper-bound-skippable before deploying WAND at scale.
     Contributions quantize to integer millionths once; every maximum,
     sum and count after that is exact BIGINT arithmetic. Query-term
-    postings only past the amortizable df build (the in07 shape)."""
+    postings only past the amortizable df build (the in07 shape).
+    The registered form materializes the bounded |queries|-row report
+    eagerly and releases the persisted contribution relation (round-10
+    ADVICE), so its audited plan is a LocalTableScan — audit the real
+    plan via maxscore_bound(..., eager_release=False); the shape
+    (≤2 bounded-key exchanges) is documented in SCALE.md §6t."""
     return retrieval.maxscore_bound(
         table(spark, sf_dir, "documents"), BM25_QUERIES
     )
