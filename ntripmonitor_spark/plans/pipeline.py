@@ -7882,3 +7882,378 @@ def tp08_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntripmonitor_spark.operators import sampling
 
     return sampling.padding_waste(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Round 11 — four planning/audit primitives for the training-data pipeline:
+# mx04 UniMax water-fill, qa08 calibration bins, sp15 Neyman allocation,
+# lo04 file-compaction plan. All are one corpus scan + bounded (|groups|-row)
+# reductions with pure-BIGINT emission; pre-rotated (x_ alias) until the
+# round-12 window cut.
+# ---------------------------------------------------------------------------
+
+_MX04_CAP = 4       # per-source epoch cap C (UniMax k)
+# budget B = 2 * total chars; caps h_i = C * chars_i, so sum(h) = 4*total >= B
+# and the ascending water-fill always terminates with 0 <= k < n capped.
+
+
+@register(
+    "mx04_unimax_waterfill",
+    tags=("sampling", "curation"),
+    oracle=f"""
+WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY source),
+t AS (SELECT CAST(2 * sum(chars) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS n FROM s),
+r AS (
+    SELECT source, chars, {_MX04_CAP} * chars AS h,
+           CAST(row_number() OVER w AS BIGINT) AS i,
+           CAST(sum({_MX04_CAP} * chars) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+    FROM s
+    WINDOW w AS (ORDER BY {_MX04_CAP} * chars ASC, source ASC)
+),
+kk AS (
+    SELECT coalesce(max(CASE WHEN p + h * (t.n - i) <= t.b THEN i END), 0) AS k,
+           coalesce(max(CASE WHEN p + h * (t.n - i) <= t.b THEN p END), 0) AS pk,
+           max(t.b) AS b, max(t.n) AS n
+    FROM r CROSS JOIN t
+),
+u AS (SELECT {idiv_sql('b - pk', 'n - k')} AS water FROM kk)
+SELECT source, chars AS n_chars_total, h AS cap_chars,
+       least(h, u.water) AS alloc_chars,
+       CAST(h <= u.water AS INT) AS capped,
+       {rational_rh_sql('least(h, u.water) * 10000', 'chars')} AS epochs_e4,
+       u.water AS water_chars
+FROM r CROSS JOIN u
+""",
+)
+def mx04_unimax_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style budget allocation (Chung et al. 2023): spread a
+    2x-corpus character budget as UNIFORMLY as possible across sources,
+    subject to a 4-epoch per-source cap — the anti-starvation
+    counterpart of mx02's proportional temperature flattening (which
+    lets giant sources dominate) and mx03's Hamilton apportionment
+    (which has no cap). Closed-form water-fill, not iteration: sort
+    caps h_i = 4*chars_i ascending, k = the (prefix-monotone) count of
+    sources whose cap sits below the water line via
+    p_k + h_k*(n-k) <= B, then water u = (B - p_k) div (n - k) and
+    alloc_i = min(h_i, u). Every number is exact BIGINT (the floor on
+    u under-spends at most n-k chars — a property test pins the
+    residual bound). Shape: one corpus aggregate, then windows and
+    joins over the |sources|-row relation only — the mx03 exchange
+    shape; nothing after the first aggregate scales with the corpus."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.sum(F.col("n_chars").cast("long")).alias("chars"))
+    t = s.agg(
+        (F.lit(2) * F.sum("chars")).cast("long").alias("b"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w = Window.orderBy((F.lit(_MX04_CAP) * F.col("chars")).asc(), F.col("source").asc())
+    r = s.select(
+        "source", "chars",
+        (F.lit(_MX04_CAP) * F.col("chars")).alias("h"),
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum(F.lit(_MX04_CAP) * F.col("chars"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("p"),
+    ).crossJoin(F.broadcast(t))
+    fits = F.col("p") + F.col("h") * (F.col("n") - F.col("i")) <= F.col("b")
+    kk = r.agg(
+        F.coalesce(F.max(F.when(fits, F.col("i"))), F.lit(0).cast("long")).alias("k"),
+        F.coalesce(F.max(F.when(fits, F.col("p"))), F.lit(0).cast("long")).alias("pk"),
+        F.max("b").alias("b"), F.max("n").alias("n"),
+    )
+    u = kk.select(
+        F.call_function("div", F.col("b") - F.col("pk"), F.col("n") - F.col("k"))
+        .alias("water")
+    )
+    alloc = F.least(F.col("h"), F.col("water"))
+    return r.crossJoin(F.broadcast(u)).select(
+        "source",
+        F.col("chars").alias("n_chars_total"),
+        F.col("h").alias("cap_chars"),
+        alloc.alias("alloc_chars"),
+        (F.col("h") <= F.col("water")).cast("int").alias("capped"),
+        rational_rh(alloc * F.lit(10000), F.col("chars")).alias("epochs_e4"),
+        F.col("water").alias("water_chars"),
+    )
+
+
+# qa08 — the RAW (unrounded) quality-score expression: quantized ONCE to
+# integer millionths on both engines (quantize of round() would inherit
+# round()'s cross-version instability — the an11 lesson), unlike cu06
+# which compares the 6-dp-rounded score against literal thresholds.
+_QA08_RAW_SQL = (
+    "0.4 * (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text))"
+    " + 0.3 * (1 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))"
+    " + 0.2 * (CAST(len(list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),"
+    " x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)"
+    " / len(list_filter(string_split(lower(text), ' '), x -> x <> '')))"
+    " + 0.1 * (1 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text))"
+)
+
+
+@register(
+    "qa08_calibration_bins",
+    tags=("quality", "stats"),
+    oracle=f"""
+WITH sm AS (
+    SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(*) AS BIGINT) AS n_src
+    FROM documents GROUP BY source
+),
+d AS (
+    SELECT {quantize_sql(_QA08_RAW_SQL, 6)} AS p_ppm,
+           CAST(CAST(n_chars AS BIGINT) * sm.n_src >= sm.sum_chars AS INT) AS y
+    FROM documents JOIN sm USING (source)
+    WHERE len(list_filter(string_split(lower(text), ' '), x -> x <> '')) > 0
+),
+ext AS (SELECT CAST(min(p_ppm) AS BIGINT) AS pmin, CAST(max(p_ppm) AS BIGINT) AS pmax FROM d),
+b AS (
+    SELECT least({idiv_sql('(p_ppm - ext.pmin) * 10', 'ext.pmax - ext.pmin + 1')}, 9) AS bin,
+           p_ppm, y
+    FROM d CROSS JOIN ext
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       {rational_rh_sql('sum(p_ppm)', 'count(*)')} AS mean_p_ppm,
+       {rational_rh_sql('sum(y) * 1000000', 'count(*)')} AS frac_pos_ppm,
+       abs({rational_rh_sql('sum(p_ppm)', 'count(*)')}
+           - {rational_rh_sql('sum(y) * 1000000', 'count(*)')}) AS gap_ppm
+FROM b GROUP BY 1
+""",
+)
+def qa08_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (calibration report) for the cheap quality
+    score used as a classifier — per score bin, the mean predicted
+    score vs the observed positive rate and their gap (whose n-weighted
+    sum is the expected calibration error a gate threshold should be
+    read against). Bins are ten equal-width slices of the OBSERVED
+    [min, max] score range (one-row broadcast extent, the qa05 grid
+    trick — no global sort, unlike equal-frequency deciles), because
+    absolute [0,1] deciles collapse this corpus's concentrated scores
+    into one bin. The deterministic stand-in label is
+    "document is at/above its source's mean length" (an exact BIGINT
+    comparison — no float, no RNG), which makes the report reproducible
+    and the MECHANICS the operator under test; swap the label column
+    for a real judgment table in production. The raw (unrounded) score
+    is quantized ONCE to integer millionths; bins, counts, means and
+    gaps are all exact BIGINT after that. Shape: one |sources|-row
+    aggregate broadcast back + one corpus scan into a 10-row
+    map-side-combined aggregate."""
+    from ntripmonitor_spark.operators.dedup import normalized_words
+    from ntripmonitor_spark.operators.text import LANG_STOPWORDS, stopword_count
+
+    docs = table(spark, sf_dir, "documents")
+    sm = docs.groupBy("source").agg(
+        F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+    )
+    text_col = F.col("text")
+    words = normalized_words(text_col)
+    n_chars = F.length(text_col)
+    raw = (
+        F.lit(0.4) * (F.length(F.regexp_replace(text_col, "[^a-z]", "")).cast("double") / n_chars)
+        + F.lit(0.3) * (F.lit(1) - F.length(F.regexp_replace(text_col, "[a-z0-9 ]", "")).cast("double") / n_chars)
+        + F.lit(0.2) * (stopword_count(words, LANG_STOPWORDS["en"]).cast("double") / F.size(words))
+        + F.lit(0.1) * (F.lit(1) - F.length(F.regexp_replace(text_col, "[^0-9]", "")).cast("double") / n_chars)
+    )
+    d = (
+        docs.join(F.broadcast(sm), "source")
+        .filter(F.size(normalized_words(text_col)) > 0)
+        .select(
+            quantize(raw, 6).alias("p_ppm"),
+            (F.col("n_chars").cast("long") * F.col("n_src") >= F.col("sum_chars"))
+            .cast("int").alias("y"),
+        )
+    )
+    ext = d.agg(
+        F.min("p_ppm").cast("long").alias("pmin"),
+        F.max("p_ppm").cast("long").alias("pmax"),
+    )
+    b = d.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.call_function(
+                "div",
+                (F.col("p_ppm") - F.col("pmin")) * F.lit(10),
+                F.col("pmax") - F.col("pmin") + F.lit(1),
+            ),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+        "p_ppm", "y",
+    )
+    mean_p = rational_rh(F.sum("p_ppm"), F.count(F.lit(1)))
+    frac = rational_rh(F.sum("y").cast("long") * F.lit(1000000), F.count(F.lit(1)))
+    return b.groupBy(F.col("bin").cast("int").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        mean_p.alias("mean_p_ppm"),
+        frac.alias("frac_pos_ppm"),
+        F.abs(mean_p - frac).alias("gap_ppm"),
+    )
+
+
+@register(
+    "sp15_neyman_allocation",
+    tags=("sampling", "stats"),
+    oracle=f"""
+WITH e AS (
+    SELECT event_type AS g, {quantize_sql('value', 3)} AS v_e3
+    FROM events WHERE value IS NOT NULL
+),
+m AS (
+    SELECT g, CAST(count(*) AS BIGINT) AS n, {rational_rh_sql('sum(v_e3)', 'count(*)')} AS m_e3
+    FROM e GROUP BY g
+),
+v AS (
+    SELECT e.g, m.n,
+           {rational_rh_sql('sum((v_e3 - m_e3) * (v_e3 - m_e3))', 'max(m.n)')} AS var_e6
+    FROM e JOIN m USING (g) GROUP BY e.g, m.n
+),
+sd AS (
+    SELECT g, n, {quantize_sql('sqrt(CAST(var_e6 AS DOUBLE))', 0)} AS s_e3 FROM v
+),
+wt AS (SELECT g, n, s_e3, n * s_e3 AS w FROM sd),
+tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw, CAST(sum(n) AS BIGINT) AS tn FROM wt),
+base AS (
+    SELECT g, n, s_e3, w,
+           {idiv_sql('w * 1000', 'tw.tw')} AS bney, (w * 1000) % tw.tw AS rney,
+           {idiv_sql('n * 1000', 'tw.tn')} AS bprop, (n * 1000) % tw.tn AS rprop
+    FROM wt CROSS JOIN tw
+),
+lv AS (
+    SELECT CAST(1000 - sum(bney) AS BIGINT) AS lftn,
+           CAST(1000 - sum(bprop) AS BIGINT) AS lftp
+    FROM base
+),
+rk AS (
+    SELECT *,
+           CAST(row_number() OVER (ORDER BY rney DESC, g ASC) AS BIGINT) AS kn,
+           CAST(row_number() OVER (ORDER BY rprop DESC, g ASC) AS BIGINT) AS kp
+    FROM base
+)
+SELECT g AS event_type, n AS n_rows, s_e3 AS sd_e3,
+       CAST(bprop + CAST(kp <= lv.lftp AS INT) AS BIGINT) AS n_prop,
+       CAST(bney + CAST(kn <= lv.lftn AS INT) AS BIGINT) AS n_neyman
+FROM rk CROSS JOIN lv
+""",
+)
+def sp15_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation of a 1000-row sample budget across
+    event-type strata (n_h proportional to N_h * S_h) next to the
+    proportional allocation sp01-style sampling implies — the sampling
+    DESIGN step run before drawing: high-variance strata earn more
+    rows, which proportional allocation leaves on the table. Variance
+    is computed CENTERED (mean first, then squared integer deviations)
+    so every sum stays far under 2^63 at any tested SF — the raw
+    sum-of-squares form overflows BIGINT at sf0.1. The only double op
+    is the correctly-rounded sqrt of an exact integer (quantized once);
+    both allocations are Hamilton largest-remainder (the mx03
+    discipline), so each sums to exactly 1000 (property-pinned). Shape:
+    two corpus aggregates (mean pass + deviation pass, the qa04
+    broadcast-back shape) into |types|-row windows."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(F.col("event_type").alias("g"), quantize(F.col("value"), 3).alias("v_e3"))
+    m = e.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        rational_rh(F.sum("v_e3"), F.count(F.lit(1))).alias("m_e3"),
+    )
+    dev = F.col("v_e3") - F.col("m_e3")
+    v = (
+        e.join(F.broadcast(m), "g")
+        .groupBy("g", "n")
+        .agg(rational_rh(F.sum(dev * dev), F.max("n")).alias("var_e6"))
+    )
+    sd = v.select(
+        "g", "n",
+        quantize(F.sqrt(F.col("var_e6").cast("double")), 0).alias("s_e3"),
+    )
+    wt = sd.select("g", "n", "s_e3", (F.col("n") * F.col("s_e3")).alias("w"))
+    tw = wt.agg(
+        F.sum("w").cast("long").alias("tw"), F.sum("n").cast("long").alias("tn")
+    )
+    base = wt.crossJoin(F.broadcast(tw)).select(
+        "g", "n", "s_e3", "w",
+        F.call_function("div", F.col("w") * F.lit(1000), F.col("tw")).alias("bney"),
+        F.pmod(F.col("w") * F.lit(1000), F.col("tw")).alias("rney"),
+        F.call_function("div", F.col("n") * F.lit(1000), F.col("tn")).alias("bprop"),
+        F.pmod(F.col("n") * F.lit(1000), F.col("tn")).alias("rprop"),
+    )
+    lv = base.agg(
+        (F.lit(1000) - F.sum("bney")).cast("long").alias("lftn"),
+        (F.lit(1000) - F.sum("bprop")).cast("long").alias("lftp"),
+    )
+    rk = base.select(
+        "*",
+        F.row_number().over(Window.orderBy(F.col("rney").desc(), F.col("g").asc()))
+        .cast("long").alias("kn"),
+        F.row_number().over(Window.orderBy(F.col("rprop").desc(), F.col("g").asc()))
+        .cast("long").alias("kp"),
+    )
+    return rk.crossJoin(F.broadcast(lv)).select(
+        F.col("g").alias("event_type"),
+        F.col("n").alias("n_rows"),
+        F.col("s_e3").alias("sd_e3"),
+        (F.col("bprop") + (F.col("kp") <= F.col("lftp")).cast("int")).cast("long").alias("n_prop"),
+        (F.col("bney") + (F.col("kn") <= F.col("lftn")).cast("int")).cast("long").alias("n_neyman"),
+    )
+
+
+_LO04_TARGET = 262144  # 256 KiB target file size at test SFs (128 MB in prod)
+
+
+@register(
+    "lo04_compaction_plan",
+    tags=("layout",),
+    oracle=f"""
+WITH d AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(coalesce(strlen(props), 0) + 64) AS BIGINT) AS est_bytes
+    FROM events GROUP BY 1
+),
+t AS (SELECT CAST(sum(est_bytes) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_days FROM d)
+SELECT day, n_rows, est_bytes,
+       {idiv_sql(f'est_bytes + {_LO04_TARGET - 1}', str(_LO04_TARGET))} AS n_files,
+       {idiv_sql(
+           'n_rows + ' + idiv_sql(f'est_bytes + {_LO04_TARGET - 1}', str(_LO04_TARGET)) + ' - 1',
+           idiv_sql(f'est_bytes + {_LO04_TARGET - 1}', str(_LO04_TARGET)))} AS rows_per_file,
+       CAST(est_bytes * t.n_days > 4 * t.total AS INT) AS skew_hot_day
+FROM d CROSS JOIN t
+""",
+)
+def lo04_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files/compaction plan for the event-time-partitioned
+    silver layout: per day-partition, estimated bytes (exact payload
+    octet lengths + a 64 B/row envelope), how many target-size files
+    the writer should coalesce to (ceil division — never 0), the
+    resulting rows-per-file, and a hot-partition flag (day holds >4x
+    the mean-day bytes — the repartition-before-write signal; zone-map
+    pruning in lo02 assumes day files of comparable size). Every
+    number is exact BIGINT; one map-side-combined day aggregate plus a
+    one-row total broadcast back. The 256 KiB target matches the test
+    SFs; production uses the same plan with a 128 MB target."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.coalesce(F.octet_length("props"), F.lit(0)) + F.lit(64))
+        .cast("long").alias("est_bytes"),
+    )
+    t = d.agg(
+        F.sum("est_bytes").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    n_files = F.call_function(
+        "div", F.col("est_bytes") + F.lit(_LO04_TARGET - 1), F.lit(_LO04_TARGET)
+    )
+    return d.crossJoin(F.broadcast(t)).select(
+        "day", "n_rows", "est_bytes",
+        n_files.alias("n_files"),
+        F.call_function("div", F.col("n_rows") + n_files - F.lit(1), n_files)
+        .alias("rows_per_file"),
+        (F.col("est_bytes") * F.col("n_days") > F.lit(4) * F.col("total"))
+        .cast("int").alias("skew_hot_day"),
+    )

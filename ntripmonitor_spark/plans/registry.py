@@ -158,6 +158,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "lo01_zorder_code",
         "lo02_pruning_stats",
         "lo03_layout_matrix",
+        "lo04_compaction_plan",
         "lr01_grouped_regression",
         "lr02_logreg_quality",
         "mk01_event_transitions",
@@ -173,6 +174,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "mm14_scene_change",
         "mm15_silence_runs",
         "mx01_source_overlap",
+        "mx04_unimax_waterfill",
         "pb01_dq03_counts",
         "pb02_dq03_share_lit",
         "pb03_dq03_share_join",
@@ -220,6 +222,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "q30_range_frame",
         "qa01_quantile_thresholds",
         "qa04_winsorized_mean",
+        "qa08_calibration_bins",
         "qa06_gate_agreement",
         "rc01_hybrid_rrf",
         "rc02_ndcg_eval",
@@ -242,6 +245,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "sp08_cluster_split",
         "sp09_cluster_split_lsh",
         "sp11_temporal_split",
+        "sp15_neyman_allocation",
         "ss01_knn_bruteforce",
         "ss02_ann_bucketed",
         "ss03_ann_lsh_multitable",
@@ -354,6 +358,7 @@ CHANGED_SINCE_GREEN_R8: frozenset[str] = frozenset(
         "gr02_dup_degree",
         "gr03_lsh_clusters",
         "mx01_source_overlap",
+        "mx04_unimax_waterfill",
         "mx03_epoch_schedule",
         "sp08_cluster_split",
         "sp09_cluster_split_lsh",

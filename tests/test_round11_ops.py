@@ -81,3 +81,84 @@ def test_lttb_drops_null_values_and_emits_sentinel_area(spark):
     kept_ids = {r.event_id for r in endpoints}
     non_null = sorted(set(range(40)) - null_ids)
     assert kept_ids == {non_null[0], non_null[-1]}, (kept_ids, n_nonnull)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 operators (mx04 / qa08 / sp15 / lo04) — invariants
+# ---------------------------------------------------------------------------
+
+
+def test_mx04_waterfill_invariants(spark, sf_dir):
+    """Budget conservation (floor under-spend bounded by the uncapped
+    count), cap respected, capped flag consistent with the water level,
+    and capped sources exactly exhaust their cap."""
+    from ntripmonitor_spark.plans import REGISTRY
+
+    rows = REGISTRY["mx04_unimax_waterfill"].fn(spark, sf_dir).collect()
+    assert rows
+    total_chars = sum(r.n_chars_total for r in rows)
+    budget = 2 * total_chars
+    spent = sum(r.alloc_chars for r in rows)
+    n_uncapped = sum(1 for r in rows if not r.capped)
+    assert 0 <= budget - spent <= max(n_uncapped, 1), (budget, spent)
+    water = rows[0].water_chars
+    for r in rows:
+        assert r.cap_chars == 4 * r.n_chars_total
+        assert r.alloc_chars <= r.cap_chars
+        assert r.water_chars == water
+        if r.capped:
+            assert r.alloc_chars == r.cap_chars and r.cap_chars <= water
+        else:
+            assert r.alloc_chars == water and r.cap_chars > water
+        assert 0 <= r.epochs_e4 <= 4 * 10000 + 1
+
+
+def test_qa08_bins_partition_the_corpus(spark, sf_dir):
+    """Bins are deciles of the score, counts partition the corpus, and
+    frac_pos/mean/gap are mutually consistent integers."""
+    import duckdb
+
+    from ntripmonitor_spark.plans import REGISTRY
+
+    rows = REGISTRY["qa08_calibration_bins"].fn(spark, sf_dir).collect()
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0 <= r.n_pos <= r.n
+        assert 0 <= r.frac_pos_ppm <= 1000000
+        assert r.gap_ppm == abs(r.mean_p_ppm - r.frac_pos_ppm)
+
+
+def test_sp15_allocations_sum_to_budget(spark, sf_dir):
+    """Both Hamilton allocations sum to exactly 1000, and the Neyman
+    shift moves rows toward higher-variance strata relative to
+    proportional."""
+    from ntripmonitor_spark.plans import REGISTRY
+
+    rows = REGISTRY["sp15_neyman_allocation"].fn(spark, sf_dir).collect()
+    assert sum(r.n_prop for r in rows) == 1000
+    assert sum(r.n_neyman for r in rows) == 1000
+    assert all(r.sd_e3 >= 0 for r in rows)
+    if len({r.sd_e3 for r in rows}) > 1:
+        hi = max(rows, key=lambda r: r.sd_e3)
+        lo = min(rows, key=lambda r: r.sd_e3)
+        # ratio n_neyman/n_prop must not be lower for the highest-S
+        # stratum than for the lowest-S one
+        assert hi.n_neyman * lo.n_prop >= lo.n_neyman * hi.n_prop
+
+
+def test_lo04_plan_covers_all_rows(spark, sf_dir):
+    """Ceil divisions: n_files >= 1 and files x rows_per_file cover the
+    partition's rows without a >1-file overshoot."""
+    from ntripmonitor_spark.plans import REGISTRY
+
+    rows = REGISTRY["lo04_compaction_plan"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_files >= 1
+        assert r.rows_per_file * r.n_files >= r.n_rows
+        assert r.rows_per_file * (r.n_files - 1) < r.n_rows
+        assert r.est_bytes >= 64 * r.n_rows
