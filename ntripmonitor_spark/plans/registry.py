@@ -367,6 +367,23 @@ CHANGED_SINCE_GREEN_R8: frozenset[str] = frozenset(
 )
 
 
+# PERMANENTLY RETIRED from driver grading (round 11): the 16-probe
+# attribution matrix and the DECIMAL canary. Their diagnostic job is
+# done (the round-10 rows located the HUGEINT/DECIMAL pandas-path
+# class; see plans/probes.py), their latest driver rows are red BY
+# DESIGN and will stay red forever since they no longer enter the
+# window — tools/propose_rotation.py must not surface them as
+# error-latest re-proof candidates. They stay registered and locally
+# parity-checked (dq08 on the fetchall leg only).
+DRIVER_RETIRED: frozenset[str] = frozenset(
+    {f"pb{i:02d}" for i in range(1, 17)} | {"dq08"}
+)
+
+
+def is_retired(name: str) -> bool:
+    return any(name.startswith(p) for p in DRIVER_RETIRED)
+
+
 def exposed_name(name: str) -> str:
     """Name under which the driver sees this query (see DRIVER_ROTATED_OUT)."""
     return f"x_{name}" if name in DRIVER_ROTATED_OUT else name

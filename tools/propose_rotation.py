@@ -48,7 +48,11 @@ def main() -> None:
             if is_green(row):
                 last_green[canon] = r
 
-    names = sorted(REGISTRY)
+    from ntripmonitor_spark.plans.registry import is_retired
+
+    # Retired diagnostics (probe matrix, DECIMAL canary) keep red
+    # latest rows BY DESIGN — never re-proof candidates.
+    names = sorted(n for n in REGISTRY if not is_retired(n))
     error_latest = [n for n in names if n in latest and not latest[n][1]]
     never = [n for n in names if n not in latest]
     stale = sorted(
