@@ -168,6 +168,10 @@ def main() -> None:
             _drain_dead_state()
             if python_stage[name]:
                 _warm_python_workers()
+            # fn() runs INSIDE the timed window deliberately: plans
+            # that execute eagerly at construction time (in09's
+            # maxscore_bound collects + unpersists in the builder,
+            # round-11 ADVICE) are fully charged, same as lazy plans.
             t0 = time.perf_counter()
             rows[name] = REGISTRY[name].fn(spark, sf_dir).count()
             best[name] = min(best[name], time.perf_counter() - t0)

@@ -1435,6 +1435,7 @@ def triangle_stats(lineitem: DataFrame, min_weight: int = 2,
         ).alias("clustering"),
     )
     topk = out.orderBy(F.col("n_tri").desc(), F.col("node").asc()).limit(k)
+    # GLOBAL-WINDOW-OK: runs over `topk`, already LIMITed to k rows.
     w = Window.orderBy(F.col("n_tri").desc(), F.col("node").asc())
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "rank", "node", "degree", "n_tri", "clustering"

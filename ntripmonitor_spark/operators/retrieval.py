@@ -380,6 +380,7 @@ def proximity_rank(docs: DataFrame, term_a: str, term_b: str,
         F.count_distinct("pos_b").alias("tf_b"),
     )
     topk = pairs.orderBy(F.col("min_dist").asc(), F.col("doc_id").asc()).limit(k)
+    # GLOBAL-WINDOW-OK: runs over `topk`, already LIMITed to k rows.
     w = Window.orderBy(F.col("min_dist").asc(), F.col("doc_id").asc())
     return (
         topk.withColumn("rank", F.row_number().over(w))
@@ -402,6 +403,7 @@ def prefix_probe(postings: DataFrame, prefix: str, k: int = 15) -> DataFrame:
         F.count_distinct("term").alias("n_terms"),
     )
     topk = g.orderBy(F.col("tf_prefix").desc(), F.col("doc_id").asc()).limit(k)
+    # GLOBAL-WINDOW-OK: runs over `topk`, already LIMITed to k rows.
     w = Window.orderBy(F.col("tf_prefix").desc(), F.col("doc_id").asc())
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "rank", "doc_id", "tf_prefix", "n_terms"
@@ -685,7 +687,10 @@ def maxscore_bound(docs: DataFrame, queries: list[tuple[int, list[str]]],
     # cache instead — same leak, smaller; this leaves cache state clean.
     # eager_release=False keeps the full lazy plan (for .explain /
     # tools/plan_audit.py) at the cost of the persisted relation
-    # living until the session drops it.
+    # living until the session drops it. Bench comparability: bench.py
+    # times fn()+action together, so the eager execution here is fully
+    # charged to in09's timing (its r11+ numbers measure the same work
+    # as pre-r11, just moved into the builder — round-11 ADVICE).
     if not eager_release:
         return out
     rows = out.collect()

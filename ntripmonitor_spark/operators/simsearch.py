@@ -233,15 +233,38 @@ IVF_K = 8  # coarse-quantizer size; seeds = corpus vectors 0..K-1
 
 def _seed_dists(vec_col: Column, seeds: list[tuple[int, list[float]]]) -> Column:
     """Array of rounded squared-L2 distances from ``vec_col`` to each
-    seed centroid (seeds folded in as literals, ordered by seed id)."""
-    return F.array(*[
-        F.round(
+    seed centroid (seeds folded in as literals, ordered by seed id).
+
+    Emitted as ONE ``transform`` over a nested-array centroid literal
+    rather than k unrolled per-centroid aggregates: codegen compiles
+    the distance lambda once and loops it over the codebook, instead
+    of inlining k copies of the zip_with/aggregate tree (round-11
+    verdict #4 — the unrolled form made ss09/ss11's fixed codegen cost
+    the dominant wall-clock term). Element order and the IEEE op chain
+    are identical to the unrolled form, so values and hashes are
+    unchanged."""
+    return _dist_table(vec_col, F.array(*[
+        F.array(*[F.lit(x) for x in vec]) for _, vec in seeds
+    ]))
+
+
+def _dist_table(vec_col: Column, codebook: Column) -> Column:
+    """transform(codebook, c -> round(sum((v-c)^2), 6)) — the shared
+    one-lambda distance-table kernel."""
+    return F.transform(
+        codebook,
+        lambda c: F.round(
             F.aggregate(
-                F.zip_with(vec_col, F.array(*[F.lit(x) for x in vec]),
-                           lambda a, b: (a - b) * (a - b)),
+                F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
                 F.lit(0.0), lambda acc, d: acc + d,
-            ), 6)
-        for _, vec in seeds
+            ), 6),
+    )
+
+
+def _sub_codebook(seeds: list[tuple[int, list[float]]], s: int, d: int) -> Column:
+    """Nested-array literal of subspace ``s``'s codeword sub-vectors."""
+    return F.array(*[
+        F.array(*[F.lit(x) for x in vec[s * d:(s + 1) * d]]) for _, vec in seeds
     ])
 
 
@@ -331,15 +354,7 @@ def pq_encode(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
     codes, sub_errs = [], []
     for s in range(m):
         sub = F.slice(F.col("v"), s * d + 1, d)
-        dists = F.array(*[
-            F.round(
-                F.aggregate(
-                    F.zip_with(sub, F.array(*[F.lit(x) for x in vec[s * d:(s + 1) * d]]),
-                               lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda acc, e: acc + e,
-                ), 6)
-            for _, vec in seeds
-        ])
+        dists = _dist_table(sub, _sub_codebook(seeds, s, d))
         # argmin with ties to the lower codeword id (first position of min)
         codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
         sub_errs.append(F.array_min(dists))
@@ -585,23 +600,18 @@ def pq_adc_topk(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
     d = dim // m
     v = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
 
-    dist_cols = []
-    for s in range(m):
-        sub = F.slice(F.col("v"), s * d + 1, d)
-        for cid, (_, vec) in enumerate(seeds):
-            lit = F.array(*[F.lit(x) for x in vec[s * d:(s + 1) * d]])
-            dist = F.round(
-                F.aggregate(
-                    F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda acc, e: acc + e,
-                ), 6,
-            )
-            dist_cols.append(dist.alias(f"d_{s}_{cid}"))
-    qd = v.filter(F.col("vec_id") < n_queries).select("vec_id", *dist_cols).collect()
-    qrows = [
-        (int(r["vec_id"]), [float(r[f"d_{s}_{c}"]) for s in range(m) for c in range(k)])
-        for r in qd
-    ]
+    # One flattened (m·k)-element distance-table column per query —
+    # subspace-major, codeword order within a subspace — instead of m×k
+    # named columns each carrying its own unrolled aggregate tree
+    # (round-11 verdict #4: the named-column form was pure codegen
+    # bloat; flatten(transform-per-subspace) emits m lambdas total and
+    # the exact same values in the exact same order).
+    dt_col = F.flatten(F.array(*[
+        _dist_table(F.slice(F.col("v"), s * d + 1, d), _sub_codebook(seeds, s, d))
+        for s in range(m)
+    ]))
+    qd = v.filter(F.col("vec_id") < n_queries).select("vec_id", dt_col.alias("dt")).collect()
+    qrows = [(int(r["vec_id"]), [float(x) for x in r["dt"]]) for r in qd]
     qdf = emb.sparkSession.createDataFrame(qrows, "qid bigint, dt array<double>")
 
     codes = pq_encode(emb, m, k).select("vec_id", "pq_code")
@@ -706,15 +716,7 @@ def ivfpq_search(emb: DataFrame, k_centroids: int = IVF_K, m: int = PQ_M,
     digits = []
     for s in range(m):
         sub = F.slice(F.col("v"), s * d + 1, d)
-        dists = F.array(*[
-            F.round(
-                F.aggregate(
-                    F.zip_with(sub, F.array(*[F.lit(x) for x in vec[s * d:(s + 1) * d]]),
-                               lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda acc, e: acc + e,
-                ), 6)
-            for _, vec in seeds4
-        ])
+        dists = _dist_table(sub, _sub_codebook(seeds4, s, d))
         digits.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
     corpus = v.select(
         "vec_id",
@@ -723,28 +725,22 @@ def ivfpq_search(emb: DataFrame, k_centroids: int = IVF_K, m: int = PQ_M,
     )
 
     # --- query side: one bounded collect -> broadcast (qid, cell, dt, qv)
-    dist_cols = []
-    for s in range(m):
-        sub = F.slice(F.col("v"), s * d + 1, d)
-        for cid, (_, vec) in enumerate(seeds4):
-            dist_cols.append(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(sub, F.array(*[F.lit(x) for x in vec[s * d:(s + 1) * d]]),
-                                   lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0), lambda acc, e: acc + e,
-                    ), 6).alias(f"d_{s}_{cid}")
-            )
+    # dt is the flattened subspace-major distance table (one transform
+    # per subspace — see pq_adc_topk for why, round-11 verdict #4).
+    dt_col = F.flatten(F.array(*[
+        _dist_table(F.slice(F.col("v"), s * d + 1, d), _sub_codebook(seeds4, s, d))
+        for s in range(m)
+    ]))
     qrows = (
         v.filter(F.col("vec_id") < n_queries)
-        .select("vec_id", "v", cell_dists.alias("cd"), *dist_cols)
+        .select("vec_id", "v", cell_dists.alias("cd"), dt_col.alias("dt"))
         .collect()
     )
     qdata = []
     for r in qrows:
         cd = list(r["cd"])
         probe_cells = [c for c, _ in sorted(enumerate(cd), key=lambda t: (t[1], t[0]))[:nprobe]]
-        dt = [float(r[f"d_{s}_{c}"]) for s in range(m) for c in range(k_codes)]
+        dt = [float(x) for x in r["dt"]]
         for cell in probe_cells:
             qdata.append((int(r["vec_id"]), int(cell), dt, list(r["v"])))
     qdf = emb.sparkSession.createDataFrame(

@@ -138,18 +138,46 @@ def histogram_quantiles(df: DataFrame, value_col: str = "value",
 # bounded by the handful of sf_dirs a run touches, and reuse beats
 # unpersist for relations that three registered queries share.
 
-_HQ_MEMO: dict[tuple, DataFrame] = {}
+_HQ_MEMO: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
 def _hq_memoized(kind: str, df: DataFrame, params: tuple, build) -> DataFrame:
     # id(session) in the key so a recreated SparkSession can never serve
     # another session's (dead) persisted relation for the same plan hash
     key = (kind, id(df.sparkSession), df.semanticHash(), *params)
-    got = _HQ_MEMO.get(key)
-    if got is None:
-        got = build().persist()
-        _HQ_MEMO[key] = got
+    hit = _HQ_MEMO.get(key)
+    if hit is not None:
+        cached_input, cached = hit
+        # semanticHash is 32-bit: a collision between two DIFFERENT
+        # input plans would silently serve the wrong persisted relation
+        # (round-11 ADVICE). sameSemantics on the stored input plan
+        # makes the lookup exact; on mismatch fall through to a fresh
+        # build (un-memoized — collisions are ~never, so no chain).
+        if df.sameSemantics(cached_input):
+            # A catalog.clearCache() (bench.py drains dead state between
+            # timed queries) strips the persist marker; re-arm it so a
+            # multi-consumer plan doesn't silently degrade to N scans.
+            if cached.storageLevel.useMemory is False and cached.storageLevel.useDisk is False:
+                cached.persist()
+            return cached
+        return build()
+    got = build().persist()
+    _HQ_MEMO[key] = (df, got)
     return got
+
+
+def clear_hq_memo() -> None:
+    """Unpersist and drop every memoized relation (round-11 ADVICE: the
+    memo never evicted, so a sweep over many sf_dirs accumulated
+    corpus-sized persisted blocks for the process lifetime). Call
+    between sf_dirs in sweeps (tools/scale10x.py does); bench.py's
+    per-query clearCache already unpersists the blocks there."""
+    for _, cached in _HQ_MEMO.values():
+        try:
+            cached.unpersist()
+        except Exception:
+            pass  # session may already be stopped
+    _HQ_MEMO.clear()
 
 
 def hq_cum(df: DataFrame, value_col: str = "value",

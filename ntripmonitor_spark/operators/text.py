@@ -292,6 +292,7 @@ def zipf_fit(docs: DataFrame, top_v: int = 1000, text_col: str = "text",
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
     top = freq.orderBy(F.col("f").desc(), F.col("tok").asc()).limit(top_v)
+    # GLOBAL-WINDOW-OK: runs over `top`, already LIMITed to top_v rows.
     w = Window.orderBy(F.col("f").desc(), F.col("tok").asc())
     ranked = top.select(
         F.log(F.col("f").cast("double")).alias("ln_f"),
@@ -1336,6 +1337,7 @@ def term_burstiness(docs: DataFrame, top_k: int = 20,
     num = n_d * F.col("sum_c2").cast("double") - F.col("total").cast("double") * F.col("total").cast("double")
     den = n_d * F.col("total").cast("double")
     top = j.orderBy(F.col("total").desc(), F.col("tok").asc()).limit(top_k)
+    # GLOBAL-WINDOW-OK: runs over `top`, already LIMITed to top_k rows.
     w = Window.orderBy(F.col("total").desc(), F.col("tok").asc())
     return (
         top.withColumn("rnk", F.row_number().over(w).cast("int"))

@@ -853,6 +853,7 @@ def sequence_nll(events: DataFrame, key_col: str = "user_id",
         .filter(F.col("n_steps") >= min_steps)
     )
     topk = scored.orderBy(F.col("mean_nll").desc(), F.col(key_col).asc()).limit(k)
+    # GLOBAL-WINDOW-OK: runs over `topk`, already LIMITed to k rows.
     w_rank = Window.orderBy(F.col("mean_nll").desc(), F.col(key_col).asc())
     return topk.withColumn("rank", F.row_number().over(w_rank)).select(
         "rank", key_col, "n_steps", "mean_nll"

@@ -281,6 +281,8 @@ def fn03_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = dau.join(news, "day", "left").select(
         "day", "n_active", F.coalesce("n_new", F.lit(0)).alias("n_new")
     )
+    # GLOBAL-WINDOW-OK: input is the per-day aggregate — bounded by
+    # the calendar span of the data, never input-scaled.
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return j.select("day", "n_active", "n_new", F.sum("n_new").over(w).alias("n_cumulative"))
 

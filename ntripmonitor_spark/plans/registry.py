@@ -43,43 +43,30 @@ def bench_queries() -> dict[str, Query]:
     return {n: q for n, q in REGISTRY.items() if q.bench}
 
 
-# Driver-window rotation (round 11: cash in the round-10 root cause).
+# Driver-window rotation (round 12: close the rotation debt).
 # The correctness driver records rows for the FIRST 50 registered names
 # alphabetically. This round's window, derived by
-# tools/propose_rotation.py under the documented priority order, with
-# two verdict-ordered retirements applied (r10 orders #3/#4):
-#   * the 6 red-latest CANONICALS (dq03, mx02, qa05, sp10, sp12, tx19)
-#     — every one root-caused to an uncast integer sum() in its oracle
-#     SQL (DuckDB widens to HUGEINT; the driver's pandas fetch renders
-#     float64), now CAST(... AS BIGINT) and pinned by
-#     tools/oracle_type_lint.py + the fetchdf parity leg in
-#     tests/oracle.py. The 16 pb probes (red by the same mechanism —
-#     their red/green split IS what located it) and the deliberate
-#     dq08 DECIMAL canary are RETIRED from the window (kept registered
-#     under x_ aliases as the audit trail; the class is closed, so no
-#     expected-red row consumes a slot anymore);
-#   * the 5 never-driver-graded round-10 registrations (cu09, in09,
-#     mx03, sp13, ts07) — mx03/sp13 got the same BIGINT output casts
-#     before first grading (the lint caught them pre-red);
-#   * CHANGED_SINCE_GREEN_R11 = rt01–rt10 (last green r7; the
-#     vectorized decoder operators/rtcm_vec.py took the round-9/10
-#     accumulation fixes after that row, so the §2 decode core re-proves
-#     on current code — verdict r10 order #5);
-#   * 29 stale-green backfill slots, oldest rows first (the r4-era
-#     greens; 34 candidates for 29 slots, so q13_mod_latency r7 /
-#     sn02_reconnect_pairs r6 queue for round 12 by the same policy).
-# Everything else (fresh r9/r10 greens, probes, canary) is exposed
-# under an ``x_`` alias (sorts past the 50 canonical names, all < 'x').
-# Nothing is hidden — every query stays registered under its canonical
-# name for tests/bench and the local DuckDB parity suite
+# tools/propose_rotation.py --changed q13_mod_latency under the
+# documented priority order (verdict r11 order #1):
+#   * the 4 never-driver-graded round-11 registrations
+#     (lo04_compaction_plan, mx04_unimax_waterfill, qa08_calibration_bins,
+#     sp15_neyman_allocation);
+#   * q13_mod_latency, forced via --changed: its plan is unchanged but
+#     its last green row is r7 — the stalest SURVEY §2.5 entry (Q14
+#     leap-second/modular-latency) and a verdict-ordered re-grade;
+#   * 45 stale-green backfill slots, oldest rows first — this drains
+#     the ENTIRE r4/r6 tail (incl. sn02_reconnect_pairs, SURVEY K5's
+#     stalest row): after this window grades green, every registered
+#     query has a driver-green row and the oldest green anywhere is r7.
+# Everything else (fresh r9-r11 greens, retired probes, canary) is
+# exposed under an ``x_`` alias (sorts past the 50 canonical names,
+# all < 'x'). Nothing is hidden — every query stays registered under
+# its canonical name for tests/bench and the local DuckDB parity suite
 # (tests/test_parity.py); cross-round coverage is auto-derived by
 # tools/coverage_report.py.
 DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
-    (
-        "aj01_asof_join",
-        "aj02_asof_tolerance",
+    {
         "aj03_asof_nearest",
-        "an01_rolling_zscore",
         "an02_seasonal_anomalies",
         "an03_mean_shift",
         "an04_ewma_drift",
@@ -91,17 +78,14 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "an10_runs_test",
         "an11_seasonal_strength",
         "an12_period_power",
-        "bm01_bm25_topk",
-        "bp01_bpe_train",
-        "cm01_countmin_heavy_hitters",
         "cu01_curation_funnel",
-        "cu02_adaptive_gate",
         "cu03_full_pipeline",
         "cu04_drop_reasons",
         "cu05_ccnet_buckets",
         "cu06_threshold_sweep",
         "cu07_gate_ablation",
         "cu08_quality_dup_matrix",
+        "cu09_selection_bias",
         "dc01_decontamination",
         "dc02_decontamination_bloom",
         "dc03_thirteen_gram",
@@ -112,9 +96,7 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "dd04_simhash",
         "dd05_embedding_neardup",
         "dd06_dup_clusters",
-        "dd07_semantic_dedup",
         "dd08_lsh_delta",
-        "dd09_block_dedup_rebuild",
         "dd10_containment",
         "dd11_bbit_minhash",
         "dd12_quality_survivor",
@@ -126,15 +108,17 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "dp01_mean_drift",
         "dp02_psi_drift",
         "dp03_js_matrix",
-        "dq02_profile_approx",
+        "dq01_table_profile",
+        "dq03_key_skew_profile",
         "dq04_benford",
         "dq06_referential_integrity",
         "dq07_fd_audit",
         "dq08_decimal_canary",
-        "er04_blocking_compare",
+        "er01_name_matching",
+        "er02_entity_clusters",
+        "er03_blocking_profile",
         "er05_golden_record",
-        "fn01_conversion_funnel",
-        "fn02_cohort_retention",
+        "fn03_user_growth",
         "fn04_conversion_latency",
         "fn05_window_funnel",
         "fn06_linear_attribution",
@@ -146,35 +130,36 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "gr04_pagerank",
         "gr05_triangle_stats",
         "gr06_kcore",
-        "hs01_length_histogram",
-        "ig01_dsir_weights",
-        "in01_inverted_index",
+        "ig02_loss_aware_mix",
+        "in02_phrase_search",
         "in03_phrase_probe",
         "in04_boolean_probe",
         "in05_proximity_rank",
         "in06_prefix_probe",
         "in07_tfidf_cosine",
         "in08_fuzzy_probe",
-        "lo01_zorder_code",
+        "in09_maxscore_bound",
+        "kl01_source_divergence",
+        "ks01_source_drift",
         "lo02_pruning_stats",
         "lo03_layout_matrix",
-        "lo04_compaction_plan",
-        "lr01_grouped_regression",
-        "lr02_logreg_quality",
-        "mk01_event_transitions",
         "mk02_sequence_nll",
         "mm01_decode_metadata",
         "mm02_feature_extract",
         "mm03_frame_sample",
         "mm04_resize",
         "mm05_audio_energy",
-        "mm11_phash_16bit",
+        "mm06_phash_neardup",
+        "mm07_patch_grid",
+        "mm09_modality_census",
+        "mm10_byte_entropy",
         "mm12_media_manifest",
         "mm13_phash_planted",
         "mm14_scene_change",
         "mm15_silence_runs",
         "mx01_source_overlap",
-        "mx04_unimax_waterfill",
+        "mx02_mixture_epochs",
+        "mx03_epoch_schedule",
         "pb01_dq03_counts",
         "pb02_dq03_share_lit",
         "pb03_dq03_share_join",
@@ -203,7 +188,6 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "q10_predicates",
         "q11_distinct",
         "q12_orderby_multi",
-        "q13_mod_latency",
         "q14_coalesce_duration",
         "q15_gap_spine",
         "q16_json_shred",
@@ -212,68 +196,77 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "q19_mjd_bucket",
         "q20_topk_per_group",
         "q21_rollup_hierarchy",
-        "q22_no_order_customers",
-        "q24_intersect_users",
+        "q23_value_deciles",
         "q25_except_users",
         "q26_cube_report",
         "q27_pivot_daily",
         "q28_json_props",
         "q29_grouping_sets",
         "q30_range_frame",
-        "qa01_quantile_thresholds",
+        "qa02_percentile_normalize",
+        "qa03_robust_outliers",
         "qa04_winsorized_mean",
-        "qa08_calibration_bins",
+        "qa05_histogram_quantiles",
         "qa06_gate_agreement",
-        "rc01_hybrid_rrf",
         "rc02_ndcg_eval",
         "rc03_mrr_eval",
-        "rj01_range_join",
+        "rj02_interval_overlap",
+        "rt01_packages",
+        "rt02_observations",
+        "rt03_coordinates",
+        "rt04_text_messages",
+        "rt05_message_catalog",
+        "rt06_msm46_observations",
+        "rt07_all_constellations",
+        "rt08_legacy_observations",
+        "rt09_decode_throughput",
+        "rt10_msm123_observations",
         "rt11_package_ledger",
-        "scd01_history",
         "scd02_asof_snapshot",
         "scd03_history_audit",
-        "sd01_duplicate_spans",
+        "sj01_salted_distinct",
+        "sj02_salted_join",
         "sk01_kmv_distinct",
+        "sk02_kmv_set_algebra",
         "sk03_kmv_jaccard",
-        "sn01_user_sessions",
-        "sn02_reconnect_pairs",
+        "sn03_native_sessions",
         "sp01_stratified_sample",
         "sp02_quota_per_source",
         "sp03_source_mixing",
-        "sp04_stratified_ksample",
-        "sp05_hash_split",
+        "sp06_token_budget",
+        "sp07_epoch_order",
         "sp08_cluster_split",
         "sp09_cluster_split_lsh",
+        "sp10_pps_resample",
         "sp11_temporal_split",
-        "sp15_neyman_allocation",
+        "sp12_systematic",
+        "sp13_weighted_reservoir",
         "ss01_knn_bruteforce",
         "ss02_ann_bucketed",
         "ss03_ann_lsh_multitable",
-        "ss04_ivf_train_step",
-        "ss05_pq_encode",
-        "ss06_ivf_probe",
-        "ss07_ivf_train_full",
-        "ss08_ann_recall",
-        "ss09_pq_adc_topk",
-        "ss10_sq8_quantize",
-        "ss11_ivfpq_search",
+        "ss12_mips_topk",
+        "ss13_sq8_recall",
         "ss14_mmr_rerank",
         "ss15_power_iteration",
         "ss16_nprobe_sweep",
         "ss17_radius_search",
+        "st01_sourcetable",
         "st02_upsert_snapshot",
         "tk01_bpe_encode",
         "tk02_fertility",
+        "tp01_sequence_pack",
+        "tp02_sorted_pack",
         "tp03_split_long_docs",
+        "tp04_pack_utilization",
         "tp05_sliding_chunks",
         "tp06_fim_split",
         "tp07_curriculum_order",
         "tp08_padding_waste",
         "ts01_gap_fill",
-        "ts02_ohlc_downsample",
         "ts03_twap_locf",
         "ts05_downsample_extremes",
         "ts06_gapfill_interpolate",
+        "ts07_lttb_downsample",
         "tx01_language_id",
         "tx02_quality_score",
         "tx03_token_count",
@@ -286,25 +279,36 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
         "tx10_bigram_nll",
         "tx11_gopher_rules",
         "tx12_pmi_collocations",
-        "tx13_tfidf_keywords",
-        "tx14_stupid_backoff",
         "tx15_novelty_score",
-        "tx16_langid_confusion",
         "tx17_vocab_coverage",
         "tx18_lexical_diversity",
+        "tx19_readability",
         "tx20_zipf_slope",
         "tx21_burstiness",
-        "ws01_weighted_sample",
-    )
+    }
 )
 
 
-# Queries whose PLAN changed in round 11 AFTER their last green driver
+# Queries whose PLAN changed in round 12 AFTER their last green driver
 # row — pass to tools/propose_rotation.py --changed when cutting the
-# round-12 window. rt01–rt10: the vectorized decoder
-# (operators/rtcm_vec.py) took accumulation fixes in rounds 9/10 after
-# the family's last green rows (r7), so the decode core re-grades this
-# round (all 10 are in the round-11 window above).
+# round-13 window. The ss02/ss16/ss17 plans consume the round-12
+# distance-table codegen refactor (operators/simsearch.py _dist_table:
+# one transform lambda per codebook instead of k unrolled aggregates —
+# value-identical, locally parity-green) but their last driver rows
+# (r11) predate it; every other consumer of the refactor is IN the
+# round-12 window and re-grades now.
+CHANGED_SINCE_GREEN_R12: frozenset[str] = frozenset(
+    {
+        "ss02_ann_bucketed",
+        "ss16_nprobe_sweep",
+        "ss17_radius_search",
+    }
+)
+
+
+# CONSUMED (historical): round 11's ledger — rt01–rt10 (the vectorized
+# decoder re-proof) all graded green in CORRECTNESS_r11. Kept for the
+# audit trail only.
 CHANGED_SINCE_GREEN_R11: frozenset[str] = frozenset(
     {
         "rt01_packages",

@@ -36,10 +36,13 @@ def _kmv_hashes(df: DataFrame, col: str, k: int = KMV_K) -> DataFrame:
         .distinct()
         .withColumn("h", F.pmod(F.col("v") * F.lit(KNUTH), F.lit(1 << 32)))
     )
-    w = Window.orderBy(F.col("h").asc(), F.col("v").asc())
+    # orderBy+limit compiles to TakeOrderedAndProject — each partition
+    # keeps its own k smallest and the driver merges k-row partials, so
+    # no global sort and no single-partition WindowExec ever runs
+    # (round-12: replaced the unpartitioned row_number window).
     return (
-        d.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
+        d.orderBy(F.col("h").asc(), F.col("v").asc())
+        .limit(k)
         .select(F.lit(col).alias("column"), "h", "v")
     )
 

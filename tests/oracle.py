@@ -138,6 +138,9 @@ def compare_query(
     )
     d_rows = cur.fetchall()
     pdf = con.execute(oracle_sql).fetchdf() if driver_faithful else None
+    declared = (
+        con.execute(f"DESCRIBE {oracle_sql}").fetchall() if driver_faithful else []
+    )
     con.close()
 
     if sorted(s_cols) != sorted(d_cols):
@@ -151,6 +154,24 @@ def compare_query(
 
     if driver_faithful:
         # Leg 2: the pandas path the driver's gate actually reads.
+        # Declared-type gate FIRST: a nullable uncast HUGEINT column is
+        # invisible to the dtype-drift check below (BIGINT-with-NULLs
+        # legitimately fetches as float64 too) and canonicalizes
+        # identically when magnitudes are small — round-11 ADVICE. The
+        # DESCRIBE types don't depend on the data, so this closes the
+        # class for every compare, not just the static lint sweep.
+        if name != "dq08_decimal_canary":
+            banned = [
+                (c, t) for c, t, *_ in declared
+                if any(b in t.upper() for b in ("HUGEINT", "DECIMAL"))
+            ]
+            if banned:
+                return False, (
+                    f"{name}: oracle declares banned output type(s) "
+                    f"{banned} — uncast HUGEINT/DECIMAL renders as "
+                    "float64/object on the driver's pandas path "
+                    "(VERDICT r10)"
+                )
         for c in d_cols:
             base = s_types.get(c, "").split("(")[0]
             if base in _SPARK_INTEGRAL and pdf[c].dtype.kind not in "iub":

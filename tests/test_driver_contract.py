@@ -186,36 +186,35 @@ def test_concurrent_queries_one_session(spark):
     assert concurrent == serial
 
 
-def test_round11_driver_window_is_frozen():
+def test_round12_driver_window_is_frozen():
     """The driver grades the first 50 exposed names alphabetically; the
-    round-11 window cashes in the round-10 root cause (6 re-cast
-    red-latest canonicals + the 5 queued r10 registrations + the 10
-    rt decode rows changed since their r7 green + 29 stalest r4
-    greens; the 16 pb probes and the dq08 canary are retired to x_
-    aliases) and must not shift under late registrations — new queries
-    go to DRIVER_ROTATED_OUT (x_ alias) until the round-12 rotation. A
+    round-12 window closes the rotation debt (the 4 never-graded
+    round-11 registrations + q13_mod_latency's stale r7 green + the
+    entire r4/r6 stale-green tail, incl. sn02_reconnect_pairs) and must
+    not shift under late registrations — new queries go to
+    DRIVER_ROTATED_OUT (x_ alias) until the round-13 rotation. A
     failure here means a registration displaced a frozen slot."""
     import __spark_entry__ as entry
 
     window = sorted(entry.queries())[:50]
     assert window == [
-        "cu09_selection_bias", "dq01_table_profile", "dq03_key_skew_profile",
-        "er01_name_matching", "er02_entity_clusters", "er03_blocking_profile",
-        "fn03_user_growth", "ig02_loss_aware_mix", "in02_phrase_search",
-        "in09_maxscore_bound", "kl01_source_divergence", "ks01_source_drift",
-        "mm06_phash_neardup", "mm07_patch_grid", "mm09_modality_census",
-        "mm10_byte_entropy", "mx02_mixture_epochs", "mx03_epoch_schedule",
-        "q23_value_deciles", "qa02_percentile_normalize", "qa03_robust_outliers",
-        "qa05_histogram_quantiles", "rj02_interval_overlap", "rt01_packages",
-        "rt02_observations", "rt03_coordinates", "rt04_text_messages",
-        "rt05_message_catalog", "rt06_msm46_observations", "rt07_all_constellations",
-        "rt08_legacy_observations", "rt09_decode_throughput", "rt10_msm123_observations",
-        "sj01_salted_distinct", "sj02_salted_join", "sk02_kmv_set_algebra",
-        "sn03_native_sessions", "sp06_token_budget", "sp07_epoch_order",
-        "sp10_pps_resample", "sp12_systematic", "sp13_weighted_reservoir",
-        "ss12_mips_topk", "ss13_sq8_recall", "st01_sourcetable",
-        "tp01_sequence_pack", "tp02_sorted_pack", "tp04_pack_utilization",
-        "ts07_lttb_downsample", "tx19_readability",
+        "aj01_asof_join", "aj02_asof_tolerance", "an01_rolling_zscore",
+        "bm01_bm25_topk", "bp01_bpe_train", "cm01_countmin_heavy_hitters",
+        "cu02_adaptive_gate", "dd07_semantic_dedup", "dd09_block_dedup_rebuild",
+        "dq02_profile_approx", "er04_blocking_compare", "fn01_conversion_funnel",
+        "fn02_cohort_retention", "hs01_length_histogram", "ig01_dsir_weights",
+        "in01_inverted_index", "lo01_zorder_code", "lo04_compaction_plan",
+        "lr01_grouped_regression", "lr02_logreg_quality", "mk01_event_transitions",
+        "mm11_phash_16bit", "mx04_unimax_waterfill", "q13_mod_latency",
+        "q22_no_order_customers", "q24_intersect_users", "qa01_quantile_thresholds",
+        "qa08_calibration_bins", "rc01_hybrid_rrf", "rj01_range_join",
+        "scd01_history", "sd01_duplicate_spans", "sn01_user_sessions",
+        "sn02_reconnect_pairs", "sp04_stratified_ksample", "sp05_hash_split",
+        "sp15_neyman_allocation", "ss04_ivf_train_step", "ss05_pq_encode",
+        "ss06_ivf_probe", "ss07_ivf_train_full", "ss08_ann_recall",
+        "ss09_pq_adc_topk", "ss10_sq8_quantize", "ss11_ivfpq_search",
+        "ts02_ohlc_downsample", "tx13_tfidf_keywords", "tx14_stupid_backoff",
+        "tx16_langid_confusion", "ws01_weighted_sample",
     ]
 
 

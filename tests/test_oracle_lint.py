@@ -9,9 +9,10 @@ classes again, and that the lint itself still catches them.
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tools"))
 
 from oracle_type_lint import BANNED, EXEMPT, lint_oracles  # noqa: E402
 
@@ -77,4 +78,40 @@ def test_pandas_leg_catches_uncast_sum(spark, sf_dir):
         spark, sf_dir, "synthetic_uncast", fn, bad_oracle,
         driver_faithful=True,
     )
-    assert not ok_strict and "dtype drift" in msg, msg
+    # The round-12 DESCRIBE gate catches the class before the dtype
+    # probe (it also sees nullable HUGEINT the probe is blind to).
+    assert not ok_strict and "banned output type" in msg, msg
+
+
+def test_null_order_lint_rejects_unpinned_nullable_ordering(sf_dir):
+    """Regression guard on the null-order lint (VERDICT r11 order #5):
+    an ORDER BY on a nullable key feeding a LIMIT, with no explicit
+    NULLS FIRST/LAST, MUST flag (DuckDB defaults nulls_last, Spark ASC
+    defaults nulls first — the ts07 class); pinning the same key with
+    NULLS LAST must pass."""
+    from oracle_type_lint import null_order_diff
+
+    # events.value is nullable in the generated data; top-LIMIT over an
+    # ASC sort swaps between the NULL rows and the smallest values.
+    unpinned = (
+        "SELECT event_type, value FROM events "
+        "ORDER BY value, event_type LIMIT 5"
+    )
+    assert null_order_diff(sf_dir, unpinned) is not None
+
+    pinned = (
+        "SELECT event_type, value FROM events "
+        "ORDER BY value NULLS LAST, event_type LIMIT 5"
+    )
+    assert null_order_diff(sf_dir, pinned) is None
+
+
+def test_null_order_lint_green_over_registry(sf_dir):
+    """Every registered oracle's result must be invariant to the
+    engine's default NULL order — sort keys over nullable expressions
+    carry explicit NULLS FIRST/LAST (Spark side pinned with
+    asc_nulls_*/desc_nulls_*)."""
+    from oracle_type_lint import lint_null_order
+
+    bad = lint_null_order(sf_dir)
+    assert not bad, f"null-order-sensitive oracles: {bad}"

@@ -70,7 +70,12 @@ def main() -> None:
     if bad:
         sys.exit(f"names sorting >= 'x' break the alias scheme: {bad}")
 
-    out = sorted(set(names) - set(window))
+    # Retired diagnostics must ALSO carry the x_ alias (coverage_report
+    # derives the driver window as REGISTRY - DRIVER_ROTATED_OUT), so
+    # include them in the emitted literal even though they never enter
+    # the window.
+    retired = sorted(n for n in REGISTRY if is_retired(n))
+    out = sorted(set(names) - set(window) | set(retired))
     print(f"# proposed window ({len(window)}): "
           f"{len([n for n in window if n in error_latest])} error-latest, "
           f"{len([n for n in window if n in never])} never-checked, "

@@ -80,12 +80,24 @@ def main() -> None:
         fn = REGISTRY[name].fn
         times = {}
         for label, d in (("1x", src), ("10x", dst)):
+            # Clear the qa-family memo (operators/stats.py) before EVERY
+            # invocation: (a) cross-sf sweeps must not accumulate
+            # corpus-sized persisted blocks (round-11 ADVICE), and (b) a
+            # timed run that reuses the warm run's persisted scan would
+            # report the cached-aggregate cost, not the operator's
+            # one-scan cost — the quantity this tool exists to scale.
+            from ntripmonitor_spark.operators.stats import clear_hq_memo
+
+            clear_hq_memo()
             fn(spark, d).count()  # warm
-            best = min(
-                (lambda t0: (fn(spark, d).count(), time.perf_counter() - t0)[1])(time.perf_counter())
-                for _ in range(2)
-            )
-            times[label] = best
+
+            def _timed_once() -> float:
+                clear_hq_memo()
+                t0 = time.perf_counter()
+                fn(spark, d).count()
+                return time.perf_counter() - t0
+
+            times[label] = min(_timed_once() for _ in range(2))
         ratio = times["10x"] / times["1x"]
         print(f"| {name} | {times['1x']:.2f} s | {times['10x']:.2f} s | {ratio:.1f} |")
     shutil.rmtree(dst, ignore_errors=True)
