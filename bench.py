@@ -47,6 +47,45 @@ HEADLINE = (
 )
 
 
+def _bench_streaming(spark) -> dict | None:
+    """t1 replay-pipeline ingest throughput (frames/s through
+    run_archive_to_parquet) at sf0.01 — the streaming counterpart of
+    the query timings. One warm archive build (untimed), then the
+    micro-batch decode→sink pipeline timed end-to-end including
+    checkpoint commits; idempotent sink, fresh temp dirs per run."""
+    import shutil
+    import tempfile
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        return None
+    from ntripmonitor_spark.plans.rtcm import event_blobs
+    from ntripmonitor_spark.sources.framing import split_frames
+    from ntripmonitor_spark.streaming.pipeline import run_archive_to_parquet
+    from ntripmonitor_spark.streaming.replay import write_frame_archive
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        archive = os.path.join(work, "archive")
+        write_frame_archive(split_frames(event_blobs(spark, sf_dir)), archive)
+        n_frames = spark.read.parquet(archive).count()
+        t0 = time.perf_counter()
+        run_archive_to_parquet(
+            spark, archive,
+            os.path.join(work, "out"), os.path.join(work, "ckpt"),
+            batch_rows=1000,
+        )
+        sec = time.perf_counter() - t0
+        return {
+            "n_frames": n_frames,
+            "sec": round(sec, 3),
+            "frames_per_sec": round(n_frames / sec, 1),
+            "sf": 0.01,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -177,6 +216,19 @@ def main() -> None:
             best[name] = min(best[name], time.perf_counter() - t0)
     timings = {name: round(best[name], 4) for name in names}
 
+    # Streaming-ingest leg (round-11 verdict #8): time the t1 replay
+    # pipeline end-to-end (archive → decode → envelope sink) at a FIXED
+    # sf0.01 so ingest-throughput regressions are caught per-round like
+    # query regressions are. Skipped for SPARK_GRAFT_BENCH_ONLY dev
+    # subsets (keeps iteration fast); opt out with
+    # SPARK_GRAFT_BENCH_NO_STREAMING=1.
+    streaming = None
+    if not only and not os.environ.get("SPARK_GRAFT_BENCH_NO_STREAMING"):
+        try:
+            streaming = _bench_streaming(spark)
+        except Exception as exc:  # noqa: BLE001 — never sink the bench record
+            streaming = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     # Full record → BENCH_FULL.json (every query, rows, exclusions).
     # Dev-subset runs (SPARK_GRAFT_BENCH_ONLY) go to BENCH_FULL_DEV.json
     # so they can never clobber the archived full record.
@@ -198,6 +250,7 @@ def main() -> None:
                 "queries": timings,
                 "rows": rows,
                 "excluded": excluded,
+                "streaming": streaming,
             },
             f,
             indent=1,
@@ -221,6 +274,7 @@ def main() -> None:
                 "sf": sf,
                 "full_value": full_total,
                 "n_full": len(timings),
+                "streaming": streaming,
             }
         )
     )
