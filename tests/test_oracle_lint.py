@@ -91,17 +91,19 @@ def test_null_order_lint_rejects_unpinned_nullable_ordering(sf_dir):
     NULLS LAST must pass."""
     from oracle_type_lint import null_order_diff
 
-    # events.value is nullable in the generated data; top-LIMIT over an
-    # ASC sort swaps between the NULL rows and the smallest values.
+    # Synthesize a nullable sort key (the generated sf0.001 base
+    # columns are NULL-free; real offenders are derived nullables —
+    # lead/lag warm-ups, the ts07 class): top-LIMIT over an ASC sort
+    # swaps between the NULL rows and the smallest values.
     unpinned = (
-        "SELECT event_type, value FROM events "
-        "ORDER BY value, event_type LIMIT 5"
+        "SELECT doc_id, nullif(lang, 'en') AS k FROM documents "
+        "ORDER BY k, doc_id LIMIT 5"
     )
     assert null_order_diff(sf_dir, unpinned) is not None
 
     pinned = (
-        "SELECT event_type, value FROM events "
-        "ORDER BY value NULLS LAST, event_type LIMIT 5"
+        "SELECT doc_id, nullif(lang, 'en') AS k FROM documents "
+        "ORDER BY k NULLS LAST, doc_id LIMIT 5"
     )
     assert null_order_diff(sf_dir, pinned) is None
 
