@@ -302,6 +302,35 @@ def _score_pairs(cand: DataFrame, sig: DataFrame) -> DataFrame:
     )
 
 
+def minhash_lsh_candidates(docs: DataFrame, n: int = 3) -> DataFrame:
+    """MinHash-LSH candidate pairs WITHOUT the per-pair signature
+    score — for consumers (the graph queries: degree profile, CC
+    clustering, PageRank, cluster-keyed splits) that only consume the
+    edge list. ``minhash_lsh_pairs`` inner-joins the signature table
+    back onto both pair sides to attach est_jaccard; since every
+    cand doc id comes FROM the banded signature relation those joins
+    are cardinality-neutral, so dropping them when the score is unused
+    returns the identical pair set while removing two joins and the
+    9-column signature payload from the plan (round-12; Catalyst
+    cannot prune an inner join on its own). The banded relation is
+    persisted instead of the signature relation — it is the only
+    consumer, and both self-join sides read it.
+    """
+    banded = _lsh_bands(minhash_signatures(docs, n)).persist()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
     """MinHash-LSH candidate duplicate pairs with estimated Jaccard.
 
@@ -501,29 +530,30 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     # blocked jaccard) edge subtree, and exchange reuse does not
     # reliably dedupe it across union legs, so without this the edge
     # generation runs twice inside the sym fill job. Then repartition
-    # by the join key BEFORE persisting sym (the dd02 silver-relation
-    # discipline): every round's message join probes a co-located
-    # cached layout instead of re-exchanging the edges.
+    # by the join key BEFORE materializing sym (the dd02
+    # silver-relation discipline): every round's message join probes a
+    # co-located layout instead of re-exchanging the edges. sym is an
+    # EAGER localCheckpoint, not a persist (round-12): a persisted sym
+    # keeps the full edge-generation LOGICAL tree alive, and every
+    # round's join re-analyzes that tree (the dd02 jaccard subtree is
+    # hundreds of nodes — measured ~1.5 s of pure driver-side analysis
+    # across a 2-round loop at sf0.1); the checkpoint truncates it to a
+    # LogicalRDD that REMEMBERS its hash partitioning, so the rounds
+    # keep their zero-exchange probe side and the analyzer walks a
+    # ~10-node tree instead.
     edges = edges.persist()
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).repartition("doc_a").persist()
-    # eager checkpoint: the singleton anti-join below must not re-derive
-    # the (expensive) edge relation after sym is unpersisted
-    touched = sym.select(F.col("doc_a").alias("doc_id")).distinct().localCheckpoint()
+    ).repartition("doc_a").localCheckpoint()
+    edges.unpersist()
+    # Lazy checkpoint for touched: its materializing action is the
+    # initial-label sum below, which doubles as the round-0 convergence
+    # probe — one job yields both (round-12; was an eager checkpoint
+    # plus a first in-loop probe = two jobs).
+    touched = sym.select(F.col("doc_a").alias("doc_id")).distinct().localCheckpoint(eager=False)
     labels = touched.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    prev_sum, rounds = None, 0
+    prev_sum, rounds = labels.agg(F.sum("cluster_id")).collect()[0][0], 0
     for _ in range(max_iter):
-        # The convergence probe doubles as the round's materialization:
-        # each round ends in a LAZY localCheckpoint, and this agg is the
-        # action that executes it — one job per round where an eager
-        # checkpoint plus a separate probe would cost two (measured
-        # ~0.4 s/round of pure scheduling latency on small subgraphs).
-        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-        rounds += 1
         msgs = sym.join(labels, sym.doc_a == labels.doc_id).select(
             F.col("doc_b").alias("doc_id"), "cluster_id"
         )
@@ -541,13 +571,20 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                 prop.cluster_id, F.coalesce(F.col("p_cluster"), prop.cluster_id)
             ).alias("cluster_id"),
         ).localCheckpoint(eager=False)
+        # The convergence probe doubles as the round's materialization:
+        # each round ends in a LAZY localCheckpoint, and this agg is the
+        # action that executes it — one job per round where an eager
+        # checkpoint plus a separate probe would cost two (measured
+        # ~0.4 s/round of pure scheduling latency on small subgraphs).
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        rounds += 1
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     singles = nodes.join(touched, "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     )
-    out = labels.unionByName(singles)
-    sym.unpersist()
-    edges.unpersist()
-    return out, rounds
+    return labels.unionByName(singles), rounds
 
 
 def duplicate_clusters(docs: DataFrame, n: int = 3, threshold: float = 0.6,
@@ -1164,15 +1201,28 @@ def pagerank(edges: DataFrame, iters: int = 3, damping_pct: int = 85,
     are a fixed driver-side unroll; production tuning is the iteration
     budget, not the plan shape.
     """
+    # und is an EAGER localCheckpoint (round-12; was a persist): the
+    # unrolled rounds below reference und twice per round, and with a
+    # persist each reference re-analyzes the full edge-generation
+    # logical tree (for the LSH dup-graph that subtree is hundreds of
+    # nodes — gr04 spent ~1.5 s warm in pure DataFrame construction).
+    # The checkpoint truncates it to a LogicalRDD that keeps the
+    # hashpartitioning(src), so the per-round message joins still probe
+    # a co-located layout with zero extra exchanges.
+    edges = edges.persist()  # both union legs share the edge subtree
     und = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     und = und.union(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).repartition("src").persist()
+    ).repartition("src").localCheckpoint()
+    edges.unpersist()
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.agg(F.count(F.lit(1)).alias("n"))
     # teleport mass (1 - d) * scale is exact in integers for pct inputs
     tele_total = scale * (100 - damping_pct) // 100
-    base = deg.crossJoin(F.broadcast(n))  # (src, deg, n)
+    # base is re-read by every unrolled round (and deg by the n
+    # aggregate); persist so the one physical plan computes it once and
+    # the rounds scan the cached |touched-nodes| relation.
+    base = deg.crossJoin(F.broadcast(n)).persist()  # (src, deg, n)
     pr = base.withColumn("pr", F.expr(f"{scale} div n"))
     for _ in range(iters):
         msg = und.join(pr.select("src", "deg", "pr"), "src").select(

@@ -958,10 +958,14 @@ def mmr_rerank(emb: DataFrame, n_queries: int = 10, pool_k: int = 10,
     b = cand.select("query_id", F.col("neighbor_id").alias("b_id"),
                     F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     s = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    # The pairwise-cosine pool is re-referenced once per greedy step;
+    # persist it (≤ n_queries·pool_k² rows) so each step scans the
+    # materialized matrix instead of re-running the self-join.
     sim = (
         a.join(b, "query_id")
         .filter(F.col("a_id") != F.col("b_id"))
         .select("query_id", "a_id", "b_id", s.alias("s"))
+        .persist()
     )
 
     selected = [cand.filter(F.col("rnk") == 1).select("query_id", "neighbor_id", "rel")]
@@ -997,10 +1001,16 @@ def mmr_rerank(emb: DataFrame, n_queries: int = 10, pool_k: int = 10,
         ws = Window.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("neighbor_id").asc()
         )
+        # Persist each greedy step's winners (≤ n_queries rows): step
+        # i+1 re-references every earlier step (broadcast exclusion +
+        # similarity attach) and the output union references each step
+        # once more — without materialization the step-2 subtree is
+        # re-executed ~3× inside the one output action (round-12).
         nxt = (
             scored.withColumn("r", F.row_number().over(ws))
             .filter(F.col("r") == 1)
             .select("query_id", "neighbor_id", "rel", "score")
+            .persist()
         )
         selected.append(nxt)
         scores.append("score")

@@ -874,7 +874,7 @@ def gr03_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver. The recursive oracle recomputes reachability over the
     same banding-derived edge list."""
     docs = table(spark, sf_dir, "documents")
-    edges = dedup.minhash_lsh_pairs(docs, n=3).select("doc_a", "doc_b")
+    edges = dedup.minhash_lsh_candidates(docs, n=3)
     labels, _ = dedup.connected_components(docs.select("doc_id"), edges)
     by_cluster = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -3944,7 +3944,7 @@ def gr02_dup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dupping thousands of pages, which both melts the pairwise
     join AND signals content to drop wholesale). Two bounded
     aggregates over the pair list; input-scaled work is dd03's."""
-    pairs = dedup.minhash_lsh_pairs(table(spark, sf_dir, "documents")).select("doc_a", "doc_b")
+    pairs = dedup.minhash_lsh_candidates(table(spark, sf_dir, "documents"))
     deg = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -4765,7 +4765,7 @@ def sp09_cluster_split_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ntripmonitor_spark.operators.sampling import split_col, split_hash_col
 
     docs = table(spark, sf_dir, "documents")
-    edges = dedup.minhash_lsh_pairs(docs, n=3).select("doc_a", "doc_b")
+    edges = dedup.minhash_lsh_candidates(docs, n=3)
     labels, _ = dedup.connected_components(docs.select("doc_id"), edges)
     return labels.select(
         "doc_id", "cluster_id",
@@ -5028,7 +5028,7 @@ def gr04_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
-    edges = dedup.minhash_lsh_pairs(docs, n=3).select("doc_a", "doc_b")
+    edges = dedup.minhash_lsh_candidates(docs, n=3)
     ranked = dedup.pagerank(edges)
     top = ranked.orderBy(F.col("pr_e12").desc(), F.col("doc_id").asc()).limit(20)
     # GLOBAL-WINDOW-OK: runs over `top`, already LIMITed to 20 rows.
