@@ -209,7 +209,12 @@ def ccnet_buckets(docs: DataFrame, mid_rate: int = 500) -> DataFrame:
     """
     from ntripmonitor_spark.operators.text import bigram_nll
 
-    scored = bigram_nll(docs)
+    # Persist the scored relation (round-12): it feeds BOTH the tercile
+    # aggregate and the bucketing join, and without materialization the
+    # whole NLL scorer (model broadcast + per-doc aggregate) runs twice
+    # per action. |docs|-rows × 2 columns — the cached relation every
+    # two-pass data-driven filter keeps at scale.
+    scored = bigram_nll(docs).persist()
     cuts = scored.agg(
         F.expr("percentile(avg_nll, 0.3333333333333333)").alias("t1"),
         F.expr("percentile(avg_nll, 0.6666666666666666)").alias("t2"),

@@ -142,12 +142,22 @@ def _capped_shingles(docs: DataFrame, n: int = 3, max_df_frac: float = 0.01,
     folds) — not a data-bearing collect.
     """
     raw = doc_shingles_hashed(docs, n, cluster_by_hash=True).persist()
-    n_docs = raw.agg(F.countDistinct("doc_id")).first()[0]
-    cap = max(min_df_cap, int(max_df_frac * n_docs))
+    # The DF cap rides as a one-row broadcast INSIDE the single action
+    # (round-12; was a driver `.first()` roundtrip): the n_docs
+    # aggregate and the Python `max(min_df_cap, int(frac·n))` are the
+    # same arithmetic as a column expression (IEEE double product,
+    # truncating int cast — identical to the oracle's floor), so the
+    # whole cap derivation fuses into the plan and consumers pay one
+    # fewer sequential job before their first real stage.
+    n_docs_agg = raw.agg(F.countDistinct("doc_id").alias("n_docs"))
+    cap = F.greatest(
+        F.lit(min_df_cap), (F.lit(max_df_frac) * F.col("n_docs")).cast("int")
+    )
     hot = (
         raw.groupBy("shingle_h")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > F.lit(cap))
+        .crossJoin(F.broadcast(n_docs_agg))
+        .filter(F.col("df") > cap)
         .select("shingle_h")
     )
     # broadcast anti-join preserves the shingle_h partitioning, so the
@@ -726,11 +736,16 @@ def decontaminate_bloom(docs: DataFrame, benchmark_pred, n: int = 3,
     bench_ids = docs.filter(benchmark_pred).select(id_col)
     # benchmark shingles: exploded from the (tiny, filter-pushed)
     # benchmark docs only; persisted for its three consumers (size
-    # count, bloom build, exact confirm join)
+    # count, bloom build, exact confirm join). Round-12: the relation
+    # stays RAW (no .distinct()): the bloom build ORs duplicate keys
+    # into the same bits, the confirm join feeds a per-doc SET
+    # aggregate, and the size count only calibrates m — so duplicates
+    # change nothing downstream and the distinct exchange was pure
+    # overhead (m is sized on occurrences, a small overestimate that
+    # LOWERS the fpp).
     bench_sh = (
         exploded_shingles(docs.filter(benchmark_pred), n, id_col=id_col)
         .select(F.xxhash64("shingle").alias("shingle_h"))
-        .distinct()
         .persist()
     )
     n_bench = bench_sh.count()
@@ -740,10 +755,16 @@ def decontaminate_bloom(docs: DataFrame, benchmark_pred, n: int = 3,
         id_col, F.xxhash64("shingle").alias("shingle_h")
     ).join(F.broadcast(bench_ids), id_col, "left_anti")
     probable = corpus_sh.filter(bloom_might_contain(F.col("shingle_h"), words, m))
+    # Confirm via LEFT SEMI against the broadcast bench set (row-
+    # multiplication-free; the bench relation is eval-suite-sized by
+    # contract, same as dc01's broadcast), then count distinct hits per
+    # doc as size(collect_set(h)) — ONE exchange with map-side partial
+    # sets (bounded by per-doc shingle count) where countDistinct
+    # planned two (round-12; measured −0.7 s at sf0.1).
     return (
-        probable.join(bench_sh, "shingle_h")
+        probable.join(F.broadcast(bench_sh), "shingle_h", "left_semi")
         .groupBy(id_col)
-        .agg(F.countDistinct("shingle_h").cast("int").alias("n_contaminated"))
+        .agg(F.size(F.collect_set("shingle_h")).cast("int").alias("n_contaminated"))
     )
 
 
