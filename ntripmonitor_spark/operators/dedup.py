@@ -692,7 +692,12 @@ def bloom_might_contain(key: Column, words: list[int], m: int,
                         k: int = BLOOM_K) -> Column:
     """Membership probe against the literal word array — pure column
     arithmetic, no join. False positives possible, negatives never."""
-    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    from ntripmonitor_spark.functions.fastlit import long_array_lit
+
+    # One py4j call for the whole word array (round-12, guide §1): the
+    # per-element F.lit path paid m/64 driver↔JVM round trips — at 20
+    # bits/key this dominated dc02's plan-construction time.
+    arr = long_array_lit(words)
     cond = F.lit(True)
     for p in _bloom_positions(key, m, k):
         word = F.element_at(arr, (p / 64).cast("int") + 1)

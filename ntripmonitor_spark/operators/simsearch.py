@@ -114,8 +114,10 @@ ANCHOR_IDS = (11, 23, 37, 41)  # fixed corpus vectors as hyperplane anchors
 
 def _bucket_signature(vec_col: Column, anchors: list[tuple[int, list[float]]]) -> Column:
     """Concatenated sign bits of ⟨v, anchor_i⟩ — the ANN bucket id."""
+    from ntripmonitor_spark.functions.fastlit import double_array_lit
+
     bits = [
-        F.when(dot(vec_col, F.array(*[F.lit(x) for x in vec])) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(dot(vec_col, double_array_lit(vec)) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for _, vec in anchors
     ]
     return F.concat(*bits)
@@ -243,9 +245,9 @@ def _seed_dists(vec_col: Column, seeds: list[tuple[int, list[float]]]) -> Column
     the dominant wall-clock term). Element order and the IEEE op chain
     are identical to the unrolled form, so values and hashes are
     unchanged."""
-    return _dist_table(vec_col, F.array(*[
-        F.array(*[F.lit(x) for x in vec]) for _, vec in seeds
-    ]))
+    from ntripmonitor_spark.functions.fastlit import double_matrix_lit
+
+    return _dist_table(vec_col, double_matrix_lit([vec for _, vec in seeds]))
 
 
 def _dist_table(vec_col: Column, codebook: Column) -> Column:
@@ -263,9 +265,9 @@ def _dist_table(vec_col: Column, codebook: Column) -> Column:
 
 def _sub_codebook(seeds: list[tuple[int, list[float]]], s: int, d: int) -> Column:
     """Nested-array literal of subspace ``s``'s codeword sub-vectors."""
-    return F.array(*[
-        F.array(*[F.lit(x) for x in vec[s * d:(s + 1) * d]]) for _, vec in seeds
-    ])
+    from ntripmonitor_spark.functions.fastlit import double_matrix_lit
+
+    return double_matrix_lit([vec[s * d:(s + 1) * d] for _, vec in seeds])
 
 
 def _collect_seed_vectors(emb: DataFrame, k: int) -> list[tuple[int, list[float]]]:
@@ -275,6 +277,57 @@ def _collect_seed_vectors(emb: DataFrame, k: int) -> list[tuple[int, list[float]
         .collect()
     )
     return sorted((r["vec_id"], list(r["v"])) for r in rows)
+
+
+def _collect_seed_and_query_vectors(
+    emb: DataFrame, k: int, n_queries: int
+) -> tuple[list[tuple[int, list[float]]], dict[int, list[float]]]:
+    """Seeds (vec_id < k) AND query vectors (vec_id < n_queries) in ONE
+    bounded collect (round-12, guide §1/§5): the serving operators used
+    to pay two sequential driver jobs over the same parquet — one for
+    the seed centroids, one for the query rows — plus, on the query
+    job, codegen of the full distance-table expression tree. Both
+    driver-side model quantities (distance tables, probe cells) are now
+    derived in plain Python from this single raw collect
+    (:func:`_py_dist_table`), bit-identically to the former JVM path.
+    """
+    rows = (
+        emb.filter(F.col("vec_id") < max(k, n_queries))
+        .select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    allv = {int(r["vec_id"]): [float(x) for x in r["v"]] for r in rows}
+    seeds = sorted((i, v) for i, v in allv.items() if i < k)
+    queries = {i: v for i, v in allv.items() if i < n_queries}
+    return seeds, queries
+
+
+def _round6_half_up(x: float) -> float:
+    """Exact replica of Spark's round(double, 6): java BigDecimal
+    .valueOf(x) (= the shortest round-trip decimal string, which is
+    also what Python's repr yields) rescaled HALF_UP — validated
+    bit-identical against the JVM expression on all test SFs."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))
+
+
+def _py_sqdist(a: list[float], b: list[float]) -> float:
+    """Sequential-fold squared L2 — the same IEEE op chain as the
+    zip_with/aggregate expression in :func:`_dist_table`."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = x - y
+        acc += d * d
+    return acc
+
+
+def _py_dist_table(vec: list[float], codebook: list[list[float]]) -> list[float]:
+    """Driver-side replica of :func:`_dist_table` (round6 of the
+    sequential-fold squared L2 per codeword) for query-side model
+    constants — bounded inputs only (queries × codebook)."""
+    return [_round6_half_up(_py_sqdist(vec, c)) for c in codebook]
 
 
 def ivf_train_step(emb: DataFrame, k: int = IVF_K) -> DataFrame:
@@ -323,7 +376,8 @@ PQ_M = 8  # product-quantization subspaces (64-dim → 8 sub-vectors of 8)
 PQ_K = 4  # codewords per subspace; codebook = sub-vectors of seeds 0..K-1
 
 
-def pq_encode(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
+def pq_encode(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
+              seeds: list[tuple[int, list[float]]] | None = None) -> DataFrame:
     """Product-quantization encoder: split each embedding into ``m``
     contiguous sub-vectors and replace each with the id of its nearest
     codeword (codebook = the matching sub-vectors of corpus seeds
@@ -342,7 +396,10 @@ def pq_encode(emb: DataFrame, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
     """
     from ntripmonitor_spark.tables import ensure_parallelism
 
-    seeds = _collect_seed_vectors(emb, k)
+    # Callers that already hold the (bounded) seed collect pass it in,
+    # saving one sequential driver job (round-12, guide §1).
+    if seeds is None:
+        seeds = _collect_seed_vectors(emb, k)
     dim = len(seeds[0][1])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
@@ -372,11 +429,19 @@ def _ivf_scored(emb: DataFrame, k_centroids: int, n_queries: int,
     `ivf_probe` ranks it (top-k), `ivf_radius` filters it (cos ≥ τ).
     The corpus is scanned once and never shuffled; the query side
     broadcasts onto the cell column."""
-    from pyspark.sql.window import Window
+    import math
 
     from ntripmonitor_spark.tables import ensure_parallelism
 
-    seeds = _collect_seed_vectors(emb, k_centroids)
+    # Seeds + query vectors in ONE bounded collect; the nprobe nearest
+    # cells per query (ties to the lower centroid id) and the query
+    # norms are derived on the driver in plain Python (round-12, guide
+    # §1/§5) — this replaces a second scan subtree (posexplode of the
+    # cell-distance expression + a row_number window over 10 rows) with
+    # a LocalTableScan of n_queries·nprobe probe rows. _py_dist_table /
+    # math.sqrt replicate the JVM op chain bit-identically (validated
+    # on all SFs; oracle hashes unchanged).
+    seeds, queries = _collect_seed_and_query_vectors(emb, k_centroids, n_queries)
 
     v = ensure_parallelism(emb).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
@@ -386,18 +451,14 @@ def _ivf_scored(emb: DataFrame, k_centroids: int, n_queries: int,
         "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     )
 
-    # nprobe nearest cells per query vector (ties to the lower centroid
-    # id), exploded to one (query, cell) probe row each
-    qd = v.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"), F.col("nrm").alias("qn"),
-        F.posexplode(_seed_dists(F.col("v"), seeds)).alias("cid", "qdist"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("qdist").asc(), F.col("cid").asc())
-    probes = (
-        qd.withColumn("_pr", F.row_number().over(wq))
-        .filter(F.col("_pr") <= nprobe)
-        .select("query_id", "qv", "qn", F.col("cid").alias("cell"))
+    prows = []
+    for qid, qv in sorted(queries.items()):
+        cd = _py_dist_table(qv, [sv for _, sv in seeds])
+        qn = math.sqrt(_py_sqdist(qv, [0.0] * len(qv)))
+        for cid, _ in sorted(enumerate(cd), key=lambda t: (t[1], t[0]))[:nprobe]:
+            prows.append((qid, qv, qn, int(cid)))
+    probes = emb.sparkSession.createDataFrame(
+        prows, "query_id bigint, qv array<double>, qn double, cell int"
     )
 
     cos = F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
@@ -595,26 +656,28 @@ def pq_adc_topk(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
     """
     from pyspark.sql import Window
 
-    seeds = _collect_seed_vectors(emb, k)
+    # Seeds and query vectors in ONE bounded collect; each query's
+    # flattened (m·k)-element distance table (subspace-major, codeword
+    # order within a subspace) is then derived on the driver in plain
+    # Python (round-12, guide §1/§5): the former second collect paid a
+    # separate sequential job PLUS codegen of the full distance-table
+    # expression tree just to produce n_queries·m·k bounded constants.
+    # _py_dist_table replicates the JVM op chain bit-identically
+    # (validated on all SFs; oracle hashes unchanged).
+    seeds, queries = _collect_seed_and_query_vectors(emb, k, n_queries)
     dim = len(seeds[0][1])
     d = dim // m
-    v = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
 
-    # One flattened (m·k)-element distance-table column per query —
-    # subspace-major, codeword order within a subspace — instead of m×k
-    # named columns each carrying its own unrolled aggregate tree
-    # (round-11 verdict #4: the named-column form was pure codegen
-    # bloat; flatten(transform-per-subspace) emits m lambdas total and
-    # the exact same values in the exact same order).
-    dt_col = F.flatten(F.array(*[
-        _dist_table(F.slice(F.col("v"), s * d + 1, d), _sub_codebook(seeds, s, d))
-        for s in range(m)
-    ]))
-    qd = v.filter(F.col("vec_id") < n_queries).select("vec_id", dt_col.alias("dt")).collect()
-    qrows = [(int(r["vec_id"]), [float(x) for x in r["dt"]]) for r in qd]
+    qrows = [
+        (qid, [x
+               for s in range(m)
+               for x in _py_dist_table(qv[s * d:(s + 1) * d],
+                                       [sv[s * d:(s + 1) * d] for _, sv in seeds])])
+        for qid, qv in sorted(queries.items())
+    ]
     qdf = emb.sparkSession.createDataFrame(qrows, "qid bigint, dt array<double>")
 
-    codes = pq_encode(emb, m, k).select("vec_id", "pq_code")
+    codes = pq_encode(emb, m, k, seeds=seeds).select("vec_id", "pq_code")
     joined = codes.crossJoin(F.broadcast(qdf))
     adc = None
     for s in range(m):
@@ -702,7 +765,14 @@ def ivfpq_search(emb: DataFrame, k_centroids: int = IVF_K, m: int = PQ_M,
     """
     from ntripmonitor_spark.tables import ensure_parallelism
 
-    seeds8 = _collect_seed_vectors(emb, k_centroids)
+    # Seeds + query vectors in ONE bounded collect; every query-side
+    # model quantity (probe cells, ADC distance tables) is derived on
+    # the driver in plain Python (round-12, guide §1/§5) — the former
+    # second collect paid a separate sequential job plus codegen of the
+    # full cell-dist + distance-table expression tree for 10 rows.
+    # _py_dist_table replicates the JVM op chain bit-identically
+    # (validated on all SFs; oracle hashes unchanged).
+    seeds8, queries = _collect_seed_and_query_vectors(emb, k_centroids, n_queries)
     seeds4 = seeds8[:k_codes]
     dim = len(seeds8[0][1])
     d = dim // m
@@ -724,25 +794,19 @@ def ivfpq_search(emb: DataFrame, k_centroids: int = IVF_K, m: int = PQ_M,
         F.array(*digits).alias("codes"),
     )
 
-    # --- query side: one bounded collect -> broadcast (qid, cell, dt, qv)
-    # dt is the flattened subspace-major distance table (one transform
-    # per subspace — see pq_adc_topk for why, round-11 verdict #4).
-    dt_col = F.flatten(F.array(*[
-        _dist_table(F.slice(F.col("v"), s * d + 1, d), _sub_codebook(seeds4, s, d))
-        for s in range(m)
-    ]))
-    qrows = (
-        v.filter(F.col("vec_id") < n_queries)
-        .select("vec_id", "v", cell_dists.alias("cd"), dt_col.alias("dt"))
-        .collect()
-    )
+    # --- query side: driver-derived (qid, cell, dt, qv) rows — cd is
+    # the round6 cell-distance vector, dt the flattened subspace-major
+    # distance table (same value order as the former JVM expressions).
     qdata = []
-    for r in qrows:
-        cd = list(r["cd"])
+    for qid, qv in sorted(queries.items()):
+        cd = _py_dist_table(qv, [sv for _, sv in seeds8])
         probe_cells = [c for c, _ in sorted(enumerate(cd), key=lambda t: (t[1], t[0]))[:nprobe]]
-        dt = [float(x) for x in r["dt"]]
+        dt = [x
+              for s in range(m)
+              for x in _py_dist_table(qv[s * d:(s + 1) * d],
+                                      [sv[s * d:(s + 1) * d] for _, sv in seeds4])]
         for cell in probe_cells:
-            qdata.append((int(r["vec_id"]), int(cell), dt, list(r["v"])))
+            qdata.append((qid, int(cell), dt, qv))
     qdf = emb.sparkSession.createDataFrame(
         qdata, "qid bigint, cell int, dt array<double>, qv array<double>"
     )
