@@ -98,3 +98,75 @@ def test_sub_codebook_slices_subspace_major(spark):
     df = spark.range(1)
     row = df.select(_sub_codebook(seeds, 1, 2).alias("cb")).collect()[0]
     assert row["cb"] == [[3.0, 4.0], [7.0, 8.0]]
+
+
+def test_fastlit_arrays_bit_identical_to_per_element_lit(spark):
+    """The one-py4j-call literal builders must produce the exact
+    doubles/longs of the per-element F.lit path they replaced —
+    including awkward reprs (subnormal-ish exponents, -0.0, shortest
+    round-trip tails) and 63-bit longs."""
+    from ntripmonitor_spark.functions.fastlit import (
+        double_array_lit, double_matrix_lit, long_array_lit,
+    )
+
+    doubles = [0.1, -0.0, 1e-300, -2.5e-07, 3.141592653589793,
+               1.7976931348623157e308, 5e-324, 123456789.123456789]
+    df = spark.range(1)
+    got = df.select(double_array_lit(doubles).alias("a")).collect()[0]["a"]
+    want = df.select(F.array(*[F.lit(x) for x in doubles]).alias("a")).collect()[0]["a"]
+    assert [repr(x) for x in got] == [repr(x) for x in want]
+
+    rows = [doubles[:4], doubles[4:]]
+    gotm = df.select(double_matrix_lit(rows).alias("m")).collect()[0]["m"]
+    wantm = df.select(
+        F.array(*[F.array(*[F.lit(x) for x in r]) for r in rows]).alias("m")
+    ).collect()[0]["m"]
+    assert [[repr(x) for x in r] for r in gotm] == [[repr(x) for x in r] for r in wantm]
+
+    longs = [0, -1, 2**62, -(2**63), 2**63 - 1, 42]
+    gotl = df.select(long_array_lit(longs).alias("l")).collect()[0]["l"]
+    assert gotl == longs
+
+
+def test_py_dist_table_matches_jvm_kernel(spark, sf_dir):
+    """The driver-side Python distance-table replica (round-12: query-
+    side PQ/IVF constants computed in Python) must be bit-identical to
+    the JVM _dist_table expression on real embedding data."""
+    from ntripmonitor_spark.operators.simsearch import (
+        _collect_seed_vectors, _dist_table, _py_dist_table, _seed_dists,
+        as_double_vec,
+    )
+    from ntripmonitor_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = _collect_seed_vectors(emb, 8)
+    v = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    jvm = {
+        int(r["vec_id"]): [float(x) for x in r["d"]]
+        for r in v.filter(F.col("vec_id") < 10)
+        .select("vec_id", _seed_dists(F.col("v"), seeds).alias("d"))
+        .collect()
+    }
+    raw = {
+        int(r["vec_id"]): [float(x) for x in r["v"]]
+        for r in v.filter(F.col("vec_id") < 10).collect()
+    }
+    codebook = [sv for _, sv in seeds]
+    for qid, vec in raw.items():
+        assert _py_dist_table(vec, codebook) == jvm[qid], f"q{qid} diverged"
+
+
+def test_seed_and_query_collect_consistent(spark, sf_dir):
+    """The fused seed+query collect must reproduce _collect_seed_vectors
+    exactly and cover every query id below n_queries."""
+    from ntripmonitor_spark.operators.simsearch import (
+        _collect_seed_and_query_vectors, _collect_seed_vectors,
+    )
+    from ntripmonitor_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    seeds, queries = _collect_seed_and_query_vectors(emb, 4, 10)
+    assert seeds == _collect_seed_vectors(emb, 4)
+    n = emb.filter(F.col("vec_id") < 10).count()
+    assert len(queries) == n
+    assert all(qid < 10 for qid in queries)
