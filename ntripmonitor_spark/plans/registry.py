@@ -299,9 +299,19 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
 # round-12 window and re-grades now.
 CHANGED_SINCE_GREEN_R12: frozenset[str] = frozenset(
     {
+        # batch-1 codegen refactor (distance-table lambda kernel)
         "ss02_ann_bucketed",
         "ss16_nprobe_sweep",
         "ss17_radius_search",
+        # batch-2 (score-free LSH candidates / mmr pool persist)
+        "sp09_cluster_split_lsh",
+        "ss14_mmr_rerank",
+        # batch-3/5 (bloom rework + fastlit literals + driver-side
+        # query constants) — every one re-proved hash-identical at
+        # sf0.001 and sf0.01 this round (see OPTIMIZATION_r12.md)
+        "dc02_decontamination_bloom",
+        "ss03_ann_lsh_multitable",
+        "ss13_sq8_recall",
     }
 )
 
