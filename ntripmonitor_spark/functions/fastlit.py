@@ -43,3 +43,39 @@ def double_matrix_lit(rows: list[list[float]]) -> Column:
 def long_array_lit(values: list[int]) -> Column:
     """array<bigint> literal — one py4j call for any length."""
     return F.expr(f"array({','.join(f'{int(v)}L' for v in values)})")
+
+
+def _render_string(s: str) -> str:
+    # Spark's default parser processes backslash escapes inside single
+    # quotes (escapedStringLiterals=false), so escape both.
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def string_array_lit(values: list[str]) -> Column:
+    """array<string> literal — one py4j call for any length. The
+    round-12 profile showed ``Column.isin(vocab)`` paying one py4j
+    conversion per element (~40 ms per 64-word vocab call site);
+    ``array_contains(string_array_lit(vocab), c)`` is the same
+    predicate for non-null inputs at one call total."""
+    return F.expr(f"array({','.join(_render_string(v) for v in values)})")
+
+
+def string_map_lit(pairs: dict[str, str]) -> Column:
+    """map<string,string> literal — one py4j call for any size
+    (vs 2·N ``F.lit`` round trips for ``F.create_map``). Insertion
+    order of ``pairs`` is preserved, matching create_map's argument
+    order."""
+    args = ",".join(
+        f"{_render_string(k)},{_render_string(v)}" for k, v in pairs.items()
+    )
+    return F.expr(f"map({args})")
+
+
+def string_double_map_lit(pairs: dict[str, float]) -> Column:
+    """map<string,double> literal — one py4j call; doubles render via
+    ``repr`` and parse back with CAST(...AS DOUBLE) (correctly rounded
+    both ways), so each value is bit-identical to ``F.lit(x)``."""
+    args = ",".join(
+        f"{_render_string(k)},{_render_double(v)}" for k, v in pairs.items()
+    )
+    return F.expr(f"map({args})")

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ntripmonitor_spark.functions.bitio import BitReader
 from ntripmonitor_spark.functions.crc24q import frame_crc_ok
+from ntripmonitor_spark.functions.fastlit import string_map_lit
 from ntripmonitor_spark.schema import (
     DECODED_SCHEMA,
     MSM_SIGNAL_TYPES,
@@ -380,13 +381,14 @@ def packages(decoded: DataFrame) -> DataFrame:
 
 def _signal_name_map() -> Column:
     """map<'CONST|slot', name> literal for the P13 lookup (tiny,
-    constant-folded; the join-free alternative to signal_dim)."""
-    entries: list[Column] = []
-    for const, names in MSM_SIGNAL_TYPES.items():
-        for slot, name in enumerate(names):
-            entries.append(F.lit(f"{const}|{slot}"))
-            entries.append(F.lit(name))
-    return F.create_map(*entries)
+    constant-folded; the join-free alternative to signal_dim). Built
+    as ONE SQL map expression (round-13, guide §5): the per-entry
+    ``F.lit`` form paid 2·192 py4j round trips per plan build."""
+    return string_map_lit({
+        f"{const}|{slot}": name
+        for const, names in MSM_SIGNAL_TYPES.items()
+        for slot, name in enumerate(names)
+    })
 
 
 def observations(decoded: DataFrame) -> DataFrame:
@@ -402,11 +404,10 @@ def observations(decoded: DataFrame) -> DataFrame:
         decoded.filter(F.col("msg_type").between(1071, 1127) & F.col("cells").isNotNull())
         .withColumn("constellation", constellation_col(F.col("msg_type")))
         .withColumn("constellation_id", F.element_at(
-            F.create_map(
-                F.lit("GPS"), F.lit("G"), F.lit("GLONASS"), F.lit("R"),
-                F.lit("GALILEO"), F.lit("E"), F.lit("SBAS"), F.lit("S"),
-                F.lit("QZSS"), F.lit("J"), F.lit("BEIDOU"), F.lit("C"),
-            ),
+            string_map_lit({
+                "GPS": "G", "GLONASS": "R", "GALILEO": "E",
+                "SBAS": "S", "QZSS": "J", "BEIDOU": "C",
+            }),
             F.col("constellation"),
         ))
         .withColumn("nsig", F.size("sig_slots"))

@@ -711,9 +711,14 @@ def sq8_quantize(emb: DataFrame, dim: int = 64) -> DataFrame:
     stay hash-canonicalizable.
     """
     v = emb.select("vec_id", "label", as_double_vec(F.col("embedding")).alias("v"))
+    # the two per-dimension bound arrays as ONE SQL expression each
+    # (round-13, guide §5): the F.min(v[i]) comprehension paid ~5 py4j
+    # round trips per dimension per plan build (128 aggregates); the
+    # parsed expression tree (same min/max-of-element aggregates, same
+    # order) is identical.
     stats = v.agg(
-        F.array(*[F.min(F.col("v")[i]) for i in range(dim)]).alias("mins"),
-        F.array(*[F.max(F.col("v")[i]) for i in range(dim)]).alias("maxs"),
+        F.expr(f"array({','.join(f'min(v[{i}])' for i in range(dim))})").alias("mins"),
+        F.expr(f"array({','.join(f'max(v[{i}])' for i in range(dim))})").alias("maxs"),
     )
     q = v.crossJoin(F.broadcast(stats))
     spans = F.zip_with("maxs", "mins", lambda mx, mn: mx - mn)
@@ -928,9 +933,12 @@ def sq8_recall(emb: DataFrame, n_queries: int = 10, k: int = 5,
     v = ensure_parallelism(emb).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
     )
+    # one SQL expression per bound array (round-13, guide §5) — same
+    # aggregates in the same order as the former F.min/F.max loop, at
+    # one py4j call each instead of ~5·dim
     stats = v.agg(
-        F.array(*[F.min(F.col("v")[i]) for i in range(dim)]).alias("mins"),
-        F.array(*[F.max(F.col("v")[i]) for i in range(dim)]).alias("maxs"),
+        F.expr(f"array({','.join(f'min(v[{i}])' for i in range(dim))})").alias("mins"),
+        F.expr(f"array({','.join(f'max(v[{i}])' for i in range(dim))})").alias("maxs"),
     )
     with_stats = v.crossJoin(F.broadcast(stats))
     spans = F.zip_with("maxs", "mins", lambda mx, mn: mx - mn)

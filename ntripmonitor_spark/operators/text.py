@@ -207,10 +207,23 @@ def unigram_model(docs: DataFrame, vocab_size: int = 64) -> tuple[list[tuple[str
     sort-limit) — the 100 TB shape for "fit a tiny model, broadcast
     it"."""
     words = docs.select(F.explode(normalized_words(F.col("text"))).alias("w"))
-    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    total = words.count()
-    top = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(vocab_size).collect()
-    return [(r["w"], r["c"]) for r in top], int(total)
+    # ONE corpus-scale job instead of two (round-13, guide §2.4): the
+    # former words.count() re-ran the full explode just to count rows
+    # the vocab aggregate was already scanning. rollup("w") computes
+    # the per-word counts AND the grand total (the null-w grouping-set
+    # row) in the same map-side-combined aggregate; the total row's
+    # count is ≥ every word count and NULL sorts first ascending, so
+    # it always survives the top-(k+1) cut. Values identical: the
+    # grand-total count IS the exploded row count.
+    rows = (
+        words.rollup("w").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc_nulls_first())
+        .limit(vocab_size + 1)
+        .collect()
+    )
+    total = next((r["c"] for r in rows if r["w"] is None), 0)
+    top = [(r["w"], r["c"]) for r in rows if r["w"] is not None][:vocab_size]
+    return top, int(total)
 
 
 def unigram_surprisal(docs: DataFrame, vocab_size: int = 64) -> DataFrame:
@@ -221,9 +234,14 @@ def unigram_surprisal(docs: DataFrame, vocab_size: int = 64) -> DataFrame:
     no shuffle, order-deterministic summation; OOV words get the
     0.5/total floor. Rounded to 6 decimals to absorb cross-engine
     log-ULP noise."""
+    from ntripmonitor_spark.functions.fastlit import string_double_map_lit
+
     vocab, total = unigram_model(docs, vocab_size)
-    cnt_map = F.create_map(
-        *[F.lit(x) for wc in vocab for x in (wc[0], float(wc[1]))]
+    # ONE py4j call for the whole model literal (round-13, guide §5):
+    # the per-entry F.lit form paid 2·|vocab| driver↔JVM round trips
+    # per plan build. Values bit-identical (integer counts as doubles).
+    cnt_map = string_double_map_lit(
+        {wc[0]: float(wc[1]) for wc in vocab}
     ) if vocab else F.create_map()
     words = normalized_words(F.col("text"))
     logp = lambda w: -F.log2(  # noqa: E731
@@ -398,6 +416,34 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     )
 
 
+def _vocab_mapper(vocab: list[str], unk: str = "<unk>"):
+    """Closed-vocabulary token mapper: token → itself if in ``vocab``
+    else the ``unk`` symbol, taking the operand as a SQL fragment.
+
+    Rendered as ONE SQL ``CASE WHEN x IN (…)`` expression per call
+    site (round-13, guide §5): the former ``c.isin(vocab)`` paid one
+    py4j conversion per vocab word per call site (~40 ms each for a
+    64-word vocab; tx14 has nine call sites). The IN list still
+    optimizes to the hashed InSet — an ``array_contains`` variant was
+    measured 1.4-1.9× SLOWER per row (linear scan of the literal
+    array), so the predicate must stay IN. The operand appearing twice
+    is the same shape ``F.when(c.isin(..), c)`` had; codegen CSE
+    collapses it either way."""
+    from ntripmonitor_spark.functions.fastlit import _render_string
+
+    lits = ",".join(_render_string(w) for w in vocab)
+    unk_sql = _render_string(unk)
+
+    def to_vocab(operand_sql: str) -> Column:
+        if not vocab:
+            return F.expr(unk_sql)
+        return F.expr(
+            f"CASE WHEN {operand_sql} IN ({lits}) THEN {operand_sql} ELSE {unk_sql} END"
+        )
+
+    return to_vocab
+
+
 def bigram_nll(docs: DataFrame, vocab_size: int = 64, k: float = 0.5,
                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document bigram language-model negative log-likelihood —
@@ -439,15 +485,13 @@ def bigram_nll(docs: DataFrame, vocab_size: int = 64, k: float = 0.5,
     )
     vocab = [r["tok"] for r in vocab_rows]
     v_plus = float(len(vocab) + 1)  # + <unk>
-
-    def to_vocab(c):
-        return F.when(c.isin(vocab), c).otherwise(F.lit("<unk>"))
+    to_vocab = _vocab_mapper(vocab)
 
     # feeds both the model-count aggregate and the scoring join —
     # persist once (the dd02/dc02 silver-relation discipline) so the
     # pair explode doesn't run twice per action
     mapped = pairs.select(
-        id_col, to_vocab(F.col("a")).alias("w1"), to_vocab(F.col("b")).alias("w2")
+        id_col, to_vocab("a").alias("w1"), to_vocab("b").alias("w2")
     ).persist()
     bc = mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     cx = bc.groupBy("w1").agg(F.sum("c").alias("cw"))
@@ -727,8 +771,17 @@ def source_divergence(docs: DataFrame, vocab_size: int = 256, k: float = 0.5,
     staged = docs.select(F.col(group_col), toks.alias("_toks"))
     exploded = staged.select(group_col, F.explode(F.col("_toks")).alias("tok"))
 
+    # ONE corpus-scale pass (round-13, guide §2.4, the dp03 shape): the
+    # (source, token) count relation is the only input-scaled aggregate;
+    # both the vocab fit (re-aggregated over tokens) and the symbol
+    # counts (mapped + re-aggregated) fold over it — the former private
+    # vocab job re-ran the full explode a second time. The persisted
+    # relation is vocabulary-sized per source, never corpus-sized.
+    st = exploded.groupBy(group_col, "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()
     vocab_rows = (
-        exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        st.groupBy("tok").agg(F.sum("c").alias("c"))
         .orderBy(F.col("c").desc(), F.col("tok").asc())
         .limit(vocab_size)
         .collect()
@@ -736,13 +789,12 @@ def source_divergence(docs: DataFrame, vocab_size: int = 256, k: float = 0.5,
     vocab = [r["tok"] for r in vocab_rows]
     v_plus = float(len(vocab) + 1)  # + <oov>
 
-    sym = F.when(F.col("tok").isin(vocab), F.col("tok")).otherwise(F.lit("<oov>"))
-    # the only input-scaled aggregate: (source, symbol) partial counts.
-    # Feeds four branches of the one returned (lazy) plan, so it can't be
-    # unpersisted here; the bounded (sources x V+1) cache entry is
-    # LRU-evictable and released by the caller's clearCache().
-    sc = exploded.select(group_col, sym.alias("sym")).groupBy(group_col, "sym").agg(
-        F.count(F.lit(1)).alias("c")
+    sym = _vocab_mapper(vocab, unk="<oov>")("tok")
+    # the (source, symbol) counts feed four branches of the one returned
+    # (lazy) plan; bounded (sources x V+1) rows, LRU-evictable, released
+    # by the caller's clearCache().
+    sc = st.select(group_col, sym.alias("sym"), "c").groupBy(group_col, "sym").agg(
+        F.sum("c").alias("c")
     ).persist()
     totals = sc.groupBy(group_col).agg(F.sum("c").alias("n_s"))
     corpus = sc.groupBy("sym").agg(F.sum("c").alias("c_all"))
@@ -816,9 +868,7 @@ def stupid_backoff_nll(docs: DataFrame, vocab_size: int = 64,
     )
     vocab = [r["tok"] for r in vocab_rows]
     v_plus = float(len(vocab) + 1)
-
-    def to_vocab(c):
-        return F.when(c.isin(vocab), c).otherwise(F.lit("<unk>"))
+    to_vocab = _vocab_mapper(vocab)
 
     def ngrams(df: DataFrame, n: int) -> DataFrame:
         grams = F.expr(
@@ -831,7 +881,7 @@ def stupid_backoff_nll(docs: DataFrame, vocab_size: int = 64,
         return out.select(
             id_col,
             *[
-                to_vocab(F.split_part(F.col("g"), F.lit(" "), F.lit(j + 1))).alias(f"w{j+1}")
+                to_vocab(f"split_part(g, ' ', {j + 1})").alias(f"w{j+1}")
                 for j in range(n)
             ],
         )
@@ -839,13 +889,17 @@ def stupid_backoff_nll(docs: DataFrame, vocab_size: int = 64,
     tri_fit = ngrams(fit, 3)
     bi_fit = ngrams(fit, 2)
     c3 = tri_fit.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    # c2 feeds two broadcast builds; persisting the ≤ (V+1)² table was
+    # A/B'd in round 13 (interleaved best-of-4: 1.44 s no-persist vs
+    # 1.52 s persisted) — re-aggregating the CACHED fit half is cheaper
+    # than the extra cache materialization, so it stays unpersisted.
     c2 = bi_fit.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     # Unigram stats fold over the cached token-count table instead of
     # re-exploding the fit corpus: per-mapped-token occurrence counts
     # are sum(c) over the mapped key, and n_total is sum(c) overall —
     # identical values, |distinct tokens|-sized input (round-12).
     c1 = (
-        token_counts.select(to_vocab(F.col("tok")).alias("w1"), "c")
+        token_counts.select(to_vocab("tok").alias("w1"), "c")
         .groupBy("w1")
         .agg(F.sum("c").alias("c1"))
     )
@@ -1171,7 +1225,7 @@ def pairwise_js(docs: DataFrame, vocab_size: int = 24, k: float = 0.5,
     vocab = [r["tok"] for r in vocab_rows]
     v_plus = float(len(vocab) + 1)
 
-    sym = F.when(F.col("tok").isin(vocab), F.col("tok")).otherwise(F.lit("<oov>"))
+    sym = _vocab_mapper(vocab, unk="<oov>")("tok")
     sc = st.select(group_col, sym.alias("sym"), "c").groupBy(group_col, "sym").agg(
         F.sum("c").alias("c")
     )

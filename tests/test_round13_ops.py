@@ -1,0 +1,123 @@
+"""Round-13 behavior pins: the string/map fastlit helpers, the
+CASE-IN vocab mapper, and the single-job unigram model fit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_string_lits_bit_identical_to_per_element_lit(spark):
+    """string_array_lit / string_map_lit / string_double_map_lit must
+    equal the per-element F.lit construction value-for-value, including
+    SQL-hostile characters (quotes, backslashes) and doubles needing
+    full repr round-trip precision."""
+    from ntripmonitor_spark.functions.fastlit import (
+        string_array_lit,
+        string_double_map_lit,
+        string_map_lit,
+    )
+
+    words = ["plain", "it's", 'dq"x', "back\\slash", "sp ace", "uni·code"]
+    got = spark.range(1).select(string_array_lit(words).alias("a")).first()["a"]
+    assert list(got) == words
+
+    pairs = {w: f"v:{w}" for w in words}
+    got_m = spark.range(1).select(string_map_lit(pairs).alias("m")).first()["m"]
+    assert dict(got_m) == pairs
+
+    import math
+
+    dvals = {"a": 0.1, "b": 1e-300, "c": math.pi, "d": 3.0, "q'x": 2.5000000000000004}
+    got_d = spark.range(1).select(string_double_map_lit(dvals).alias("m")).first()["m"]
+    ref = spark.range(1).select(
+        F.create_map(*[F.lit(x) for kv in dvals.items() for x in kv]).alias("m")
+    ).first()["m"]
+    assert got_d == ref
+    for k, v in dvals.items():
+        assert got_d[k] == v and str(got_d[k]) == str(v)
+
+
+def test_vocab_mapper_matches_isin_form(spark):
+    """_vocab_mapper's CASE-IN expression must agree with the former
+    when(col.isin(vocab), col).otherwise(unk) on every row, including
+    the empty-vocab edge (everything maps to unk)."""
+    from ntripmonitor_spark.operators.text import _vocab_mapper
+
+    df = spark.createDataFrame(
+        [("alpha",), ("beta",), ("it's",), ("zzz",), ("",)], "tok string"
+    )
+    vocab = ["alpha", "it's", ""]
+    new = df.select(_vocab_mapper(vocab)("tok").alias("v")).collect()
+    old = df.select(
+        F.when(F.col("tok").isin(vocab), F.col("tok")).otherwise(F.lit("<unk>")).alias("v")
+    ).collect()
+    assert new == old
+
+    empty = df.select(_vocab_mapper([])("tok").alias("v")).collect()
+    assert all(r["v"] == "<unk>" for r in empty)
+
+
+def test_unigram_model_rollup_matches_two_job_form(spark, sf_dir):
+    """The rollup-fused unigram fit must return the identical
+    (vocab, total) the former two-job form computed."""
+    from ntripmonitor_spark.operators.text import normalized_words, unigram_model
+    from ntripmonitor_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    vocab, total = unigram_model(docs, vocab_size=16)
+
+    words = docs.select(F.explode(normalized_words(F.col("text"))).alias("w"))
+    ref_total = words.count()
+    ref_top = (
+        words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(16)
+        .collect()
+    )
+    assert total == ref_total
+    assert vocab == [(r["w"], r["c"]) for r in ref_top]
+
+
+def test_unigram_model_empty_input(spark):
+    from ntripmonitor_spark.operators.text import unigram_model
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    vocab, total = unigram_model(empty, vocab_size=4)
+    assert vocab == [] and total == 0
+
+
+def test_signal_name_map_matches_per_element_form(spark):
+    """The one-call SQL map literal must equal the former
+    create_map(F.lit...) entry-for-entry."""
+    from ntripmonitor_spark.operators.rtcm import _signal_name_map
+    from ntripmonitor_spark.schema import MSM_SIGNAL_TYPES
+
+    got = spark.range(1).select(_signal_name_map().alias("m")).first()["m"]
+    ref = {
+        f"{const}|{slot}": name
+        for const, names in MSM_SIGNAL_TYPES.items()
+        for slot, name in enumerate(names)
+    }
+    assert dict(got) == ref
+
+
+def test_sq8_expr_bounds_match_column_form(spark, sf_dir):
+    """The expr-string per-dimension bound arrays must equal the former
+    F.min/F.max comprehension element-for-element (bit-identical)."""
+    from ntripmonitor_spark.operators.simsearch import as_double_vec
+    from ntripmonitor_spark.tables import table
+
+    dim = 64
+    v = table(spark, sf_dir, "embeddings").select(
+        as_double_vec(F.col("embedding")).alias("v")
+    )
+    new = v.agg(
+        F.expr(f"array({','.join(f'min(v[{i}])' for i in range(dim))})").alias("mins"),
+        F.expr(f"array({','.join(f'max(v[{i}])' for i in range(dim))})").alias("maxs"),
+    ).first()
+    old = v.agg(
+        F.array(*[F.min(F.col("v")[i]) for i in range(dim)]).alias("mins"),
+        F.array(*[F.max(F.col("v")[i]) for i in range(dim)]).alias("maxs"),
+    ).first()
+    assert list(new["mins"]) == list(old["mins"])
+    assert list(new["maxs"]) == list(old["maxs"])
