@@ -32,16 +32,27 @@ from pyspark.sql import functions as F
 from ntripmonitor_spark.operators.dedup import normalized_words
 
 
-def doc_terms(docs: DataFrame) -> DataFrame:
+def tokenized_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, _toks): the tokenized silver relation every retrieval
+    leg derives from. Callers that feed MULTIPLE legs persist it once
+    (round-13, guide §2.4 — one corpus tokenize feeding all consumers)."""
+    return docs.select("doc_id", normalized_words(F.col("text")).alias("_toks"))
+
+
+def doc_terms(docs: DataFrame, staged: DataFrame | None = None) -> DataFrame:
     """(doc_id, term, tf, doc_len): one row per distinct term per doc.
 
     ``doc_len`` (whitespace token count) is computed before the explode
-    so it needs no second pass over the corpus.
+    so it needs no second pass over the corpus. Pass ``staged`` (a
+    ``tokenized_docs`` relation, typically persisted) to share one
+    corpus tokenize across legs.
     """
-    staged = docs.select(
-        "doc_id", normalized_words(F.col("text")).alias("_toks")
-    ).select("doc_id", F.explode("_toks").alias("term"), F.size("_toks").alias("doc_len"))
-    return staged.groupBy("doc_id", "term").agg(
+    if staged is None:
+        staged = tokenized_docs(docs)
+    exploded = staged.select(
+        "doc_id", F.explode("_toks").alias("term"), F.size("_toks").alias("doc_len")
+    )
+    return exploded.groupBy("doc_id", "term").agg(
         F.count("*").alias("tf"), F.first("doc_len").alias("doc_len")
     )
 
@@ -71,7 +82,8 @@ def inverted_index(docs: DataFrame, max_postings: int = 64) -> DataFrame:
 
 
 def bm25_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
-              k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+              k: int = 10, k1: float = 1.2, b: float = 0.75,
+              staged: DataFrame | None = None) -> DataFrame:
     """Top-``k`` documents per query under BM25 (Lucene idf variant).
 
     ``queries`` is a small literal list [(query_id, [terms...]), ...] —
@@ -84,11 +96,21 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
     all_terms = sorted({t for _, ts in queries for t in ts})
     spark = docs.sparkSession
 
+    # ONE corpus tokenize feeding both legs (round-13, guide §2.4):
+    # the stats aggregate and the posting explode each re-tokenized
+    # the corpus before; the persisted token-array relation (the
+    # silver tokenized table a retrieval pipeline keeps anyway;
+    # MEMORY_AND_DISK, LRU-evictable, released by the caller's
+    # clearCache) is scanned by both. A/B at sf0.1: rc01 1.69→1.49 s,
+    # output byte-identical.
+    if staged is None:
+        staged = tokenized_docs(docs).persist()
+
     # Corpus stats BEFORE the term filter: N and avgdl describe the
     # whole collection. One row; rides along as a broadcast.
-    stats = docs.select(
+    stats = staged.select(
         F.count("*").alias("n_docs"),
-        F.avg(F.size(normalized_words(F.col("text")))).alias("avgdl"),
+        F.avg(F.size("_toks")).alias("avgdl"),
     )
 
     # Document frequency as a window count over the (already query-term-
@@ -96,7 +118,7 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
     # which would re-scan and re-explode the whole corpus a second time.
     # The window exchange moves only queried-term postings.
     terms = (
-        doc_terms(docs)
+        doc_terms(docs, staged=staged)
         .filter(F.col("term").isin(all_terms))
         .withColumn("df", F.count("*").over(Window.partitionBy("term")))
     )
@@ -299,14 +321,17 @@ def ndcg_eval(docs: DataFrame, queries: list[tuple[int, list[str]]],
     ranking is a per-query top-k window over label-bearing docs only.
     Everything after the posting scan moves O(queries * k) rows.
     """
-    ranked = bm25_topk(docs, queries, k=k)  # (query_id, rank, doc_id, score)
+    # one persisted tokenize feeds the BM25 leg AND the relevance leg
+    # (round-13, guide §2.4)
+    staged = tokenized_docs(docs).persist()
+    ranked = bm25_topk(docs, queries, k=k, staged=staged)
     all_terms = sorted({t for _, ts in queries for t in ts})
     spark = docs.sparkSession
     qdf = spark.createDataFrame(
         [(qid, t) for qid, ts in queries for t in ts], "query_id int, term string"
     )
     rel = (
-        doc_terms(docs)
+        doc_terms(docs, staged=staged)
         .filter(F.col("term").isin(all_terms))
         .join(F.broadcast(qdf), "term")
         .groupBy("query_id", "doc_id")
@@ -559,7 +584,10 @@ def mrr_eval(docs: DataFrame, queries: list[tuple[int, list[str]]],
     one IEEE division of exact integers, quantized portably."""
     from ntripmonitor_spark.functions.portable import quantize
 
-    ranked = bm25_topk(docs, queries, k=k)
+    # one persisted tokenize feeds the BM25 leg AND the relevance leg
+    # (round-13, guide §2.4)
+    staged = tokenized_docs(docs).persist()
+    ranked = bm25_topk(docs, queries, k=k, staged=staged)
     all_terms = sorted({t for _, ts in queries for t in ts})
     spark = docs.sparkSession
     qdf = spark.createDataFrame(
@@ -567,7 +595,7 @@ def mrr_eval(docs: DataFrame, queries: list[tuple[int, list[str]]],
     )
     nq = qdf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
     rel = (
-        doc_terms(docs)
+        doc_terms(docs, staged=staged)
         .filter(F.col("term").isin(all_terms))
         .join(F.broadcast(qdf), "term")
         .groupBy("query_id", "doc_id")

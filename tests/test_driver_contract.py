@@ -186,35 +186,36 @@ def test_concurrent_queries_one_session(spark):
     assert concurrent == serial
 
 
-def test_round12_driver_window_is_frozen():
+def test_round13_driver_window_is_frozen():
     """The driver grades the first 50 exposed names alphabetically; the
-    round-12 window closes the rotation debt (the 4 never-graded
-    round-11 registrations + q13_mod_latency's stale r7 green + the
-    entire r4/r6 stale-green tail, incl. sn02_reconnect_pairs) and must
-    not shift under late registrations — new queries go to
-    DRIVER_ROTATED_OUT (x_ alias) until the round-13 rotation. A
-    failure here means a registration displaced a frozen slot."""
+    round-13 window regrades every query whose plan changed after its
+    newest driver-green row (the 18 r12 stale-changed entries incl. the
+    verdict-audit additions, plus the 6 r13-changed retrieval/kl01/dc02
+    plans) and backfills the stalest r6/r7 greens. It must not shift
+    under late registrations — new queries go to DRIVER_ROTATED_OUT
+    (x_ alias) until the next rotation. A failure here means a
+    registration displaced a frozen slot."""
     import __spark_entry__ as entry
 
     window = sorted(entry.queries())[:50]
     assert window == [
-        "aj01_asof_join", "aj02_asof_tolerance", "an01_rolling_zscore",
-        "bm01_bm25_topk", "bp01_bpe_train", "cm01_countmin_heavy_hitters",
-        "cu02_adaptive_gate", "dd07_semantic_dedup", "dd09_block_dedup_rebuild",
-        "dq02_profile_approx", "er04_blocking_compare", "fn01_conversion_funnel",
-        "fn02_cohort_retention", "hs01_length_histogram", "ig01_dsir_weights",
-        "in01_inverted_index", "lo01_zorder_code", "lo04_compaction_plan",
-        "lr01_grouped_regression", "lr02_logreg_quality", "mk01_event_transitions",
-        "mm11_phash_16bit", "mx04_unimax_waterfill", "q13_mod_latency",
-        "q22_no_order_customers", "q24_intersect_users", "qa01_quantile_thresholds",
-        "qa08_calibration_bins", "rc01_hybrid_rrf", "rj01_range_join",
-        "scd01_history", "sd01_duplicate_spans", "sn01_user_sessions",
-        "sn02_reconnect_pairs", "sp04_stratified_ksample", "sp05_hash_split",
-        "sp15_neyman_allocation", "ss04_ivf_train_step", "ss05_pq_encode",
-        "ss06_ivf_probe", "ss07_ivf_train_full", "ss08_ann_recall",
-        "ss09_pq_adc_topk", "ss10_sq8_quantize", "ss11_ivfpq_search",
-        "ts02_ohlc_downsample", "tx13_tfidf_keywords", "tx14_stupid_backoff",
-        "tx16_langid_confusion", "ws01_weighted_sample",
+        "an02_seasonal_anomalies", "an03_mean_shift", "an06_cusum_shift",
+        "bm01_bm25_topk", "cu03_full_pipeline", "cu05_ccnet_buckets",
+        "dc02_decontamination_bloom", "dd02_ngram_jaccard", "dd06_dup_clusters",
+        "dd10_containment", "dd14_cdc_chunks", "dp02_psi_drift",
+        "er02_entity_clusters", "fn04_conversion_latency", "fn05_window_funnel",
+        "fn06_linear_attribution", "fn07_rfm_segments", "gr01_cluster_sizes",
+        "gr02_dup_degree", "gr03_lsh_clusters", "gr04_pagerank",
+        "in03_phrase_probe", "in04_boolean_probe", "kl01_source_divergence",
+        "mm05_audio_energy", "mm12_media_manifest", "mm13_phash_planted",
+        "mm14_scene_change", "q25_except_users", "q26_cube_report",
+        "q27_pivot_daily", "q28_json_props", "rc01_hybrid_rrf",
+        "rc02_ndcg_eval", "rc03_mrr_eval", "scd02_asof_snapshot",
+        "sp09_cluster_split_lsh", "ss02_ann_bucketed", "ss03_ann_lsh_multitable",
+        "ss13_sq8_recall", "ss14_mmr_rerank", "ss16_nprobe_sweep",
+        "ss17_radius_search", "tk01_bpe_encode", "ts01_gap_fill",
+        "tx08_bpe_pairs", "tx09_zipf_fit", "tx10_bigram_nll",
+        "tx11_gopher_rules", "tx12_pmi_collocations",
     ]
 
 

@@ -784,6 +784,17 @@ def test_dd10_blocked_join_no_cartesian(spark, sf_dir):
     assert all(typ == "Cross" for typ, _ in shapes), (
         f"unexpected nested-loop join {shapes}\n{plan[:2000]}"
     )
+    # Round-13 (ADVICE): bound the BNLJ to exactly the ONE sanctioned
+    # node — the cached subtree re-prints it per consumer under the
+    # SAME operator id, so distinct ids > 1 means a second, genuine
+    # cross join slipped in. And the sanctioned node's stream side must
+    # be the one-row DF-cap HashAggregate fold, not a data relation.
+    ids = set(_re.findall(r"BroadcastNestedLoopJoin \w+ Build\w+ \((\d+)\)", plan))
+    assert len(ids) <= 1, f"more than one distinct BNLJ node: {ids}\n{plan[:2000]}"
+    for m in _re.finditer(r"BroadcastNestedLoopJoin \w+ Build\w+ \(\d+\)\n(.*\n)", plan):
+        assert "HashAggregate" in m.group(1), (
+            f"BNLJ stream side is not the scalar-fold aggregate\n{m.group(0)}"
+        )
 
 
 def test_qa02_single_exchange(spark, sf_dir):

@@ -121,3 +121,46 @@ def test_sq8_expr_bounds_match_column_form(spark, sf_dir):
     ).first()
     assert list(new["mins"]) == list(old["mins"])
     assert list(new["maxs"]) == list(old["maxs"])
+
+
+def test_reliable_checkpoint_routes_through_checkpoint_dir(spark, tmp_path, monkeypatch):
+    """With SPARK_GRAFT_RELIABLE_CHECKPOINT set, truncate_lineage must
+    use reliable checkpoint() (files land under the dir) and return
+    the same rows; default behavior (localCheckpoint) is unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ntripmonitor_spark.operators.dedup import truncate_lineage
+
+    df = spark.range(0, 100).select(F.col("id").alias("doc_a"))
+
+    default = truncate_lineage(df)
+    assert default.count() == 100
+
+    ckdir = str(tmp_path / "reliable_ck")
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", ckdir)
+    reliable = truncate_lineage(df)
+    assert reliable.count() == 100
+    assert sorted(r["doc_a"] for r in reliable.collect()) == list(range(100))
+    found = []
+    for root, _dirs, files in os.walk(ckdir):
+        found.extend(files)
+    assert found, "no checkpoint files written under SPARK_GRAFT_RELIABLE_CHECKPOINT"
+
+
+def test_connected_components_same_labels_under_reliable_checkpoint(spark, tmp_path, monkeypatch):
+    from pyspark.sql import functions as F
+
+    from ntripmonitor_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "doc_a long, doc_b long"
+    )
+    nodes = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    base, _ = connected_components(nodes, edges)
+    base_rows = sorted(map(tuple, base.collect()))
+
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", str(tmp_path / "cc_ck"))
+    rel, _ = connected_components(nodes, edges)
+    assert sorted(map(tuple, rel.collect())) == base_rows
