@@ -693,7 +693,16 @@ def _bloom_positions(key: Column, m: int, k: int = BLOOM_K) -> list[Column]:
     return [F.pmod(h1m + F.lit(j) * h2m, F.lit(m)) for j in range(k)]
 
 
-def bloom_filter_build(keys: DataFrame, key_col: str, n_keys: int,
+def _bloom_positions_col(key: Column, m: Column, k: int = BLOOM_K) -> list[Column]:
+    """:func:`_bloom_positions` with ``m`` as a COLUMN (the in-plan
+    fused build below derives m from the key count inside the same
+    job). Same double-hash arithmetic, exact bigint ops."""
+    h1m = F.pmod(key, m)
+    h2m = F.pmod(F.xxhash64(key), m)
+    return [F.pmod(h1m + F.lit(j) * h2m, m) for j in range(k)]
+
+
+def bloom_filter_build(keys: DataFrame, key_col: str,
                        bits_per_key: int = 20, k: int = BLOOM_K) -> tuple[list[int], int]:
     """Distributed Bloom-filter build from public primitives (the
     builtin ``bloom_filter_agg`` is not in the public registry): each
@@ -701,17 +710,37 @@ def bloom_filter_build(keys: DataFrame, key_col: str, n_keys: int,
     words, and the dense word list comes back to the driver — bounded
     by bits_per_key·n_keys/64 longs (≈ the size class of a broadcast
     of the key set /26, so whenever the keys were broadcastable this
-    certainly is). Returns (words, m)."""
-    m = max(64, ((bits_per_key * max(n_keys, 1) + 63) // 64) * 64)
-    pos = F.explode(F.array(*_bloom_positions(F.col(key_col), m, k))).alias("pos")
+    certainly is). Returns (words, m).
+
+    ONE job (round-13, guide §5 — the driver runs no sequential
+    pre-jobs): m = max(64, ceil(bits_per_key·max(n,1)/64)·64) is
+    derived IN-PLAN from a one-row count aggregate broadcast onto the
+    key relation (exact bigint arithmetic, same value the former
+    driver-side ``max(..//64*64)`` computed from a separate count()
+    job), so the count and the word collect fuse into one action."""
+    m_agg = keys.agg(
+        F.greatest(
+            F.lit(64).cast("long"),
+            F.expr(
+                f"({bits_per_key} * greatest(count(1), 1L) + 63) DIV 64 * 64"
+            ),
+        ).alias("m")
+    )
+    staged = keys.crossJoin(F.broadcast(m_agg))
+    pos = F.explode(
+        F.array(*_bloom_positions_col(F.col(key_col), F.col("m"), k))
+    ).alias("pos")
     words_rows = (
-        keys.select(pos)
-        .groupBy((F.col("pos") / 64).cast("long").alias("w"))
+        staged.select(pos, "m")
+        .groupBy((F.col("pos") / 64).cast("long").alias("w"), F.col("m"))
         .agg(F.bit_or(
             F.call_function("shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int"))
         ).alias("bits"))
         .collect()
     )
+    # Empty key relation: zero grouped rows come back; m is then the
+    # 64-bit floor the former two-job form computed for n_keys=0.
+    m = int(words_rows[0]["m"]) if words_rows else 64
     words = [0] * (m // 64)
     for r in words_rows:
         words[r["w"]] = r["bits"]
@@ -727,13 +756,23 @@ def bloom_might_contain(key: Column, words: list[int], m: int,
     # One py4j call for the whole word array (round-12, guide §1): the
     # per-element F.lit path paid m/64 driver↔JVM round trips — at 20
     # bits/key this dominated dc02's plan-construction time.
+    # Round-13: the array literal is referenced ONCE, inside a forall
+    # lambda over the k probe positions — the previous unrolled
+    # conjunction copied the m/64-element literal expression k times
+    # into the plan, and every analyzer/optimizer walk (and codegen)
+    # paid for all k copies (measured 2.6× plan-build time on a
+    # 6250-word filter; per-row work identical). forall over non-null
+    # positions ≡ the AND chain, bit-for-bit.
     arr = long_array_lit(words)
-    cond = F.lit(True)
-    for p in _bloom_positions(key, m, k):
-        word = F.element_at(arr, (p / 64).cast("int") + 1)
-        bit = F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))
-        cond = cond & (word.bitwiseAND(bit) != 0)
-    return cond
+    pos = F.array(*_bloom_positions(key, m, k))
+    return F.forall(
+        pos,
+        lambda p: F.element_at(arr, (p / 64).cast("int") + 1)
+        .bitwiseAND(
+            F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))
+        )
+        != 0,
+    )
 
 
 def decontaminate_bloom(docs: DataFrame, benchmark_pred, n: int = 3,
@@ -770,21 +809,21 @@ def decontaminate_bloom(docs: DataFrame, benchmark_pred, n: int = 3,
     """
     bench_ids = docs.filter(benchmark_pred).select(id_col)
     # benchmark shingles: exploded from the (tiny, filter-pushed)
-    # benchmark docs only; persisted for its three consumers (size
-    # count, bloom build, exact confirm join). Round-12: the relation
-    # stays RAW (no .distinct()): the bloom build ORs duplicate keys
-    # into the same bits, the confirm join feeds a per-doc SET
-    # aggregate, and the size count only calibrates m — so duplicates
-    # change nothing downstream and the distinct exchange was pure
-    # overhead (m is sized on occurrences, a small overestimate that
-    # LOWERS the fpp).
+    # benchmark docs only; persisted for its two consumers (bloom
+    # build, exact confirm join). Round-12: the relation stays RAW
+    # (no .distinct()): the bloom build ORs duplicate keys into the
+    # same bits, the confirm join feeds a per-doc SET aggregate, and
+    # the m-sizing count only calibrates fpp — so duplicates change
+    # nothing downstream and the distinct exchange was pure overhead
+    # (m is sized on occurrences, a small overestimate that LOWERS the
+    # fpp). Round-13: the m-sizing count fused INTO the bloom-build
+    # job (one eager job here, not two — guide §5).
     bench_sh = (
         exploded_shingles(docs.filter(benchmark_pred), n, id_col=id_col)
         .select(F.xxhash64("shingle").alias("shingle_h"))
         .persist()
     )
-    n_bench = bench_sh.count()
-    words, m = bloom_filter_build(bench_sh, "shingle_h", n_bench, bits_per_key)
+    words, m = bloom_filter_build(bench_sh, "shingle_h", bits_per_key)
 
     corpus_sh = exploded_shingles(docs, n, id_col=id_col).select(
         id_col, F.xxhash64("shingle").alias("shingle_h")

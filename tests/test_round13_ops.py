@@ -164,3 +164,47 @@ def test_connected_components_same_labels_under_reliable_checkpoint(spark, tmp_p
     monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", str(tmp_path / "cc_ck"))
     rel, _ = connected_components(nodes, edges)
     assert sorted(map(tuple, rel.collect())) == base_rows
+
+
+def test_fused_bloom_build_matches_two_job_form(spark):
+    """The one-job bloom build (m derived in-plan from the key count)
+    must return the identical (words, m) the former two-job form
+    (driver-side count() then collect) computed, including the
+    empty-relation edge (m = 64, all-zero words)."""
+    from pyspark.sql import functions as F
+
+    from ntripmonitor_spark.operators.dedup import (
+        BLOOM_K,
+        _bloom_positions,
+        bloom_filter_build,
+    )
+
+    keys = spark.range(0, 500).select(F.xxhash64("id").alias("h"))
+
+    def two_job_reference(keys_df, bits_per_key=20):
+        n_keys = keys_df.count()
+        m = max(64, ((bits_per_key * max(n_keys, 1) + 63) // 64) * 64)
+        pos = F.explode(F.array(*_bloom_positions(F.col("h"), m, BLOOM_K))).alias("pos")
+        rows = (
+            keys_df.select(pos)
+            .groupBy((F.col("pos") / 64).cast("long").alias("w"))
+            .agg(F.bit_or(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+                )
+            ).alias("bits"))
+            .collect()
+        )
+        words = [0] * (m // 64)
+        for r in rows:
+            words[r["w"]] = r["bits"]
+        return words, m
+
+    got_words, got_m = bloom_filter_build(keys, "h")
+    ref_words, ref_m = two_job_reference(keys)
+    assert got_m == ref_m
+    assert got_words == ref_words
+
+    empty = spark.createDataFrame([], "h long")
+    w0, m0 = bloom_filter_build(empty, "h")
+    assert m0 == 64 and w0 == [0]
