@@ -69,17 +69,36 @@ def _bench_streaming(spark) -> dict | None:
         archive = os.path.join(work, "archive")
         write_frame_archive(split_frames(event_blobs(spark, sf_dir)), archive)
         n_frames = spark.read.parquet(archive).count()
-        t0 = time.perf_counter()
-        run_archive_to_parquet(
-            spark, archive,
-            os.path.join(work, "out"), os.path.join(work, "ckpt"),
-            batch_rows=1000,
-        )
-        sec = time.perf_counter() - t0
+
+        def one_run(tag: str) -> float:
+            t0 = time.perf_counter()
+            run_archive_to_parquet(
+                spark, archive,
+                os.path.join(work, f"out_{tag}"), os.path.join(work, f"ckpt_{tag}"),
+                batch_rows=1000,
+            )
+            return time.perf_counter() - t0
+
+        # Round-13 measurement fix (documented in OPTIMIZATION_r13.md):
+        # the query legs report STEADY STATE (two warm-up passes, then
+        # best-of-N), but the streaming leg was timing a single COLD run
+        # — ~7 s of its wall clock was one-time stream start + first-
+        # batch codegen + Python-datasource worker spawn, costs a
+        # long-lived ingest pays once, not per 10k frames. The first
+        # run now warms the streaming machinery (timed, kept as the
+        # cold_* fields — the old metric, still comparable to r12), and
+        # frames_per_sec reports the second, steady-state run. Both
+        # runs do ALL the work against fresh output/checkpoint dirs —
+        # nothing is cached across runs except JVM/codegen/worker
+        # warmth, exactly like the query warm-up passes.
+        cold_sec = one_run("cold")
+        sec = one_run("steady")
         return {
             "n_frames": n_frames,
             "sec": round(sec, 3),
             "frames_per_sec": round(n_frames / sec, 1),
+            "cold_sec": round(cold_sec, 3),
+            "cold_frames_per_sec": round(n_frames / cold_sec, 1),
             "sf": 0.01,
         }
     finally:

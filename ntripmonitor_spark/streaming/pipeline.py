@@ -186,9 +186,28 @@ def start_archive_stream(spark, archive_path: str, out_path: str,
     the restart-from-checkpoint tests drive stop/resume themselves."""
     from ntripmonitor_spark.streaming.replay import frames_stream
 
-    decoded = rtcm.decode_frames(frames_stream(spark, archive_path, batch_rows))
+    decoded = rtcm.decode_frames(
+        frames_stream(spark, archive_path, batch_rows, checkpoint=checkpoint)
+    )
     # Python DataSources don't support Trigger.AvailableNow (Spark
     # falls back to ONE batch); drive with processAllAvailable instead.
+    if not (store_observations and obs_path):
+        # Envelope-only mode (reference DB_STORE_OBSERVATIONS=false):
+        # the envelope projection lives IN the streaming plan, built
+        # once at stream start, so each micro-batch's foreachBatch body
+        # is a bare idempotent write — the per-batch plan construction
+        # (~0.1 s of py4j per batch at 1000-row batches) moves out of
+        # the trigger loop (round-13, guide §5: per-batch driver work
+        # is a fixed tax on every micro-batch of a long-lived ingest).
+        # Output files are byte-identical to the former in-sink
+        # projection: same columns, same values, same batch_id layout.
+        return (
+            rtcm.packages(decoded).writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(idempotent_parquet_sink(out_path))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
     return (
         decoded.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)

@@ -16,7 +16,11 @@ path tests.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -49,40 +53,122 @@ def write_frame_archive(frames_df, path: str) -> None:
     )
 
 
-class _ReplayReader(SimpleDataSourceStreamReader):
+class _ReplayPartition(InputPartition):
+    def __init__(self, path: str, lo: int, hi: int):
+        self.path = path
+        self.lo = lo
+        self.hi = hi
+
+
+# Archive tables cached per Python WORKER (keyed by path): executor
+# workers are reused across tasks (spark.python.worker.reuse), so a
+# replay run opens/decodes each archive parquet once per worker, not
+# once per micro-batch (guide §4.5 heavyweight-init-once). Bounded by
+# the handful of archives a process replays.
+_ARCHIVE_CACHE: dict = {}
+
+
+def _archive_table(path: str):
+    table = _ARCHIVE_CACHE.get(path)
+    if table is None:
+        import pyarrow.dataset as ds
+
+        table = ds.dataset(path, format="parquet").to_table(
+            columns=["mountpoint", "receive_time_us", "frame"]
+        ).combine_chunks()
+        _ARCHIVE_CACHE[path] = table
+    return table
+
+
+class _ReplayReader(DataSourceStreamReader):
+    """Partition-based stream reader: offsets are archive row
+    positions; the DATA is read executor-side (round-13 — the former
+    SimpleDataSourceStreamReader read every ingest byte on the DRIVER
+    and re-shipped it through the JVM per micro-batch, a guide-§5
+    driver bottleneck that caps ingest at driver bandwidth at scale;
+    now the driver handles only integer offsets and each batch's task
+    slices the worker-cached Arrow table zero-copy)."""
+
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("ntrip_replay requires option 'path'")
         self.batch_rows = int(options.get("batchrows", "1000"))
-        self._rows = None
+        # Restart safety: latestOffset() has no access to the engine's
+        # restored position, so a restarted query would otherwise
+        # re-plan from row 0 (duplicates). The checkpoint location is
+        # passed down as an option and the cursor recovers from the
+        # query's OWN offset log (the last planned batch's end offset).
+        # Local-filesystem checkpoints only — this replay source is the
+        # archive test/bench source by design (the live NTRIP source
+        # tracks connection byte positions instead).
+        self.ckpt = options.get("checkpoint")
+        self._n = None       # archive row count (parquet footer metadata)
+        self._cur: int | None = None  # replay cursor (row position)
 
-    def _load(self):
-        if self._rows is None:
+    def _count(self) -> int:
+        if self._n is None:
             import pyarrow.dataset as ds
 
-            table = ds.dataset(self.path, format="parquet").to_table(
-                columns=["mountpoint", "receive_time_us", "frame"]
-            )
-            self._rows = list(zip(*(table.column(c).to_pylist() for c in
-                                    ("mountpoint", "receive_time_us", "frame"))))
-        return self._rows
+            self._n = ds.dataset(self.path, format="parquet").count_rows()
+        return self._n
+
+    def _recovered_cursor(self) -> int:
+        import json
+        import os
+
+        if not self.ckpt:
+            return 0
+        offsets_dir = os.path.join(self.ckpt, "offsets")
+        try:
+            batches = [n for n in os.listdir(offsets_dir) if n.isdigit()]
+        except OSError:
+            return 0
+        if not batches:
+            return 0
+        latest = os.path.join(offsets_dir, max(batches, key=int))
+        try:
+            with open(latest) as f:
+                lines = [ln.strip() for ln in f if ln.strip()]
+            # OffsetSeqLog layout: "v1", metadata JSON, then one offset
+            # line per source (single source here).
+            return int(json.loads(lines[-1])["row"])
+        except (OSError, ValueError, KeyError):
+            return 0
 
     def initialOffset(self) -> dict:
         return {"row": 0}
 
-    def read(self, start: dict):
-        rows = self._load()
-        lo = start["row"]
-        hi = min(lo + self.batch_rows, len(rows))
-        return iter(rows[lo:hi]), {"row": hi}
+    def latestOffset(self) -> dict:
+        # Rate-limited replay: advance at most batch_rows per trigger,
+        # starting from the recovered WAL position on restart. The
+        # engine replays any uncommitted tail from its own offset log;
+        # this cursor only governs NEW batches.
+        if self._cur is None:
+            self._cur = self._recovered_cursor()
+        self._cur = min(self._cur + self.batch_rows, self._count())
+        return {"row": self._cur}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        rows = self._load()
-        return iter(rows[start["row"]:end["row"]])
+    def partitions(self, start: dict, end: dict):
+        # One partition per micro-batch: preserves the one-file-per-
+        # batch sink layout and matches the caster-connection-grained
+        # parallelism of the live source (mountpoint partitions).
+        return [_ReplayPartition(self.path, start["row"], end["row"])]
+
+    def read(self, partition: _ReplayPartition):
+        table = _archive_table(partition.path)
+        # zero-copy slice of the worker-cached table, yielded as ONE
+        # Arrow batch — no per-row Python
+        yield from table.slice(
+            partition.lo, partition.hi - partition.lo
+        ).to_batches()
 
     def commit(self, end: dict) -> None:
-        pass
+        # Belt-and-braces restart sync: committed batches can only move
+        # the cursor forward (covers a hard-stop replay where the first
+        # engine callback is a commit of the recovered batch).
+        if self._cur is None or end["row"] > self._cur:
+            self._cur = end["row"]
 
 
 class NtripReplayDataSource(DataSource):
@@ -95,7 +181,7 @@ class NtripReplayDataSource(DataSource):
     def schema(self):
         return ARCHIVE_SCHEMA
 
-    def simpleStreamReader(self, schema):
+    def streamReader(self, schema):
         return _ReplayReader(self.options)
 
 
@@ -103,17 +189,22 @@ def register_replay_source(spark) -> None:
     spark.dataSource.register(NtripReplayDataSource)
 
 
-def frames_stream(spark, archive_path: str, batch_rows: int = 1000):
-    """readStream over an archive → (mountpoint, receive_time, frame)."""
+def frames_stream(spark, archive_path: str, batch_rows: int = 1000,
+                  checkpoint: str | None = None):
+    """readStream over an archive → (mountpoint, receive_time, frame).
+    Pass the query's ``checkpoint`` so a restarted stream recovers its
+    replay cursor from the offset log (see ``_ReplayReader``)."""
     from pyspark.sql import functions as F
 
     register_replay_source(spark)
-    raw = (
+    reader = (
         spark.readStream.format("ntrip_replay")
         .option("path", archive_path)
         .option("batchrows", str(batch_rows))
-        .load()
     )
+    if checkpoint:
+        reader = reader.option("checkpoint", checkpoint)
+    raw = reader.load()
     return raw.select(
         "mountpoint",
         F.timestamp_micros(F.col("receive_time_us")).alias("receive_time"),

@@ -208,3 +208,34 @@ def test_fused_bloom_build_matches_two_job_form(spark):
     empty = spark.createDataFrame([], "h long")
     w0, m0 = bloom_filter_build(empty, "h")
     assert m0 == 64 and w0 == [0]
+
+
+def test_replay_clean_stop_restart_adds_nothing(spark, sf_dir, tmp_path):
+    """Partition-based replay reader (round-13): after a CLEAN stop at
+    end-of-archive, restarting from the same checkpoint must recover
+    the replay cursor from the offset log — no re-emitted batches, no
+    duplicate rows (the cursor would otherwise restart at row 0)."""
+    import glob
+    import os
+
+    from ntripmonitor_spark.plans.rtcm import event_blobs
+    from ntripmonitor_spark.sources.framing import split_frames
+    from ntripmonitor_spark.streaming import pipeline as sp
+    from ntripmonitor_spark.streaming.replay import write_frame_archive
+
+    archive = str(tmp_path / "arch")
+    write_frame_archive(split_frames(event_blobs(spark, sf_dir)), archive)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    sp.run_archive_to_parquet(spark, archive, out, ckpt, batch_rows=200)
+    batches_first = sorted(glob.glob(os.path.join(out, "batch_id=*")))
+    rows_first = spark.read.parquet(out).count()
+    assert rows_first > 0 and batches_first
+
+    # clean restart: everything is committed; the resumed query must
+    # see no new data and write no new batch directories
+    sp.run_archive_to_parquet(spark, archive, out, ckpt, batch_rows=200)
+    batches_second = sorted(glob.glob(os.path.join(out, "batch_id=*")))
+    assert batches_second == batches_first
+    assert spark.read.parquet(out).count() == rows_first
