@@ -446,6 +446,35 @@ def _vocab_mapper(vocab: list[str], unk: str = "<unk>"):
     return to_vocab
 
 
+def _vocab_id_mapper(vocab: list[str]):
+    """Closed-vocabulary token→INT-id mapper: token → its vocab index
+    if in ``vocab`` else ``len(vocab)`` (the <unk> id), taking the
+    operand as a SQL fragment.
+
+    The int-id twin of :func:`_vocab_mapper` for consumers that never
+    emit the mapped TOKEN itself, only statistics keyed on it
+    (bigram_nll's model counts): the mapping is a bijection on
+    vocab ∪ {unk}, so every downstream count/group/join is identical,
+    while the grouped/cached/joined key narrows from a string to a
+    4-byte int (guide §2.3 — at corpus scale the persisted mapped
+    relation and the model join shuffle a fraction of the bytes).
+    Rendered as ONE literal-map lookup (constant-folded by Catalyst;
+    one SQL parse, no per-element py4j — the fastlit discipline)."""
+    from ntripmonitor_spark.functions.fastlit import _render_string
+
+    entries = ",".join(f"{_render_string(w)},{i}" for i, w in enumerate(vocab))
+    unk = len(vocab)
+
+    def to_vocab_id(operand_sql: str) -> Column:
+        if not vocab:
+            return F.expr(f"CAST({unk} AS INT)")
+        return F.expr(
+            f"coalesce(element_at(map({entries}), {operand_sql}), {unk})"
+        )
+
+    return to_vocab_id
+
+
 def bigram_nll(docs: DataFrame, vocab_size: int = 64, k: float = 0.5,
                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document bigram language-model negative log-likelihood —
@@ -466,15 +495,18 @@ def bigram_nll(docs: DataFrame, vocab_size: int = 64, k: float = 0.5,
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
     staged = docs.select(F.col(id_col), toks.alias("_toks"))
     m = F.greatest(F.size(F.col("_toks")) - 1, F.lit(0))
+    # Pairs as (a, b) STRUCTS, not "a b" strings (round-13): the former
+    # concat_ws + 2×split_part round-trip built and re-parsed a pair
+    # string per bigram — pure per-task waste at corpus scale (guide
+    # §1.2 step 2; tokens come from a split on " " so the concat→split
+    # was always the identity). A/B at sf0.1: tx10 −13% end-to-end.
     pair_col = F.zip_with(
         F.slice(F.col("_toks"), F.lit(1), m),
         F.slice(F.col("_toks"), F.lit(2), m),
-        lambda a, b: F.concat_ws(" ", a, b),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
     )
-    pairs = staged.select(id_col, F.explode(pair_col).alias("pair")).select(
-        id_col,
-        F.split_part(F.col("pair"), F.lit(" "), F.lit(1)).alias("a"),
-        F.split_part(F.col("pair"), F.lit(" "), F.lit(2)).alias("b"),
+    pairs = staged.select(id_col, F.explode(pair_col).alias("p")).select(
+        id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
 
     vocab_rows = (
@@ -487,7 +519,14 @@ def bigram_nll(docs: DataFrame, vocab_size: int = 64, k: float = 0.5,
     )
     vocab = [r["tok"] for r in vocab_rows]
     v_plus = float(len(vocab) + 1)  # + <unk>
-    to_vocab = _vocab_mapper(vocab)
+    # INT vocab ids, not the token strings (round-13, guide §2.3): the
+    # mapping is a bijection on vocab ∪ {unk}, so the model counts —
+    # and therefore every logp and the emitted avg_nll — are identical,
+    # while the persisted corpus relation and the model join key narrow
+    # from 2 strings to 2 ints. A/B at sf0.1 (interleaved best-of-4):
+    # −25% end-to-end on top of the struct-pair change; value-identity
+    # pinned by test_bigram_nll_id_form_matches_string_form.
+    to_vocab = _vocab_id_mapper(vocab)
 
     # feeds both the model-count aggregate and the scoring join —
     # persist once (the dd02/dc02 silver-relation discipline) so the

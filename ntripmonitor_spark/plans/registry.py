@@ -290,13 +290,15 @@ DRIVER_ROTATED_OUT: frozenset[str] = frozenset(
 
 
 # Queries whose PLAN changed in round 13 AFTER their last green driver
-# row — consumed by the round-13 window cut below (all six are in the
+# row — consumed by the round-13 window cut below (all are in the
 # new window). bm01/rc01/rc02/rc03 carry the shared tokenized-docs
 # persist (operators/retrieval.py, one corpus tokenize feeding the
 # stats + posting legs); kl01 derives vocab and symbol counts from one
 # persisted (source, token) relation; dc02 broadcasts the DISTINCT
-# bench hash set on the confirm join (round-13 ADVICE). All re-proved
-# hash-identical to DuckDB at sf0.001 and sf0.01 locally.
+# bench hash set on the confirm join (round-13 ADVICE); tx10/cu05 ride
+# the bigram_nll struct-pair + int-vocab-id rewrite (operators/text.py,
+# value-identity pinned by test_bigram_nll_id_form_matches_string_form).
+# All re-proved hash-identical to DuckDB at sf0.001 and sf0.01 locally.
 CHANGED_SINCE_GREEN_R13: frozenset[str] = frozenset(
     {
         "bm01_bm25_topk",
@@ -305,6 +307,8 @@ CHANGED_SINCE_GREEN_R13: frozenset[str] = frozenset(
         "rc03_mrr_eval",
         "kl01_source_divergence",
         "dc02_decontamination_bloom",
+        "tx10_bigram_nll",
+        "cu05_ccnet_buckets",
     }
 )
 

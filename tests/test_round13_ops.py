@@ -239,3 +239,80 @@ def test_replay_clean_stop_restart_adds_nothing(spark, sf_dir, tmp_path):
     batches_second = sorted(glob.glob(os.path.join(out, "batch_id=*")))
     assert batches_second == batches_first
     assert spark.read.parquet(out).count() == rows_first
+
+
+def test_vocab_id_mapper_matches_string_mapper(spark):
+    """_vocab_id_mapper must be the index-bijection of _vocab_mapper:
+    token → vocab index if in vocab else len(vocab), including
+    SQL-hostile tokens and the empty-vocab edge."""
+    from ntripmonitor_spark.operators.text import _vocab_id_mapper
+
+    df = spark.createDataFrame(
+        [("alpha",), ("beta",), ("it's",), ("zzz",), ("",)], "tok string"
+    )
+    vocab = ["alpha", "it's", ""]
+    got = df.select(_vocab_id_mapper(vocab)("tok").alias("v")).collect()
+    idx = {w: i for i, w in enumerate(vocab)}
+    want = [idx.get(r["tok"], len(vocab)) for r in df.collect()]
+    assert [r["v"] for r in got] == want
+
+    empty = df.select(_vocab_id_mapper([])("tok").alias("v")).collect()
+    assert all(r["v"] == 0 for r in empty)
+
+
+def test_bigram_nll_id_form_matches_string_form(spark, sf_dir):
+    """bigram_nll's round-13 rewrite (struct pairs + int vocab ids)
+    must emit row-identical output to the former string-pair +
+    string-token form: the id mapping is a bijection on vocab ∪ {unk},
+    so every model count, logp and per-doc aggregate is unchanged."""
+    from ntripmonitor_spark.operators.text import _vocab_mapper, bigram_nll
+    from ntripmonitor_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    got = bigram_nll(docs).orderBy("doc_id").collect()
+
+    # the pre-round-13 reference form, inlined
+    k, vocab_size = 0.5, 64
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    staged = docs.select(F.col("doc_id"), toks.alias("_toks"))
+    m = F.greatest(F.size(F.col("_toks")) - 1, F.lit(0))
+    pair_col = F.zip_with(
+        F.slice(F.col("_toks"), F.lit(1), m),
+        F.slice(F.col("_toks"), F.lit(2), m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    pairs = staged.select("doc_id", F.explode(pair_col).alias("pair")).select(
+        "doc_id",
+        F.split_part(F.col("pair"), F.lit(" "), F.lit(1)).alias("a"),
+        F.split_part(F.col("pair"), F.lit(" "), F.lit(2)).alias("b"),
+    )
+    vocab_rows = (
+        staged.select(F.explode(F.col("_toks")).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(vocab_size).collect()
+    )
+    vocab = [r["tok"] for r in vocab_rows]
+    v_plus = float(len(vocab) + 1)
+    to_vocab = _vocab_mapper(vocab)
+    mapped = pairs.select(
+        "doc_id", to_vocab("a").alias("w1"), to_vocab("b").alias("w2")
+    ).persist()
+    bc = mapped.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cx = bc.groupBy("w1").agg(F.sum("c").alias("cw"))
+    model = bc.join(cx, "w1").select(
+        "w1", "w2",
+        F.log((F.col("c") + k) / (F.col("cw") + k * v_plus)).alias("logp"),
+    )
+    want = (
+        mapped.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.col("logp")), 6).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    mapped.unpersist()
+    assert got == want
