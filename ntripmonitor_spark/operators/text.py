@@ -670,29 +670,37 @@ def pmi_collocations(docs: DataFrame, top_n: int = 50,
     word pairs: pmi(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with bigram and
     unigram probabilities estimated from corpus counts.
 
-    Shape: one explode scan feeds both the bigram and the unigram
-    aggregates (persisted once — the dd02 silver-relation discipline);
-    the unigram count relation is vocabulary-sized, so both
-    re-attachments are broadcast hash joins and the corpus-sized
-    bigram relation shuffles exactly once, keyed by the pair. The
-    final top-N is a sort of an already-aggregated vocabulary²-bounded
-    relation, not of corpus rows.
+    Shape (round-13): ONE corpus pass total. The exploded pair stream
+    feeds only the (w1, w2) bigram-count aggregate (map-side combine;
+    the single input-scaled exchange); the unigram counts and the
+    grand totals then FOLD OVER that vocabulary²-bounded count table
+    (persisted — it is tiny) instead of re-scanning the corpus-scale
+    pair stream: c_tok = Σ c_xy over bigram types carrying the token
+    in either slot, t_b = Σ c_xy — exactly the former occurrence
+    counts (guide §2.3 aggregate-before-shuffle). The earlier form
+    persisted the corpus-scale pair stream and scanned the cache three
+    more times (unionAll unigram pass + totals) — at 100 TB that cache
+    alone is a full corpus copy. Pairs come out of zip_with as
+    structs, not "a b" strings re-split per row (the bigram_nll
+    identity-round-trip fix). Both re-attachments stay broadcast hash
+    joins; the final top-N is a bounded TakeOrdered.
     """
     words = normalized_words(F.col("text"))
-    grams = docs.select(
-        F.explode(word_shingles(words, 2)).alias("bigram")
-    ).select(
-        F.split(F.col("bigram"), " ").getItem(0).alias("w1"),
-        F.split(F.col("bigram"), " ").getItem(1).alias("w2"),
-    ).persist()
-
-    bc = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
-    uni = (
-        grams.select(F.col("w1").alias("tok"))
-        .unionAll(grams.select(F.col("w2").alias("tok")))
-        .groupBy("tok").agg(F.count(F.lit(1)).alias("c_tok"))
+    m = F.greatest(F.size(words) - 1, F.lit(0))
+    pair_col = F.zip_with(
+        F.slice(words, F.lit(1), m),
+        F.slice(words, F.lit(2), m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    totals = grams.agg(F.count(F.lit(1)).alias("t_b")).select(
+    grams = docs.select(F.explode(pair_col).alias("p")).select("p.w1", "p.w2")
+
+    bc = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy")).persist()
+    uni = (
+        bc.select(F.col("w1").alias("tok"), F.col("c_xy").alias("c"))
+        .unionAll(bc.select(F.col("w2").alias("tok"), F.col("c_xy").alias("c")))
+        .groupBy("tok").agg(F.sum("c").alias("c_tok"))
+    )
+    totals = bc.agg(F.sum("c_xy").alias("t_b")).select(
         "t_b", (F.col("t_b") * 2).alias("t_u")
     )
     scored = (
